@@ -1,0 +1,137 @@
+"""Column-level helper functions (all JVM-side, codegen-friendly).
+
+Everything here returns a ``pyspark.sql.Column`` built from built-in
+functions — no Python UDFs — so whole-stage codegen keeps the hot path in
+the JVM (the engine's rule: UDFs only where builtins can't express the
+semantics, and then Arrow-vectorized; SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- text -----------------------------------------------------------------
+
+# Kept in sync with the duckdb oracle SQL (queries module): identical regexes,
+# identical operation order, so results hash-match.
+_WS = r"\s+"
+_PUNCT_CLASS = r"[^\w\s]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim: the canonical form used by
+    fingerprinting and dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), _WS, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[\w\s]", ""))
+
+
+def word_shingles(tok: Column, k: int) -> Column:
+    """Word k-gram shingles from a token array, as array<string>.
+
+    Built from sequence+transform+slice (all higher-order builtins): for a
+    doc of n tokens produces max(n-k+1, 1) shingles. Standard MinHash
+    preprocessing (Broder 1997, "On the resemblance and containment of
+    documents").
+    """
+    n_sh = F.greatest(F.size(tok) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    )
+
+
+# --- vectors --------------------------------------------------------------
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via zip_with + aggregate —
+    sequential left-to-right summation (deterministic, bit-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- hashing --------------------------------------------------------------
+
+# Mersenne prime 2^31-1: universal-hash modulus. 31-bit space keeps
+# a*h+b < 2^62 so the expression never overflows int64 under ANSI mode
+# (2^31 hash space is ample for MinHash collision behavior).
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_values(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of universal hashes
+    h_i(x) = (a_i * x + b_i) mod 2^31-1 with x = xxhash64(shingle) folded
+    into the prime field.
+
+    Entirely expression-level (transform + array_min + xxhash64): no UDF, no
+    shuffle — computed in the scan stage.
+    """
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+    def _universal(a: int, b: int):
+        # Closure factory: Spark introspects lambda arity, so the (a, b)
+        # captures must not appear as parameters.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig = []
+    for i in range(num_hashes):
+        a = ((seed * 1000003 + i * 2654435761) % MINHASH_PRIME) | 1
+        b = (seed * 777767777 + i * 40503) % MINHASH_PRIME
+        sig.append(F.array_min(F.transform(base, _universal(a, b))))
+    return F.array(*sig)
+
+
+def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature → array<long> of length
+    ``num_bands`` (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (e.g. SimHash)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,96 @@
+"""Core relational operators: projection, filter, aggregation.
+
+Covers SURVEY §2.3 (P1-P7), §2.4 (F1-F7), §2.5 (A1-A7). The reference
+performs each of these as a one-liner DataFrame call (e.g. projection at
+reference pyspark-1.ipynb:199, SQL-string filter at pyspark-2.ipynb:360,
+groupBy aggregates at pyspark-2.ipynb:547-617). This engine keeps them as
+declarative DataFrame transforms so Catalyst gets the whole plan: filters
+and projections reach the parquet scan (PushedFilters / ReadSchema),
+aggregates run partial+final (map-side combine) around one hash shuffle.
+
+Nothing here collects to the driver; every function is DataFrame -> DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColumnOrName = "Column | str"
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1-P4: column projection (case-insensitive resolution is Spark's
+    default, matching reference pyspark-1.ipynb:226 select('Name','Age'))."""
+    return df.select(*cols)
+
+
+def derive(df: DataFrame, name: str, expr: Column | str) -> DataFrame:
+    """P5: add a derived column. ``expr`` may be a Column or a SQL string
+    (parsed by Catalyst, reference style df['Experience']+2 at
+    pyspark-1.ipynb:305)."""
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    return df.withColumn(name, col)
+
+
+def drop_columns(df: DataFrame, *names: str) -> DataFrame:
+    """P6 (reference pyspark-1.ipynb:343)."""
+    return df.drop(*names)
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P7 (reference pyspark-1.ipynb:381). ``withColumnsRenamed`` is one
+    Project node regardless of how many columns move."""
+    return df.withColumnsRenamed(mapping)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """F1/F2: predicate as SQL string (Catalyst expression parser, reference
+    pyspark-2.ipynb:360) or Column expression (pyspark-2.ipynb:411). Both
+    compile to the same Filter node and push down to the scan."""
+    return df.filter(predicate)
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: Iterable[str | Column],
+    aggs: Iterable[Column],
+) -> DataFrame:
+    """A1-A4: grouped aggregation. Always alias agg columns at the call site —
+    auto-generated names like ``sum(salary)`` (reference pyspark-2.ipynb:533)
+    are unstable across engines. Empty ``group_by`` = global aggregate."""
+    keys = list(group_by)
+    aggs = list(aggs)
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, column: str) -> DataFrame:
+    """A5: ``describe()`` semantics for one numeric column as a single typed
+    row (count / mean / sample stddev / min / max — the same five statistics
+    as reference pyspark-1.ipynb:294, but returned as doubles instead of the
+    stringly-typed describe() table so results are oracle-comparable).
+
+    One partial+final aggregate over the scan; no shuffle beyond the single
+    global-agg exchange, regardless of input size.
+    """
+    c = F.col(column)
+    return df.agg(
+        F.count(c).alias("n"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.round(F.stddev_samp(c), 4).alias("stddev"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    )
+
+
+def count_alert(df: DataFrame, predicate: Column | str, threshold: int = 1) -> DataFrame:
+    """A6/F5/F6: the reference's monitoring pattern — KQL filter + row-count
+    threshold alert (reference README.md:239-244: fire when matching rows
+    >= 1, severity 1). Batch form: returns a 1-row DataFrame with the count
+    and a boolean ``fired``. Streaming form lives in streaming.alerts."""
+    return df.filter(predicate).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.count(F.lit(1)) >= F.lit(threshold)).alias("fired"),
+    )

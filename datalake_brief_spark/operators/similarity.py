@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (SURVEY §2.14).
+
+Two tiers:
+
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small) query
+                         set against the corpus scan, score with pure array
+                         expressions, keep k per query with a window. One
+                         pass over the corpus, one shuffle on query_id for
+                         the top-k — the correct baseline at any scale where
+                         |queries| is broadcastable.
+- ``srp_lsh_topk``     — approximate: Signed Random Projection LSH
+                         (Charikar 2002). Corpus and queries hash to
+                         sign-bit buckets over ``num_planes`` fixed random
+                         hyperplanes; only same-bucket candidates are scored.
+                         At 100 TB the bucket join replaces the full scan per
+                         query batch; recall is tunable via planes/tables.
+
+Embeddings are array<float> at rest (half the IO of double); scoring casts
+to double for deterministic, oracle-stable arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.functions import as_double_array, cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` must be small enough to broadcast (driver guards are the
+    caller's job); the corpus is streamed once. Ties break on corpus id so
+    results are deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _random_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def srp_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, seed: int = 42):
+    """Append an SRP bucket id: bit i = sign(v · plane_i), packed into a long.
+    Pure expressions — the hyperplanes are literal arrays folded into the
+    plan (constant-folded, broadcast-free)."""
+    v = as_double_array(F.col(vec_col))
+    bits = []
+    for i, plane in enumerate(_random_planes(dim, num_planes, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("__bucket", bucket.cast("long"))
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors in the query's SRP
+    bucket, then exact cosine rank within candidates. One equi-join on the
+    bucket key (2^num_planes buckets) instead of a full cross."""
+    c = srp_signature(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+    ).withColumnRenamed(vec_col, "__cvec")
+    q = srp_signature(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+    ).withColumnRenamed(vec_col, "__qvec")
+    cand = c.join(q, on="__bucket").filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.withColumn(
+        "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucketing + exact
+    verification (the embedding analogue of MinHash-LSH dedup)."""
+    s = srp_signature(df.select(id_col, vec_col), vec_col, dim, num_planes, seed)
+    lhs = s.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+    )
+    rhs = s.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+    )
+    return (
+        lhs.join(rhs, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", cosine(as_double_array("__va"), as_double_array("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.14).
+
+lang-id (stopword-hit heuristic), quality scoring, token counting, document
+fingerprinting. All pure column expressions over built-ins — at 100 TB these
+run inside the parquet scan stage with zero shuffles and zero Python.
+
+The duckdb oracle SQL for each lives beside the query registration
+(queries module); the Spark expression and the SQL are kept textually
+parallel so they hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.functions import normalize_text, punct_count, token_count, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Public-knowledge most-frequent function words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "un"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "un"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "at", "by"]
+
+
+def marker_hits(text_col: Column | str, markers: list[str]) -> Column:
+    """Count of tokens that are in ``markers`` (duplicates counted)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(arr, t)))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (the BPE-ish regex variant is
+    ``with_subword_count``)."""
+    return df.withColumn(out, token_count(text_col))
+
+
+def with_subword_count(df: DataFrame, text_col: str = "text", out: str = "n_subwords") -> DataFrame:
+    """BPE-ish proxy token count: split on word/non-word boundaries so
+    punctuation and digit runs count as their own tokens — a deterministic
+    stand-in for a real tokenizer's token count (within ~15% for English)."""
+    pieces = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"([^\w\s])", r" $1 ")), r"\s+"
+    )
+    return df.withColumn(out, F.size(pieces))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals + composite score in [0,1]:
+
+    - length score: saturating ramp on token count (short docs score low)
+    - punctuation ratio penalty (symbol-soup detection)
+    - stopword ratio reward (natural-language-likeness, C4-style heuristic;
+      Raffel et al. 2020 use terminal punctuation + stopword filters)
+    """
+    n_tok = token_count(text_col).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct_ratio = punct_count(text_col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = marker_hits(text_col, STOPWORDS_EN).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        F.greatest(
+            F.least(
+                F.lit(0.5) * len_score + F.lit(0.5) * F.least(stop_ratio * 4, F.lit(1.0))
+                - punct_ratio * 2,
+                F.lit(1.0),
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits, with a
+    deterministic priority order (en > fr > de > es > und) on ties.
+
+    A real deployment swaps in a fastText/CLD3 model via pandas_udf; the
+    heuristic is the shuffle-free, dependency-free baseline.
+    """
+    hits = {lang: marker_hits(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the when-chain in reverse priority so earlier langs win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text. Exact-dup detection
+    key that's stable across whitespace/case variation."""
+    return df.withColumn(out, F.md5(normalize_text(text_col)))

@@ -1,0 +1,980 @@
+"""Query registry: every SURVEY §2 operator as a (Spark callable, DuckDB
+oracle SQL) pair.
+
+Contract (driver's CORRECTNESS gate): the Spark callable and the oracle SQL
+produce identical results at sf=0.01 — same column names, same types, same
+values after order-insensitive hashing. Rules applied throughout:
+
+- every computed column is aliased identically on both sides;
+- aggregate doubles are ``round()``ed on both sides (sum→2dp, avg→4dp,
+  ratios/scores→6dp) so floating-point summation-order noise can't flip a
+  hash; counts/sizes are cast to long/BIGINT on both sides;
+- nondeterministic ordering is avoided (tie-breakers on unique keys);
+- hash-based ops (MinHash/SimHash/SRP-LSH) have NO oracle — different
+  engines can't share xxhash64 — so they're registered oracle-free
+  (driver records a rows-only check) and verified in pytest against exact
+  ground truth instead.
+
+The null-handling family (the reference's signature domain, SURVEY §2.6)
+derives a nulled view from ``customer`` identically on both sides, since
+TESTDATA has no physical nulls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
+from datalake_brief_spark.operators import dedup, multimodal, similarity, text
+from datalake_brief_spark.operators.joins import anti_join, join_dim, join_fact, semi_join
+from datalake_brief_spark.operators.nulls import drop_nulls, fill_nulls, impute_mean
+from datalake_brief_spark.operators.relational import (
+    aggregate,
+    count_alert,
+    derive,
+    filter_rows,
+    project,
+    summary_stats,
+)
+from datalake_brief_spark.operators.windows import (
+    running_agg,
+    sessionize,
+    top_k,
+    top_k_per_group,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible / hash-family op
+    headline: bool = False  # included in bench.py
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (SURVEY §2.5 aggregation band).
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle: partial+final hash aggregate over the filtered scan; the
+    shipdate filter pushes to parquet row-group stats."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return aggregate(
+        filter_rows(l, F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection band (SURVEY §2.3, P1-P7)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "proj_select",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: ReadSchema should show exactly these 3 of 5 columns."""
+    return project(_t(spark, sf_dir, "customer"), "c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "proj_derive",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def proj_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: derived arithmetic column (reference df['Experience']+2,
+    pyspark-1.ipynb:305).
+
+    round(·,4) not 2: products of 2-decimal inputs are exact 4-decimal
+    values, so no rounding midpoint exists — Spark (decimal-repr HALF_UP)
+    and DuckDB (binary round) then agree bit-for-bit. Rounding per-row
+    values at the data's own resolution is midpoint-prone across engines.
+    """
+    l = filter_rows(_t(spark, sf_dir, "lineitem"), F.col("l_orderkey") < 1000)
+    l = derive(l, "revenue", F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    return project(l, "l_orderkey", "l_linenumber", "revenue")
+
+
+@_register(
+    "proj_rename_drop",
+    """
+    SELECT p_partkey, p_name, p_type, p_size, p_retailprice AS price
+    FROM part WHERE p_size > 40
+    """,
+)
+def proj_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: rename + drop (reference pyspark-1.ipynb:343,381)."""
+    p = filter_rows(_t(spark, sf_dir, "part"), F.col("p_size") > 40)
+    p = p.withColumnsRenamed({"p_retailprice": "price"}).drop("p_brand")
+    return p
+
+
+# --------------------------------------------------------------------------
+# Filter band (SURVEY §2.4, F1-F7)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "filter_sql_string",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice <= 20000.0 AND o_orderstatus = 'O'
+    """,
+)
+def filter_sql_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: SQL-string predicate through the Catalyst parser (reference
+    df.filter("Salary<=20000"), pyspark-2.ipynb:360)."""
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"), "o_totalprice <= 20000.0 AND o_orderstatus = 'O'"
+    )
+    return project(o, "o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_register(
+    "filter_column_expr",
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0",
+)
+def filter_column_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: Column-object predicate (reference pyspark-2.ipynb:411)."""
+    return project(
+        filter_rows(_t(spark, sf_dir, "customer"), F.col("c_acctbal") < 0),
+        "c_custkey",
+        "c_acctbal",
+    )
+
+
+@_register(
+    "filter_conjunction",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'R'
+    """,
+)
+def filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: & conjunction (reference pyspark-2.ipynb:436)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20) & (F.col("l_returnflag") == "R")
+    )
+    return project(filter_rows(l, cond), "l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_register(
+    "filter_negation",
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT (o_orderstatus = 'F')",
+)
+def filter_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ~ negation (reference pyspark-2.ipynb:459)."""
+    o = filter_rows(_t(spark, sf_dir, "orders"), ~(F.col("o_orderstatus") == "F"))
+    return project(o, "o_orderkey", "o_orderstatus")
+
+
+@_register(
+    "filter_contains",
+    "SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'widget')",
+)
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: KQL-style substring filter (reference README.md:239-242
+    ``contains "regeneratekey"``)."""
+    p = filter_rows(_t(spark, sf_dir, "part"), F.col("p_name").contains("widget"))
+    return project(p, "p_partkey", "p_name")
+
+
+@_register(
+    "filter_project_pipeline",
+    """
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    """,
+)
+def filter_project_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: filter→select chain collapses to one scan-stage (reference
+    pyspark-2.ipynb:386)."""
+    c = _t(spark, sf_dir, "customer")
+    return project(
+        filter_rows(c, (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)),
+        "c_name",
+        "c_acctbal",
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation band (SURVEY §2.5, A1-A7)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "agg_groupby_sum",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT)    AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (reference groupBy().sum(), pyspark-2.ipynb:547)."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+@_register(
+    "agg_groupby_mean",
+    """
+    SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_groupby_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference groupBy().mean(), pyspark-2.ipynb:571)."""
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [F.round(F.avg("c_acctbal"), 4).alias("avg_bal")],
+    )
+
+
+@_register(
+    "agg_groupby_count",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (reference groupBy().count(), pyspark-2.ipynb:595)."""
+    return aggregate(
+        _t(spark, sf_dir, "events"), ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+
+
+@_register(
+    "agg_global",
+    """
+    SELECT round(sum(l_quantity), 2)      AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(count(*) AS BIGINT)       AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: grand-total aggregate, no keys (reference df.agg({'Salary':'sum'}),
+    pyspark-2.ipynb:617)."""
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        [],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+@_register(
+    "summary_stats",
+    """
+    SELECT CAST(count(o_totalprice) AS BIGINT) AS n,
+           round(avg(o_totalprice), 4)         AS mean,
+           round(stddev_samp(o_totalprice), 4) AS stddev,
+           min(o_totalprice)                   AS min,
+           max(o_totalprice)                   AS max
+    FROM orders
+    """,
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: typed describe() (reference pyspark-1.ipynb:294; sample stddev
+    matches the golden 4.1793... convention)."""
+    return summary_stats(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@_register(
+    "count_alert",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_matches,
+           count(*) >= 1            AS fired
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_count_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F5: the reference's KQL row-count alert in batch form
+    (README.md:239-244, threshold 1)."""
+    return count_alert(_t(spark, sf_dir, "events"), F.col("event_type") == "error", threshold=1)
+
+
+# --------------------------------------------------------------------------
+# Null-handling band (SURVEY §2.6, N1-N7) over a derived nulled view
+# --------------------------------------------------------------------------
+
+_NULLED_SQL = """
+    WITH nulled AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END          AS bal,
+             CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+"""
+
+
+def _nulled_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+
+
+@_register(
+    "na_drop_any",
+    _NULLED_SQL + "SELECT * FROM nulled WHERE bal IS NOT NULL AND seg IS NOT NULL",
+)
+def na_drop_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 (reference na.drop(how='any'), pyspark-2.ipynb:125,154)."""
+    return drop_nulls(_nulled_customer(spark, sf_dir), how="any")
+
+
+@_register(
+    "na_drop_thresh",
+    _NULLED_SQL
+    + """
+    SELECT * FROM nulled
+    WHERE 1 + (CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN seg IS NOT NULL THEN 1 ELSE 0 END) >= 2
+    """,
+)
+def na_drop_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: keep rows with ≥2 non-null cells (reference thresh=2 edge,
+    pyspark-2.ipynb:216)."""
+    return drop_nulls(_nulled_customer(spark, sf_dir), thresh=2)
+
+
+@_register(
+    "na_drop_subset",
+    _NULLED_SQL + "SELECT * FROM nulled WHERE bal IS NOT NULL",
+)
+def na_drop_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (reference na.drop(subset='Experience'), pyspark-2.ipynb:245)."""
+    return drop_nulls(_nulled_customer(spark, sf_dir), subset=["bal"])
+
+
+@_register(
+    "na_fill",
+    _NULLED_SQL
+    + """
+    SELECT c_custkey,
+           COALESCE(bal, 0.0)       AS bal,
+           COALESCE(seg, 'UNKNOWN') AS seg
+    FROM nulled
+    """,
+)
+def na_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: typed fill — the double fills only ``bal``, the string only
+    ``seg`` (reference type-matching golden, pyspark-2.ipynb:258-269)."""
+    nc = _nulled_customer(spark, sf_dir)
+    return fill_nulls(fill_nulls(nc, 0.0, subset=["bal"]), "UNKNOWN", subset=["seg"])
+
+
+@_register(
+    "impute_mean",
+    _NULLED_SQL
+    + """
+    SELECT c_custkey,
+           round(COALESCE(bal, (SELECT avg(bal) FROM nulled)), 2) AS bal_imputed
+    FROM nulled
+    """,
+)
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7: mean impute as a declarative plan (reference Imputer mean strategy,
+    pyspark-2.ipynb:286-324) — one stats aggregate broadcast back over the
+    scan, no pyspark.ml fit job."""
+    imp = impute_mean(_nulled_customer(spark, sf_dir), ["bal"])
+    return imp.select("c_custkey", F.round(F.col("bal_imputed"), 2).alias("bal_imputed"))
+
+
+# --------------------------------------------------------------------------
+# Join band (SURVEY §2.7 extension)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "join_dim_chain",
+    """
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT)  AS n_customers,
+           round(sum(c_acctbal), 2)  AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+)
+def join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim chain: both dims broadcast — the fact side never
+    shuffles for the joins; the only exchange is the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = join_dim(
+        join_dim(c, n, on=c.c_nationkey == n.n_nationkey),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+    )
+    return aggregate(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        ],
+    )
+
+
+@_register(
+    "join_fact_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    """,
+    headline=True,
+)
+def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×fact equi-join on the order key: shuffle join (AQE decides SMJ vs
+    shuffled-hash and splits skewed partitions)."""
+    o = filter_rows(_t(spark, sf_dir, "orders"), F.col("o_orderstatus") != "P")
+    l = _t(spark, sf_dir, "lineitem")
+    j = join_fact(o, l, on=o.o_orderkey == l.l_orderkey)
+    return aggregate(
+        j,
+        ["o_orderpriority"],
+        [
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
+@_register(
+    "join_semi",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_big_spenders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi: the probe side never widens rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = filter_rows(_t(spark, sf_dir, "orders"), F.col("o_totalprice") > 100000)
+    s = semi_join(c, o, on=c.c_custkey == o.o_custkey)
+    return aggregate(s, ["c_mktsegment"], [F.count(F.lit(1)).alias("n_big_spenders")])
+
+
+@_register(
+    "join_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti: customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return project(anti_join(c, o, on=c.c_custkey == o.o_custkey), "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Window / sort / set band (SURVEY §2.8 extension)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heap, no total
+    sort). Tie-break on the unique key keeps it deterministic."""
+    o = project(_t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+    headline=True,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer: one shuffle on the partition key."""
+    o = project(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice")
+    out = top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@_register(
+    "window_running",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend ordered by date (unique-key tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    out = running_agg(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        F.sum("o_totalprice"),
+        "running_total",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("running_total", 2).alias("running_total")
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (10-min gap): lag + cumsum windows sharing one
+    partitioning → single shuffle; then per-user session counts."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=600)
+    return aggregate(s, ["user_id"], [F.max("session_id").cast("long").alias("n_sessions")])
+
+
+@_register(
+    "setop_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT across two key sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@_register(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming windowed count (streaming.windowed_counts
+    is the continuous twin): tumbling 1h windows × event_type."""
+    e = _t(spark, sf_dir, "events")
+    return aggregate(
+        e.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm")),
+        ["hour", "event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup band (SURVEY §2.14)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; keeps the lowest doc_id per group."""
+    return project(dedup.exact_dedup(_t(spark, sf_dir, "documents")), "doc_id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+    headline=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.8 within a ``source`` block: the join
+    shuffles on the block key, never the full n² cross."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, block_col="source", k=1, threshold=0.8)
+
+
+@_register("dedup_minhash", None, headline=True)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (no oracle: xxhash64 family is
+    engine-local; pytest verifies recall against exact Jaccard).
+
+    b=16 bands × r=8 rows → s-curve midpoint (1/16)^(1/8) ≈ 0.71, the
+    standard setting for a 0.8 threshold: ~95% candidate recall at J=0.8,
+    ~6% false-candidate rate at J=0.5 (this corpus has near-0.5 similarity
+    between ALL doc pairs, so a flatter curve degenerates to O(n²)
+    candidates — the 0.5-midpoint variant measured 77s at sf0.1 vs ~10s
+    here)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, k=1, num_hashes=128, num_bands=16, threshold=0.8)
+
+
+@_register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming≤3 pairs via pigeonhole chunk join (no oracle:
+    FNV/SimHash are engine-local; pytest covers ground truth)."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Text-analysis band (SURVEY §2.14)
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+_STOP_EN = "['the','and','of','to','is','in','that','it','a','for','on','with','as','at','by']"
+
+
+@_register(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '([^\\w\\s])', ' \\1 ', 'g')), '\\s+'
+           )) AS BIGINT) AS n_subwords
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting — pure scan-stage expressions."""
+    d = _t(spark, sf_dir, "documents")
+    d = text.with_token_count(d)
+    d = text.with_subword_count(d)
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+    )
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+           round(n_stop / greatest(n_tok, 1.0), 6)    AS stopword_ratio,
+           round(greatest(least(
+             0.5 * least(n_tok / 100.0, 1.0)
+             + 0.5 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+             - n_punct / greatest(n_chars, 1.0) * 2,
+           1.0), 0.0), 6) AS quality
+    FROM t
+    """,
+    headline=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality signals + composite score."""
+    d = text.with_quality(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality")
+
+
+@_register(
+    "text_langid",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter({_TOKS}, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS h_en,
+        len(list_filter({_TOKS}, x -> list_contains(['le','la','les','de','et','est','que','un'], x)))  AS h_fr,
+        len(list_filter({_TOKS}, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS h_de,
+        len(list_filter({_TOKS}, x -> list_contains(['el','la','los','de','y','es','que','un'], x)))    AS h_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_en > 0 AND h_en >= greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                WHEN h_fr > 0 AND h_fr >= greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+                WHEN h_de > 0 AND h_de >= greatest(h_en, h_fr, h_de, h_es) THEN 'de'
+                WHEN h_es > 0 AND h_es >= greatest(h_en, h_fr, h_de, h_es) THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie priority."""
+    d = text.with_lang_id(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang_pred")
+
+
+@_register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint."""
+    return text.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Similarity band (SURVEY §2.14)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "knn_bruteforce",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS score
+      FROM c CROSS JOIN q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+    headline=True,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast queries ×
+    one corpus scan; zip_with/aggregate keep scoring JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register("knn_lsh", None)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (no oracle: approximate by design; pytest
+    measures recall against the brute-force baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
+
+
+@_register("emb_near_dup", None)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP buckets (approximate)."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, dim=64, num_planes=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal band (SURVEY §2.14) — payload = utf-8 bytes of text (the
+# container has no codecs; the binary plumbing is the real thing)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           'text'                                   AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text)                                AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media metadata over a binary payload column — all JVM-side."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = multimodal.attach_media_metadata(d, "payload", modality="text")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+
+
+@_register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    byte-histogram stand-in decoder; no oracle — Arrow UDF plumbing check)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = multimodal.extract_features(d, "payload", "doc_id", n_features=16)
+    return feats.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in QUERIES.items() if q.headline}

@@ -1,0 +1,72 @@
+"""Readers / writers for the lake (SURVEY §2.1 S1-S3, §2.2 K1-K3).
+
+The reference reads CSV with header+inference everywhere (e.g. option style
+at reference pyspark-1.ipynb:68, kwarg style at pyspark-2.ipynb:66) and lands
+raw CSV/Parquet blobs into a container laid out as ``<source>/<region>_<file>``
+(ingestion-datalake.py:105). This engine:
+
+- supports both reader styles through one function, schema-first;
+  inference is allowed but explicit (``infer=True``) and intended only for
+  bronze/ad-hoc — registered tables go through catalog.load_table.
+- writes Parquet (zstd) as the canonical at-rest format, optionally
+  partitioned by low-cardinality columns so static + dynamic partition
+  pruning have something to prune.
+- storage credentials/endpoints (the reference's SAS/Key Vault surface) are
+  Spark conf (``fs.azure.*`` / ``fs.s3a.*``), never code: any ``abfss://`` /
+  ``s3a://`` URI works through the same two functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """S1/S2. Pass ``schema`` for production paths; ``infer=True`` replicates
+    the reference's behavior (costs an eager extra scan of the data)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S3: columnar scan with pushdown + pruning."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """K1-K3: canonical sink. ``mode='overwrite'`` mirrors the reference's
+    ``overwrite=True`` blob upload (ingestion-datalake.py:135-158)."""
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    target_file_partitions: int | None = None,
+) -> None:
+    """Partitioned Parquet write — the lake's pruning contract.
+
+    ``repartition(partition_by)`` before the write gives one task per
+    partition-dir (no small-file explosion: without it every input task
+    writes a file into every partition dir). ``target_file_partitions``
+    overrides the task count for very large partitions.
+    """
+    out = df.repartition(target_file_partitions, *partition_by) if target_file_partitions else df.repartition(*partition_by)
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -1,0 +1,17 @@
+"""Structured Streaming layer (SURVEY §2.10).
+
+The reference's monitoring/alerting is Azure-level design only (README.md:
+179-257: Log Analytics + KQL row-count alert, severity levels). The semantic
+core — filter an append-only event table, count, fire at a threshold — is
+reproduced here the idiomatic Spark way: readStream → watermark → windowed
+aggregation → foreachBatch alert sink.
+"""
+
+from datalake_brief_spark.streaming.alerts import (
+    Alert,
+    stream_events,
+    threshold_alert_stream,
+    windowed_counts,
+)
+
+__all__ = ["Alert", "stream_events", "threshold_alert_stream", "windowed_counts"]
