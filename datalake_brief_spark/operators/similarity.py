@@ -64,7 +64,13 @@ def _random_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def srp_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, seed: int = 42):
+def srp_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+):
     """Append an SRP bucket id: bit i = sign(v · plane_i), packed into a long.
     Pure expressions — the hyperplanes are literal arrays folded into the
     plan (constant-folded, broadcast-free)."""
@@ -80,27 +86,68 @@ def srp_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, s
     return df.withColumn("__bucket", bucket.cast("long"))
 
 
+def srp_bucket_table(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table SRP: append exploded (table_idx, bucket) rows — the
+    standard LSH amplification (union of L independent hash tables raises
+    recall 1-(1-p^m)^L; Gionis/Indyk/Motwani 1999). One posexplode, then
+    candidate generation is an equi-join on (table_idx, bucket)."""
+    for t in range(num_tables):
+        # independent hyperplane set per table; park each bucket in its own slot
+        tagged = srp_signature(df, vec_col, dim, num_planes, seed + 7919 * t)
+        df = tagged.withColumnRenamed("__bucket", f"__b{t}")
+    arr = F.array(*[F.col(f"__b{t}") for t in range(num_tables)])
+    out = df.select(
+        *[c for c in df.columns if not c.startswith("__b")],
+        F.posexplode(arr).alias("__table", "__bucket"),
+    )
+    return out
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors in the query's SRP
-    bucket, then exact cosine rank within candidates. One equi-join on the
-    bucket key (2^num_planes buckets) instead of a full cross."""
-    c = srp_signature(
-        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+    """Approximate top-k: candidates = corpus vectors sharing any of the
+    query's L bucket keys, then exact cosine rank within candidates.
+
+    Equi-join on (table, bucket) replaces the full cross; recall/cost is
+    tuned via (num_planes, num_tables) — more planes → smaller buckets,
+    more tables → higher recall. On data with real cluster structure
+    (any trained embedding space) 8×8 reaches high recall; on uniformly
+    random vectors no sublinear ANN works — that's a data property, not an
+    implementation one.
+    """
+    c = srp_bucket_table(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, num_tables, seed
     ).withColumnRenamed(vec_col, "__cvec")
-    q = srp_signature(
-        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+    q = srp_bucket_table(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        vec_col,
+        dim,
+        num_planes,
+        num_tables,
+        seed,
     ).withColumnRenamed(vec_col, "__qvec")
-    cand = c.join(q, on="__bucket").filter(F.col(id_col) != F.col(query_id_col))
+    cand = (
+        c.join(q, on=["__table", "__bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = cand.withColumn(
         "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
     )
@@ -116,22 +163,27 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
-    num_planes: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP bucketing + exact
-    verification (the embedding analogue of MinHash-LSH dedup)."""
-    s = srp_signature(df.select(id_col, vec_col), vec_col, dim, num_planes, seed)
+    """Embedding-cosine near-duplicate pairs via multi-table SRP bucketing +
+    exact verification (the embedding analogue of MinHash-LSH dedup).
+
+    For cos ≥ 0.95 pairs, sign-agreement prob per plane p = 1-θ/π ≈ 0.90;
+    8 planes × 8 tables → candidate recall 1-(1-0.9^8)^8 ≈ 0.98.
+    """
+    s = srp_bucket_table(df.select(id_col, vec_col), vec_col, dim, num_planes, num_tables, seed)
     lhs = s.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__table", "__bucket"
     )
     rhs = s.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__table", "__bucket"
     )
     return (
-        lhs.join(rhs, on="__bucket")
+        lhs.join(rhs, on=["__table", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("score", cosine(as_double_array("__va"), as_double_array("__vb")))

@@ -22,6 +22,15 @@ def plan_has(df: DataFrame, needle: str) -> bool:
     return needle in formatted_plan(df)
 
 
+def count_nodes(df: DataFrame, node_name: str) -> int:
+    """Count physical-plan nodes by their detail headers ("(N) NodeName") —
+    the formatted string shows each node twice (tree + detail), so a raw
+    substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(node_name)}\b", formatted_plan(df), re.M))
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     plan = formatted_plan(df)
     if "PushedFilters: [" not in plan or fragment not in plan:

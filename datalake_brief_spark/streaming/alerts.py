@@ -19,7 +19,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import types as T
+
 from datalake_brief_spark.catalog import TABLES
+
+# Streamed events carry a real (µs) timestamp — the catalog's raw-ns long is
+# a TESTDATA parquet artifact that load_table converts on read; anything our
+# engine lands for streaming has the converted layout.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in TABLES["events"].fields
+    ]
+)
 
 
 @dataclass
@@ -36,7 +48,7 @@ def stream_events(spark: SparkSession, directory: str) -> DataFrame:
     ``directory`` become micro-batches). Kafka would be the production
     source; the file source exercises identical plan machinery."""
     return (
-        spark.readStream.schema(TABLES["events"])
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(directory)
     )

@@ -1,0 +1,175 @@
+"""Ground-truth checks for the hash-family ops that have no DuckDB oracle:
+MinHash-LSH recall/precision vs exact Jaccard, SimHash vs exact Hamming,
+SRP-LSH recall vs brute-force cosine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.operators import dedup, similarity
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # cap to keep exact n² ground truth cheap
+    return load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200).cache()
+
+
+def _exact_pairs(docs, threshold):
+    return {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, k=1, threshold=threshold).collect()
+    }
+
+
+class TestMinHashLSH:
+    def test_precision_is_exact(self, docs):
+        """Verified candidates carry exact Jaccard — precision must be 1.0."""
+        got = dedup.minhash_lsh_pairs(
+            docs, k=1, num_hashes=128, num_bands=16, threshold=0.8
+        ).collect()
+        truth = _exact_pairs(docs, 0.8)
+        assert all((r.id_a, r.id_b) in truth for r in got)
+
+    def test_recall_above_threshold_band(self, docs):
+        """Recall ≥95% for pairs comfortably above threshold (J≥0.85);
+        at-threshold pairs sit on the LSH s-curve and may be missed."""
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, k=1, num_hashes=128, num_bands=16, threshold=0.85
+            ).collect()
+        }
+        truth = _exact_pairs(docs, 0.85)
+        assert truth, "fixture should contain high-similarity pairs"
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(truth)} true pairs)"
+
+    def test_jaccard_values_match_exact(self, docs):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.minhash_lsh_pairs(
+                docs, k=1, num_hashes=128, num_bands=16, threshold=0.8
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.8).collect()
+        }
+        for pair, j in got.items():
+            assert exact[pair] == pytest.approx(j)
+
+
+class TestSimHash:
+    def test_pairs_respect_hamming_budget_and_find_all(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical → hamming 0
+            (3, "alpha beta gamma delta epsilon eta"),  # 1 token swap → small
+            (4, "completely different words entirely here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=6).collect()}
+        assert got.get((1, 2)) == 0
+        assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+    def test_chunk_join_finds_every_pair_within_budget(self, docs):
+        """Pigeonhole completeness: chunk-join candidates must cover every
+        pair with hamming ≤ max_hamming (verify against full cross join)."""
+        sh = dedup.with_simhash(docs.select("doc_id", "text"), "text").select(
+            "doc_id", "simhash"
+        )
+        a = sh.toDF("id_a", "sh_a")
+        b = sh.toDF("id_b", "sh_b")
+        from datalake_brief_spark.functions import hamming64
+
+        full = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("hamming") <= 3)
+        )
+        truth = {(r.id_a, r.id_b) for r in full.collect()}
+        got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+        assert got == truth
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+    def test_bruteforce_topk_is_descending_and_excludes_self(self, emb):
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.cosine_topk(emb, q, k=5).collect()
+        by_q: dict[int, list] = {}
+        for r in out:
+            assert r.query_id != r.vec_id
+            by_q.setdefault(r.query_id, []).append((r.rank, r.score))
+        for _, ranked in by_q.items():
+            ranked.sort()
+            scores = [s for _, s in ranked]
+            assert scores == sorted(scores, reverse=True)
+            assert len(ranked) == 5
+
+    def test_srp_lsh_recall_on_clustered_data(self, spark):
+        """Multi-table SRP must reach ≥70% recall@10 on data with cluster
+        structure (any real embedding space). Uniformly random vectors have
+        no exploitable structure — no sublinear ANN works there — so recall
+        is pinned on a clustered fixture, not the synthetic random table."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((8, 32))
+        vecs = []
+        for i in range(400):
+            c = centers[i % 8]
+            vecs.append((i, (c + 0.15 * rng.standard_normal(32)).astype("float32").tolist()))
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = similarity.cosine_topk(emb, q, k=10).collect()
+        approx = similarity.srp_lsh_topk(
+            emb, q, dim=32, k=10, num_planes=8, num_tables=8
+        ).collect()
+        t: dict[int, set] = {}
+        for r in truth:
+            t.setdefault(r.query_id, set()).add(r.vec_id)
+        a: dict[int, set] = {}
+        for r in approx:
+            a.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [len(t[qid] & a.get(qid, set())) / len(t[qid]) for qid in t]
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    def test_srp_lsh_runs_on_real_table(self, emb):
+        """Smoke on the synthetic (uniform) embeddings: correct shape,
+        scores are true cosines, ranks contiguous from 1."""
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.srp_lsh_topk(emb, q, dim=64, k=10).collect()
+        for r in out:
+            assert 1 <= r.rank <= 10
+            assert -1.0001 <= r.score <= 1.0001
+
+    def test_embedding_near_dup_scores_correct(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),  # ~identical direction
+            (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.embedding_near_dup_pairs(
+            df, threshold=0.99, dim=4, num_planes=6
+        ).collect()
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,89 @@
+"""Scale-posture assertions: the plans Catalyst produces for our operators
+must be the plans we'd want at 100 TB — pushdown at the scan, pruned
+ReadSchema, broadcast dims, no cartesian products, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.operators.joins import join_dim
+from datalake_brief_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    count_nodes,
+    formatted_plan,
+    plan_has,
+)
+from datalake_brief_spark.queries import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") <= 20000.0)
+    assert_pushed_filter(df, "o_totalprice")
+
+
+def test_projection_prunes_read_schema(spark):
+    df = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    assert_read_schema_only(df, ["c_custkey", "c_mktsegment"])
+
+
+def test_filter_project_chain_prunes_and_pushes(spark):
+    q = QUERIES["filter_project_pipeline"].fn(spark, SF_SMOKE)
+    assert_pushed_filter(q, "c_mktsegment")
+    assert_read_schema_only(q, ["c_name", "c_acctbal", "c_mktsegment"])
+
+
+def test_dim_join_broadcasts(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    n = load_table(spark, SF_SMOKE, "nation")
+    assert_broadcast_join(join_dim(c, n, on=c.c_nationkey == n.n_nationkey))
+
+
+def test_dim_chain_query_has_no_shuffle_before_agg(spark):
+    """The two dim joins must both broadcast: the only Exchange in the plan
+    is the final aggregation shuffle."""
+    q = QUERIES["join_dim_chain"].fn(spark, SF_SMOKE)
+    assert count_nodes(q, "BroadcastHashJoin") == 2, formatted_plan(q)
+    # exactly one shuffle: the final group-by (broadcasts aren't shuffles)
+    assert count_nodes(q, "Exchange") == 1, formatted_plan(q)
+
+
+def test_q1_uses_whole_stage_codegen_and_partial_agg(spark):
+    q = QUERIES["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    assert count_nodes(q, "HashAggregate") == 2  # partial + final
+    # codegen markers (*(n) prefixes) only appear in the AQE final plan
+    # post-execution
+    import re
+
+    q.collect()
+    final = q._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert re.search(r"\*\(\d+\)", final), final
+
+
+def test_knn_bruteforce_broadcasts_queries_no_cartesian_shuffle(spark):
+    q = QUERIES["knn_bruteforce"].fn(spark, SF_SMOKE)
+    # broadcast nested loop join is the intended physical shape for the
+    # small-queries × corpus cross; a CartesianProduct would shuffle both
+    assert plan_has(q, "BroadcastNestedLoopJoin"), formatted_plan(q)
+
+
+def test_semi_and_anti_joins_plan_as_joins_not_distinct(spark):
+    for name in ("join_semi", "join_anti"):
+        plan = formatted_plan(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "LeftSemi" in plan or "LeftAnti" in plan, f"{name}: {plan}"
+
+
+def test_topk_global_plans_take_ordered(spark):
+    plan = formatted_plan(QUERIES["topk_global"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_query_produces_cartesian_product(spark):
+    for name, q in QUERIES.items():
+        assert_no_cartesian(q.fn(spark, SF_SMOKE))

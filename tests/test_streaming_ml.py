@@ -1,0 +1,118 @@
+"""Streaming (watermark + windowed counts + threshold alerts) and the ML
+micro-pipeline (reference pyspark-3.ipynb shape with mandatory seeds)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.mlops import assemble_features, fit_linear_regression, train_test_split
+from datalake_brief_spark.streaming import (
+    stream_events,
+    threshold_alert_stream,
+    windowed_counts,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+class TestStreaming:
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        """Stage the events table as a file-stream source directory.
+
+        load_table handles the ns→µs conversion, so re-land the converted
+        table rather than copying the raw ns parquet."""
+        out = str(tmp_path / "events_stream")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(out)
+        yield out
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_windowed_counts_match_batch(self, spark, events_dir):
+        """Streaming windowed counts over the staged files must equal the
+        batch group-by — same Catalyst semantics, incremental execution."""
+        stream = stream_events(spark, events_dir)
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("wincounts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r.window_start), r.event_type): r.n
+                for r in spark.sql("SELECT * FROM wincounts").collect()
+            }
+        finally:
+            q.stop()
+
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+        want = {(str(r.window_start), r.event_type): r.n for r in batch.collect()}
+        assert got == want
+
+    def test_threshold_alert_fires(self, spark, events_dir):
+        """Reference alert semantics (README.md:243-244): ≥N rows in the
+        window ⇒ fire with severity."""
+        fired: list = []
+        stream = stream_events(spark, events_dir)
+        counts = windowed_counts(
+            stream.filter(F.col("event_type") == "error"), window="1 hour"
+        )
+        q = threshold_alert_stream(counts, threshold=1, on_alert=fired.extend, severity=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert fired, "error events exist in every hour — alerts must fire"
+        assert all(a.severity == 1 and a.n >= 1 for a in fired)
+
+
+class TestMLPipeline:
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        # reference pyspark-3.ipynb fixture shape (test1.csv): age/experience → salary
+        rows = [
+            ("Krish", 31, 10, 30000),
+            ("Sudhanshu", 30, 8, 25000),
+            ("Sunny", 29, 4, 20000),
+            ("Paul", 24, 3, 20000),
+            ("Harsha", 21, 1, 15000),
+            ("Shubham", 23, 2, 18000),
+        ]
+        return spark.createDataFrame(rows, "name string, age int, experience int, salary int")
+
+    def test_pipeline_shape_and_determinism(self, people):
+        # reference pipeline: VectorAssembler → randomSplit → LR → evaluate
+        # (pyspark-3.ipynb:124-137, 219-221, 270-314) — but seeded (M2).
+        feats = assemble_features(people, ["age", "experience"], "features")
+        assert "features" in feats.columns
+        tr1, te1 = train_test_split(feats, (0.75, 0.25), seed=7)
+        tr2, te2 = train_test_split(feats, (0.75, 0.25), seed=7)
+        assert sorted(r.name for r in tr1.collect()) == sorted(r.name for r in tr2.collect())
+
+        res = fit_linear_regression(tr1, te1, "features", "salary")
+        assert len(res.coefficients) == 2
+        assert res.mae >= 0 and res.mse >= 0
+        assert "prediction" in res.predictions.columns
+
+    def test_lr_recovers_exact_linear_relation(self, spark):
+        # y = 1000*x1 + 500*x2 + 100 exactly → LR must recover it
+        rows = [(float(a), float(b), 1000.0 * a + 500.0 * b + 100.0) for a in range(8) for b in range(4)]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        feats = assemble_features(df, ["x1", "x2"], "features")
+        tr, te = train_test_split(feats, (0.8, 0.2), seed=11)
+        res = fit_linear_regression(tr, te, "features", "y")
+        assert res.coefficients[0] == pytest.approx(1000.0, abs=1e-4)
+        assert res.coefficients[1] == pytest.approx(500.0, abs=1e-4)
+        assert res.intercept == pytest.approx(100.0, abs=1e-3)
+        assert res.mae == pytest.approx(0.0, abs=1e-5)
