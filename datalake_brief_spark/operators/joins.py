@@ -51,6 +51,83 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     return left.join(right, on=on, how="left_anti")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each ``left`` row, attach the values of the
+    most recent ``right`` row with ``right_ts <= left_ts`` for the same key.
+
+    Spark has no native as-of join; this is the scalable union-stream
+    formulation: tag both sides, union, and carry the right side's values
+    forward with last(ignorenulls) over one (key, time)-ordered window —
+    a SINGLE shuffle on the key, no per-group Python (contrast
+    pd.merge_asof-in-applyInPandas, which pays Arrow transfer for all rows).
+
+    Ties: a right row at exactly left_ts matches (<=); among right rows with
+    equal timestamps the one with the greatest ``right_tiebreak`` wins
+    (required for deterministic output).
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # right rows sort before left rows at equal timestamps (__side 0 < 1) so
+    # same-instant right rows are visible to the left row; __tb orders equal-
+    # timestamp right rows so "last" is deterministic.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    for c in value_cols:
+        unioned = unioned.withColumn(f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    return unioned.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__v_{c}").alias(c) for c in value_cols]
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (band) join: fact rows matched to [lo, hi) intervals.
+
+    For a small band dimension the right plan is broadcast + range predicate
+    (BroadcastNestedLoopJoin: each task scans its fact partition against the
+    in-memory band list — no shuffle). For large interval tables, bucketize
+    both sides to an equi-join key first; this operator picks broadcast
+    because band dims (histograms, SLA tiers, rate cards) are small by
+    construction.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), on=cond, how="left")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

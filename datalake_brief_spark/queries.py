@@ -968,6 +968,396 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+# --------------------------------------------------------------------------
+# Relational extensions: distinct, grouping sets, pivot/unpivot, having,
+# percentiles, scalar-function suites, JSON, explode, lag, as-of/range joins
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "distinct_count",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase aggregate in Spark)."""
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        ],
+    )
+
+
+@_register("approx_distinct", None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (no oracle: sketch internals are
+    engine-specific; pytest bounds the relative error vs exact)."""
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")],
+    )
+
+
+@_register(
+    "rollup_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY ROLLUP(day, event_type)
+    """,
+)
+def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (day → day×type → grand total) in one pass —
+    Spark plans a single Expand + aggregate, not three scans."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return e.rollup("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (no extra distinct-scan job to discover
+    them — at 100 TB value discovery is a full pass, so pin the domain)."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.withColumnsRenamed({"F": "total_F", "O": "total_O", "P": "total_P"})
+
+
+@_register(
+    "unpivot_part",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the native unpivot/melt operator."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@_register(
+    "having_avg",
+    """
+    SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def having_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over the aggregate; the global-average subquery is a
+    broadcast scalar."""
+    c = _t(spark, sf_dir, "customer")
+    seg = aggregate(
+        c, ["c_mktsegment"], [F.avg("c_acctbal").alias("__avg_raw")]
+    )
+    overall = c.agg(F.avg("c_acctbal").alias("__overall"))
+    return (
+        seg.crossJoin(F.broadcast(overall))
+        .filter(F.col("__avg_raw") > F.col("__overall"))
+        .select("c_mktsegment", F.round("__avg_raw", 4).alias("avg_bal"))
+    )
+
+
+@_register(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    SQL-standard quantile_cont). The sketch-based percentile_approx is the
+    100 TB path — pytest bounds its error against this exact form."""
+    return aggregate(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        ],
+    )
+
+
+@_register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           CAST(length(c_name) AS INTEGER)                 AS name_len,
+           substr(c_name, 1, 8)                            AS name_prefix,
+           concat_ws('|', c_mktsegment, c_name)            AS tagged,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS key_digits
+    FROM customer WHERE c_name LIKE 'Customer%'
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite (upper/length/substr/concat_ws/regexp_extract/
+    LIKE) — all codegen'd, evaluated in the scan stage."""
+    c = filter_rows(_t(spark, sf_dir, "customer"), F.col("c_name").like("Customer%"))
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("key_digits"),
+    )
+
+
+@_register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS yr,
+           CAST(month(o_orderdate) AS INTEGER)   AS mo,
+           CAST(day(o_orderdate) AS INTEGER)     AS dom,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function suite (year/month/day, datediff, interval add)."""
+    o = filter_rows(_t(spark, sf_dir, "orders"), F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into the props column, then
+    aggregate — stays JVM-side via get_json_object."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return aggregate(
+        e,
+        ["event_type"],
+        [F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k")],
+    )
+
+
+@_register(
+    "case_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing histogram."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return aggregate(
+        _t(spark, sf_dir, "orders").withColumn("bucket", bucket),
+        ["bucket"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+    )
+
+
+@_register(
+    "explode_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM counts
+    ) WHERE rn <= 20
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + aggregate + top-k: global token frequencies (corpus
+    vocabulary head). Map-side partial aggregation absorbs the explode
+    blow-up before the shuffle."""
+    from datalake_brief_spark.functions import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.explode(_tokens("text")).alias("token")
+    )
+    counts = aggregate(d, ["token"], [F.count(F.lit(1)).alias("n")])
+    return top_k(counts, [F.col("n").desc(), F.col("token")], 20)
+
+
+@_register(
+    "window_lag_delta",
+    """
+    WITH d AS (
+      SELECT event_type, value,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT event_type, round(avg(delta), 6) AS avg_delta,
+           CAST(count(delta) AS BIGINT) AS n_deltas
+    FROM d GROUP BY event_type
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() deltas between consecutive events per user, aggregated."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn("delta", F.col("value") - F.lag("value").over(w))
+    return aggregate(
+        d,
+        ["event_type"],
+        # round(6): deltas are exact 2-decimals, so avg=sum/n can be an EXACT
+        # 4-decimal midpoint when n divides a power of 10 (n=200 → 5-decimal
+        # grid) — round below the reachable resolution instead (cf. proj_derive)
+        [F.round(F.avg("delta"), 6).alias("avg_delta"), F.count("delta").alias("n_deltas")],
+    )
+
+
+@_register(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+_ASOF_SQL = """
+    WITH unioned AS (
+      SELECT o_custkey AS k, o_orderdate AS t, 0 AS side, o_orderkey AS tb,
+             NULL::BIGINT AS event_id, NULL::BIGINT AS okey_val
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, NULL FROM events
+    ),
+    carried AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN tb END IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_okey
+      FROM unioned
+    )
+    SELECT event_id, k AS user_id, last_okey AS o_orderkey
+    FROM carried WHERE side = 1
+"""
+
+
+@_register("asof_join", _ASOF_SQL)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order key at
+    or before the event time (ties on order date broken by max orderkey).
+    Single shuffle on the user key — see operators.joins.asof_join."""
+    from datalake_brief_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        "o_orderkey",
+    )
+    out = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+@_register(
+    "range_join_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events LEFT JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: events bucketed into value intervals via broadcast
+    interval join (see operators.joins.range_join)."""
+    from datalake_brief_spark.operators.joins import range_join
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    j = range_join(_t(spark, sf_dir, "events"), bands, "value")
+    return aggregate(
+        j,
+        ["band"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 
