@@ -90,15 +90,25 @@ def cosine(a: Column, b: Column) -> Column:
 MINHASH_PRIME = (1 << 31) - 1
 
 
-def minhash_values(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of universal hashes
-    h_i(x) = (a_i * x + b_i) mod 2^31-1 with x = xxhash64(shingle) folded
-    into the prime field.
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 each shingle, folded into the MinHash prime field —
+    array<long>. Compute this ONCE into its own projection: the string
+    hashing is the expensive half of a MinHash signature, and keeping it in
+    a separate select stops Catalyst from inlining (re-evaluating) it under
+    each of the ``num_hashes`` minima (CollapseProject only inlines cheap or
+    single-use expressions)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
-    Entirely expression-level (transform + array_min + xxhash64): no UDF, no
-    shuffle — computed in the scan stage.
+
+def minhash_from_hashes(hashed: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature from pre-hashed shingles (see ``shingle_hashes``):
+    array of ``num_hashes`` minima of universal hashes
+    h_i(x) = (a_i * x + b_i) mod 2^31-1.
+
+    Entirely expression-level (transform + array_min): no UDF, no shuffle —
+    computed in the scan stage. Per row the cost is num_hashes passes of two
+    integer ops over the hash array; the string hashing is paid once.
     """
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
     def _universal(a: int, b: int):
         # Closure factory: Spark introspects lambda arity, so the (a, b)
@@ -109,8 +119,15 @@ def minhash_values(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     for i in range(num_hashes):
         a = ((seed * 1000003 + i * 2654435761) % MINHASH_PRIME) | 1
         b = (seed * 777767777 + i * 40503) % MINHASH_PRIME
-        sig.append(F.array_min(F.transform(base, _universal(a, b))))
+        sig.append(F.array_min(F.transform(hashed, _universal(a, b))))
     return F.array(*sig)
+
+
+def minhash_values(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature straight from a shingle array. Prefer the two-stage
+    ``shingle_hashes`` → ``minhash_from_hashes`` split in operators: used
+    inline, the xxhash64 pass is re-evaluated under every minimum."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_hashes, seed)
 
 
 def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:

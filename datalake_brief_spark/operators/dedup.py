@@ -30,8 +30,9 @@ from pyspark.sql import types as T
 from datalake_brief_spark.functions import (
     band_hashes,
     hamming64,
-    minhash_values,
+    minhash_from_hashes,
     normalize_text,
+    shingle_hashes,
     tokens,
     word_shingles,
 )
@@ -48,11 +49,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).drop("__fp")
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int, extra_cols: list[str] | None = None
+) -> DataFrame:
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan across the cluster when the source arrives
+    in fewer splits than cores (one small parquet file → one task would
+    otherwise compute every signature serially). At scale the input already
+    has ≥ parallelism splits and this is a no-op."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 
 def ngram_jaccard_pairs(
@@ -70,16 +85,19 @@ def ngram_jaccard_pairs(
     full n² cross. With no block, this is quadratic — only for small inputs
     or as the verifier behind LSH candidates.
     """
-    a = _shingled(df, text_col, id_col, k).withColumnRenamed(id_col, "id_a")
-    b = (
-        _shingled(df, text_col, id_col, k)
-        .withColumnRenamed(id_col, "id_b")
-        .withColumnRenamed("shingles", "shingles_b")
+    extra = [block_col] if block_col is not None else None
+    sh = _spread(_shingled(df, text_col, id_col, k, extra_cols=extra))
+    # Intersect 64-bit shingle hashes, not strings: set ops on fixed-width
+    # longs beat ~20-char string comparisons several-fold, and a 64-bit
+    # collision altering a Jaccard value needs ~2^32 distinct shingles.
+    sh = sh.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra or [])],
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
     )
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b")
     if block_col is not None:
-        blocks = df.select(F.col(id_col), F.col(block_col))
-        a = a.join(blocks.withColumnRenamed(id_col, "id_a"), "id_a")
-        b = b.join(blocks.withColumnRenamed(id_col, "id_b"), "id_b")
         pairs = a.join(b, on=block_col).filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -113,11 +131,19 @@ def minhash_lsh_pairs(
     pairs above ~0.5 Jaccard are near-certain candidates.
     """
     rows_per_band = num_hashes // num_bands
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
+    base = _spread(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
+        )
     )
-    sig = base.withColumn("sig", minhash_values(F.col("shingles"), num_hashes, seed=seed))
+    # Two projections on purpose: the xxhash64 pass lives in its own select so
+    # the num_hashes minima reuse it instead of re-hashing every shingle
+    # (inlined, signature cost is num_hashes × |shingles| string hashes/row).
+    hashed = base.select(F.col(id_col), shingle_hashes(F.col("shingles")).alias("__hx"))
+    sig = hashed.select(
+        F.col(id_col), minhash_from_hashes(F.col("__hx"), num_hashes, seed=seed).alias("sig")
+    )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
@@ -150,6 +176,97 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component),
+    component = smallest node id reachable (deterministic canonical label).
+
+    Min-label propagation with pointer jumping: each round every node takes
+    the min label in its neighborhood, then labels are compressed by one
+    label-of-label hop (pointer doubling), so convergence is O(log diameter)
+    rounds — near-dup graphs (tiny, dense clusters) converge in 1-2. Each
+    round is one join+groupBy on the node id plus one self-join on the label:
+    all shuffles on the same key, no driver-side graph state (the only
+    driver value is the changed-count). ``localCheckpoint`` truncates the
+    iterative lineage so plans don't grow unboundedly.
+
+    This is the standard MapReduce CC recipe (cf. Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — large-star/small-star;
+    the min-label + pointer-jump variant has the same shuffle shape per
+    round and is simpler to express in DataFrame ops).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            e.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nbr_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("min_nbr"), F.col("comp"))).alias("comp"),
+            (F.coalesce(F.col("min_nbr"), F.col("comp")) < F.col("comp")).alias("__changed"),
+        )
+        # pointer jumping: follow the label's own label one hop
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("j"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("s.id").alias("id"),
+                F.coalesce(F.col("j.comp2"), F.col("s.comp")).alias("comp"),
+                F.col("s.__changed"),
+            )
+        )
+        jumped = jumped.localCheckpoint()
+        n_changed = jumped.filter(F.col("__changed")).count()
+        labels = jumped.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into a dedup decision: every doc gets a
+    ``cluster_id`` (smallest doc id in its connected component; singletons
+    cluster with themselves) and ``is_canonical`` marks the one row per
+    cluster that survives dedup.
+
+    ``pairs`` is any (id_a, id_b) near-dup relation — minhash_lsh_pairs,
+    simhash_pairs, ngram_jaccard_pairs, or embedding_near_dup_pairs output.
+    """
+    comp = connected_components(pairs)
+    out = df.join(
+        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id")),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
 _SIMHASH_BITS = 64

@@ -729,24 +729,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             list_distinct(regexp_split_to_array(
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS sh
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh)) * 1.0
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 1.0
           / len(list_distinct(a.sh || b.sh)) >= 0.8
     """,
     headline=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥ 0.8 within a ``source`` block: the join
-    shuffles on the block key, never the full n² cross."""
+    """Exact word-trigram Jaccard ≥ 0.8 within a ``source`` block: the join
+    shuffles on the block key, never the full n² cross.
+
+    k=3 shingles, not unigrams: this corpus (like any natural one) shares
+    vocabulary heavily — ~30% of ALL doc pairs exceed 0.8 UNIGRAM Jaccard, so
+    a unigram threshold returns a quadratic result set of non-duplicates.
+    Trigram Jaccard between unrelated docs is ~0 while the planted near-dups
+    score 0.89-0.99 — the standard shingling choice (Broder 1997)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, block_col="source", k=1, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(d, block_col="source", k=3, threshold=0.8)
 
 
 @_register("dedup_minhash", None, headline=True)
@@ -754,14 +766,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (no oracle: xxhash64 family is
     engine-local; pytest verifies recall against exact Jaccard).
 
-    b=16 bands × r=8 rows → s-curve midpoint (1/16)^(1/8) ≈ 0.71, the
-    standard setting for a 0.8 threshold: ~95% candidate recall at J=0.8,
-    ~6% false-candidate rate at J=0.5 (this corpus has near-0.5 similarity
-    between ALL doc pairs, so a flatter curve degenerates to O(n²)
-    candidates — the 0.5-midpoint variant measured 77s at sf0.1 vs ~10s
-    here)."""
+    k=3 shingles (see dedup_ngram_jaccard: unigram sets are ~0.5-0.9 similar
+    between UNRELATED docs here, which degenerates LSH to O(n²) candidates —
+    trigram sets separate noise ~0 from planted near-dups 0.89+).
+    b=16 bands × r=8 rows → s-curve midpoint (1/16)^(1/8) ≈ 0.71:
+    ~95% candidate recall at J=0.8, ≈100% at the planted J≥0.89 pairs."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, k=1, num_hashes=128, num_bands=16, threshold=0.8)
+    return dedup.minhash_lsh_pairs(d, k=3, num_hashes=128, num_bands=16, threshold=0.8)
 
 
 @_register("dedup_simhash", None)
@@ -769,6 +780,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming≤3 pairs via pigeonhole chunk join (no oracle:
     FNV/SimHash are engine-local; pytest covers ground truth)."""
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    walk(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    )
+    SELECT id AS doc_id,
+           CAST(min(r) AS BIGINT) AS cluster_id,
+           min(r) = id            AS is_canonical
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup DECISION: connected components over the exact
+    trigram-Jaccard≥0.8 relation (min-label + pointer-jump iterations, see
+    operators.dedup.connected_components), every doc labeled with its
+    cluster's canonical (minimum) id. The oracle walks the same edge set
+    with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_col="source", k=3, threshold=0.8)
+    return dedup.cluster_dedup(d, pairs).select("doc_id", "cluster_id", "is_canonical")
 
 
 # --------------------------------------------------------------------------

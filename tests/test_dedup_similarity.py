@@ -65,6 +65,36 @@ class TestMinHashLSH:
             assert exact[pair] == pytest.approx(j)
 
 
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        """Chain 1-2-3-4 collapses to comp 1 (needs propagation, not just
+        direct neighbors); 10-11 separate; singleton untouched by edges."""
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_path_converges_by_pointer_jumping(self, spark):
+        """A 64-node path has diameter 63; pointer jumping must converge well
+        inside the 25-round cap (plain propagation would need 63)."""
+        n = 64
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+        assert got == {i: 0 for i in range(n)}
+
+    def test_cluster_dedup_marks_canonicals(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+        out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup.cluster_dedup(docs, pairs).collect()}
+        assert out[0] == (0, True) and out[3] == (0, False) and out[5] == (0, False)
+        assert out[1] == (1, True) and out[2] == (2, True) and out[4] == (4, True)
+
+
 class TestSimHash:
     def test_pairs_respect_hamming_budget_and_find_all(self, spark):
         rows = [
