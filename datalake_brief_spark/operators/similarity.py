@@ -159,6 +159,104 @@ def srp_lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+    n_best: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_best`` nearest centroids by cosine.
+
+    Centroids are literal arrays folded into the plan (a few KB — no
+    broadcast join, no shuffle): scoring happens in the scan stage. With
+    n_best=1 this labels the corpus; with n_best>1 it produces the probe
+    list for queries (multi-probe raises recall like LSH multi-table).
+    """
+    v = as_double_array(F.col(vec_col))
+    scores = F.array(
+        *[cosine(v, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    # indices of the n_best largest scores: rank (score, index) structs
+    ranked = F.reverse(F.array_sort(F.arrays_zip(scores, F.sequence(F.lit(0), F.lit(len(centroids) - 1)))))
+    cells = F.slice(ranked, 1, n_best)
+    out = df.withColumn("__cells", F.transform(cells, lambda s: s["1"]))
+    if n_best == 1:
+        return out.withColumn(out_col, F.element_at("__cells", 1)).drop("__cells")
+    return out.select(*df.columns, F.explode("__cells").alias(out_col))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """K-means centroids for an IVF index (seeded — reproducibility rule).
+
+    Uses pyspark.ml KMeans (distributed Lloyd iterations; each step is one
+    map + tree-aggregate over the corpus). The centroid list returned is
+    driver-side model state, small by construction (n_centroids × dim
+    doubles), exactly like any ML model's parameters.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    prepped = corpus.select(array_to_vector(as_double_array(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(prepped)
+    return [list(c) for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus partitioned into
+    ``n_centroids`` Voronoi cells, each query scored only against the
+    ``nprobe`` cells nearest to it — the classic coarse-quantization ANN
+    layout (Sivic/Zisserman 2003 "Video Google"; FAISS IndexIVFFlat).
+
+    At 100 TB the win over brute force is the scan fraction: nprobe/n_cells
+    of the corpus per query batch, and cells can be written as partition
+    directories (partitionBy(cell)) so partition pruning makes the skip
+    physical. Candidate generation is an equi-join on the cell id; exact
+    cosine + window top-k finish within candidates.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, dim, n_centroids, vec_col, seed)
+    c = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cell", 1
+    ).withColumnRenamed(vec_col, "__cvec")
+    q = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        centroids,
+        vec_col,
+        "__cell",
+        nprobe,
+    ).withColumnRenamed(vec_col, "__qvec")
+    cand = c.join(q, on="__cell").filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.withColumn(
+        "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -11,6 +11,8 @@ parallel so they hash-match.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +106,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     """Content fingerprint: md5 of the normalized text. Exact-dup detection
     key that's stable across whitespace/case variation."""
     return df.withColumn(out, F.md5(normalize_text(text_col)))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tfidf = tf × ln(N / df).
+
+    Shuffle budget: explode feeds a partial-aggregated groupBy(doc, token)
+    (map-side combine absorbs the token blow-up before the exchange);
+    document frequency is a second small aggregate over distinct (doc,
+    token) — already materialized by the first — and the N scalar is a
+    broadcast. Ranking reuses the doc partitioning. Rank on the ROUNDED
+    score with a token tie-break so ordering is reproducible cross-engine
+    (raw float ranking is ulp-sensitive).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "token", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )

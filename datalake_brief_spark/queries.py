@@ -562,6 +562,102 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(anti_join(c, o, on=c.c_custkey == o.o_custkey), "c_custkey")
 
 
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    headline=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, two pushed-down date filters, aggregate,
+    global top-10. Customer (filtered to one segment) broadcasts into
+    orders; orders⋈lineitem shuffles on the order key; the final top-10 is
+    TakeOrderedAndProject — no total sort."""
+    c = filter_rows(_t(spark, sf_dir, "customer"), F.col("c_mktsegment") == "BUILDING")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"),
+    )
+    l = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"),
+    )
+    j = join_fact(join_dim(o, c.select("c_custkey"), on=o.o_custkey == c.c_custkey), l,
+                  on=F.col("o_orderkey") == l.l_orderkey)
+    agg = aggregate(
+        j.withColumn("orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        ["l_orderkey", "orderdate", "o_orderpriority"],
+        [F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")],
+    )
+    out = top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+    return out.select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+
+
+@_register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join. All three dims (supplier, nation,
+    region) broadcast — the lineitem side's only shuffle is the
+    orders⋈lineitem key exchange, then one aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = filter_rows(_t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")),
+    )
+    dims = join_dim(
+        join_dim(s, n, on=s.s_nationkey == n.n_nationkey),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+    ).select("s_suppkey", "n_name")
+    j = join_fact(
+        join_dim(l, dims, on=l.l_suppkey == F.col("s_suppkey")),
+        o.select("o_orderkey"),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return aggregate(
+        j,
+        ["n_name"],
+        [
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # Window / sort / set band (SURVEY §2.8 extension)
 # --------------------------------------------------------------------------
@@ -915,6 +1011,37 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (see operators.text.tfidf_top_terms
+    for the shuffle budget). Ranking uses the rounded score + token
+    tie-break so both engines order identically."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
 )
@@ -972,6 +1099,20 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
+
+
+@_register("knn_ivf", None)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file / coarse-quantization) approximate top-k: seeded
+    k-means cells, queries probe their nprobe nearest cells — the scan
+    fraction per query batch is nprobe/n_cells instead of 1. No oracle
+    (approximate by design; pytest pins recall vs brute force on clustered
+    data)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, q, dim=64, k=10, n_centroids=16, nprobe=4)
 
 
 @_register("emb_near_dup", None)

@@ -54,6 +54,34 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "p
     df.write.mode(mode).format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed Parquet table: rows hash-distributed into ``n_buckets``
+    files per partition by ``bucket_cols``, optionally sorted within each
+    bucket.
+
+    This is the pre-shuffle contract for repeated fact⋈fact joins: two
+    tables bucketed on the join key with the same bucket count join with NO
+    exchange on either side (and no sort, if sorted) — at 100 TB that's the
+    difference between re-shuffling terabytes per query and a pure
+    map-side join. Bucketing metadata lives in the catalog, hence
+    ``saveAsTable`` (a plain ``save`` writes files but loses the contract).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -13,5 +13,18 @@ from datalake_brief_spark.streaming.alerts import (
     threshold_alert_stream,
     windowed_counts,
 )
+from datalake_brief_spark.streaming.stateful import (
+    enrich_stream,
+    running_user_stats,
+    sessionize_stream,
+)
 
-__all__ = ["Alert", "stream_events", "threshold_alert_stream", "windowed_counts"]
+__all__ = [
+    "Alert",
+    "enrich_stream",
+    "running_user_stats",
+    "sessionize_stream",
+    "stream_events",
+    "threshold_alert_stream",
+    "windowed_counts",
+]

@@ -179,6 +179,33 @@ class TestSimilarity:
         recalls = [len(t[qid] & a.get(qid, set())) / len(t[qid]) for qid in t]
         assert sum(recalls) / len(recalls) >= 0.7, recalls
 
+    def test_ivf_recall_on_clustered_data(self, spark):
+        """IVF with nprobe=2 of 8 cells must recover ≥90% of true top-10 on
+        clustered data (cells align with cluster structure; brute-force scan
+        fraction drops to nprobe/n_cells)."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((8, 32))
+        vecs = []
+        for i in range(400):
+            c = centers[i % 8]
+            vecs.append((i, (c + 0.15 * rng.standard_normal(32)).astype("float32").tolist()))
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = similarity.cosine_topk(emb, q, k=10).collect()
+        approx = similarity.ivf_topk(emb, q, dim=32, k=10, n_centroids=8, nprobe=2).collect()
+        t: dict[int, set] = {}
+        for r in truth:
+            t.setdefault(r.query_id, set()).add(r.vec_id)
+        a: dict[int, set] = {}
+        for r in approx:
+            a.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [len(t[qid] & a.get(qid, set())) / len(t[qid]) for qid in t]
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
     def test_srp_lsh_runs_on_real_table(self, emb):
         """Smoke on the synthetic (uniform) embeddings: correct shape,
         scores are true cosines, ranks contiguous from 1."""

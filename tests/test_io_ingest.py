@@ -12,7 +12,12 @@ from pyspark.sql import types as T
 from datalake_brief_spark.catalog import load_table
 from datalake_brief_spark.operators import multimodal
 from datalake_brief_spark.sources.ingest import land, manifest_from_links, normalize_to_parquet
-from datalake_brief_spark.sources.io import read_csv, write_partitioned, write_table
+from datalake_brief_spark.sources.io import (
+    read_csv,
+    write_bucketed,
+    write_partitioned,
+    write_table,
+)
 
 from tests.conftest import SF_SMOKE
 
@@ -50,6 +55,42 @@ class TestIO:
 
         assert "o_orderstatus=O" not in formatted_plan(back) or True
         assert back.count() == df.filter(F.col("o_orderstatus") == "O").count()
+
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """The 100 TB fact⋈fact contract: two tables bucketed on the join
+        key with equal bucket counts join with ZERO shuffle exchanges —
+        bucket files are already co-partitioned by key hash."""
+        from datalake_brief_spark.plans import count_nodes
+
+        o = load_table(spark, SF_SMOKE, "orders")
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        write_bucketed(
+            o, "b_orders", ["o_orderkey"], 4, path=str(tmp_path / "b_orders"),
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            l, "b_lineitem", ["l_orderkey"], 4, path=str(tmp_path / "b_lineitem"),
+            sort_cols=["l_orderkey"],
+        )
+        try:
+            bo = spark.table("b_orders")
+            bl = spark.table("b_lineitem")
+            # disable broadcast so the join strategy is the bucketed SMJ path
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+                    "o_orderpriority"
+                ).count()
+                assert count_nodes(j, "Exchange") <= 1  # only the final groupBy may shuffle
+                n = j.count()
+                assert n > 0
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+                )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
     def test_write_table_overwrite(self, spark, tmp_path):
         out = str(tmp_path / "t")

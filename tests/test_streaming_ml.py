@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from datalake_brief_spark.catalog import load_table
 from datalake_brief_spark.mlops import assemble_features, fit_linear_regression, train_test_split
 from datalake_brief_spark.streaming import (
+    enrich_stream,
+    running_user_stats,
+    sessionize_stream,
     stream_events,
     threshold_alert_stream,
     windowed_counts,
@@ -75,6 +78,105 @@ class TestStreaming:
             q.stop()
         assert fired, "error events exist in every hour — alerts must fire"
         assert all(a.severity == 1 and a.n >= 1 for a in fired)
+
+
+class TestStatefulStreaming:
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        out = str(tmp_path / "events_stream")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(out)
+        yield out
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_session_window_stream_matches_batch(self, spark, events_dir):
+        """Native session_window is the same expression in batch and stream —
+        streaming complete-mode output must equal the batch evaluation."""
+        stream = stream_events(spark, events_dir)
+        q = (
+            sessionize_stream(stream, gap="10 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sessions")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.user_id, str(r.session_start)): (r.n_events, round(r.total_value, 4))
+                for r in spark.sql("SELECT * FROM sessions").collect()
+            }
+        finally:
+            q.stop()
+        batch = sessionize_stream(spark.read.parquet(events_dir), gap="10 minutes")
+        want = {
+            (r.user_id, str(r.session_start)): (r.n_events, round(r.total_value, 4))
+            for r in batch.collect()
+        }
+        assert got == want
+        assert got, "events table must produce sessions"
+
+    def test_enrich_stream_static_join(self, spark, events_dir):
+        """Stream-static broadcast join: every event picks up its dim row."""
+        dim = spark.createDataFrame(
+            [(i, f"tier_{i % 3}") for i in range(200)], "user_id long, tier string"
+        )
+        stream = stream_events(spark, events_dir)
+        q = (
+            enrich_stream(stream, dim, on="user_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enriched")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT count(*) AS n, count(tier) AS with_tier FROM enriched"
+            ).first()
+        finally:
+            q.stop()
+        n_events = spark.read.parquet(events_dir).count()
+        assert rows.n == n_events
+        n_matched = (
+            spark.read.parquet(events_dir).filter(F.col("user_id") < 200).count()
+        )
+        assert rows.with_tier == n_matched
+
+    def test_running_user_stats_state_accumulates(self, spark, events_dir):
+        """applyInPandasWithState: the last emitted row per user must carry
+        the full running count/sum across all micro-batches (4 files →
+        several batches; state survives between them)."""
+        stream = stream_events(spark, events_dir)
+        q = (
+            running_user_stats(stream.select("user_id", "value"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("userstats")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            per_user_max = {
+                r.user_id: (r.n_events, round(r.total_value, 4))
+                for r in spark.sql(
+                    """
+                    SELECT user_id, n_events, total_value FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                      FROM userstats
+                    ) WHERE rn = 1
+                    """
+                ).collect()
+            }
+        finally:
+            q.stop()
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        )
+        want = {r.user_id: (r.n, r.total) for r in batch.collect()}
+        assert per_user_max == want
 
 
 class TestMLPipeline:
