@@ -27,9 +27,15 @@ def main() -> None:
     for name, fn in headline_queries().items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/IO cache)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # min-of-3: single-shot timings on a shared box pick up Python-worker
+        # spawn and scheduler noise (measured 2s..30s for the SAME plan);
+        # the minimum is the reproducible cost of the plan itself.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -8,8 +8,11 @@ semantics, and then Arrow-vectorized; SURVEY §2.11).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # --- text -----------------------------------------------------------------
 
@@ -128,6 +131,49 @@ def minhash_values(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     ``shingle_hashes`` → ``minhash_from_hashes`` split in operators: used
     inline, the xxhash64 pass is re-evaluated under every minimum."""
     return minhash_from_hashes(shingle_hashes(shingles), num_hashes, seed)
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """The (a_i, b_i) universal-hash coefficients — shared by the expression
+    and the vectorized implementations so their signatures are identical."""
+    avs, bvs = [], []
+    for i in range(num_hashes):
+        avs.append(((seed * 1000003 + i * 2654435761) % MINHASH_PRIME) | 1)
+        bvs.append((seed * 777767777 + i * 40503) % MINHASH_PRIME)
+    return avs, bvs
+
+
+def minhash_signature_udf(num_hashes: int, seed: int = 42):
+    """Arrow-vectorized MinHash minima: array<long> shingle hashes →
+    array<long> signature, numerically identical to ``minhash_from_hashes``
+    (same coefficients, same mod-prime arithmetic; a*h < 2^62 so int64 never
+    overflows).
+
+    Why a pandas_udf here when the engine rule says builtins first: the
+    expression form is ``num_hashes`` higher-order transforms — for 128
+    hashes whole-stage codegen emits a method too large to JIT, so the JVM
+    interprets it (measured 1.8-18 s for the same stage at sf0.1 depending
+    on warmup). One numpy broadcast per row replaces ~128×|shingles|
+    interpreted expression evals; the string hashing stays JVM-side in
+    ``shingle_hashes``.
+    """
+    avs, bvs = _minhash_coeffs(num_hashes, seed)
+    a = np.array(avs, dtype=np.int64)[:, None]
+    b = np.array(bvs, dtype=np.int64)[:, None]
+    empty = ((a[:, 0] * 0 + b[:, 0]) % MINHASH_PRIME).tolist()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashed: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashed:
+            if hs is None or len(hs) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            out.append(((a * h + b) % MINHASH_PRIME).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sig
 
 
 def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from datalake_brief_spark.functions import (
     band_hashes,
     hamming64,
-    minhash_from_hashes,
+    minhash_signature_udf,
     normalize_text,
     shingle_hashes,
     tokens,
@@ -49,25 +49,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).drop("__fp")
 
 
-def _shingled(
-    df: DataFrame, text_col: str, id_col: str, k: int, extra_cols: list[str] | None = None
-) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        *[F.col(c) for c in (extra_cols or [])],
-        F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
-    )
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow scan across the cluster when the source arrives
     in fewer splits than cores (one small parquet file → one task would
     otherwise compute every signature serially). At scale the input already
-    has ≥ parallelism splits and this is a no-op."""
+    has ≥ parallelism splits and this is a no-op.
+
+    Apply to the RAW (id, text) projection, before any shingling/hashing
+    expression: an exchange sits above its child's projections, so spreading
+    a computed column would still evaluate it serially in the scan task.
+    The explicit partition count keeps AQE from coalescing the tiny exchange
+    back to one partition (compute-bound stages want cores, not 64 MiB
+    targets).
+    """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    src = _spread(df.select(F.col(id_col), *[F.col(c) for c in (extra_cols or [])], F.col(text_col)))
+    return src.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -86,7 +95,7 @@ def ngram_jaccard_pairs(
     or as the verifier behind LSH candidates.
     """
     extra = [block_col] if block_col is not None else None
-    sh = _spread(_shingled(df, text_col, id_col, k, extra_cols=extra))
+    sh = _shingled(df, text_col, id_col, k, extra_cols=extra)
     # Intersect 64-bit shingle hashes, not strings: set ops on fixed-width
     # longs beat ~20-char string comparisons several-fold, and a 64-bit
     # collision altering a Jaccard value needs ~2^32 distinct shingles.
@@ -131,18 +140,14 @@ def minhash_lsh_pairs(
     pairs above ~0.5 Jaccard are near-certain candidates.
     """
     rows_per_band = num_hashes // num_bands
-    base = _spread(
-        df.select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(tokens(text_col), k)).alias("shingles"),
-        )
-    )
-    # Two projections on purpose: the xxhash64 pass lives in its own select so
-    # the num_hashes minima reuse it instead of re-hashing every shingle
-    # (inlined, signature cost is num_hashes × |shingles| string hashes/row).
+    base = _shingled(df, text_col, id_col, k)
+    # Shingle-string hashing stays JVM-side (own select so nothing inlines
+    # it repeatedly); the num_hashes minima run as one Arrow-vectorized
+    # numpy pass — see minhash_signature_udf for why not expressions.
     hashed = base.select(F.col(id_col), shingle_hashes(F.col("shingles")).alias("__hx"))
     sig = hashed.select(
-        F.col(id_col), minhash_from_hashes(F.col("__hx"), num_hashes, seed=seed).alias("sig")
+        F.col(id_col),
+        minhash_signature_udf(num_hashes, seed=seed)(F.col("__hx")).alias("sig"),
     )
     banded = sig.select(
         F.col(id_col),

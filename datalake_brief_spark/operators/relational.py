@@ -94,3 +94,28 @@ def count_alert(df: DataFrame, predicate: Column | str, threshold: int = 1) -> D
         F.count(F.lit(1)).alias("n_matches"),
         (F.count(F.lit(1)) >= F.lit(threshold)).alias("fired"),
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with mandatory seed (dataset-curation
+    rebalancing: e.g. downsample boilerplate-heavy sources, keep rare ones).
+
+    ``sampleBy`` filters during the scan — no shuffle, no second pass. Keys
+    absent from ``fractions`` sample at 0.0 (dropped), matching Spark
+    semantics; pass 1.0 to keep a stratum whole. Exact-count stratified
+    sampling would need a per-stratum sort — this is the scalable form:
+    counts are binomial around fraction × stratum size.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded uniform Bernoulli sample (reference randomSplit analogue with
+    the engine's mandatory-seed rule; reference's own unseeded split at
+    pyspark-3.ipynb:219 is the reproducibility bug we forbid)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)

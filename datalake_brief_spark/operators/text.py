@@ -142,3 +142,43 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "token", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    context-window prep for embedding/training pipelines): chunk i covers
+    tokens [i*stride, i*stride + chunk_size); the last chunk may be short.
+
+    Pure expressions (tokens → sequence → slice → posexplode): the blow-up
+    happens inside the scan stage with zero shuffles, and chunk count per
+    doc is ceil(max(n-chunk_size,0)/stride)+1 — bounded, no skew surprises.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - F.lit(chunk_size), F.lit(0)) / F.lit(float(stride))) + 1
+    ).cast("int")
+    chunk_at = lambda i: F.slice(toks, i * stride + 1, chunk_size)  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    F.concat_ws(" ", chunk_at(i)).alias("chunk_text"),
+                    F.size(chunk_at(i)).cast("long").alias("n_chunk_tokens"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -39,6 +39,7 @@ from datalake_brief_spark.operators.relational import (
     derive,
     filter_rows,
     project,
+    sample_stratified,
     summary_stats,
 )
 from datalake_brief_spark.operators.windows import (
@@ -802,6 +803,16 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("sample_stratified", None)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum sampling for source rebalancing (no oracle: the
+    Bernoulli draw is engine-local; determinism and per-stratum rates are
+    pinned in pytest). Keeps src0 whole, halves src1, drops the rest."""
+    d = _t(spark, sf_dir, "documents")
+    out = sample_stratified(d, "source", {"src0": 1.0, "src1": 0.5}, seed=42)
+    return out.select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------
 # Dedup band (SURVEY §2.14)
 # --------------------------------------------------------------------------
@@ -1042,6 +1053,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_chunking",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+           CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)  AS n_chunk_tokens
+    FROM c
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48) — the
+    context-window prep step (see operators.text.chunk_documents)."""
+    return text.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
+
+
+@_register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
 )
@@ -1218,6 +1253,29 @@ def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
     return e.rollup("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys: all four grouping sets in ONE pass (single
+    Expand + aggregate — not four scans; at 100 TB the Expand's 4× row
+    blow-up is absorbed by map-side partial aggregation)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
 
 
 @_register(

@@ -179,6 +179,78 @@ class TestStatefulStreaming:
         assert per_user_max == want
 
 
+class TestStreamStreamJoin:
+    def test_windowed_stream_stream_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream interval join (view→click within 10 min, same
+        user): both sides watermarked so join state expires; streaming
+        result must equal the same join run in batch."""
+        import shutil as _shutil
+
+        src = str(tmp_path / "ss_events")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(src)
+        try:
+            views_s = (
+                stream_events(spark, src)
+                .filter(F.col("event_type") == "view")
+                .select(
+                    F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"),
+                    F.col("event_id").alias("v_id"),
+                )
+                .withWatermark("v_ts", "1 hour")
+            )
+            clicks_s = (
+                stream_events(spark, src)
+                .filter(F.col("event_type") == "click")
+                .select(
+                    F.col("user_id").alias("c_user"),
+                    F.col("ts").alias("c_ts"),
+                    F.col("event_id").alias("c_id"),
+                )
+                .withWatermark("c_ts", "1 hour")
+            )
+            cond = (
+                (F.col("v_user") == F.col("c_user"))
+                & (F.col("c_ts") >= F.col("v_ts"))
+                & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES"))
+            )
+            q = (
+                views_s.join(clicks_s, cond)
+                .select("v_id", "c_id")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("ssjoin")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                got = {
+                    (r.v_id, r.c_id) for r in spark.sql("SELECT * FROM ssjoin").collect()
+                }
+            finally:
+                q.stop()
+
+            ev = spark.read.parquet(src)
+            views = ev.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("v_id"),
+            )
+            clicks = ev.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            want = {
+                (r.v_id, r.c_id)
+                for r in views.join(clicks, cond).select("v_id", "c_id").collect()
+            }
+            # watermark may drop some late pairs in streaming, never add:
+            assert got <= want
+            assert len(got) >= 0.9 * len(want), (len(got), len(want))
+            assert want, "fixture must contain view→click pairs"
+        finally:
+            _shutil.rmtree(src, ignore_errors=True)
+
+
 class TestMLPipeline:
     @pytest.fixture(scope="class")
     def people(self, spark):
