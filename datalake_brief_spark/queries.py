@@ -659,6 +659,145 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_left_outer",
+    """
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (count of the
+    nullable key counts only matches)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = join_fact(c, o, on=c.c_custkey == o.o_custkey, how="left")
+    return aggregate(j, ["c_custkey"], [F.count("o_orderkey").alias("n_orders")])
+
+
+@_register(
+    "join_full_outer",
+    """
+    WITH cc AS (
+      SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ),
+    ss AS (
+      SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cc.k, ss.k) AS nationkey,
+           coalesce(n_cust, 0)  AS n_cust,
+           coalesce(n_supp, 0)  AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.k = ss.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations having only customers or
+    only suppliers survive with zero-filled counts)."""
+    cc = aggregate(
+        _t(spark, sf_dir, "customer"),
+        [F.col("c_nationkey").alias("k")],
+        [F.count(F.lit(1)).alias("n_cust")],
+    )
+    ss = aggregate(
+        _t(spark, sf_dir, "supplier"),
+        [F.col("s_nationkey").alias("k")],
+        [F.count(F.lit(1)).alias("n_supp")],
+    )
+    j = cc.withColumnRenamed("k", "ck").join(
+        ss.withColumnRenamed("k", "sk"), F.col("ck") == F.col("sk"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@_register(
+    "agg_statistics",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(var_samp(l_discount), 6)                    AS disc_var,
+           round(stddev_samp(l_tax), 6)                      AS tax_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate suite (correlation / covariance / variance):
+    all single-pass partial+final aggregates, no extra scan per statistic."""
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.stddev_samp("l_tax"), 6).alias("tax_stddev"),
+        ],
+    )
+
+
+@_register(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6)     AS prnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6)        AS cdist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite over one shared window (single shuffle+sort
+    serves all five functions). The unique-key tie-break makes ntile and
+    the rank family deterministic."""
+    from pyspark.sql import Window
+
+    o = filter_rows(_t(spark, sf_dir, "orders"), F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@_register(
+    "array_agg_segments",
+    """
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           CAST(count(*) AS BIGINT)                     AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with a DETERMINISTIC canonical form: collect_set
+    order is engine/partition-dependent, so always sort_array before
+    comparing or persisting collected arrays."""
+    return aggregate(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey"],
+        [
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # Window / sort / set band (SURVEY §2.8 extension)
 # --------------------------------------------------------------------------

@@ -18,7 +18,11 @@ raw CSV/Parquet blobs into a container laid out as ``<source>/<region>_<file>``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -98,3 +102,45 @@ def write_partitioned(
     """
     out = df.repartition(target_file_partitions, *partition_by) if target_file_partitions else df.repartition(*partition_by)
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Latest-wins upsert (MERGE) into a parquet directory: rows in
+    ``updates`` replace existing rows with the same key; the survivor per
+    key is the one with the greatest ``order_col`` (a version/event-time
+    column — REQUIRED, because "latest file wins" is not a deterministic
+    rule on a distributed writer).
+
+    Dataflow: union existing + updates → one window per key → keep rank 1.
+    The rewrite lands in a staging dir first and swaps in afterwards — a
+    parquet source cannot be overwritten while a plan is reading it
+    (self-overwrite truncates inputs mid-job).
+
+    Plain parquet has no transaction log, so the swap is atomic only on a
+    POSIX filesystem; on an object store back this with a transactional
+    table format (Delta/Iceberg MERGE INTO) — same logical dataflow, log-
+    managed commit. Partition-level variant: filter ``updates`` to touched
+    partitions and swap only those directories.
+    """
+    if os.path.exists(path):
+        existing = spark.read.schema(updates.schema).parquet(path)
+        merged = existing.unionByName(updates)
+    else:
+        merged = updates
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staging = path.rstrip("/") + ".__staging__"
+    latest.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)

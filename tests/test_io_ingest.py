@@ -14,6 +14,7 @@ from datalake_brief_spark.operators import multimodal
 from datalake_brief_spark.sources.ingest import land, manifest_from_links, normalize_to_parquet
 from datalake_brief_spark.sources.io import (
     read_csv,
+    upsert_parquet,
     write_bucketed,
     write_partitioned,
     write_table,
@@ -91,6 +92,33 @@ class TestIO:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    def test_upsert_latest_wins(self, spark, tmp_path):
+        """MERGE semantics: same-key rows replaced by the higher-version row,
+        new keys inserted, untouched keys preserved, no duplicates."""
+        path = str(tmp_path / "dim_users")
+        v1 = spark.createDataFrame(
+            [(1, "alice", 1), (2, "bob", 1), (3, "carol", 1)],
+            "user_id long, name string, version int",
+        )
+        upsert_parquet(spark, path, v1, keys=["user_id"], order_col="version")
+        v2 = spark.createDataFrame(
+            [(2, "bob-renamed", 2), (4, "dave", 2), (5, "old-late-arrival", 0)],
+            "user_id long, name string, version int",
+        )
+        # stale version for a new key still inserts; for key 2 v2 wins
+        upsert_parquet(spark, path, v2, keys=["user_id"], order_col="version")
+        got = {
+            r.user_id: (r.name, r.version)
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            1: ("alice", 1),
+            2: ("bob-renamed", 2),
+            3: ("carol", 1),
+            4: ("dave", 2),
+            5: ("old-late-arrival", 0),
+        }
 
     def test_write_table_overwrite(self, spark, tmp_path):
         out = str(tmp_path / "t")

@@ -84,6 +84,20 @@ def test_topk_global_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q3_broadcasts_dim_and_takes_ordered(spark):
+    q = QUERIES["q3_shipping_priority"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan, plan  # filtered customer broadcasts
+    assert "TakeOrderedAndProject" in plan, plan  # top-10, no total sort
+
+
+def test_q5_all_dims_broadcast(spark):
+    """supplier→nation→region chain must broadcast: the only shuffles are
+    the orders⋈lineitem key exchange and the final aggregate."""
+    q = QUERIES["q5_nation_revenue"].fn(spark, SF_SMOKE)
+    assert count_nodes(q, "BroadcastHashJoin") >= 3, formatted_plan(q)
+
+
 def test_no_query_produces_cartesian_product(spark):
     for name, q in QUERIES.items():
         assert_no_cartesian(q.fn(spark, SF_SMOKE))
