@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.catalog import load_table, register_views
 from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
 from datalake_brief_spark.operators import dedup, multimodal, similarity, text
 from datalake_brief_spark.operators.joins import anti_join, join_dim, join_fact, semi_join
@@ -1500,6 +1500,72 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         ],
+    )
+
+
+@_register(
+    "sql_frontend",
+    """
+    SELECT r_name,
+           CAST(count(*) AS BIGINT)  AS n_customers,
+           round(avg(c_acctbal), 4)  AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 0
+    GROUP BY r_name
+    """,
+)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() front end over registered views — SQL text and the
+    DataFrame API compile to identical Catalyst plans, so the whole engine
+    is reachable from plain SQL (reference never calls spark.sql; this is
+    the idiomatic completion of that surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*)                 AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_acctbal > 0
+        GROUP BY r_name
+        """
+    )
+
+
+@_register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_quantity - 25.0), 2)            AS dev,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT)     AS qty_decile,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_band,
+           round(sqrt(l_extendedprice), 6)             AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)           AS price_ln,
+           round(pow(l_discount, 2), 6)                AS disc_sq,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE)     AS dev_sign,
+           round(greatest(l_tax, l_discount), 2)       AS max_rate
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function suite (abs/ceil/floor/sqrt/ln/pow/sign/greatest) —
+    all codegen'd scan-stage expressions."""
+    l = filter_rows(_t(spark, sf_dir, "lineitem"), F.col("l_orderkey") < 400)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_quantity") - 25.0), 2).alias("dev"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_band"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.signum(F.col("l_quantity") - 25.0).alias("dev_sign"),
+        F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
     )
 
 

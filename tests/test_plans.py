@@ -98,6 +98,30 @@ def test_q5_all_dims_broadcast(spark):
     assert count_nodes(q, "BroadcastHashJoin") >= 3, formatted_plan(q)
 
 
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting is a pure execution-strategy change: the salted join's
+    result must equal the plain equi-join's."""
+    from datalake_brief_spark.operators.joins import salted_join
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    plain = sorted(
+        (r.o_orderkey, r.c_mktsegment)
+        for r in o.join(c, "custkey").select("o_orderkey", "c_mktsegment").collect()
+    )
+    salted = sorted(
+        (r.o_orderkey, r.c_mktsegment)
+        for r in salted_join(o, c, "custkey", salt_buckets=8)
+        .select("o_orderkey", "c_mktsegment")
+        .collect()
+    )
+    assert plain == salted
+
+
 def test_no_query_produces_cartesian_product(spark):
     for name, q in QUERIES.items():
         assert_no_cartesian(q.fn(spark, SF_SMOKE))
