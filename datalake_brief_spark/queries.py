@@ -1327,6 +1327,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("multimodal_frames", None)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (no oracle: DuckDB has
+    no BLOB substring — slicing semantics are pytest-pinned instead). Emits
+    one row per sampled frame with a content hash."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    frames = multimodal.sample_frames(d, "payload", "doc_id", every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    )
+
+
 @_register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic

@@ -98,6 +98,23 @@ def test_q5_all_dims_broadcast(spark):
     assert count_nodes(q, "BroadcastHashJoin") >= 3, formatted_plan(q)
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a dynamic-
+    pruning subquery on the fact scan: only matching partition dirs are
+    read. At 100 TB this is the difference between scanning one partition
+    and scanning the lake."""
+    out = str(tmp_path / "orders_part")
+    load_table(spark, SF_SMOKE, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")], "status string, label string"
+    ).filter(F.col("label") == "open")
+    j = fact.join(dim.hint("broadcast"), fact.o_orderstatus == dim.status).groupBy(
+        "label"
+    ).count()
+    assert "dynamicpruning" in formatted_plan(j).lower(), formatted_plan(j)
+
+
 def test_salted_join_matches_plain_join(spark):
     """Skew salting is a pure execution-strategy change: the salted join's
     result must equal the plain equi-join's."""

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): operator semantics pinned against
+small executable models, over generated inputs rather than fixtures.
+
+Spark-side evaluation is ~0.3 s per example, so example counts are kept
+small — the point is shrinking counterexamples for semantic edges (empty
+strings, all-null rows, single-token docs), not fuzzing volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.functions import MINHASH_PRIME, tokens, word_shingles
+from datalake_brief_spark.operators.nulls import drop_nulls
+from datalake_brief_spark.operators.windows import sessionize
+
+_EXAMPLES = 8  # per-example Spark round-trips are the cost driver
+
+_words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_docs = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+class TestShingleProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(doc=_docs, k=st.integers(min_value=1, max_value=4))
+    def test_shingle_count_formula(self, spark, doc, k):
+        """|shingles| == max(n_tokens - k + 1, 1) — including the short-doc
+        edge where the whole doc becomes one shingle."""
+        df = spark.createDataFrame([(doc,)], "text string")
+        row = df.select(
+            F.size(tokens("text")).alias("n"),
+            F.size(word_shingles(tokens("text"), k)).alias("s"),
+        ).first()
+        assert row.s == max(row.n - k + 1, 1)
+
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(doc=_docs)
+    def test_minhash_signature_range_and_self_identity(self, spark, doc):
+        """Signature values live in the prime field; identical docs get
+        identical signatures (the property LSH banding relies on)."""
+        from datalake_brief_spark.functions import minhash_values
+
+        df = spark.createDataFrame([(1, doc), (2, doc)], "id long, text string")
+        rows = df.select(
+            "id",
+            minhash_values(
+                F.array_distinct(word_shingles(tokens("text"), 2)), 8, seed=7
+            ).alias("sig"),
+        ).collect()
+        sigs = {r.id: list(r.sig) for r in rows}
+        assert sigs[1] == sigs[2]
+        assert all(0 <= v < MINHASH_PRIME for v in sigs[1])
+
+
+class TestNullDropProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 9)),
+                st.one_of(st.none(), st.integers(0, 9)),
+                st.one_of(st.none(), st.text(alphabet="xy", max_size=2)),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        thresh=st.integers(min_value=0, max_value=4),
+    )
+    def test_thresh_matches_model(self, spark, rows, thresh):
+        """na.drop(thresh=k) keeps exactly the rows with >= k non-nulls
+        (reference's thresh=2 edge, pyspark-2.ipynb:216, generalized)."""
+        df = spark.createDataFrame(rows, "a int, b int, c string")
+        got = sorted(map(tuple, drop_nulls(df, thresh=thresh).collect()), key=repr)
+        want = sorted(
+            (r for r in rows if sum(v is not None for v in r) >= thresh), key=repr
+        )
+        assert got == want
+
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 9)),
+                st.one_of(st.none(), st.integers(0, 9)),
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    def test_how_any_vs_all_bracket_every_row(self, spark, rows):
+        """drop(how='all') ⊇ drop(how='any'): 'all' keeps every row 'any'
+        keeps, plus rows with partial nulls."""
+        df = spark.createDataFrame(rows, "a int, b int")
+        kept_any = {tuple(r) for r in drop_nulls(df, how="any").collect()}
+        kept_all = {tuple(r) for r in drop_nulls(df, how="all").collect()}
+        assert kept_any <= kept_all
+        assert kept_all == {r for r in map(tuple, rows) if any(v is not None for v in r)}
+
+
+class TestSessionizeProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        gaps=st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=10),
+        threshold=st.integers(min_value=1, max_value=1500),
+    )
+    def test_session_count_equals_big_gap_count_plus_one(self, spark, gaps, threshold):
+        """For one user, #sessions == #(inter-event gaps > threshold) + 1."""
+        ts, cur = [], 0
+        for g in gaps:
+            cur += g
+            ts.append(cur)
+        rows = [(1, float(t)) for t in ts]
+        df = spark.createDataFrame(rows, "user_id long, sec double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        )
+        out = sessionize(df, "user_id", "ts", gap_seconds=threshold)
+        n_sessions = out.agg(F.max("session_id")).first()[0]
+        expected = 1 + sum(1 for g in gaps[1:] if g > threshold)
+        assert n_sessions == expected
