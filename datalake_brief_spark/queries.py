@@ -1224,6 +1224,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+@_register(
+    "pipeline_curation",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS DOUBLE) AS n_stop,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, toks,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             round(greatest(least(
+               0.5 * least(n_tok / 100.0, 1.0)
+               + 0.5 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+               - n_punct / greatest(n_chars, 1.0) * 2,
+             1.0), 0.0), 6) AS quality
+      FROM t
+    ),
+    kept AS (SELECT * FROM q WHERE quality >= 0.3),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM kept
+    ),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    walk(id, r) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+    SELECT k.doc_id, k.n_tokens, k.quality
+    FROM kept k JOIN comp ON comp.id = k.doc_id
+    WHERE comp.cluster_id = k.doc_id
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation as ONE declarative pipeline:
+    quality-score → drop low-quality docs → near-dup clustering (trigram
+    Jaccard ≥ 0.8 within source, connected components) → keep one canonical
+    doc per cluster. Composes text.with_quality, dedup.ngram_jaccard_pairs
+    and dedup.cluster_dedup; the oracle replays the whole chain including
+    the recursive component walk."""
+    d = text.with_quality(_t(spark, sf_dir, "documents"))
+    kept = d.filter(F.col("quality") >= 0.3)
+    pairs = dedup.ngram_jaccard_pairs(kept, block_col="source", k=3, threshold=0.8)
+    out = dedup.cluster_dedup(kept, pairs)
+    return out.filter(F.col("is_canonical")).select("doc_id", "n_tokens", "quality")
+
+
 # --------------------------------------------------------------------------
 # Similarity band (SURVEY §2.14)
 # --------------------------------------------------------------------------
