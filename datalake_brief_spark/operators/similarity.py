@@ -22,8 +22,10 @@ to double for deterministic, oracle-stable arithmetic.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalake_brief_spark.functions import as_double_array, cosine
 
@@ -64,26 +66,38 @@ def _random_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def srp_signature(
-    df: DataFrame,
-    vec_col: str,
-    dim: int,
-    num_planes: int = 16,
-    seed: int = 42,
-):
-    """Append an SRP bucket id: bit i = sign(v · plane_i), packed into a long.
-    Pure expressions — the hyperplanes are literal arrays folded into the
-    plan (constant-folded, broadcast-free)."""
-    v = as_double_array(F.col(vec_col))
-    bits = []
-    for i, plane in enumerate(_random_planes(dim, num_planes, seed)):
-        p = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(F.zip_with(v, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn("__bucket", bucket.cast("long"))
+def _srp_buckets_udf(dim: int, num_planes: int, num_tables: int, seed: int):
+    """Arrow-vectorized SRP bucketing: one (batch × dim) @ (dim × T·P)
+    matmul computes every table's sign bits at once → array<long> of
+    ``num_tables`` bucket ids per row.
+
+    Why a pandas_udf (cf. minhash_signature_udf): the expression form is
+    T×P zip_with+aggregate dot products against literal arrays — for 8×8
+    over dim-64 vectors, whole-stage codegen degrades past the JIT's method
+    limits (measured ~30 s cold at sf0.1 vs ~1 s here). The plane matrix is
+    a closure constant shipped once per worker, not per row."""
+    import pandas as pd
+
+    planes = np.stack(
+        [
+            np.asarray(_random_planes(dim, num_planes, seed + 7919 * t))
+            for t in range(num_tables)
+        ]
+    )  # (T, P, dim)
+    flat = planes.reshape(-1, dim).T  # (dim, T*P)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        dots = mat @ flat  # (n, T*P)
+        bits = (dots >= 0).astype(np.int64).reshape(len(emb), num_tables, num_planes)
+        ids = (bits * weights).sum(axis=2)  # (n, T)
+        return pd.Series([row.tolist() for row in ids])
+
+    return buckets
 
 
 def srp_bucket_table(
@@ -96,18 +110,15 @@ def srp_bucket_table(
 ) -> DataFrame:
     """Multi-table SRP: append exploded (table_idx, bucket) rows — the
     standard LSH amplification (union of L independent hash tables raises
-    recall 1-(1-p^m)^L; Gionis/Indyk/Motwani 1999). One posexplode, then
-    candidate generation is an equi-join on (table_idx, bucket)."""
-    for t in range(num_tables):
-        # independent hyperplane set per table; park each bucket in its own slot
-        tagged = srp_signature(df, vec_col, dim, num_planes, seed + 7919 * t)
-        df = tagged.withColumnRenamed("__bucket", f"__b{t}")
-    arr = F.array(*[F.col(f"__b{t}") for t in range(num_tables)])
-    out = df.select(
-        *[c for c in df.columns if not c.startswith("__b")],
-        F.posexplode(arr).alias("__table", "__bucket"),
+    recall 1-(1-p^m)^L; Gionis/Indyk/Motwani 1999). One Arrow-batched
+    bucket computation + one posexplode; candidate generation is then an
+    equi-join on (table_idx, bucket)."""
+    udf = _srp_buckets_udf(dim, num_planes, num_tables, seed)
+    tagged = df.withColumn("__bkts", udf(F.col(vec_col)))
+    return tagged.select(
+        *[c for c in df.columns],
+        F.posexplode("__bkts").alias("__table", "__bucket"),
     )
-    return out
 
 
 def srp_lsh_topk(

@@ -1895,6 +1895,30 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ml_lr_predict", None)
+def ml_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ML pipeline shape (M1-M5: VectorAssembler → seeded
+    randomSplit → LinearRegression → predict, reference pyspark-3.ipynb:
+    124-137,219-221,270) on lake data: predict extended price from quantity
+    + discount. No oracle — LR solver floats aren't hash-stable; pytest
+    asserts pipeline shape, seed determinism, and exact-relation recovery
+    (tests/test_streaming_ml.py)."""
+    from datalake_brief_spark.mlops import assemble_features, train_test_split
+
+    from pyspark.ml.regression import LinearRegression
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    feats = assemble_features(l, ["l_quantity", "l_discount"], "features")
+    train, test = train_test_split(feats, (0.8, 0.2), seed=42)
+    model = LinearRegression(featuresCol="features", labelCol="l_extendedprice").fit(train)
+    preds = model.transform(test)
+    return preds.select(
+        "l_orderkey", "l_linenumber", F.round("prediction", 2).alias("predicted_price")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 
