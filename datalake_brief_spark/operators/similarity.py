@@ -76,8 +76,6 @@ def _srp_buckets_udf(dim: int, num_planes: int, num_tables: int, seed: int):
     over dim-64 vectors, whole-stage codegen degrades past the JIT's method
     limits (measured ~30 s cold at sf0.1 vs ~1 s here). The plane matrix is
     a closure constant shipped once per worker, not per row."""
-    import pandas as pd
-
     planes = np.stack(
         [
             np.asarray(_random_planes(dim, num_planes, seed + 7919 * t))

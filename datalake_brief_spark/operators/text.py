@@ -15,6 +15,7 @@ from pyspark.sql import Window
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalake_brief_spark.functions import normalize_text, punct_count, token_count, tokens
 
@@ -181,4 +182,54 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Token-budget packing: assign chunks to packs of <= ``budget`` tokens
+    (the step between chunking and training-batch assembly).
+
+    Greedy first-fit in deterministic order, run independently per hash
+    shard with ``applyInPandas`` — packing is inherently sequential (each
+    decision depends on the running remainder), so the scalable form is
+    sequential-within-shard, parallel-across-shards; a global Window would
+    serialize the whole dataset onto one partition. pack_id =
+    shard * 2^32 + local ordinal: globally unique without coordination.
+
+    Guarantee: every pack's token total <= budget, unless a single chunk
+    alone exceeds the budget (it then gets a pack of its own — pre-split
+    oversized chunks upstream).
+    """
+    import pandas as pd
+
+    out_fields = [*chunks.schema.fields]
+    out_schema = T.StructType(out_fields + [T.StructField("pack_id", T.LongType())])
+
+    def pack_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        pdf = pdf.sort_values([id_col, idx_col], kind="mergesort").reset_index(drop=True)
+        pack_ids, local, used = [], 0, 0
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                local += 1
+                used = 0
+            used += n
+            pack_ids.append((int(shard) << 32) + local)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf.drop(columns=["__shard"])
+
+    sharded = chunks.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    # __shard must be in the output schema contract minus the drop above:
+    return sharded.groupBy("__shard").applyInPandas(
+        lambda key, pdf: pack_shard(key, pdf), schema=out_schema
     )

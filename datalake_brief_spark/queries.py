@@ -1215,6 +1215,17 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
 
 
+@_register("text_pack_chunks", None)
+def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → pack pipeline: 64-token chunks greedily packed into ≤256-token
+    packs, sequential-within-shard / parallel-across-shards (no oracle:
+    greedy packing is stateful-sequential, not SQL-expressible; the
+    budget/coverage invariants are pytest-pinned)."""
+    chunks = text.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
+    packed = text.pack_chunks(chunks, budget=256, n_shards=64)
+    return packed.select("doc_id", "chunk_idx", "n_chunk_tokens", "pack_id")
+
+
 @_register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",

@@ -144,3 +144,27 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(staging, path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted Parquet: rows range-partitioned on
+    ``sort_cols`` (one contiguous key range per file) and sorted within
+    each file.
+
+    This is the data-skipping contract: parquet row-group min/max stats on
+    a sorted column are tight and disjoint, so a selective filter prunes
+    whole files + row groups instead of reading everything (the poor man's
+    Z-order for a single sort dimension). Use for the columns queries
+    actually filter on — time, tenant, id range.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    out.write.mode(mode).parquet(path)

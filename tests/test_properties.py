@@ -118,3 +118,28 @@ class TestSessionizeProperties:
         n_sessions = out.agg(F.max("session_id")).first()[0]
         expected = 1 + sum(1 for g in gaps[1:] if g > threshold)
         assert n_sessions == expected
+
+
+class TestPackChunksProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=20),
+        budget=st.integers(min_value=50, max_value=200),
+    )
+    def test_budget_respected_and_all_chunks_assigned(self, spark, sizes, budget):
+        """Every multi-chunk pack totals <= budget; every chunk is assigned
+        exactly once; oversized single chunks isolate into their own pack."""
+        from datalake_brief_spark.operators.text import pack_chunks
+
+        rows = [(i, 0, f"c{i}", s) for i, s in enumerate(sizes)]
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx long, chunk_text string, n_chunk_tokens long"
+        )
+        out = pack_chunks(chunks, budget=budget, n_shards=4).collect()
+        assert len(out) == len(sizes)
+        by_pack: dict[int, list[int]] = {}
+        for r in out:
+            by_pack.setdefault(r.pack_id, []).append(r.n_chunk_tokens)
+        for members in by_pack.values():
+            if len(members) > 1:
+                assert sum(members) <= budget
