@@ -1,0 +1,80 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline queries
+with review commentary. Run: ``python -m datalake_brief_spark.plans.snapshot``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from datalake_brief_spark import get_spark
+from datalake_brief_spark.plans import formatted_plan
+from datalake_brief_spark.queries import headline_queries
+
+COMMENT = {
+    "q1_pricing_summary": (
+        "One scan, shipdate filter in PushedFilters, 7-column ReadSchema (of 11), "
+        "partial+final HashAggregate around a single exchange."
+    ),
+    "join_dim_chain": (
+        "Both dimension joins are BroadcastHashJoin; the only Exchange is the "
+        "final group-by shuffle."
+    ),
+    "join_fact_revenue": (
+        "Fact-fact equi-join shuffles both sides on the order key; AQE handles "
+        "coalescing/skew at runtime."
+    ),
+    "q3_shipping_priority": (
+        "Filtered customer broadcasts; both date filters pushed to their scans; "
+        "TakeOrderedAndProject for the top-10 (no total sort)."
+    ),
+    "q5_nation_revenue": (
+        "The supplier-nation-region chain is 3 BroadcastHashJoins; lineitem "
+        "shuffles once for the orders join."
+    ),
+    "topk_per_group": "Single exchange on the partition key; window row_number + rank filter.",
+    "events_hourly": "Scan-stage date_trunc, partial+final aggregate, one shuffle.",
+    "dedup_ngram_jaccard": (
+        "Shingles hashed to int64 in the scan stage; the pair join shuffles on "
+        "the (source) block key only; exact Jaccard on candidates."
+    ),
+    "dedup_minhash": (
+        "JVM xxhash shingle pass, Arrow-vectorized 128-minima signature "
+        "(ArrowEvalPython), band explode, equi-join on (band, hash), exact "
+        "verification of candidates only."
+    ),
+    "text_quality": "Pure scan-stage expressions, zero shuffles.",
+    "knn_bruteforce": (
+        "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan; "
+        "window top-k on query_id."
+    ),
+}
+
+HEADER = """# PLANS — physical-plan audit of the headline queries
+
+Generated with `.explain("formatted")` at sf0.01 (plan shapes are
+scale-invariant; AQE adjusts partition counts at runtime). Each plan was
+reviewed against the shape we want at 100 TB; the commentary states what
+to look for. Regenerate: `python -m datalake_brief_spark.plans.snapshot`.
+"""
+
+MAX_LINES = 120
+
+
+def main() -> None:
+    sf = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
+    spark = get_spark("plans")
+    lines = [HEADER]
+    for name, fn in headline_queries().items():
+        plan_lines = formatted_plan(fn(spark, sf)).splitlines()
+        lines += [f"## {name}", "", COMMENT.get(name, ""), "", "```"]
+        lines += plan_lines[:MAX_LINES]
+        if len(plan_lines) > MAX_LINES:
+            lines.append(f"... ({len(plan_lines) - MAX_LINES} more lines)")
+        lines += ["```", ""]
+    with open(os.path.join(os.path.dirname(__file__), "..", "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

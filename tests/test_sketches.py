@@ -1,0 +1,44 @@
+"""Sketch-accuracy bounds: the approximate aggregates the 100 TB path uses
+(HyperLogLog++ distinct counts, KLL-style approximate percentiles) must stay
+within their advertised error of the exact forms computed on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_distinct_within_rsd(spark):
+    """approx_count_distinct(rsd=0.02): HLL++ standard error is rsd, so a
+    5-sigma band (10%) is a safely non-flaky bound."""
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    row = l.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).first()
+    rel_err = abs(row.approx - row.exact) / row.exact
+    assert rel_err <= 0.10, (row.exact, row.approx, rel_err)
+
+
+def test_approx_percentile_within_accuracy(spark):
+    """percentile_approx with accuracy=N bounds rank error by 1/N of the
+    row count; assert the approximate p50/p90 sit within the exact values'
+    neighborhood (rank-tolerance converted to a value check via filtering)."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    n = o.count()
+    accuracy = 1000
+    row = o.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(accuracy)).alias("apx_p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("exact_p90"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(accuracy)).alias("apx_p90"),
+    ).first()
+    for q, exact, apx in [(0.5, row.exact_p50, row.apx_p50), (0.9, row.exact_p90, row.apx_p90)]:
+        # rank of the approximate answer must be within n/accuracy of q*n
+        rank = o.filter(F.col("o_totalprice") <= apx).count()
+        rank_err = abs(rank - q * n)
+        assert rank_err <= max(2.0 * n / accuracy, 2), (q, exact, apx, rank_err)
