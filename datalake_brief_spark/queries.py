@@ -918,6 +918,39 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sliding",
+    """
+    SELECT strftime(start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT ts, event_type,
+             time_bucket(INTERVAL 30 MINUTES, ts) - o.off * INTERVAL 30 MINUTES AS start
+      FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+    )
+    WHERE ts >= start AND ts < start + INTERVAL 60 MINUTES
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows in batch: 1 h windows every 30 min — each
+    event lands in 2 overlapping windows (Spark's window() explodes
+    window-assignment in the scan stage; map-side partial agg absorbs the
+    2× blow-up before the shuffle). The streaming twin is
+    streaming.windowed_counts(slide=...)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@_register(
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
