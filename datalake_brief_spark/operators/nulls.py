@@ -57,6 +57,25 @@ def impute_mean(df: DataFrame, cols: Iterable[str], suffix: str = "_imputed") ->
     return out.drop(*[f"__mean_{c}" for c in cols])
 
 
+def impute_median(df: DataFrame, cols: Iterable[str], suffix: str = "_imputed") -> DataFrame:
+    """Median impute as a declarative plan (the reference's Imputer comment
+    names mean/median/mode as the strategies, pyspark-2.ipynb cell-10).
+
+    Uses the exact interpolated percentile (== SQL quantile_cont) so the
+    result is oracle-comparable; at 100 TB swap in percentile_approx —
+    tests/test_sketches.py bounds that substitution's error.
+    """
+    cols = list(cols)
+    stats = df.agg(
+        *[F.percentile(F.col(c), F.lit(0.5)).alias(f"__med_{c}") for c in cols]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        dtype = dict(df.dtypes)[c]
+        out = out.withColumn(c + suffix, F.coalesce(F.col(c), F.col(f"__med_{c}").cast(dtype)))
+    return out.drop(*[f"__med_{c}" for c in cols])
+
+
 def null_profile(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
     """Data-quality helper: per-column null counts in one aggregate pass."""
     cols = list(cols) if cols else df.columns

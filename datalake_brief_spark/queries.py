@@ -32,7 +32,12 @@ from datalake_brief_spark.catalog import load_table, register_views
 from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
 from datalake_brief_spark.operators import dedup, multimodal, similarity, text
 from datalake_brief_spark.operators.joins import anti_join, join_dim, join_fact, semi_join
-from datalake_brief_spark.operators.nulls import drop_nulls, fill_nulls, impute_mean
+from datalake_brief_spark.operators.nulls import (
+    drop_nulls,
+    fill_nulls,
+    impute_mean,
+    impute_median,
+)
 from datalake_brief_spark.operators.relational import (
     aggregate,
     count_alert,
@@ -460,6 +465,23 @@ def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyspark-2.ipynb:286-324) — one stats aggregate broadcast back over the
     scan, no pyspark.ml fit job."""
     imp = impute_mean(_nulled_customer(spark, sf_dir), ["bal"])
+    return imp.select("c_custkey", F.round(F.col("bal_imputed"), 2).alias("bal_imputed"))
+
+
+@_register(
+    "impute_median",
+    _NULLED_SQL
+    + """
+    SELECT c_custkey,
+           round(COALESCE(bal, (SELECT quantile_cont(bal, 0.5) FROM nulled)), 2) AS bal_imputed
+    FROM nulled
+    """,
+)
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 median strategy (reference Imputer names mean/median/mode,
+    pyspark-2.ipynb cell-10): exact interpolated percentile broadcast back
+    over the scan — see operators.nulls.impute_median."""
+    imp = impute_median(_nulled_customer(spark, sf_dir), ["bal"])
     return imp.select("c_custkey", F.round(F.col("bal_imputed"), 2).alias("bal_imputed"))
 
 
