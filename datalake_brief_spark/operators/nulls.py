@@ -76,6 +76,27 @@ def impute_median(df: DataFrame, cols: Iterable[str], suffix: str = "_imputed") 
     return out.drop(*[f"__med_{c}" for c in cols])
 
 
+def impute_mode(df: DataFrame, col: str, suffix: str = "_imputed") -> DataFrame:
+    """Mode impute (the third Imputer strategy): fill nulls with the most
+    frequent non-null value, smallest value winning ties (pyspark.ml
+    Imputer's documented tie rule — required for determinism).
+
+    One groupBy+top-1 (TakeOrderedAndProject over the counts) broadcast
+    back over the scan; works for any orderable type including strings,
+    which mean/median can't impute.
+    """
+    mode_row = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(col))
+        .limit(1)
+        .select(F.col(col).alias("__mode"))
+    )
+    out = df.crossJoin(F.broadcast(mode_row))
+    return out.withColumn(col + suffix, F.coalesce(F.col(col), F.col("__mode"))).drop("__mode")
+
+
 def null_profile(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
     """Data-quality helper: per-column null counts in one aggregate pass."""
     cols = list(cols) if cols else df.columns

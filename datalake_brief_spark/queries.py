@@ -37,6 +37,7 @@ from datalake_brief_spark.operators.nulls import (
     fill_nulls,
     impute_mean,
     impute_median,
+    impute_mode,
 )
 from datalake_brief_spark.operators.relational import (
     aggregate,
@@ -483,6 +484,26 @@ def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scan — see operators.nulls.impute_median."""
     imp = impute_median(_nulled_customer(spark, sf_dir), ["bal"])
     return imp.select("c_custkey", F.round(F.col("bal_imputed"), 2).alias("bal_imputed"))
+
+
+@_register(
+    "impute_mode",
+    _NULLED_SQL
+    + """
+    SELECT c_custkey,
+           COALESCE(seg, (
+             SELECT seg FROM nulled WHERE seg IS NOT NULL
+             GROUP BY seg ORDER BY count(*) DESC, seg LIMIT 1
+           )) AS seg_imputed
+    FROM nulled
+    """,
+)
+def q_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 mode strategy: most frequent non-null value, smallest on ties
+    (pyspark.ml Imputer's tie rule) — the only strategy that imputes
+    strings. See operators.nulls.impute_mode."""
+    imp = impute_mode(_nulled_customer(spark, sf_dir), "seg")
+    return imp.select("c_custkey", F.col("seg_imputed"))
 
 
 # --------------------------------------------------------------------------
