@@ -1424,6 +1424,49 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
 
 
+@_register(
+    "knn_filtered",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE label = 1
+    ),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS score
+      FROM c CROSS JOIN q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (pre-filter semantics): top-5 cosine
+    neighbors among vectors matching a metadata predicate. The filter
+    composes BEFORE the scoring scan, so it pushes down to the parquet
+    scan and the cross product touches only qualifying vectors — the
+    standard predicate+ANN shape vector stores call pre-filtering (the
+    post-filter alternative under-fills k when the predicate is
+    selective)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("label") == 1)
+    out = similarity.cosine_topk(corpus, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register("knn_ivf", None)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file / coarse-quantization) approximate top-k: seeded
