@@ -129,6 +129,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {sorted(TABLES)}")
+    if name == "events":
+        # The file's ts column is parquet timestamp[ns]; Spark can only read
+        # it as a raw long. get_spark sets this at build time, but callers
+        # may hand us a foreign session (the driver harness does) — the conf
+        # is runtime-settable, so pin it here rather than fail the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(TABLES[name]).parquet(table_path(sf_dir, name))
     if name == "events":
         # ns → µs timestamp (integer division, no double round-trip: ns
