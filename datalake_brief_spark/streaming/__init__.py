@@ -9,6 +9,7 @@ aggregation → foreachBatch alert sink.
 
 from datalake_brief_spark.streaming.alerts import (
     Alert,
+    alerts_to_parquet,
     stream_events,
     threshold_alert_stream,
     windowed_counts,
@@ -21,6 +22,7 @@ from datalake_brief_spark.streaming.stateful import (
 
 __all__ = [
     "Alert",
+    "alerts_to_parquet",
     "enrich_stream",
     "running_user_stats",
     "sessionize_stream",

@@ -114,6 +114,42 @@ def threshold_alert_stream(
     )
 
 
+def alerts_to_parquet(
+    counts: DataFrame,
+    path: str,
+    threshold: int,
+    query_name: str = "alert_sink",
+) -> StreamingQuery:
+    """Durable alert sink: fired windows land in parquet, exactly-once.
+
+    ``foreachBatch`` gives at-least-once by default (a batch may replay
+    after failure); idempotency comes from writing each micro-batch into
+    its own ``epoch=<id>`` partition with DYNAMIC partition overwrite —
+    a replayed epoch overwrites its own directory instead of appending
+    duplicates. This is the standard exactly-once recipe for file sinks
+    behind foreachBatch; a transactional table format replaces the
+    directory trick with a MERGE on (epoch, window, key).
+    """
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        fired = batch_df.filter(F.col("n") >= threshold).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
+        (
+            fired.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .queryName(query_name)
+        .foreachBatch(emit)
+        .start()
+    )
+
+
 def filter_count_alert(
     events: DataFrame, predicate: Column | str, window: str = "1 hour", threshold: int = 1
 ) -> DataFrame:

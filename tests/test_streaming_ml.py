@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from datalake_brief_spark.catalog import load_table
 from datalake_brief_spark.mlops import assemble_features, fit_linear_regression, train_test_split
 from datalake_brief_spark.streaming import (
+    alerts_to_parquet,
     enrich_stream,
     running_user_stats,
     sessionize_stream,
@@ -62,6 +63,38 @@ class TestStreaming:
         )
         want = {(str(r.window_start), r.event_type): r.n for r in batch.collect()}
         assert got == want
+
+    def test_alerts_land_in_parquet_idempotently(self, spark, events_dir, tmp_path):
+        """Durable alert sink: fired windows land once per epoch partition;
+        the parquet contents equal the batch-computed fired set regardless
+        of how many micro-batches the file source split the input into."""
+        sink = str(tmp_path / "alerts")
+        stream = stream_events(spark, events_dir)
+        counts = windowed_counts(
+            stream.filter(F.col("event_type") == "error"), window="1 hour"
+        )
+        q = alerts_to_parquet(counts, sink, threshold=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        landed = spark.read.parquet(sink)
+        # update-mode re-emissions of the same window across epochs are
+        # expected; the FINAL state per window must match batch truth
+        final_per_window = (
+            landed.groupBy("window_start").agg(F.max("n").alias("n")).collect()
+        )
+        got = {(str(r.window_start)): r.n for r in final_per_window}
+        batch = (
+            spark.read.parquet(events_dir)
+            .filter(F.col("event_type") == "error")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+        )
+        want = {str(r["w"]["start"]): r.n for r in batch.collect()}
+        assert got == want
+        assert got, "error volume must fire at least one alert window"
 
     def test_threshold_alert_fires(self, spark, events_dir):
         """Reference alert semantics (README.md:243-244): ≥N rows in the
