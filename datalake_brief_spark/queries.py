@@ -487,6 +487,25 @@ def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "null_profile",
+    _NULLED_SQL
+    + """
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+           CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_bal,
+           CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_seg
+    FROM nulled
+    """,
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column null counts in ONE aggregate pass
+    (never one job per column — at 100 TB a per-column loop is N full
+    scans). See operators.nulls.null_profile."""
+    from datalake_brief_spark.operators.nulls import null_profile
+
+    return null_profile(_nulled_customer(spark, sf_dir), ["bal", "seg"])
+
+
+@_register(
     "impute_mode",
     _NULLED_SQL
     + """

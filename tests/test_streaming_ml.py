@@ -212,6 +212,82 @@ class TestStatefulStreaming:
         assert per_user_max == want
 
 
+class TestCheckpointRestart:
+    def test_restart_from_checkpoint_no_reprocessing(self, spark, tmp_path):
+        """Exactly-once across restarts: stop a checkpointed query, add new
+        source files, restart with the same checkpoint — the sink must end
+        up with each window's final count exactly once (old epochs not
+        replayed into duplicates, new data picked up)."""
+        import shutil as _shutil
+
+        src = str(tmp_path / "cp_events")
+        sink = str(tmp_path / "cp_alerts")
+        ckpt = str(tmp_path / "cp_state")
+        events = load_table(spark, SF_SMOKE, "events").filter(
+            F.col("event_type") == "error"
+        )
+        # split by TIME, not randomly: the restart's new files must be newer
+        # than the checkpointed watermark, else they are (correctly) dropped
+        # as late data — which would test the watermark, not the restart.
+        cutoff = events.agg(
+            F.percentile(F.unix_seconds("ts"), F.lit(0.5)).alias("c")
+        ).first().c
+        first = events.filter(F.unix_seconds("ts") <= cutoff)
+        second = events.filter(F.unix_seconds("ts") > cutoff)
+        first.repartition(2).write.parquet(src)
+
+        def run_until_drained():
+            stream = stream_events(spark, src)
+            counts = windowed_counts(stream, window="1 hour")
+
+            def emit(batch_df, epoch_id):
+                (
+                    batch_df.filter(F.col("n") >= 1)
+                    .withColumn("epoch", F.lit(epoch_id).cast("long"))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(sink)
+                )
+
+            q = (
+                counts.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(emit)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_until_drained()
+        n_epochs_first = (
+            spark.read.parquet(sink).select("epoch").distinct().count()
+        )
+        # new files arrive while the query is DOWN; restart resumes from
+        # the checkpoint and must process only the new files
+        second.repartition(2).write.mode("append").parquet(src)
+        run_until_drained()
+
+        landed = spark.read.parquet(sink)
+        assert landed.select("epoch").distinct().count() > n_epochs_first
+
+        got = {
+            str(r.window_start): r.n
+            for r in landed.groupBy("window_start").agg(F.max("n").alias("n")).collect()
+        }
+        want = {
+            str(r["w"]["start"]): r.n
+            for r in spark.read.parquet(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+        _shutil.rmtree(src, ignore_errors=True)
+
+
 class TestStreamStreamJoin:
     def test_windowed_stream_stream_join_matches_batch(self, spark, tmp_path):
         """Stream-stream interval join (view→click within 10 min, same
