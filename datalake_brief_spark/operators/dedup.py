@@ -3,16 +3,21 @@
 Four tiers, in increasing fuzziness — all shuffle-frugal:
 
 - exact_dedup          — hash-groupBy on a normalized fingerprint (1 shuffle)
-- ngram_jaccard_pairs  — exact Jaccard on word-shingle sets within a
-                         blocking key (shuffle on block key only)
+- ngram_jaccard_pairs  — EXACT Jaccard on word-shingle sets; candidates come
+                         from MinHash-LSH banding by default (high-recall
+                         bands, see below), so pair generation is linear in
+                         candidates, never quadratic in a block. An explicit
+                         candidates="all" mode keeps the all-pairs path for
+                         ground truth on small inputs.
 - minhash_lsh_pairs    — MinHash signatures + LSH banding (Broder 1997;
                          MMDS ch.3): candidate pairs from band-bucket join,
                          verified with exact Jaccard. Scales ~linearly: the
                          only shuffle is groupBy(band, hash) over docs.
-- simhash_pairs        — 64-bit SimHash (Charikar 2002) via a vectorized
-                         pandas_udf; candidates from 16-bit chunk matches
-                         (pigeonhole: hamming<=3 → ≥1 of 4 chunks equal),
-                         verified with exact hamming via bit_count(xor).
+- simhash_pairs        — 64-bit SimHash (Charikar 2002): token hashes are
+                         computed JVM-side (xxhash64), only the bit-vote runs
+                         in an Arrow-batched numpy pass; candidates from
+                         16-bit chunk matches (pigeonhole: hamming<=3 → ≥1 of
+                         4 chunks equal), verified with bit_count(xor).
 
 At 100 TB: signatures are computed in the scan stage (pure expressions /
 Arrow batches), candidate generation is one exploded groupBy-join on short
@@ -28,11 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datalake_brief_spark.functions import (
+    MINHASH_PRIME,
     band_hashes,
     hamming64,
     minhash_signature_udf,
     normalize_text,
-    shingle_hashes,
     tokens,
     word_shingles,
 )
@@ -63,7 +68,15 @@ def _spread(df: DataFrame) -> DataFrame:
     targets).
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        # Plan-side split estimate: file count from the scan relation (cheap
+        # driver metadata, no Python-RDD conversion). Splits ≥ files, so at
+        # scale (many large files) this correctly no-ops; a single small
+        # file → 1 < parallelism → spread.
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < parallelism:
         return df.repartition(parallelism)
     return df
 
@@ -79,6 +92,89 @@ def _shingled(
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, *extra, __hx): 64-bit-hashed distinct word-k-gram shingle sets.
+
+    Set ops on fixed-width longs beat ~20-char string comparisons
+    several-fold, and a 64-bit collision altering a Jaccard value needs
+    ~2^32 distinct shingles. One xxhash64 pass feeds BOTH the exact-Jaccard
+    verifier and (pmod-folded) the MinHash signature, so the string hashing
+    is paid exactly once."""
+    sh = _shingled(df, text_col, id_col, k, extra_cols=extra_cols)
+    return sh.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("__hx"),
+    )
+
+
+def _lsh_candidate_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    num_hashes: int,
+    num_bands: int,
+    seed: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from MinHash-LSH banding over hashed
+    shingle sets — the shared candidate generator for every Jaccard-family
+    dedup path.
+
+    Shape (the 100 TB contract): one Arrow-vectorized signature pass in the
+    scan stage, one posexplode to ``num_bands`` short keys, one equi-join on
+    (band_idx, band_hash, *block_cols). Candidates are linear in the number
+    of truly-similar pairs (plus s-curve noise), never quadratic in a block.
+    """
+    rows_per_band = num_hashes // num_bands
+    # Fold the 64-bit shingle hashes into the MinHash prime field JVM-side;
+    # own select so Catalyst doesn't inline it under the signature UDF.
+    folded = hashed.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.transform("__hx", lambda h: F.pmod(h, F.lit(MINHASH_PRIME))).alias("__mh_in"),
+    )
+    sig = folded.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        minhash_signature_udf(num_hashes, seed=seed)(F.col("__mh_in")).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    lhs = banded.withColumnRenamed(id_col, "id_a")
+    rhs = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        lhs.join(rhs, on=["band_idx", "band_hash", *block_cols])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _verify_exact_jaccard(
+    candidates: DataFrame, hashed: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: re-join the hashed shingle
+    sets and filter. Precision is exact by construction; recall is the
+    candidate generator's."""
+    hx = hashed.select(F.col(id_col), F.col("__hx"))
+    inter = F.size(F.array_intersect("__hx", "__hx_b")).cast("double")
+    union = F.size(F.array_union("__hx", "__hx_b")).cast("double")
+    return (
+        candidates.join(hx.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(hx.withColumnRenamed(id_col, "id_b").withColumnRenamed("__hx", "__hx_b"), "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -86,37 +182,40 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     k: int = 3,
     threshold: float = 0.8,
+    candidates: str = "lsh",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard over candidate pairs.
+    """EXACT word-k-gram Jaccard ≥ threshold; candidate generation is
+    pluggable:
 
-    ``block_col`` restricts comparisons to equal blocking keys (e.g. same
-    ``source``): the join shuffles on the block key instead of producing the
-    full n² cross. With no block, this is quadratic — only for small inputs
-    or as the verifier behind LSH candidates.
+    - ``candidates="lsh"`` (default): MinHash-LSH banding proposes pairs,
+      exact Jaccard verifies. With b=32 bands of r=4 rows, candidate recall
+      at Jaccard j is 1-(1-j^4)^32 — ≥ 1-5e-8 at j=0.8, so for any
+      threshold ≥ 0.8 the output is exact-equal to all-pairs with
+      near-certainty, at linear candidate cost. This is the 100 TB path: a
+      hot block no longer means a quadratic self-join.
+    - ``candidates="all"``: all pairs (within ``block_col`` if given, else
+      the full cross). Quadratic — ground-truth/verifier mode for small
+      inputs and tests only.
+
+    ``block_col`` (e.g. ``source``) additionally restricts pairs to equal
+    blocking keys in both modes.
     """
-    extra = [block_col] if block_col is not None else None
-    sh = _shingled(df, text_col, id_col, k, extra_cols=extra)
-    # Intersect 64-bit shingle hashes, not strings: set ops on fixed-width
-    # longs beat ~20-char string comparisons several-fold, and a 64-bit
-    # collision altering a Jaccard value needs ~2^32 distinct shingles.
-    sh = sh.select(
-        F.col(id_col),
-        *[F.col(c) for c in (extra or [])],
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingles"),
-    )
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b")
-    if block_col is not None:
-        pairs = a.join(b, on=block_col).filter(F.col("id_a") < F.col("id_b"))
+    extra = [block_col] if block_col is not None else []
+    hashed = _hashed_shingles(df, text_col, id_col, k, extra_cols=extra or None)
+    if candidates == "lsh":
+        cand = _lsh_candidate_pairs(hashed, id_col, extra, num_hashes, num_bands, seed)
+    elif candidates == "all":
+        a = hashed.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in extra])
+        b = hashed.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in extra])
+        cand = (
+            a.join(b, on=extra) if extra else a.crossJoin(b)
+        ).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect(F.col("shingles"), F.col("shingles_b"))).cast("double")
-    union = F.size(F.array_union(F.col("shingles"), F.col("shingles_b"))).cast("double")
-    return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        raise ValueError(f"candidates must be 'lsh' or 'all', got {candidates!r}")
+    return _verify_exact_jaccard(cand, hashed, id_col, threshold)
 
 
 def minhash_lsh_pairs(
@@ -132,55 +231,18 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash + LSH banding, verified with exact Jaccard.
 
     Pipeline (3 shuffles total, each on small keys):
-      1. scan: shingle + 64-hash MinHash signature + band hashes (pure exprs)
+      1. scan: shingle-hash + Arrow-vectorized MinHash signature + band
+         hashes (see minhash_signature_udf for why the minima are numpy)
       2. explode bands → self-join on (band_idx, band_hash) → candidate pairs
-      3. dedup candidate pairs, re-join shingle sets, exact-Jaccard filter
+      3. dedup candidate pairs, re-join shingle-hash sets, exact-Jaccard
+         filter
 
-    With b=16 bands of r=4 rows the s-curve midpoint is (1/16)^(1/4) ≈ 0.5:
-    pairs above ~0.5 Jaccard are near-certain candidates.
+    The s-curve midpoint is (1/b)^(1/r): tune (num_bands, num_hashes) so the
+    midpoint sits comfortably below ``threshold``.
     """
-    rows_per_band = num_hashes // num_bands
-    base = _shingled(df, text_col, id_col, k)
-    # Shingle-string hashing stays JVM-side (own select so nothing inlines
-    # it repeatedly); the num_hashes minima run as one Arrow-vectorized
-    # numpy pass — see minhash_signature_udf for why not expressions.
-    hashed = base.select(F.col(id_col), shingle_hashes(F.col("shingles")).alias("__hx"))
-    sig = hashed.select(
-        F.col(id_col),
-        minhash_signature_udf(num_hashes, seed=seed)(F.col("__hx")).alias("sig"),
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
-    )
-    lhs = banded.withColumnRenamed(id_col, "id_a")
-    rhs = banded.withColumnRenamed(id_col, "id_b")
-    candidates = (
-        lhs.join(rhs, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh = base.select(F.col(id_col), F.col("shingles"))
-    verified = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
-        .join(
-            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "shingles_b"),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("shingles", "shingles_b")).cast("double")
-                / F.size(F.array_union("shingles", "shingles_b")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", "jaccard")
+    hashed = _hashed_shingles(df, text_col, id_col, k)
+    cand = _lsh_candidate_pairs(hashed, id_col, [], num_hashes, num_bands, seed)
+    return _verify_exact_jaccard(cand, hashed, id_col, threshold)
 
 
 def connected_components(
@@ -277,37 +339,38 @@ def cluster_dedup(
 _SIMHASH_BITS = 64
 
 
+_SIMHASH_SHIFTS = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+
+
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash (Charikar 2002): per token, a 64-bit hash
-    votes ±1 per bit position; the sign vector packs into the signature.
-    Arrow-batched — one numpy pass per batch, no per-row Python."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = ("" if t is None else str(t).lower()).split()
-        if not toks:
+def _simhash_from_hashes(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash bit-vote (Charikar 2002) over PRE-HASHED tokens: each
+    token's 64-bit hash votes ±1 per bit position; the sign vector packs
+    into the signature. The string hashing happens JVM-side (xxhash64 per
+    token, see with_simhash) — this UDF is pure numpy bit arithmetic per
+    Arrow batch, honoring the §2.11 no-per-row-Python-string-work rule."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hs in enumerate(token_hashes):
+        if hs is None or len(hs) == 0:
             continue
-        # Stable token hash: numpy vectorized FNV-1a over the token bytes.
-        hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+        bits = ((h[:, None] >> _SIMHASH_SHIFTS) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(_SIMHASH_BITS):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+        sig_bits = (votes > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(sig_bits << _SIMHASH_SHIFTS).astype(np.int64)
     return pd.Series(out)
 
 
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode("utf-8"):
-        h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-    return h
-
-
 def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    return df.withColumn(out, _simhash64(F.col(text_col)))
+    """Append a 64-bit SimHash signature column.
+
+    Token hashing is a scan-stage JVM expression (xxhash64 per token of the
+    normalized text — duplicates kept: votes are term-frequency-weighted,
+    same as the classic formulation); only the bit-vote crosses into Python,
+    Arrow-batched."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.withColumn(out, _simhash_from_hashes(hashed))
 
 
 def simhash_pairs(

@@ -37,22 +37,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     ``queries`` must be small enough to broadcast (driver guards are the
     caller's job); the corpus is streamed once. Ties break on corpus id so
     results are deterministic.
+
+    ``exclude_self`` drops rows where ``query_id == corpus id`` — correct
+    when queries are drawn FROM the corpus (the usual "nearest neighbors of
+    document X" shape). Pass ``exclude_self=False`` when query ids live in
+    an independent id space: there an id collision is a coincidence, and the
+    filter would silently drop a legitimate neighbor.
     """
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
     )
     c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
-        .filter(F.col(id_col) != F.col(query_id_col))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "score", cosine(F.col("__cvec"), F.col("__qvec"))
     )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -130,9 +137,11 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any of the
     query's L bucket keys, then exact cosine rank within candidates.
+    ``exclude_self`` as in cosine_topk (queries drawn from the corpus).
 
     Equi-join on (table, bucket) replaces the full cross; recall/cost is
     tuned via (num_planes, num_tables) — more planes → smaller buckets,
@@ -152,11 +161,10 @@ def srp_lsh_topk(
         num_tables,
         seed,
     ).withColumnRenamed(vec_col, "__qvec")
-    cand = (
-        c.join(q, on=["__table", "__bucket"])
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
-    )
+    cand = c.join(q, on=["__table", "__bucket"])
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    cand = cand.dropDuplicates([query_id_col, id_col])
     scored = cand.withColumn(
         "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
     )
@@ -230,6 +238,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus partitioned into
     ``n_centroids`` Voronoi cells, each query scored only against the
@@ -254,7 +263,9 @@ def ivf_topk(
         "__cell",
         nprobe,
     ).withColumnRenamed(vec_col, "__qvec")
-    cand = c.join(q, on="__cell").filter(F.col(id_col) != F.col(query_id_col))
+    cand = c.join(q, on="__cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.withColumn(
         "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
     )

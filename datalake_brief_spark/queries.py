@@ -841,20 +841,22 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_segments",
     """
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
-           CAST(count(*) AS BIGINT)                     AS n_customers
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+           CAST(count(*) AS BIGINT)                                           AS n_customers
     FROM customer GROUP BY c_nationkey
     """,
 )
 def array_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with a DETERMINISTIC canonical form: collect_set
     order is engine/partition-dependent, so always sort_array before
-    comparing or persisting collected arrays."""
+    comparing or persisting collected arrays. Emitted as a ','-joined STRING
+    (not array<string>) so order-insensitive hashers — the driver's
+    canonicalizer included — see a scalar on both engines."""
     return aggregate(
         _t(spark, sf_dir, "customer"),
         ["c_nationkey"],
         [
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         ],
     )

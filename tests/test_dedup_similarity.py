@@ -21,9 +21,13 @@ def docs(spark):
 
 
 def _exact_pairs(docs, threshold):
+    # candidates="all": the quadratic ground-truth path — LSH recall is what
+    # these tests measure, so truth must not come from LSH itself.
     return {
         (r.id_a, r.id_b)
-        for r in dedup.ngram_jaccard_pairs(docs, k=1, threshold=threshold).collect()
+        for r in dedup.ngram_jaccard_pairs(
+            docs, k=1, threshold=threshold, candidates="all"
+        ).collect()
     }
 
 
@@ -59,10 +63,49 @@ class TestMinHashLSH:
         }
         exact = {
             (r.id_a, r.id_b): r.jaccard
-            for r in dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.8).collect()
+            for r in dedup.ngram_jaccard_pairs(
+                docs, k=1, threshold=0.8, candidates="all"
+            ).collect()
         }
         for pair, j in got.items():
             assert exact[pair] == pytest.approx(j)
+
+
+class TestNgramJaccardLSH:
+    def test_lsh_default_matches_all_pairs(self, docs):
+        """The default (LSH-candidate) path must return the SAME exact-Jaccard
+        pairs as the quadratic all-pairs path: with b=32 bands of r=4 rows,
+        candidate recall at J=0.8 is 1-(1-0.8^4)^32 ≥ 1-5e-8, and the
+        verifier is exact — so the outputs are equal, not just close."""
+        lsh = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+        }
+        allp = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, k=3, threshold=0.8, candidates="all"
+            ).collect()
+        }
+        assert lsh == allp
+        assert allp, "fixture should contain at least one near-dup pair"
+
+    def test_lsh_respects_block_col(self, docs):
+        """Blocked LSH mode must agree with blocked all-pairs (the registered
+        dedup_ngram_jaccard query shape)."""
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, block_col="source", k=3, threshold=0.8
+            ).collect()
+        }
+        allp = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, block_col="source", k=3, threshold=0.8, candidates="all"
+            ).collect()
+        }
+        assert lsh == allp
 
 
 class TestConnectedComponents:
