@@ -17,6 +17,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ColumnOrName = "Column | str"
 
@@ -83,6 +84,64 @@ def summary_stats(df: DataFrame, column: str) -> DataFrame:
         F.min(c).alias("min"),
         F.max(c).alias("max"),
     )
+
+
+def describe_all(df: DataFrame, precision: int = 4) -> DataFrame:
+    """A5, whole-table: ``df.describe()`` over EVERY column in one aggregate
+    pass (reference golden pyspark-1.ipynb:280-288 — all columns at once,
+    string min/max lexicographic, NULL mean/stddev for strings).
+
+    Returns one TYPED row per column instead of describe()'s stringly 5×n
+    grid — same information, oracle-comparable without double→string
+    formatting hazards:
+
+      (col_name, n, mean, stddev, min_num, max_num, min_str, max_str)
+
+    Numeric columns fill n/mean/stddev/min_num/max_num (stats rounded to
+    ``precision``); string-ish columns fill n/min_str/max_str and carry NULL
+    mean/stddev, exactly describe()'s semantics. The whole thing is ONE
+    partial+final aggregate over the scan (all 5·n statistics combine
+    map-side) followed by a constant-width explode of the single result row
+    — no per-column pass, no driver loop, any input size.
+    """
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    }
+    aggs: list[Column] = []
+    for name in df.columns:
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"__n_{name}"))
+        if name in numeric:
+            aggs += [
+                F.round(F.avg(c), precision).alias(f"__mean_{name}"),
+                F.round(F.stddev_samp(c), precision).alias(f"__std_{name}"),
+                F.min(c).cast("double").alias(f"__min_{name}"),
+                F.max(c).cast("double").alias(f"__max_{name}"),
+            ]
+        else:
+            aggs += [
+                F.min(c.cast("string")).alias(f"__min_{name}"),
+                F.max(c.cast("string")).alias(f"__max_{name}"),
+            ]
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for name in df.columns:
+        is_num = name in numeric
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"__n_{name}").alias("n"),
+                (F.col(f"__mean_{name}") if is_num else null_d).alias("mean"),
+                (F.col(f"__std_{name}") if is_num else null_d).alias("stddev"),
+                (F.col(f"__min_{name}") if is_num else null_d).alias("min_num"),
+                (F.col(f"__max_{name}") if is_num else null_d).alias("max_num"),
+                (null_s if is_num else F.col(f"__min_{name}")).alias("min_str"),
+                (null_s if is_num else F.col(f"__max_{name}")).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
 def count_alert(df: DataFrame, predicate: Column | str, threshold: int = 1) -> DataFrame:
