@@ -34,6 +34,36 @@ class ManifestEntry:
     relpath: str  # target path under the landing zone, e.g. "spain/madrid_listings.csv"
 
 
+def links_from_html(html: str, base_url: str | None = None) -> list[str]:
+    """S4 page→links step (reference ingestion-datalake.py:85-96: scrape the
+    listings page, collect every ``<a href>``): HTML text in, href list out,
+    ready for ``manifest_from_links``.
+
+    Uses BeautifulSoup when importable; this container has no bs4, so a
+    conservative regex over anchor href attributes is the fallback (adequate
+    for machine-generated listing pages, which is all the reference scrapes).
+    Relative hrefs resolve against ``base_url`` when given. Driver-side by
+    design: one listing page, not a crawl.
+    """
+    try:
+        from bs4 import BeautifulSoup  # type: ignore[import-not-found]
+
+        hrefs = [
+            a.get("href")
+            for a in BeautifulSoup(html, "html.parser").find_all("a")
+            if a.get("href")
+        ]
+    except ImportError:
+        import re
+
+        hrefs = re.findall(r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["']""", html, flags=re.I)
+    if base_url is not None:
+        from urllib.parse import urljoin
+
+        hrefs = [urljoin(base_url, h) for h in hrefs]
+    return hrefs
+
+
 def manifest_from_links(
     links: list[str], include_substr: str | None = None, suffix: str | None = None, limit: int | None = None
 ) -> list[ManifestEntry]:

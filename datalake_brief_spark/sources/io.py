@@ -104,6 +104,59 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def cloud_conf(
+    scheme: str,
+    *,
+    account: str | None = None,
+    sas_token: str | None = None,
+    account_key: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+) -> dict[str, str]:
+    """S5: credentials/endpoints as Spark conf, never code — the mapping the
+    reference drives through SAS tokens + Key Vault (SURVEY §1.5) expressed
+    as the standard Hadoop-FS keys. Returns a dict to apply with
+    ``for k, v in cloud_conf(...).items(): spark.conf.set(k, v)`` (or via
+    SparkSession.builder.config); after that any ``abfss://`` / ``s3a://``
+    URI works through the ordinary read/write functions above.
+
+    - ``scheme='abfss'`` + ``sas_token``: fixed-SAS auth against
+      ``<account>.dfs.core.windows.net`` (fs.azure.sas.fixed.token path).
+    - ``scheme='abfss'`` + ``account_key``: account-key auth.
+    - ``scheme='s3a'``: access/secret key pair, optional custom endpoint.
+
+    Secrets should come from the caller's vault/env at runtime; this helper
+    deliberately stores nothing.
+    """
+    conf: dict[str, str] = {}
+    if scheme == "abfss":
+        if account is None:
+            raise ValueError("abfss requires account=")
+        host = f"{account}.dfs.core.windows.net"
+        if sas_token is not None:
+            conf[f"fs.azure.account.auth.type.{host}"] = "SAS"
+            conf[f"fs.azure.sas.token.provider.type.{host}"] = (
+                "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider"
+            )
+            conf[f"fs.azure.sas.fixed.token.{host}"] = sas_token
+        elif account_key is not None:
+            conf[f"fs.azure.account.auth.type.{host}"] = "SharedKey"
+            conf[f"fs.azure.account.key.{host}"] = account_key
+        else:
+            raise ValueError("abfss requires sas_token= or account_key=")
+    elif scheme == "s3a":
+        if access_key is None or secret_key is None:
+            raise ValueError("s3a requires access_key= and secret_key=")
+        conf["fs.s3a.access.key"] = access_key
+        conf["fs.s3a.secret.key"] = secret_key
+        if endpoint is not None:
+            conf["fs.s3a.endpoint"] = endpoint
+    else:
+        raise ValueError(f"unsupported scheme {scheme!r} (abfss or s3a)")
+    return conf
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -144,6 +197,73 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(staging, path)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_by: list[str],
+) -> None:
+    """Partition-level latest-wins upsert: only partition directories that
+    appear in ``updates`` are read, merged, and swapped — untouched
+    partitions are never opened, so their files stay byte-identical (the
+    property a 100 TB table needs: cost scales with the delta's partitions,
+    not the table).
+
+    Dataflow: collect the touched partition tuples (driver-side but bounded
+    by |touched partitions|, not rows), prune the existing read to exactly
+    those partitions (one OR-of-AND predicate → static partition pruning),
+    merge latest-wins per key, write to a staging dir partitioned the same
+    way, then swap each touched directory. Same POSIX-atomicity caveat as
+    ``upsert_parquet``; a transactional format (Delta/Iceberg MERGE) is the
+    object-store answer with the identical logical plan. Null partition
+    values are not supported (Hive default-partition naming is ambiguous).
+    """
+    pcols = list(partition_by)
+    if not os.path.exists(path):
+        write_partitioned(updates, path, pcols)
+        return
+    touched = [tuple(r) for r in updates.select(*pcols).distinct().collect()]
+    if not touched:
+        return
+    if any(v is None for t in touched for v in t):
+        raise ValueError("null partition values are not supported")
+    pred = None
+    for t in touched:
+        clause = None
+        for c, v in zip(pcols, t):
+            eq = F.col(c) == F.lit(v)
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    # Partition-column type inference can read e.g. 'day' back as a date
+    # while the update batch carries a string — cast existing columns to the
+    # update schema so the union is type-stable.
+    existing = (
+        spark.read.parquet(path)
+        .filter(pred)
+        .select(*[F.col(c).cast(updates.schema[c].dataType).alias(c) for c in updates.columns])
+    )
+    merged = existing.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staging = path.rstrip("/") + ".__staging__"
+    write_partitioned(latest, staging, pcols)
+    for t in touched:
+        rel = [f"{c}={v}" for c, v in zip(pcols, t)]
+        src = os.path.join(staging, *rel)
+        dst = os.path.join(path, *rel)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+    shutil.rmtree(staging)
 
 
 def write_sorted(

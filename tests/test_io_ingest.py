@@ -11,10 +11,17 @@ from pyspark.sql import types as T
 
 from datalake_brief_spark.catalog import load_table
 from datalake_brief_spark.operators import multimodal
-from datalake_brief_spark.sources.ingest import land, manifest_from_links, normalize_to_parquet
+from datalake_brief_spark.sources.ingest import (
+    land,
+    links_from_html,
+    manifest_from_links,
+    normalize_to_parquet,
+)
 from datalake_brief_spark.sources.io import (
+    cloud_conf,
     read_csv,
     upsert_parquet,
+    upsert_parquet_partitioned,
     write_bucketed,
     write_partitioned,
     write_table,
@@ -120,6 +127,82 @@ class TestIO:
             5: ("old-late-arrival", 0),
         }
 
+    def test_partitioned_upsert_leaves_untouched_partitions_byte_identical(
+        self, spark, tmp_path
+    ):
+        """The partition-level MERGE contract: only partitions present in the
+        update batch are rewritten; every file in an untouched partition dir
+        is byte-identical afterwards (not merely value-equal)."""
+        import hashlib
+
+        path = str(tmp_path / "facts")
+        v1 = spark.createDataFrame(
+            [
+                (1, "2024-01-01", "a", 1),
+                (2, "2024-01-01", "b", 1),
+                (3, "2024-01-02", "c", 1),
+                (4, "2024-01-03", "d", 1),
+            ],
+            "id long, day string, payload string, version int",
+        )
+        upsert_parquet_partitioned(
+            spark, path, v1, keys=["id"], order_col="version", partition_by=["day"]
+        )
+
+        def digest(day):
+            d = os.path.join(path, f"day={day}")
+            out = {}
+            for root, _, files in os.walk(d):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    out[p] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+            return out
+
+        before_01 = digest("2024-01-01")
+        before_03 = digest("2024-01-03")
+        assert before_01 and before_03
+
+        v2 = spark.createDataFrame(
+            [(3, "2024-01-02", "c-updated", 2), (5, "2024-01-02", "e", 2)],
+            "id long, day string, payload string, version int",
+        )
+        upsert_parquet_partitioned(
+            spark, path, v2, keys=["id"], order_col="version", partition_by=["day"]
+        )
+
+        assert digest("2024-01-01") == before_01
+        assert digest("2024-01-03") == before_03
+        # partition-column type inference reads day back as a date — compare
+        # its string form
+        got = {
+            r.id: (str(r.day), r.payload, r.version)
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            1: ("2024-01-01", "a", 1),
+            2: ("2024-01-01", "b", 1),
+            3: ("2024-01-02", "c-updated", 2),
+            4: ("2024-01-03", "d", 1),
+            5: ("2024-01-02", "e", 2),
+        }
+
+    def test_cloud_conf_mappings(self):
+        """S5: SAS / account-key / s3a credential surfaces map to the
+        standard Hadoop-FS conf keys (values pass through untouched)."""
+        sas = cloud_conf("abfss", account="acct", sas_token="sig=x")
+        host = "acct.dfs.core.windows.net"
+        assert sas[f"fs.azure.account.auth.type.{host}"] == "SAS"
+        assert sas[f"fs.azure.sas.fixed.token.{host}"] == "sig=x"
+        key = cloud_conf("abfss", account="acct", account_key="k")
+        assert key[f"fs.azure.account.key.{host}"] == "k"
+        s3 = cloud_conf("s3a", access_key="ak", secret_key="sk", endpoint="http://minio:9000")
+        assert s3["fs.s3a.access.key"] == "ak"
+        assert s3["fs.s3a.endpoint"] == "http://minio:9000"
+        with pytest.raises(ValueError):
+            cloud_conf("abfss", account="acct")
+        with pytest.raises(ValueError):
+            cloud_conf("gs")
+
     def test_write_table_overwrite(self, spark, tmp_path):
         out = str(tmp_path / "t")
         df = load_table(spark, SF_SMOKE, "region")
@@ -129,6 +212,27 @@ class TestIO:
 
 
 class TestIngest:
+    def test_links_from_html_extracts_and_resolves_hrefs(self):
+        """S4 page→links (reference ingestion-datalake.py:85-96): anchors out
+        of a listing page, relative hrefs resolved against the base URL —
+        works without bs4 (regex fallback)."""
+        html = """
+        <html><body>
+          <a href="spain/listings.csv">Spain listings</a>
+          <a class="x" href="http://data.example/france/listings.csv">France</a>
+          <a href="spain/data.parquet">parquet</a>
+          <a>no href</a>
+        </body></html>
+        """
+        links = links_from_html(html, base_url="http://data.example/")
+        assert links == [
+            "http://data.example/spain/listings.csv",
+            "http://data.example/france/listings.csv",
+            "http://data.example/spain/data.parquet",
+        ]
+        m = manifest_from_links(links, include_substr="spain", suffix=".csv")
+        assert [e.relpath for e in m] == ["spain_listings.csv"]
+
     def test_manifest_filtering_mirrors_reference(self):
         # reference filters: substring (region), suffix (.csv/.parquet),
         # first-N cap (ingestion-datalake.py:91-96)
