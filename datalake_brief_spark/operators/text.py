@@ -109,6 +109,50 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, F.md5(normalize_text(text_col)))
 
 
+# PII surface patterns: deliberately restricted to syntax supported by BOTH
+# Java regex (Spark) and RE2 (DuckDB oracle) — no lookarounds, no backrefs —
+# so detection and redaction hash-match cross-engine. High-precision shapes
+# (leading '+' for phones, full dotted quads) over recall: a curation
+# pipeline prefers missing an ambiguous digit run to shredding numbers in
+# prose. Swap in a Presidio-style NER model via pandas_udf for recall.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+\d[\d\s().-]{7,}\d",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "url": "<URL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-category PII match counts + ``has_pii`` flag — pure scan-stage
+    regexp expressions, zero shuffles at any scale."""
+    out = df
+    for cat, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{cat}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    flag = None
+    for cat in PII_PATTERNS:
+        c = F.col(f"n_{cat}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """Replace every PII match with its category placeholder. Application
+    order is the (fixed) PII_PATTERNS order on both engines, so nested
+    matches (emails inside URLs) resolve deterministically."""
+    expr = F.col(text_col)
+    for cat, pat in PII_PATTERNS.items():
+        expr = F.regexp_replace(expr, pat, PII_REPLACEMENTS[cat])
+    return df.withColumn(out, expr)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -1386,6 +1386,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+# PII patterns, stated once for both engines (Java regex ∩ RE2 syntax — see
+# operators.text.PII_PATTERNS). The synthetic corpus carries no natural PII,
+# so the query derives a view with deterministic injected PII on a subset of
+# docs — same derivation on both sides, like the null band's nulled view.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+\d[\d\s().-]{7,}\d"
+_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@_register(
+    "text_pii_redact",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +1 (555) 010-4477 now' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' via https://site.example/p?id=' || CAST(doc_id AS VARCHAR)
+                            || ' at 10.0.0.1' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_URL}')) AS BIGINT)   AS n_url,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)  AS n_ipv4,
+           (len(regexp_extract_all(t, '{_PII_EMAIL}')) > 0
+            OR len(regexp_extract_all(t, '{_PII_URL}')) > 0
+            OR len(regexp_extract_all(t, '{_PII_PHONE}')) > 0
+            OR len(regexp_extract_all(t, '{_PII_IPV4}')) > 0)         AS has_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_URL}', '<URL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g')                              AS redacted
+    FROM base
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (curation-pipeline compliance step):
+    per-category match counts, a has_pii flag, and the redacted text — all
+    scan-stage regexp expressions (operators.text.with_pii_counts /
+    redact_pii), no shuffle at any scale. PII is injected deterministically
+    on a doc_id-keyed subset since the synthetic corpus has none."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call +1 (555) 010-4477 now")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" via https://site.example/p?id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" at 10.0.0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = text.redact_pii(text.with_pii_counts(d, "t"), "t")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "has_pii",
+        "redacted",
+    )
+
+
 @_register(
     "pipeline_curation",
     f"""
@@ -2167,6 +2255,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_tfidf_top_terms",
     "text_chunking",
     "text_fingerprint",
+    "text_pii_redact",
     "text_pack_chunks",
     # multimodal band (§2.14)
     "multimodal_meta",
@@ -2189,7 +2278,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_fact_revenue",
     "topk_per_group",
     "events_hourly",
-    "text_tokens",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
