@@ -260,6 +260,37 @@ class TestSimilarity:
             assert 1 <= r.rank <= 10
             assert -1.0001 <= r.score <= 1.0001
 
+    def test_embedding_near_dup_recall_on_table_shaped_data(self, spark, emb):
+        """Recall sweep on driver-shaped data: real sf0.001 embedding rows
+        (dim-64 float32, uniform — max natural pairwise cosine ≈0.5, so zero
+        false planted matches) + planted perturbed copies at cosine ≈0.995.
+        The SRP-bucketed path must recover ≥90% of planted pairs and invent
+        none below threshold (precision exact by construction)."""
+        import numpy as np
+
+        rows = emb.limit(200).collect()
+        rng = np.random.default_rng(7)
+        base, planted_ids = [], []
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            base.append((int(r.vec_id), v.astype("float32").tolist()))
+            if r.vec_id % 4 == 0:
+                noise = 0.1 * np.linalg.norm(v) / np.sqrt(v.size) * rng.standard_normal(v.size)
+                dup = (v + noise).astype("float32")
+                base.append((int(r.vec_id) + 100_000, dup.tolist()))
+                planted_ids.append(int(r.vec_id))
+        df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+        got = {
+            (r.id_a, r.id_b)
+            for r in similarity.embedding_near_dup_pairs(df, threshold=0.95, dim=64).collect()
+        }
+        expected = {(i, i + 100_000) for i in planted_ids}
+        assert expected, "fixture should plant pairs"
+        recall = len(got & expected) / len(expected)
+        assert recall >= 0.9, f"recall {recall:.3f} ({len(expected)} planted)"
+        # nothing below threshold sneaks in: every found pair is planted
+        assert got <= expected
+
     def test_embedding_near_dup_scores_correct(self, spark):
         rows = [
             (1, [1.0, 0.0, 0.0, 0.0]),
