@@ -34,8 +34,10 @@ COMMENT = {
     "topk_per_group": "Single exchange on the partition key; window row_number + rank filter.",
     "events_hourly": "Scan-stage date_trunc, partial+final aggregate, one shuffle.",
     "dedup_ngram_jaccard": (
-        "Shingles hashed to int64 in the scan stage; the pair join shuffles on "
-        "the (source) block key only; exact Jaccard on candidates."
+        "Shingles hashed to int64 in the scan stage; candidates come from the "
+        "MinHash-LSH band equi-join on (band_idx, band_hash, source) — linear "
+        "in candidates, never quadratic in a block — exact Jaccard verifies "
+        "candidates only."
     ),
     "dedup_minhash": (
         "JVM xxhash shingle pass, Arrow-vectorized 128-minima signature "

@@ -139,6 +139,20 @@ def test_salted_join_matches_plain_join(spark):
     assert plain == salted
 
 
-def test_no_query_produces_cartesian_product(spark):
+def test_ngram_candidates_come_from_lsh_banding(spark):
+    """The n-gram dedup plan must generate candidates via the LSH band
+    equi-join (keys include band_hash), not an all-pairs block self-join —
+    the quadratic shape this query shipped with in round 1."""
+    plan = formatted_plan(QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMOKE))
+    assert "band_hash" in plan, plan
+
+
+def test_no_query_produces_cartesian_or_row_python(spark):
+    """Registry-wide physical-plan lint: no CartesianProduct (quadratic
+    shuffle), and no BatchEvalPython — the row-at-a-time Python UDF operator
+    the engine's §2.11 rule forbids (Arrow paths plan as ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas)."""
     for name, q in QUERIES.items():
-        assert_no_cartesian(q.fn(spark, SF_SMOKE))
+        df = q.fn(spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        assert "BatchEvalPython" not in formatted_plan(df), name
