@@ -15,6 +15,7 @@ from datalake_brief_spark.streaming.alerts import (
     windowed_counts,
 )
 from datalake_brief_spark.streaming.stateful import (
+    dedup_stream,
     enrich_stream,
     running_user_stats,
     sessionize_stream,
@@ -23,6 +24,7 @@ from datalake_brief_spark.streaming.stateful import (
 __all__ = [
     "Alert",
     "alerts_to_parquet",
+    "dedup_stream",
     "enrich_stream",
     "running_user_stats",
     "sessionize_stream",

@@ -55,6 +55,30 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of operators.dedup
+    .exact_dedup: first arrival per key survives, later duplicates drop.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is the
+    only state-safe form on an unbounded stream: per-key state expires once
+    the watermark passes it, so memory is bounded by the de-dup horizon
+    instead of growing with every key ever seen. The contract is therefore
+    "no duplicate within ``watermark`` of the first arrival" — exactly the
+    guarantee an at-least-once upstream (Kafka redelivery, retried file
+    lands) needs; content-addressed keys (e.g. the text fingerprint from
+    text.with_fingerprint) turn this into streaming content dedup.
+
+    Rows emit immediately (the watermark only bounds state, it doesn't hold
+    output), so the operator composes with downstream windowed aggregates.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
     """Stream-static join: attach dimension attributes to a stream.
 

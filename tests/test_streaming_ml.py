@@ -12,6 +12,7 @@ from datalake_brief_spark.catalog import load_table
 from datalake_brief_spark.mlops import assemble_features, fit_linear_regression, train_test_split
 from datalake_brief_spark.streaming import (
     alerts_to_parquet,
+    dedup_stream,
     enrich_stream,
     running_user_stats,
     sessionize_stream,
@@ -147,6 +148,39 @@ class TestStatefulStreaming:
         }
         assert got == want
         assert got, "events table must produce sessions"
+
+    def test_streaming_dedup_matches_batch(self, spark, tmp_path):
+        """Exact dedup on a stream where every row lands twice (at-least-once
+        redelivery shape): output keys must equal the batch dropDuplicates
+        result, with no duplicates surviving."""
+        src = str(tmp_path / "dup_events")
+        ev = load_table(spark, SF_SMOKE, "events").limit(500).cache()
+        ev.write.parquet(src)
+        ev.write.mode("append").parquet(src)  # exact duplicate redelivery
+        keys = ["user_id", "ts", "event_type"]
+        stream = stream_events(spark, src)
+        q = (
+            dedup_stream(stream, keys)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("deduped")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = [
+                (r.user_id, str(r.ts), r.event_type)
+                for r in spark.sql("SELECT user_id, ts, event_type FROM deduped").collect()
+            ]
+        finally:
+            q.stop()
+        want = {
+            (r.user_id, str(r.ts), r.event_type)
+            for r in ev.dropDuplicates(keys).collect()
+        }
+        assert len(got) == len(set(got)), "duplicates survived the stream"
+        assert set(got) == want
+        ev.unpersist()
 
     def test_enrich_stream_static_join(self, spark, events_dir):
         """Stream-static broadcast join: every event picks up its dim row."""
