@@ -277,6 +277,73 @@ def ivf_topk(
     )
 
 
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: corpus written as parquet partitioned by
+    cell id (``cell=<k>/`` directories). This turns ivf_topk's logical
+    nprobe skip into a PHYSICAL one — a probe reads only the matched
+    partition directories (static partition pruning at the scan), so the
+    per-query-batch IO fraction really is nprobe/n_cells of the corpus.
+    """
+    from datalake_brief_spark.sources.io import write_partitioned
+
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cell", 1
+    )
+    write_partitioned(assigned, path, ["cell"])
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k against a materialized IVF index (see ivf_index_write).
+
+    The probed cell set is collected driver-side (bounded: ≤ |queries|×
+    nprobe small ints) and pushed as an IN-filter on the partition column,
+    so the scan plans PartitionFilters and never opens non-probed cell
+    directories. Scoring = same exact-cosine + window top-k as ivf_topk.
+    """
+    q = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        centroids,
+        vec_col,
+        "cell",
+        nprobe,
+    ).withColumnRenamed(vec_col, "__qvec")
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probed))
+        .withColumnRenamed(vec_col, "__cvec")
+    )
+    cand = c.join(q, on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    scored = cand.withColumn(
+        "score", cosine(as_double_array(F.col("__cvec")), as_double_array(F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

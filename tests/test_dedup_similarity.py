@@ -249,6 +249,31 @@ class TestSimilarity:
         recalls = [len(t[qid] & a.get(qid, set())) / len(t[qid]) for qid in t]
         assert sum(recalls) / len(recalls) >= 0.9, recalls
 
+    def test_ivf_indexed_prunes_partitions_and_matches_logical(self, spark, emb, tmp_path):
+        """The materialized IVF index must (a) return exactly what the
+        in-memory ivf_topk returns for the same centroids/nprobe and (b)
+        plan PartitionFilters on the cell column so non-probed cell
+        directories are never opened — the physical nprobe/n_cells skip."""
+        corpus = emb.limit(400)
+        cents = similarity.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        path = str(tmp_path / "ivf_index")
+        similarity.ivf_index_write(corpus, path, cents)
+        q = corpus.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in similarity.ivf_topk(
+                corpus, q, dim=64, k=5, nprobe=2, centroids=cents
+            ).collect()
+        }
+        got_df = similarity.ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=2)
+        got = {(r.query_id, r.vec_id, r.rank) for r in got_df.collect()}
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "PartitionFilters" in plan, plan
+        assert "cell" in plan.split("PartitionFilters", 1)[1][:300], plan
+
     def test_srp_lsh_runs_on_real_table(self, emb):
         """Smoke on the synthetic (uniform) embeddings: correct shape,
         scores are true cosines, ranks contiguous from 1."""
