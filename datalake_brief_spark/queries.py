@@ -1172,7 +1172,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, k=3, num_hashes=128, num_bands=16, threshold=0.8)
 
 
-@_register("dedup_simhash", None)
+@_register("dedup_simhash", None, headline=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming≤3 pairs via pigeonhole chunk join (no oracle:
     FNV/SimHash are engine-local; pytest covers ground truth)."""
@@ -1398,7 +1398,8 @@ _PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 
 @_register(
     "text_pii_redact",
-    f"""
+    headline=True,
+    oracle=f"""
     WITH base AS (
       SELECT doc_id,
              text
