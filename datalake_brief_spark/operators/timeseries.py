@@ -1,0 +1,82 @@
+"""Time-series operators: dense resampling with gap filling, forward fill.
+
+The events table (append-only, timestamped) supports tumbling-window
+aggregation (queries.events_hourly / streaming.windowed_counts), but a
+grouped aggregate silently OMITS empty buckets — downstream charting,
+anomaly detection, and rate math all need the dense form. These operators
+produce it declaratively:
+
+- ``resample_fill``  — bucket + aggregate, then LEFT-join onto a per-key
+                       dense bucket spine (min..max bucket per key) so empty
+                       buckets surface with fill values instead of missing.
+- ``forward_fill``   — per-key last-observation-carried-forward over an
+                       ordered window (the standard gap-fill for gauges).
+
+Scale shape: the aggregate is the usual partial+final shuffle; the spine is
+``sequence()`` + ``explode`` computed from a tiny per-key bounds aggregate
+(|keys| rows), so spine generation adds one cheap join on (key, bucket) —
+no driver loop, no crossJoin against a calendar table. Forward fill is one
+window over the same (key, bucket) partitioning, so it reuses the join's
+clustering rather than adding an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    aggs: list[Column],
+    step: str = "1 hour",
+    fill: dict[str, object] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Dense tumbling-window resample: one row per (key, bucket) for EVERY
+    bucket between each key's first and last event.
+
+    ``aggs`` are pre-aliased aggregate columns (the engine's aggregate()
+    convention); ``fill`` maps output columns to the literal that replaces
+    NULL in gap rows (e.g. ``{"n_events": 0}`` — counts zero-fill, gauges
+    usually forward_fill instead). Buckets are epoch-aligned tumbling
+    windows of ``step`` (same semantics as streaming windowed counts).
+    """
+    win = F.window(F.col(ts_col), step)
+    grouped = df.groupBy(*key_cols, win.alias("__w")).agg(*aggs)
+    agg_cols = [c for c in grouped.columns if c not in (*key_cols, "__w")]
+    agg_df = grouped.select(*key_cols, F.col("__w.start").alias(bucket_col), *agg_cols)
+    bounds = agg_df.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__b0"), F.max(bucket_col).alias("__b1")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    out = spine.join(agg_df, [*key_cols, bucket_col], "left")
+    for col, value in (fill or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    order_col: str,
+    key_cols: list[str],
+    cols: list[str],
+) -> DataFrame:
+    """Last-observation-carried-forward per key: NULLs in ``cols`` take the
+    most recent non-null value at or before the row's ``order_col``. Rows
+    before a key's first observation stay NULL (nothing to carry)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in cols:
+        df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return df

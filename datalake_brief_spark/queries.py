@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from datalake_brief_spark.catalog import load_table, register_views
 from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
-from datalake_brief_spark.operators import dedup, multimodal, similarity, text
+from datalake_brief_spark.operators import dedup, multimodal, similarity, text, timeseries
 from datalake_brief_spark.operators.joins import anti_join, join_dim, join_fact, semi_join
 from datalake_brief_spark.operators.nulls import (
     drop_nulls,
@@ -1090,6 +1090,61 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         ],
+    )
+
+
+@_register(
+    "events_resample_fill",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value FROM events
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS tv
+      FROM b GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.bucket, '%Y-%m-%d %H:%M') AS hour,
+           CAST(coalesce(c.n, 0) AS BIGINT)     AS n_events,
+           last_value(c.tv IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+           )                                    AS total_value
+    FROM s LEFT JOIN c ON c.event_type = s.event_type AND c.bucket = s.bucket
+    """,
+)
+def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with gap filling: EVERY hour between each
+    event_type's first and last event appears — empty hours zero-fill the
+    count and forward-fill the running total (operators.timeseries
+    resample_fill + forward_fill). The plain grouped aggregate
+    (events_hourly) silently omits empty buckets; charting/rate math needs
+    this dense form."""
+    ev = _t(spark, sf_dir, "events")
+    dense = timeseries.resample_fill(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+        step="1 hour",
+        fill={"n_events": 0},
+    )
+    filled = timeseries.forward_fill(dense, "bucket", ["event_type"], ["total_value"])
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
     )
 
 
@@ -2279,7 +2334,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_fact_revenue",
     "topk_per_group",
     "events_hourly",
-    "dedup_exact",
+    "events_resample_fill",
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_clusters",
