@@ -178,7 +178,14 @@ def minhash_signature_udf(num_hashes: int, seed: int = 42):
 
 def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """LSH banding: hash each band of the signature → array<long> of length
-    ``num_bands`` (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
+    ``num_bands`` (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+
+    Expression form for composing with JVM-computed signatures
+    (``minhash_from_hashes``). When the signature already comes from the
+    Arrow path, use ``minhash_band_udf`` instead: for b×r = 128 this array
+    is ~160 sub-expressions — past codegen's JIT-friendly method size — and
+    was measured at 4-14 s for 5k rows at sf0.1 (≈3 ms/row, interpreted),
+    dominating the whole LSH pipeline."""
     return F.array(
         *[
             F.xxhash64(
@@ -193,6 +200,55 @@ def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column
             for b in range(num_bands)
         ]
     )
+
+
+def minhash_band_udf(num_hashes: int, num_bands: int, seed: int = 42):
+    """Arrow-vectorized MinHash + LSH banding fused in one pass: array<long>
+    shingle hashes → array<long> of ``num_bands`` band hashes.
+
+    Same minima as ``minhash_signature_udf`` (shared ``_minhash_coeffs``);
+    the band combine is FNV-1a over each band's ``r`` minima (numpy uint64,
+    vectorized across bands). Banding semantics are unchanged — two rows
+    share a band hash iff all ``r`` minima in that band are equal (modulo a
+    ~2^-64 hash collision) — only the combine function differs from the
+    expression-form ``band_hashes``, so s-curve/recall behavior is
+    identical. Fusing removes the giant banding expression from the plan:
+    the per-band work becomes two uint64 ops instead of an interpreted
+    concat/cast/hash tree (see ``band_hashes`` docstring for the measured
+    cost it replaces).
+    """
+    assert num_hashes % num_bands == 0, "num_hashes must divide into bands"
+    r = num_hashes // num_bands
+    avs, bvs = _minhash_coeffs(num_hashes, seed)
+    a = np.array(avs, dtype=np.int64)[:, None]
+    b = np.array(bvs, dtype=np.int64)[:, None]
+    _FNV_OFFSET = np.uint64(14695981039346656037)
+    _FNV_PRIME = np.uint64(1099511628211)
+
+    def _bands(mins: "np.ndarray") -> list:
+        m = mins.astype(np.uint64).reshape(num_bands, r)
+        with np.errstate(over="ignore"):
+            h = np.full(num_bands, _FNV_OFFSET, dtype=np.uint64)
+            for c in range(r):
+                h = (h ^ m[:, c]) * _FNV_PRIME
+        return h.view(np.int64).tolist()
+
+    empty_sig = ((a[:, 0] * 0 + b[:, 0]) % MINHASH_PRIME).astype(np.int64)
+    empty = _bands(empty_sig)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands(hashed: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashed:
+            if hs is None or len(hs) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            mins = ((a * h + b) % MINHASH_PRIME).min(axis=1)
+            out.append(_bands(mins))
+        return pd.Series(out)
+
+    return bands
 
 
 def hamming64(a: Column, b: Column) -> Column:

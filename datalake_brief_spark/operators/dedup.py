@@ -34,9 +34,8 @@ from pyspark.sql import types as T
 
 from datalake_brief_spark.functions import (
     MINHASH_PRIME,
-    band_hashes,
     hamming64,
-    minhash_signature_udf,
+    minhash_band_udf,
     normalize_text,
     tokens,
     word_shingles,
@@ -127,7 +126,6 @@ def _lsh_candidate_pairs(
     (band_idx, band_hash, *block_cols). Candidates are linear in the number
     of truly-similar pairs (plus s-curve noise), never quadratic in a block.
     """
-    rows_per_band = num_hashes // num_bands
     # Fold the 64-bit shingle hashes into the MinHash prime field JVM-side;
     # own select so Catalyst doesn't inline it under the signature UDF.
     folded = hashed.select(
@@ -135,17 +133,25 @@ def _lsh_candidate_pairs(
         *[F.col(c) for c in block_cols],
         F.transform("__hx", lambda h: F.pmod(h, F.lit(MINHASH_PRIME))).alias("__mh_in"),
     )
-    sig = folded.select(
+    # Minima + banding fused in ONE Arrow pass (minhash_band_udf): the
+    # expression-form band_hashes over a UDF signature was the pipeline's
+    # dominant cost (interpreted ~3 ms/row — see its docstring).
+    banded_arr = folded.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        minhash_signature_udf(num_hashes, seed=seed)(F.col("__mh_in")).alias("sig"),
+        minhash_band_udf(num_hashes, num_bands, seed=seed)(F.col("__mh_in")).alias("__bands"),
     )
-    banded = sig.select(
+    # posexplode_OUTER, deliberately: for a non-outer generate Catalyst's
+    # InferFiltersFromGenerate adds `size(input)>0 AND isnotnull(input)` and
+    # pushes it below the exchange — re-evaluating the whole UDF+shingle
+    # expression tree a second time, serially, on the unspread scan
+    # partition (measured 5-13 s of pure waste at sf0.1). The band array
+    # always has exactly num_bands elements, so outer semantics are
+    # identical and the inferred filter never exists.
+    banded = banded_arr.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.posexplode(band_hashes(F.col("sig"), num_bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode_outer("__bands").alias("band_idx", "band_hash"),
     )
     # Materialize ONE exchange on the band keys above the signature UDF:
     # both sides of the self-join then read the same shuffle output

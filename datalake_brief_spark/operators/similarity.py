@@ -120,9 +120,14 @@ def srp_bucket_table(
     equi-join on (table_idx, bucket)."""
     udf = _srp_buckets_udf(dim, num_planes, num_tables, seed)
     tagged = df.withColumn("__bkts", udf(F.col(vec_col)))
+    # posexplode_OUTER: a non-outer generate makes InferFiltersFromGenerate
+    # duplicate the bucket UDF (matmul + its whole input expression) into an
+    # inferred `size(..)>0` filter pushed below the scan's exchange — see
+    # dedup._lsh_candidate_pairs for the measured cost. The bucket array
+    # always has num_tables elements, so outer semantics are identical.
     return tagged.select(
         *[c for c in df.columns],
-        F.posexplode("__bkts").alias("__table", "__bucket"),
+        F.posexplode_outer("__bkts").alias("__table", "__bucket"),
     )
 
 
