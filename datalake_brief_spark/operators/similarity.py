@@ -349,6 +349,32 @@ def ivf_topk_indexed(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold — ground-truth/verifier mode.
+
+    Deliberately quadratic (id_a < id_b theta-join): this is the oracle-
+    checkable baseline and the recall denominator for the SRP path
+    (``embedding_near_dup_pairs``), same division of labor as
+    ``ngram_jaccard_pairs(candidates="all")`` vs the LSH candidates. Use on
+    bounded corpora (samples, eval sets); the bucketed SRP path is the
+    100 TB route.
+    """
+    n = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__v"))
+    a = n.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
