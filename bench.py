@@ -29,17 +29,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/codegen/IO cache)
         # min-of-N: single-shot timings on a shared box pick up Python-worker
         # spawn and scheduler noise (measured 2s..30s for the SAME plan);
-        # the minimum is the reproducible cost of the plan itself. Retry up
-        # to 6 times, stopping early once a run lands within 25% of the
-        # current best (stable measurement, not a contention spike).
-        best = float("inf")
-        for i in range(6):
+        # the minimum is the reproducible cost of the plan itself. Stop once
+        # TWO independent runs agree (second-best within 20% of best) — a
+        # single "latest within 25% of best" check can lock in a sustained
+        # contention spike when the first few runs are all inflated.
+        best = second = float("inf")
+        for i in range(8):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            prev_best = best
-            best = min(best, dt)
-            if i >= 2 and dt <= prev_best * 1.25:
+            if dt < best:
+                best, second = dt, best
+            elif dt < second:
+                second = dt
+            if i >= 2 and second <= best * 1.2:
                 break
         timings[name] = round(best, 4)
 
