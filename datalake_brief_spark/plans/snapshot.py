@@ -37,13 +37,24 @@ COMMENT = {
         "Shingles hashed to int64 in the scan stage; candidates come from the "
         "MinHash-LSH band equi-join on (band_idx, band_hash, source) — linear "
         "in candidates, never quadratic in a block — exact Jaccard verifies "
-        "candidates only."
+        "candidates only. Minima+banding are ONE Arrow pass (minhash_band_udf) "
+        "and the band explode is posexplode_outer so InferFiltersFromGenerate "
+        "cannot clone the UDF into a pre-exchange filter; at runtime AQE reads "
+        "both join sides from one ReusedExchange, so the signature computes "
+        "once."
     ),
     "dedup_minhash": (
-        "JVM xxhash shingle pass, Arrow-vectorized 128-minima signature "
-        "(ArrowEvalPython), band explode, equi-join on (band, hash), exact "
-        "verification of candidates only."
+        "JVM xxhash shingle pass, one fused Arrow pass for the 128 minima AND "
+        "the band hashes (ArrowEvalPython), posexplode_outer band explode, "
+        "equi-join on (band, hash) over a ReusedExchange, exact verification "
+        "of candidates only."
     ),
+    "dedup_simhash": (
+        "Token hashing is JVM xxhash64 in the scan stage; the 64-bit bit-vote "
+        "is one Arrow pass; pigeonhole chunk equi-join proposes candidates, "
+        "hamming64 verifies."
+    ),
+    "text_pii_redact": "Pure scan-stage regexp detection/redaction, zero shuffles.",
     "text_quality": "Pure scan-stage expressions, zero shuffles.",
     "knn_bruteforce": (
         "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan; "
