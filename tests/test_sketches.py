@@ -42,3 +42,28 @@ def test_approx_percentile_within_accuracy(spark):
         rank = o.filter(F.col("o_totalprice") <= apx).count()
         rank_err = abs(rank - q * n)
         assert rank_err <= max(2.0 * n / accuracy, 2), (q, exact, apx, rank_err)
+
+
+def test_hll_sketch_merge_matches_exact(spark):
+    """sketch_merge_distinct: per-(flag,status) Datasketches HLL partials
+    unioned up to flag must estimate the true distinct part count within
+    the sketch's error (default lgK=12 → rsd ≈1.6%; assert 3x that).
+    This is the mergeability contract that lets 100 TB pipelines store
+    daily sketches and union them instead of rescanning."""
+    from datalake_brief_spark.queries import QUERIES
+
+    merged = {
+        r.l_returnflag: r.n_parts_merged
+        for r in QUERIES["sketch_merge_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for flag, est in merged.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 0.05, (flag, exact[flag], est, rel_err)
