@@ -285,6 +285,39 @@ class TestSimilarity:
             assert 1 <= r.rank <= 10
             assert -1.0001 <= r.score <= 1.0001
 
+    def _recall_vs_bruteforce(self, emb, approx_df, k=10):
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {}
+        for r in similarity.cosine_topk(emb, q, k=k).collect():
+            truth.setdefault(r.query_id, set()).add(r.vec_id)
+        got = {}
+        for r in approx_df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        recs = [len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()]
+        return sum(recs) / len(recs)
+
+    def test_srp_lsh_multiprobe_recall_on_real_table(self, emb):
+        """Recall floor on the ACTUAL testdata embeddings (near-uniform —
+        the hard case for ANN): Hamming-1 multiprobe lifts mean recall@10
+        from ~0.05 (exact-bucket probing) to ~0.6 measured; pin a safe
+        floor so the multiprobe path can't silently regress."""
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
+        assert self._recall_vs_bruteforce(emb, approx) >= 0.35
+
+    def test_ivf_recall_on_real_table(self, emb):
+        """Same floor for the IVF path on driver-shaped data (measured
+        ~0.5 mean recall@10 at nprobe=4/16 cells on uniform vectors)."""
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        approx = similarity.ivf_topk(emb, q, dim=64, k=10, n_centroids=16, nprobe=4)
+        assert self._recall_vs_bruteforce(emb, approx) >= 0.3
+
     def test_embedding_near_dup_recall_on_table_shaped_data(self, spark, emb):
         """Recall sweep on driver-shaped data: real sf0.001 embedding rows
         (dim-64 float32, uniform — max natural pairwise cosine ≈0.5, so zero
