@@ -128,6 +128,44 @@ def range_join(
     return fact.join(F.broadcast(bands), on=cond, how="left")
 
 
+def semi_reduced_join(
+    big: DataFrame,
+    filtered: DataFrame,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join with an explicit semi-join reduction of the big probe
+    side: broadcast the *distinct join keys* of the (already filtered,
+    selective) build side and semi-join them into ``big`` BEFORE the real
+    shuffle join.
+
+    Why this exists at 100 TB: a fact×fact join shuffles both inputs on the
+    key. When one side carries a selective predicate, most of the other
+    side's shuffle is wasted — rows whose keys can never match are hashed,
+    serialized, spilled, and then dropped by the join. Pre-filtering the
+    probe side with the build side's key set moves that drop BEFORE the
+    exchange, so shuffle volume tracks the match cardinality, not the table
+    size. This is classic semi-join reduction (Bernstein & Chiu, JACM 1981)
+    — the same idea Spark's runtime row-level filtering implements with a
+    Bloom filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+    SPARK-32268) when its size thresholds trigger; the explicit form here is
+    deterministic, exact (no false positives), and plan-assertable at any
+    scale.
+
+    The key set must be broadcastable — i.e. the filtered side is selective.
+    That's the precondition for the optimization to pay off at all; when the
+    filter isn't selective, use a plain ``join_fact`` (the reduction would
+    broadcast a huge key list for nothing).
+
+    The reduction is exactly a ``left_semi`` equi-join, so Catalyst folds it
+    into a BroadcastHashJoin(LeftSemi) on the scan side of the exchange —
+    asserted in ``tests/test_plans.py``.
+    """
+    keys = filtered.select(key).distinct()
+    reduced = big.join(F.broadcast(keys), on=key, how="left_semi")
+    return reduced.join(filtered, on=key, how=how)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

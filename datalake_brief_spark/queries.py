@@ -2331,6 +2331,46 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_semi_reduced",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_semi_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×fact join with explicit semi-join reduction
+    (operators.joins.semi_reduced_join): the selective order-date filter
+    keeps ~4% of orders, so lineitem's shuffle would be ~96% wasted rows in
+    the plain plan. Broadcasting the surviving order keys and semi-joining
+    them into lineitem BEFORE the exchange cuts the big side's shuffle to
+    the match set. Pure execution-strategy change — the oracle is the plain
+    join; identical results is the point (same contract as
+    ``join_salted_skew``)."""
+    from datalake_brief_spark.operators.joins import semi_reduced_join
+
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01"),
+    ).select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    j = semi_reduced_join(l, o, key="o_orderkey")
+    return aggregate(
+        j,
+        ["o_orderpriority"],
+        [
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
 @_register("sketch_merge_distinct", None)
 def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — the 100 TB pattern where
@@ -2420,13 +2460,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "sketch_merge_distinct",
     "dedup_simhash",
     # flagship headliners (green in r1 — keep driver rows current; q1 /
-    # topk_per_group / events_hourly yield their window slots to the three
-    # rows above: unchanged since their r1 green rows, and q1 is still
-    # smoke-checked every round via __spark_entry__.entry())
+    # topk_per_group / events_hourly / join_fact_revenue yield their window
+    # slots to never-checked rows above+below: unchanged since their r1
+    # green rows, and q1 is still smoke-checked every round via
+    # __spark_entry__.entry())
+    "join_semi_reduced",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "join_dim_chain",
-    "join_fact_revenue",
     "events_resample_fill",
     "dedup_ngram_jaccard",
     "dedup_minhash",

@@ -139,6 +139,67 @@ def test_salted_join_matches_plain_join(spark):
     assert plain == salted
 
 
+def test_semi_reduced_join_reduces_before_exchange(spark):
+    """The semi-join reduction must plan as a BroadcastHashJoin(LeftSemi)
+    BELOW the shuffle join's exchange on the big side: the probe table is
+    filtered by the broadcast key set before any rows are hashed into the
+    shuffle. Also an end-to-end equality check vs the plain join (the
+    reduction is a pure execution-strategy change)."""
+    from datalake_brief_spark.operators.joins import semi_reduced_join
+
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    l = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    reduced = semi_reduced_join(l, o, key="okey")
+    plan = formatted_plan(reduced)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    plain = l.join(o, "okey")
+    assert sorted(map(tuple, reduced.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Spark's native runtime row-level filtering (SPARK-32268) is the
+    automatic form of the same semi-join reduction: with the size thresholds
+    lowered to fire at test scale, a shuffle join with a selective build
+    side must inject a bloom-filter predicate (BloomFilterMightContain /
+    bloom_filter agg) on the probe side. At production thresholds (10 MB
+    creation side / 10 GB application side) this kicks in exactly at the
+    100 TB shapes where it pays."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # disable the broadcast path so the join actually shuffles and the
+        # bloom (not a broadcast reuse / DPP subquery) is the runtime filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_totalprice") > 150000.0)
+            .select("o_orderkey", "o_orderpriority")
+        )
+        l = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = formatted_plan(j).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ngram_candidates_come_from_lsh_banding(spark):
     """The n-gram dedup plan must generate candidates via the LSH band
     equi-join (keys include band_hash), not an all-pairs block self-join —
