@@ -266,6 +266,85 @@ def upsert_parquet_partitioned(
     shutil.rmtree(staging)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a (possibly partitioned) parquet directory
+    — the maintenance op every incrementally-written lake table needs.
+
+    Streaming sinks, micro-batch appends, and per-task partitioned writes
+    leave directories with thousands of KB-sized files; at 100 TB the scan
+    then pays a per-file open/footer-read and the driver pays listing +
+    split planning proportional to FILE COUNT, not data size. Compaction
+    restores scan efficiency.
+
+    Shape (and why it scales):
+
+    - Only files smaller than ``small_file_bytes`` (default: half the
+      target) are rewritten. Already-right-sized files are NEVER read or
+      touched — rewrite amplification is bounded by the small-file bytes,
+      not the table size.
+    - Each leaf directory (= hive partition for partitioned tables)
+      compacts independently: its small files are read as an explicit file
+      list and coalesced to ``ceil(small_bytes / target_file_bytes)``
+      output files. ``coalesce`` (not ``repartition``): merging files is
+      IO-bound concatenation, a shuffle would double the IO for nothing.
+    - Listing is driver-side metadata — the same file index Spark builds
+      for any scan of the directory.
+
+    Swap caveat (same family as ``upsert_parquet``): new files move in
+    before the old ones are removed, so a concurrent reader can see
+    duplicate rows during the swap window. Plain parquet directories have
+    no commit protocol to do better; ``txlog.optimize`` is the atomic
+    version of this operation (one log commit flips visibility).
+
+    Returns ``{"files_before": n, "files_after": m, "dirs_compacted": k}``.
+    """
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    import math
+    import uuid
+
+    files_before = files_after = dirs_compacted = 0
+    for root, _dirs, files in os.walk(path):
+        parts = [f for f in files if f.endswith(".parquet")]
+        files_before += len(parts)
+        files_after += len(parts)
+        small = [
+            f
+            for f in parts
+            if os.path.getsize(os.path.join(root, f)) < small_file_bytes
+        ]
+        if len(small) < 2:
+            continue
+        small_paths = [os.path.join(root, f) for f in small]
+        total = sum(os.path.getsize(p) for p in small_paths)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        staging = os.path.join(path, f".__compact_staging__{uuid.uuid4().hex}")
+        spark.read.parquet(*small_paths).coalesce(n_out).write.mode("error").parquet(staging)
+        moved = 0
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staging, f),
+                    os.path.join(root, f"compact-{uuid.uuid4().hex}-{f}"),
+                )
+                moved += 1
+        shutil.rmtree(staging)
+        for p in small_paths:
+            os.remove(p)
+        files_after += moved - len(small)
+        dirs_compacted += 1
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "dirs_compacted": dirs_compacted,
+    }
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

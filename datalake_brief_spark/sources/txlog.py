@@ -189,6 +189,81 @@ def merge(
     return read_v + 1
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions, derived from the commit log:
+    every row gains a ``_change_type`` column (``insert`` / ``delete``; an
+    update under latest-wins MERGE appears as its delete + insert pair).
+
+    Shape (and why it scales): the log names exactly which immutable files
+    each version added/removed, so the scan reads ONLY the symmetric
+    difference of the two snapshots' file lists — cost tracks the CHANGED
+    data, never the table. Rows that were merely rewritten into new files
+    with identical content (e.g. by ``optimize``) cancel out via
+    ``exceptAll`` on the two sides (a shuffle bounded by changed-file rows).
+    This is the same observable contract as Delta's CDF, reconstructed from
+    add/remove actions rather than stored change files."""
+    to_v = current_version(path) if to_version is None else to_version
+    f_from = set(visible_files(path, from_version))
+    f_to = set(visible_files(path, to_v))
+    added = sorted(f_to - f_from)
+    removed = sorted(f_from - f_to)
+    if not added and not removed:
+        raise ValueError(f"no changes between versions {from_version} and {to_v}")
+    a = spark.read.parquet(*added) if added else None
+    r = spark.read.parquet(*removed) if removed else None
+    if a is None:
+        a = r.limit(0)
+    if r is None:
+        r = a.limit(0)
+    inserts = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
+    deletes = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> int:
+    """Atomic small-file compaction (the lakehouse ``OPTIMIZE``): rewrite
+    the snapshot's undersized data files into ``ceil(bytes/target)`` files
+    and flip visibility in ONE commit — readers see the table before or
+    after compaction, never duplicates (contrast ``io.compact_parquet``,
+    whose plain-directory swap has a duplicate window by necessity).
+
+    Only files below ``small_file_bytes`` (default half the target) are
+    read or rewritten; right-sized files stay referenced untouched, so the
+    rewrite cost is bounded by the small-file bytes regardless of table
+    size. The superseded files remain on disk for time travel until
+    ``vacuum`` reclaims them. Returns the new version (or the current one
+    if there was nothing to compact)."""
+    import math
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    read_v = current_version(path)
+    if read_v == 0:
+        return 0
+    small = [
+        p for p in visible_files(path, read_v) if os.path.getsize(p) < small_file_bytes
+    ]
+    if len(small) < 2:
+        return read_v
+    total = sum(os.path.getsize(p) for p in small)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    compacted = spark.read.parquet(*small).coalesce(n_out)
+    adds = _write_data_files(compacted, path)
+    removes = [os.path.relpath(p, path) for p in small]
+    _try_commit(path, read_v + 1, adds, removes)
+    return read_v + 1
+
+
 def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``retain_versions`` most recent
     versions (older time travel stops working, as documented for any

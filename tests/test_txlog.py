@@ -71,6 +71,65 @@ class TestTxLog:
         old = {r.id: r.v for r in txlog.read(spark, path, version=pre).collect()}
         assert old == {1: "a", 2: "b"}
 
+    def test_optimize_compacts_atomically_and_preserves_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        for i in range(5):
+            txlog.append(_df(spark, [(i, f"v{i}", 1)]), path)
+        pre = txlog.current_version(path)
+        files_pre = txlog.visible_files(path)
+        assert len(files_pre) >= 5
+        v = txlog.optimize(spark, path)  # every file is tiny → all compact
+        assert v == pre + 1
+        files_post = txlog.visible_files(path)
+        assert len(files_post) == 1, files_post
+        # identical contents, one commit
+        assert {r.id for r in txlog.read(spark, path).collect()} == set(range(5))
+        # pre-optimize snapshot still readable (old files on disk until vacuum)
+        assert {r.id for r in txlog.read(spark, path, version=pre).collect()} == set(range(5))
+        # vacuum reclaims the superseded small files
+        deleted = txlog.vacuum(path, retain_versions=1)
+        assert len(deleted) == len(files_pre)
+        # idempotent: nothing left to compact
+        assert txlog.optimize(spark, path) == v
+
+    def test_optimize_leaves_right_sized_files_alone(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "x" * 50, 1) for i in range(2000)]).coalesce(1), path)
+        big = set(txlog.visible_files(path))
+        for i in range(3):
+            txlog.append(_df(spark, [(10_000 + i, "s", 1)]), path)
+        # threshold below the big file's size: only the three small appends move
+        big_bytes = os.path.getsize(next(iter(big)))
+        txlog.optimize(spark, path, target_file_bytes=2 * big_bytes, small_file_bytes=big_bytes)
+        post = set(txlog.visible_files(path))
+        assert big <= post, "right-sized file must stay referenced, untouched"
+        assert len(post) == len(big) + 1
+        n = txlog.read(spark, path).count()
+        assert n == 2003
+
+    def test_table_changes_tracks_inserts_deletes_and_skips_rewrites(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1
+        txlog.append(_df(spark, [(3, "c", 1)]), path)  # v2
+        txlog.merge(
+            spark, path, _df(spark, [(2, "b2", 2), (4, "d", 1)]), keys=["id"], order_col="version"
+        )  # v3: updates 2, inserts 4, rewrites 1 and 3 unchanged
+        changes = {
+            (r.id, r._change_type)
+            for r in txlog.table_changes(spark, path, from_version=2).collect()
+        }
+        assert changes == {(2, "delete"), (2, "insert"), (4, "insert")}, changes
+        # and the full-history feed from v0 is pure inserts of the final state
+        txlog.append(_df(spark, [(5, "e", 1)]), path)  # v4: second small file
+        v_opt = txlog.optimize(spark, path)  # rewrite-only commit (v5)
+        assert v_opt == 5, "optimize must have compacted (≥2 small files)"
+        full = txlog.table_changes(spark, path, from_version=0, to_version=v_opt)
+        got = {(r.id, r._change_type) for r in full.collect()}
+        assert got == {(i, "insert") for i in (1, 2, 3, 4, 5)}
+        # a rewrite-only window has no row-level changes
+        rows = txlog.table_changes(spark, path, from_version=v_opt - 1, to_version=v_opt)
+        assert rows.count() == 0
+
     def test_vacuum_drops_only_unreferenced_files(self, spark, tmp_path):
         path = str(tmp_path / "t")
         txlog.append(_df(spark, [(1, "a", 1)]), path)

@@ -92,3 +92,92 @@ def test_zorder_skips_on_both_columns(spark, tmp_path):
     assert back.count() == df.count()
     want = df.filter(F.col("l_suppkey") <= sk_band[1]).count()
     assert back.filter(F.col("l_suppkey") <= sk_band[1]).count() == want
+
+
+class TestCompaction:
+    def test_compact_merges_small_files_and_preserves_data(self, spark, tmp_path):
+        from datalake_brief_spark.sources.io import compact_parquet
+
+        out = str(tmp_path / "frag")
+        df = load_table(spark, SF_SMOKE, "customer")
+        df.repartition(16).write.parquet(out)
+        before = spark.read.parquet(out)
+        n_before, sum_before = before.count(), before.agg(F.sum("c_acctbal")).first()[0]
+
+        stats = compact_parquet(spark, out, target_file_bytes=1 << 30)
+        assert stats["files_before"] >= 16
+        assert stats["files_after"] == 1, stats
+        assert stats["dirs_compacted"] == 1
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+        after = spark.read.parquet(out)
+        assert after.count() == n_before
+        assert abs(after.agg(F.sum("c_acctbal")).first()[0] - sum_before) < 1e-6
+
+    def test_compact_leaves_large_files_untouched(self, spark, tmp_path):
+        from datalake_brief_spark.sources.io import compact_parquet
+
+        out = str(tmp_path / "mixed")
+        load_table(spark, SF_SMOKE, "orders").coalesce(1).write.parquet(out)
+        load_table(spark, SF_SMOKE, "customer").select(
+            F.col("c_custkey").alias("o_orderkey"),
+            F.col("c_acctbal").alias("o_totalprice"),
+        ).repartition(8).write.mode("append").parquet(out)
+
+        parts = {
+            f: os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        }
+        big = max(parts, key=parts.get)
+        big_mtime = os.path.getmtime(os.path.join(out, big))
+        n_before = spark.read.parquet(out).select("o_orderkey", "o_totalprice").count()
+
+        compact_parquet(
+            spark, out, target_file_bytes=2 * parts[big], small_file_bytes=parts[big]
+        )
+        # the large file is still there, byte-for-byte untouched
+        assert os.path.exists(os.path.join(out, big))
+        assert os.path.getmtime(os.path.join(out, big)) == big_mtime
+        small_left = [
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+            and f != big
+            and not f.startswith("compact-")
+        ]
+        assert small_left == [], small_left
+        assert (
+            spark.read.parquet(out).select("o_orderkey", "o_totalprice").count() == n_before
+        )
+
+    def test_compact_partitioned_table_compacts_each_leaf(self, spark, tmp_path):
+        from datalake_brief_spark.sources.io import compact_parquet
+
+        out = str(tmp_path / "part")
+        (
+            load_table(spark, SF_SMOKE, "orders")
+            .repartition(6)
+            .write.partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+        before = spark.read.parquet(out)
+        counts_before = {
+            r.o_orderstatus: r["count"]
+            for r in before.groupBy("o_orderstatus").count().collect()
+        }
+        stats = compact_parquet(spark, out, target_file_bytes=1 << 30)
+        assert stats["dirs_compacted"] == len(counts_before)
+        after = spark.read.parquet(out)
+        counts_after = {
+            r.o_orderstatus: r["count"]
+            for r in after.groupBy("o_orderstatus").count().collect()
+        }
+        assert counts_after == counts_before
+        for d in os.listdir(out):
+            if d.startswith("o_orderstatus="):
+                files = [
+                    f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (d, files)
