@@ -401,6 +401,82 @@ def cosine_pairs_exact(
     )
 
 
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_clusters: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): k-means the embedding space, then compare
+    pairs ONLY within each cluster.
+
+    Why this scales where all-pairs doesn't: pick ``n_clusters`` ∝ corpus
+    size so the expected cluster size stays constant; Σ|cluster|² is then
+    linear in the corpus, and the per-cluster comparison is an equi-join on
+    the cell id — the same shuffle shape as the LSH candidate paths. The
+    trade is recall at cluster boundaries (a pair split across cells is
+    never compared) — the paper's accepted approximation; ``n_clusters=1``
+    degenerates to the exact all-pairs relation (pinned in pytest against
+    ``cosine_pairs_exact``).
+
+    Returns (id_a, id_b, score) with id_a < id_b, cosine ≥ threshold.
+    """
+    if n_clusters == 1 and centroids is None:
+        # degenerate exact mode (pyspark.ml KMeans needs k >= 2): one cell
+        assigned = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "__cell", F.lit(0)
+        )
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(df, dim, n_clusters, vec_col, seed)
+        assigned = ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "__cell", 1
+        )
+    lhs = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    )
+    rhs = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    )
+    return (
+        lhs.join(rhs, on="__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(as_double_array("__va"), as_double_array("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_clusters: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup end-to-end: semantic pairs → connected components →
+    ``cluster_id`` + ``is_canonical`` per row (the survivor is the smallest
+    id in its semantic component, deterministic). Composes
+    ``semantic_pairs`` with the same ``cluster_dedup`` collapse the text
+    dedup paths use — one extra CC round-trip over the pair relation, all
+    shuffles on the id key."""
+    from datalake_brief_spark.operators.dedup import cluster_dedup
+
+    pairs = semantic_pairs(
+        df, threshold, dim, n_clusters, centroids, seed, id_col, vec_col
+    )
+    return cluster_dedup(df, pairs, id_col=id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

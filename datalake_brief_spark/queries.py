@@ -1739,6 +1739,20 @@ def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("semantic_dedup", None)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells over the embedding space,
+    near-dup pairs compared within cells only, connected components →
+    canonical survivor per semantic cluster. Rows-only by design: the cell
+    boundaries are k-means model state, not SQL — the n_clusters=1
+    degenerate case is pinned against the exact all-pairs relation in
+    pytest, and the row count here is always the full table (every row gets
+    a cluster_id + is_canonical verdict)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.45, dim=64, n_clusters=8)
+    return out.select("vec_id", "cluster_id", "is_canonical")
+
+
 # --------------------------------------------------------------------------
 # Multimodal band (SURVEY §2.14) — payload = utf-8 bytes of text (the
 # container has no codecs; the binary plumbing is the real thing)
@@ -2451,6 +2465,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (emb_near_dup, rows-only — legitimately 0 rows on this data) stays
     # past the window
     "emb_near_dup_exact",
+    "semantic_dedup",
     # composed pipeline + ML
     "pipeline_curation",
     "ml_lr_predict",
@@ -2466,7 +2481,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # __spark_entry__.entry())
     "join_semi_reduced",
     "q3_shipping_priority",
-    "q5_nation_revenue",
     "join_dim_chain",
     "events_resample_fill",
     "dedup_ngram_jaccard",

@@ -318,6 +318,45 @@ class TestSimilarity:
         approx = similarity.ivf_topk(emb, q, dim=64, k=10, n_centroids=16, nprobe=4)
         assert self._recall_vs_bruteforce(emb, approx) >= 0.3
 
+    def test_semantic_pairs_one_cluster_degenerates_to_exact(self, emb):
+        """SemDeDup with n_clusters=1 compares every pair — it must equal
+        the exact all-pairs relation bit-for-bit (same ids, same scores)."""
+        exact = {
+            (r.id_a, r.id_b, r.score)
+            for r in similarity.cosine_pairs_exact(emb, threshold=0.45).collect()
+        }
+        sem = {
+            (r.id_a, r.id_b, r.score)
+            for r in similarity.semantic_pairs(
+                emb, threshold=0.45, dim=64, n_clusters=1
+            ).collect()
+        }
+        assert sem == exact
+        assert exact, "fixture must contain real pairs at this threshold"
+
+    def test_semantic_dedup_collapses_planted_semantic_clusters(self, spark):
+        """8 well-separated semantic groups × 20 near-identical members
+        (cosine ≈1 within a group, ≈0 across): SemDeDup at n_clusters=8 must
+        mark exactly one canonical row per group and give every member its
+        group's min id as cluster_id."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((8, 32))
+        rows = []
+        for i in range(160):
+            c = centers[i % 8]
+            rows.append((i, (c + 0.01 * rng.standard_normal(32)).astype("float32").tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.semantic_dedup(
+            df, threshold=0.95, dim=32, n_clusters=8, seed=7
+        ).collect()
+        assert len(out) == 160
+        canon = [r.vec_id for r in out if r.is_canonical]
+        assert sorted(canon) == list(range(8)), canon  # group mins are 0..7
+        for r in out:
+            assert r.cluster_id == r.vec_id % 8, (r.vec_id, r.cluster_id)
+
     def test_embedding_near_dup_recall_on_table_shaped_data(self, spark, emb):
         """Recall sweep on driver-shaped data: real sf0.001 embedding rows
         (dim-64 float32, uniform — max natural pairwise cosine ≈0.5, so zero
