@@ -277,3 +277,45 @@ def pack_chunks(
     return sharded.groupBy("__shard").applyInPandas(
         lambda key, pdf: pack_shard(key, pdf), schema=out_schema
     )
+
+
+def word_ngrams_udtf():
+    """The engine's UDTF extension point (SURVEY §2.11): an Arrow-optimized
+    Python user-defined TABLE function generating word n-grams — one input
+    row fans out to ``len(words)-n+1`` output rows via ``LATERAL``.
+
+    Why a UDTF and not ``explode``: built-in generators cover the
+    expressible cases (``explode_tokens`` in the registry is the JVM
+    route); the UDTF is the blessed escape hatch for table-generating logic
+    with real Python state per row — and the policy constraint carries
+    over: ``useArrow=True`` so it plans as ArrowEvalPythonUDTF (batched
+    Arrow transfer), never BatchEvalPythonUDTF (pickled row loop). The
+    registry-wide plan lint enforces exactly that.
+
+    Splitting is ``text.split(' ')`` — the same single-space semantics as
+    DuckDB's ``string_split(text, ' ')`` so the oracle matches empty-piece
+    behavior on doubled spaces.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int", useArrow=True)
+    class WordNGrams:
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            for i in range(max(0, len(words) - n + 1)):
+                yield " ".join(words[i : i + n]), i
+
+    return WordNGrams
+
+
+def ngrams_lateral(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LATERAL-join the n-gram UDTF against each row of ``df``: returns
+    (id_col, ngram, pos). The UDTF runs in the scan stage per Arrow batch —
+    no shuffle is introduced by the generation itself."""
+    spark = df.sparkSession
+    spark.udtf.register("word_ngrams", word_ngrams_udtf())
+    df.select(id_col, text_col).createOrReplaceTempView("__ngram_in")
+    return spark.sql(
+        f"SELECT i.{id_col}, g.ngram, g.pos "
+        f"FROM __ngram_in i, LATERAL word_ngrams(i.{text_col}, {int(n)}) g"
+    )

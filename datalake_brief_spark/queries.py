@@ -2171,6 +2171,32 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "udtf_ngrams",
+    """
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS ngram,
+           CAST(i - 1 AS INT)                                         AS pos
+    FROM p, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+    """,
+)
+def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function (§2.11 extension point): word trigrams
+    generated by an Arrow-optimized Python UDTF under a LATERAL join — one
+    doc row fans out to len(words)-2 rows. Plans as ArrowEvalPythonUDTF
+    (Arrow batches), never the pickled row loop; the registry-wide plan
+    lint enforces it. Bounded to doc_id < 200 to keep the driver-side
+    compare small — the plan shape is scan-stage generation either way."""
+    from datalake_brief_spark.operators.text import ngrams_lateral
+
+    d = filter_rows(_t(spark, sf_dir, "documents"), F.col("doc_id") < 200)
+    return ngrams_lateral(d, n=3)
+
+
+@_register(
     "window_lag_delta",
     """
     WITH d AS (
@@ -2440,6 +2466,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "percentiles",
     "sql_frontend",
     "explode_tokens",
+    "udtf_ngrams",
     "window_lag_delta",
     "setop_intersect",
     "asof_join",
@@ -2480,7 +2507,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # green rows, and q1 is still smoke-checked every round via
     # __spark_entry__.entry())
     "join_semi_reduced",
-    "q3_shipping_priority",
     "join_dim_chain",
     "events_resample_fill",
     "dedup_ngram_jaccard",

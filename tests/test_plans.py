@@ -200,6 +200,14 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_udtf_plans_arrow_not_pickled_rows(spark):
+    """The §2.11 UDTF extension point must plan as ArrowEvalPythonUDTF
+    (Arrow-batched) — BatchEvalPythonUDTF would be the pickled row loop the
+    engine forbids."""
+    plan = formatted_plan(QUERIES["udtf_ngrams"].fn(spark, SF_SMOKE))
+    assert "ArrowEvalPythonUDTF" in plan, plan
+
+
 def test_ngram_candidates_come_from_lsh_banding(spark):
     """The n-gram dedup plan must generate candidates via the LSH band
     equi-join (keys include band_hash), not an all-pairs block self-join —
