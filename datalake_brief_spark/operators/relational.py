@@ -178,3 +178,63 @@ def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame
     the engine's mandatory-seed rule; reference's own unseeded split at
     pyspark-3.ipynb:219 is the reproducibility bug we forbid)."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int],
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment: each row's
+    split comes from a hash of its OWN id, never from a random draw.
+
+    Why this over ``randomSplit`` for a training corpus: the assignment is
+    (1) reproducible with no seed bookkeeping, (2) stable under data growth
+    — adding rows never reassigns an existing id across the train/eval
+    boundary (randomSplit reshuffles everything when the input changes),
+    and (3) portable — any engine that can md5 a string computes the same
+    split, so downstream consumers can verify membership without Spark.
+
+    ``weights`` maps split name → integer weight (e.g. {"train": 98,
+    "val": 1, "test": 1}); a row lands in a split when its md5-derived
+    bucket in [0, Σweights) falls in that split's range. ``salt`` re-rolls
+    the whole assignment (a new salt is a new independent split). Pure
+    scan-stage expression: no shuffle, no UDF.
+    """
+    total = sum(weights.values())
+    # first 8 hex chars → 32-bit int → bucket in [0, total)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast("long"),
+        F.lit(total),
+    )
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + w
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mixture construction: per-source Bernoulli rates in one
+    scan-stage pass (e.g. {"web": 0.1, "code": 1.0, "books": 0.5} keeps all
+    code, half the books, a tenth of the web crawl).
+
+    Exactly ``sample_stratified`` semantics (sources absent from
+    ``weights`` drop), named for the LLM-data use case; rates compose with
+    upstream quality filters in the same scan. Epoch mixing (rate > 1.0 =
+    duplication) is out of scope — duplicate via explode of a literal
+    array when genuinely needed.
+    """
+    if any(not (0.0 <= w <= 1.0) for w in weights.values()):
+        raise ValueError("mixture weights must be sampling rates in [0, 1]")
+    return df.sampleBy(source_col, fractions=weights, seed=seed)
