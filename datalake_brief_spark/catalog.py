@@ -86,9 +86,10 @@ TABLES: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # physically timestamp[ns]; read as long (nanosAsLong) and
-            # converted to a µs timestamp in load_table
-            T.StructField("ts", T.LongType()),
+            # Logical type; the file's physical unit (ns vs µs) varies by
+            # writer, so load_table sniffs the footer and adapts the read —
+            # ns files come in as long (nanosAsLong) and are converted.
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -120,25 +121,61 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _parquet_ts_unit(path: str, col: str) -> str:
+    """Sniff a timestamp column's physical unit ('ns'/'us'/'ms') from the
+    parquet footer. One O(KB) footer read per path, cached for the process.
+    Falls back to 'us' (the parquet-standard unit Spark reads natively) when
+    the footer can't be opened locally — e.g. a remote FS path on a real
+    cluster, where the writer is expected to emit standard µs anyway."""
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        try:
+            import pyarrow.parquet as pq
+
+            p = path
+            if os.path.isdir(p):
+                parts = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+                p = os.path.join(p, parts[0])
+            unit = getattr(pq.ParquetFile(p).schema_arrow.field(col).type, "unit", "us")
+        except Exception:
+            unit = "us"
+        _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one registered table with its pinned schema (no inference scan).
 
     Parquet footers carry the physical schema; supplying the registry schema
     asserts the logical contract and keeps column pruning/pushdown intact
     (``ReadSchema`` in the plan shows only the referenced columns).
+
+    events.ts adapts to the file's physical unit: standard µs timestamps
+    read natively; ns files (no native Spark type) read as long via
+    ``nanosAsLong`` and convert with integer division (no double
+    round-trip — ns epochs exceed 2^53).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registered: {sorted(TABLES)}")
-    if name == "events":
-        # The file's ts column is parquet timestamp[ns]; Spark can only read
-        # it as a raw long. get_spark sets this at build time, but callers
-        # may hand us a foreign session (the driver harness does) — the conf
-        # is runtime-settable, so pin it here rather than fail the read.
+    path = table_path(sf_dir, name)
+    schema = TABLES[name]
+    ns_ts = name == "events" and _parquet_ts_unit(path, "ts") == "ns"
+    if ns_ts:
+        # Spark can only read TIMESTAMP(NANOS) as a raw long; the conf is
+        # runtime-settable, so pin it here (callers may hand us a foreign
+        # session — the driver harness does) rather than fail the read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(TABLES[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ns → µs timestamp (integer division, no double round-trip: ns
-        # epochs exceed 2^53). Values are µs-precision so this is lossless.
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType()) if f.name == "ts" else f
+                for f in schema.fields
+            ]
+        )
+    df = spark.read.schema(schema).parquet(path)
+    if ns_ts:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

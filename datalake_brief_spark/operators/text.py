@@ -319,3 +319,94 @@ def ngrams_lateral(df: DataFrame, n: int, text_col: str = "text", id_col: str = 
         f"SELECT i.{id_col}, g.ngram, g.pos "
         f"FROM __ngram_in i, LATERAL word_ngrams(i.{text_col}, {int(n)}) g"
     )
+
+
+def word_ngram_array(toks: Column, n: int) -> Column:
+    """JVM-side word n-gram array: position i → the n tokens starting at i
+    joined by a single space. Pure ``transform``/``slice`` expressions, so
+    generation happens inside the scan stage (no UDTF worker, no shuffle).
+    Docs shorter than ``n`` tokens yield an empty array."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document
+    (Rae et al. 2021 §A1.1 "repetitious text" filters):
+
+    - ``dup_word_frac``    — 1 − |distinct tokens| / |tokens|: high when the
+                             doc keeps reusing the same words.
+    - ``top_bigram_frac``  — occurrences of the single most frequent word
+                             bigram / total bigrams: high for boilerplate
+                             loops ("click here click here …").
+
+    Scale shape: the token/distinct metrics are pure scan-stage expressions.
+    The bigram mode needs per-(doc, gram) counts → one explode + two keyed
+    aggregations on doc-prefixed keys, both with map-side partial combine;
+    the final join back to the per-doc row is doc_id-keyed and AQE picks
+    broadcast at small scale. No Python anywhere."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("dup_word_frac"),
+        word_ngram_array(toks, 2).alias("__grams"),
+    )
+    gram_counts = (
+        base.select(id_col, F.explode("__grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = gram_counts.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return (
+        base.drop("__grams")
+        .join(top, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3 appendix
+    C / Dolma shape): a corpus document is contaminated when it shares at
+    least one length-``n`` word n-gram with any benchmark document. Returns
+    (id_col, n_shared) for contaminated docs only, where ``n_shared`` counts
+    the corpus doc's DISTINCT n-grams that appear anywhere in the benchmark.
+
+    Scale shape: benchmark suites are small by definition → their distinct
+    gram set broadcasts; the corpus explodes its per-doc distinct grams and
+    joins JVM-side on ``xxhash64(gram)`` (8-byte keys instead of ~8·n-char
+    strings — smaller broadcast map, cheaper probe; a 64-bit collision would
+    need ~4 B distinct grams to matter). One broadcast join + one doc-keyed
+    count with map-side combine; the corpus is read exactly once."""
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngram_array(tokens(text_col), n))
+            ).alias("gram"),
+        ).select(id_col, F.xxhash64("gram").alias("gram_h"))
+
+    bench_set = grams(benchmark).select("gram_h").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_set), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
