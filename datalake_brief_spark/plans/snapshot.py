@@ -55,6 +55,14 @@ COMMENT = {
         "hamming64 verifies."
     ),
     "text_pii_redact": "Pure scan-stage regexp detection/redaction, zero shuffles.",
+    "text_repetition": (
+        "dup_word_frac is a pure scan-stage expression; the bigram mode is "
+        "Generate (explode) → partial+final count keyed on (doc, gram) → "
+        "re-aggregate to per-doc max/sum — both exchanges carry pre-combined "
+        "rows, and the join back to the per-doc row is a BroadcastHashJoin "
+        "under AQE (shuffle join on doc_id at scale, both sides already "
+        "doc-keyed)."
+    ),
     "text_quality": "Pure scan-stage expressions, zero shuffles.",
     "knn_bruteforce": (
         "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan; "

@@ -1469,6 +1469,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
     FROM base LEFT JOIN top ON base.doc_id = top.doc_id
     """,
+    headline=True,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-word fraction (scan-stage
