@@ -173,16 +173,20 @@ def merge(
     sources.io.upsert_parquet_partitioned — same dataflow, narrower swap.)
     """
     read_v = current_version(path)
-    if read_v == 0:
-        return append(updates, path)
-    existing = read(spark, path, read_v).select(*updates.columns)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    if read_v == 0:
+        # Same contract on an empty table: one row per key survives, not a
+        # verbatim append of a possibly multi-row-per-key updates batch.
+        combined = updates
+    else:
+        combined = read(spark, path, read_v).select(*updates.columns).unionByName(updates)
     latest = (
-        existing.unionByName(updates)
-        .withColumn("__rn", F.row_number().over(w))
+        combined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if read_v == 0:
+        return append(latest, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(latest, path)
     _try_commit(path, read_v + 1, adds, removes)

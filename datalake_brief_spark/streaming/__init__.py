@@ -14,6 +14,7 @@ from datalake_brief_spark.streaming.alerts import (
     threshold_alert_stream,
     windowed_counts,
 )
+from datalake_brief_spark.streaming.sinks import merge_stream_to_txlog
 from datalake_brief_spark.streaming.stateful import (
     dedup_stream,
     enrich_stream,
@@ -26,6 +27,7 @@ __all__ = [
     "alerts_to_parquet",
     "dedup_stream",
     "enrich_stream",
+    "merge_stream_to_txlog",
     "running_user_stats",
     "sessionize_stream",
     "stream_events",

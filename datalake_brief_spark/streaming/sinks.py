@@ -1,0 +1,71 @@
+"""Streaming sinks onto the transactional (commit-log) table.
+
+The reference's streaming story ends at files/console; a real lake needs the
+stream to land in a table readers can trust mid-write. ``merge_stream_to_
+txlog`` closes the loop: each micro-batch becomes ONE atomic latest-wins
+MERGE commit on a sources.txlog table, so a concurrent reader sees the
+pre-batch or post-batch snapshot — never a torn batch.
+
+Effectively-once semantics without a two-phase commit: Structured Streaming
+guarantees at-least-once foreachBatch delivery (an epoch can replay after a
+crash between sink success and checkpoint write). Latest-wins MERGE keyed on
+the business key is IDEMPOTENT — replaying a batch re-asserts rows that are
+already the per-key maximum of ``order_col``, leaving table CONTENT
+unchanged (a replay adds a new version with identical content, which
+table_changes shows as empty). At-least-once delivery + idempotent apply =
+exactly-once observable state, the same argument Delta's idempotent-write
+sink makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from datalake_brief_spark.sources import txlog
+
+
+def merge_stream_to_txlog(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Land a stream into a txlog table via per-batch atomic MERGE.
+
+    ``keys`` + ``order_col`` define latest-wins identity (same contract as
+    txlog.merge). ``available_now=True`` drains the current backlog and
+    stops — the incremental-batch pattern for file-landing pipelines;
+    ``False`` runs continuously.
+
+    Scale shape: the per-batch merge is one window over (keys) on snapshot ⊎
+    batch. Cost per batch tracks TABLE size, not batch size — acceptable for
+    compact rollup/state tables (the materialized-aggregate use), wrong for
+    an ever-growing fact table (there, append + periodic compaction is the
+    shape; see txlog.append/optimize)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # Reduce the batch to its per-key latest BEFORE merging: a batch
+        # (especially availableNow's single backlog batch) carries many rows
+        # per key, and merge's contract is "updates" — one assertion per
+        # key. This also shrinks the merge's window input to |keys in
+        # batch| rows.
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        txlog.merge(batch_df.sparkSession, path, latest, keys, order_col)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,135 @@
+"""Incremental materialized-aggregate maintenance + the streaming MERGE
+sink: incremental results must equal full recomputation, and replays must
+not change observable table content."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.operators import incremental
+from datalake_brief_spark.sources import txlog
+from datalake_brief_spark.streaming import merge_stream_to_txlog, stream_events
+
+from tests.conftest import SF_SMOKE
+
+
+def _full_agg(spark, src):
+    return {
+        (r.event_type,): (r.n, round(r.value, 4))
+        for r in txlog.read(spark, src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value"))
+        .collect()
+    }
+
+
+def _mv_agg(spark, mv):
+    return {
+        (r.event_type,): (r.n, round(r.value, 4))
+        for r in incremental.read_aggregate(spark, mv, ["value"]).collect()
+    }
+
+
+class TestIncrementalAggregate:
+    def test_incremental_refresh_equals_full_recompute(self, spark, tmp_path):
+        src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        first, second = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+
+        txlog.append(first, src)
+        v = incremental.refresh(spark, src, mv, ["event_type"], ["value"])
+        assert v == txlog.current_version(src)
+        assert _mv_agg(spark, mv) == _full_agg(spark, src)
+
+        # append + latest-wins merge (some updated rows) → one delta refresh
+        txlog.append(second, src)
+        updates = first.limit(50).withColumn("value", F.col("value") + 1000.0)
+        txlog.merge(spark, src, updates, ["event_id"], "value")
+        incremental.refresh(spark, src, mv, ["event_type"], ["value"])
+        assert _mv_agg(spark, mv) == _full_agg(spark, src)
+
+    def test_refresh_is_noop_when_source_unmoved(self, spark, tmp_path):
+        src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+        ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+        txlog.append(ev, src)
+        incremental.refresh(spark, src, mv, ["event_type"], ["value"])
+        mv_v = txlog.current_version(mv)
+        incremental.refresh(spark, src, mv, ["event_type"], ["value"])
+        assert txlog.current_version(mv) == mv_v  # no new commit
+
+    def test_keys_vanish_when_all_rows_deleted(self, spark, tmp_path):
+        src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+        rows = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], ["id", "k", "v"]
+        )
+        txlog.append(rows, src)
+        incremental.refresh(spark, src, mv, ["k"], ["v"])
+        # overwrite drops key "b" entirely — its aggregate row must vanish
+        txlog.overwrite(rows.filter("k = 'a'"), src)
+        incremental.refresh(spark, src, mv, ["k"], ["v"])
+        got = {
+            r.k: (r.n, r.v)
+            for r in incremental.read_aggregate(spark, mv, ["v"]).collect()
+        }
+        assert got == {"a": (2, 3.0)}
+
+
+class TestStreamingMergeSink:
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        out = str(tmp_path / "events_stream")
+        load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).repartition(4).write.parquet(out)
+        return out
+
+    def test_stream_merge_matches_batch_latest_wins(self, spark, events_dir, tmp_path):
+        table, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+        q = merge_stream_to_txlog(
+            stream_events(spark, events_dir),
+            table,
+            keys=["user_id"],
+            order_col="ts",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+        batch = spark.read.parquet(events_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+        want = {
+            (r.user_id, r.ts, r.event_id)
+            for r in batch.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .collect()
+        }
+        got = {
+            (r.user_id, r.ts, r.event_id)
+            for r in txlog.read(spark, table).collect()
+        }
+        # latest-wins keyed on user_id: same per-user latest ts; event_id can
+        # differ only on exact-ts ties, so compare (user, ts) projections
+        assert {g[:2] for g in got} == {wn[:2] for wn in want}
+
+    def test_replay_with_fresh_checkpoint_is_content_idempotent(
+        self, spark, events_dir, tmp_path
+    ):
+        table = str(tmp_path / "tbl")
+        for ckpt in ("ckpt1", "ckpt2"):  # second run replays every file
+            q = merge_stream_to_txlog(
+                stream_events(spark, events_dir),
+                table,
+                keys=["user_id"],
+                order_col="ts",
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            q.awaitTermination(120)
+            if ckpt == "ckpt1":
+                first = {(r.user_id, r.ts) for r in txlog.read(spark, table).collect()}
+        second = {(r.user_id, r.ts) for r in txlog.read(spark, table).collect()}
+        assert second == first  # replayed merges re-assert, never duplicate

@@ -225,3 +225,23 @@ def test_no_query_produces_cartesian_or_row_python(spark):
         df = q.fn(spark, SF_SMOKE)
         assert_no_cartesian(df)
         assert "BatchEvalPython" not in formatted_plan(df), name
+
+
+def test_repetition_ngrams_do_not_retokenize_per_position(spark):
+    """Regression guard for the O(tokens^2) shape: building bigrams via
+    transform(sequence(...), i -> slice(split(...), i, n)) re-runs the
+    regex tokenizer inside the lambda at every position (measured 11 s vs
+    0.4 s at sf0.1). The shipped plan must use zip_with over shifted
+    slices — so no `sequence(` feeding a lambda appears in the plan."""
+    plan = formatted_plan(QUERIES["text_repetition"].fn(spark, SF_SMOKE))
+    assert "zip_with" in plan, plan
+    assert "sequence(0," not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams_and_joins_on_hash(spark):
+    """The benchmark gram set must broadcast (eval suites are small by
+    definition) and the join key must be the 8-byte xxhash64, not the raw
+    gram string."""
+    df = QUERIES["decontaminate_ngrams"].fn(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert "xxhash64" in formatted_plan(df)
