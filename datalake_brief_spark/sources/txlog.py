@@ -112,9 +112,67 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     return sorted(rels)
 
 
-def _try_commit(path: str, version: int, adds: list[str], removes: list[str]) -> None:
+def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
+    """Per-file min/max for ``cols`` from the parquet footer's row-group
+    statistics (no data pages read). A column missing stats in ANY row
+    group is omitted — absence means "cannot prune", never "no rows".
+    Byte stats (parquet physical strings) decode to str for JSON."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    seen: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            c = g.column(i)
+            name = c.path_in_schema
+            if name not in cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+            seen[name] = seen.get(name, 0) + 1
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    return {
+        c: [mins[c], maxs[c]]
+        for c in cols
+        if seen.get(c, 0) == md.num_row_groups and md.num_row_groups > 0
+    }
+
+
+def _collect_stats(
+    path: str, rels: list[str], stats_cols: list[str] | None
+) -> dict[str, dict[str, list]]:
+    if not stats_cols:
+        return {}
+    out = {}
+    for rel in rels:
+        s = _file_minmax(os.path.join(path, rel), stats_cols)
+        if s:
+            out[rel] = s
+    return out
+
+
+def _try_commit(
+    path: str,
+    version: int,
+    adds: list[str],
+    removes: list[str],
+    stats: dict[str, dict[str, list]] | None = None,
+) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
-    payload = json.dumps({"version": version, "adds": adds, "removes": removes})
+    commit = {"version": version, "adds": adds, "removes": removes}
+    if stats:
+        commit["stats"] = stats
+    payload = json.dumps(commit)
     try:
         with open(_commit_path(path, version), "x") as f:
             f.write(payload)
@@ -122,21 +180,32 @@ def _try_commit(path: str, version: int, adds: list[str], removes: list[str]) ->
         raise CommitConflict(f"version {version} already committed") from e
 
 
-def append(df: DataFrame, path: str, max_retries: int = 10) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    max_retries: int = 10,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Blind append: always merges cleanly under races (adds only — no
-    read-set to validate), so a conflict just re-targets the new tip."""
+    read-set to validate), so a conflict just re-targets the new tip.
+
+    ``stats_cols`` records per-file min/max for those columns in the commit
+    (footer-only reads, no data pages) so ``read_pruned`` can skip files
+    from the log alone — the Delta-style stats-in-log design. Pair with
+    io.write_sorted/write_zorder-shaped data for tight ranges."""
     adds = _write_data_files(df, path)
+    stats = _collect_stats(path, adds, stats_cols)
     for _ in range(max_retries):
         v = current_version(path) + 1
         try:
-            _try_commit(path, v, adds, [])
+            _try_commit(path, v, adds, [], stats)
             return v
         except CommitConflict:
             continue
     raise CommitConflict(f"append lost {max_retries} commit races")
 
 
-def overwrite(df: DataFrame, path: str) -> int:
+def overwrite(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Replace the table contents in one commit (adds new group, removes
     every file visible at the read version). If a concurrent commit lands
     in between, the conflict surfaces — the caller decides whether to
@@ -145,7 +214,8 @@ def overwrite(df: DataFrame, path: str) -> int:
     read_v = current_version(path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(df, path)
-    _try_commit(path, read_v + 1, adds, removes)
+    stats = _collect_stats(path, adds, stats_cols)
+    _try_commit(path, read_v + 1, adds, removes, stats)
     return read_v + 1
 
 
@@ -157,6 +227,70 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     return spark.read.parquet(*files)
+
+
+def visible_stats(path: str, version: int | None = None) -> dict[str, dict[str, list]]:
+    """Per-file min/max stats for the snapshot, resolved from the log the
+    same way as the file list. Files committed without ``stats_cols`` have
+    no entry (reader must keep them)."""
+    live: dict[str, dict[str, list]] = {}
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        with open(_commit_path(path, v)) as f:
+            commit = json.load(f)
+        stats = commit.get("stats", {})
+        for rel in commit.get("adds", []):
+            if rel in stats:
+                live[rel] = stats[rel]
+        for rel in commit.get("removes", []):
+            live.pop(rel, None)
+    return live
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that skips data files whose logged [min, max] for
+    ``col`` cannot intersect [lo, hi] (either bound may be None = open).
+    The skip happens at PLAN BUILD from the log alone — no footer reads, no
+    listing, no scan of skipped files; ``df.inputFiles()`` shows only
+    survivors. Files without logged stats are conservatively kept, and the
+    residual predicate is applied to survivors, so results always equal
+    ``read().filter(...)`` — stats only ever remove whole files that cannot
+    match. This is the read half of the data-skipping story: write-side
+    clustering (io.write_sorted / write_zorder) makes the per-file ranges
+    narrow, the log carries them, and this read turns them into IO savings
+    proportional to selectivity."""
+    all_files = visible_files(path, version)
+    if not all_files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    stats = visible_stats(path, version)
+    keep = []
+    for abs_p in all_files:
+        rel = os.path.relpath(abs_p, path)
+        rng = stats.get(rel, {}).get(col)
+        if rng is None:
+            keep.append(abs_p)
+            continue
+        fmin, fmax = rng
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue
+        keep.append(abs_p)
+    if not keep:
+        df = spark.read.parquet(*all_files).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def merge(
@@ -264,7 +398,13 @@ def optimize(
     compacted = spark.read.parquet(*small).coalesce(n_out)
     adds = _write_data_files(compacted, path)
     removes = [os.path.relpath(p, path) for p in small]
-    _try_commit(path, read_v + 1, adds, removes)
+    # Compaction must not silently degrade data skipping: recollect stats
+    # for the rewritten files on every column the superseded files had
+    # logged stats for.
+    live_stats = visible_stats(path, read_v)
+    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    stats = _collect_stats(path, adds, stat_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats)
     return read_v + 1
 
 

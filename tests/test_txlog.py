@@ -144,3 +144,66 @@ class TestTxLog:
         # time travel to the vacuumed version is gone — documented behavior
         with pytest.raises(Exception):
             txlog.read(spark, path, version=1).collect()
+
+
+class TestStatsPruning:
+    @staticmethod
+    def _ranged(spark, lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "cast(id as double) AS v")
+
+    def test_read_pruned_skips_nonoverlapping_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # three appends with disjoint id ranges -> per-file stats in the log
+        for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+            txlog.append(
+                self._ranged(spark, lo, hi).coalesce(1), path, stats_cols=["id"]
+            )
+        all_files = set(txlog.read(spark, path).inputFiles())
+        pruned = txlog.read_pruned(spark, path, "id", lo=120, hi=150)
+        assert len(pruned.inputFiles()) < len(all_files)
+        assert set(pruned.inputFiles()) <= all_files
+        want = sorted(
+            r.id for r in txlog.read(spark, path).filter("id BETWEEN 120 AND 150").collect()
+        )
+        assert sorted(r.id for r in pruned.collect()) == want
+
+    def test_files_without_stats_are_kept(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(self._ranged(spark, 0, 100).coalesce(1), path)  # no stats
+        txlog.append(self._ranged(spark, 100, 200).coalesce(1), path, stats_cols=["id"])
+        pruned = txlog.read_pruned(spark, path, "id", lo=500, hi=600)
+        # stats file pruned; statless file conservatively read, rows filtered
+        assert len(pruned.inputFiles()) == 1
+        assert pruned.count() == 0
+
+    def test_empty_intersection_returns_empty_df_with_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(self._ranged(spark, 0, 100).coalesce(1), path, stats_cols=["id"])
+        pruned = txlog.read_pruned(spark, path, "id", lo=1000)
+        assert pruned.count() == 0
+        assert set(pruned.columns) == {"id", "v"}
+
+    def test_string_stats_prune(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        a = spark.createDataFrame([("apple", 1), ("banana", 2)], ["name", "x"])
+        z = spark.createDataFrame([("yak", 3), ("zebra", 4)], ["name", "x"])
+        txlog.append(a.coalesce(1), path, stats_cols=["name"])
+        txlog.append(z.coalesce(1), path, stats_cols=["name"])
+        pruned = txlog.read_pruned(spark, path, "name", lo="x", hi="zz")
+        assert len(pruned.inputFiles()) == 1
+        assert {r.name for r in pruned.collect()} == {"yak", "zebra"}
+
+    def test_optimize_recollects_stats_for_compacted_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        for lo, hi in [(0, 50), (50, 100), (500, 600)]:
+            txlog.append(
+                self._ranged(spark, lo, hi).coalesce(1), path, stats_cols=["id"]
+            )
+        txlog.optimize(spark, path)  # tiny files all compact into one group
+        stats = txlog.visible_stats(path)
+        assert stats, "compacted files must carry recollected stats"
+        assert all("id" in s for s in stats.values())
+        # pruning still works post-compaction (single file now spans all)
+        pruned = txlog.read_pruned(spark, path, "id", lo=550, hi=560)
+        got = sorted(r.id for r in pruned.collect())
+        assert got == list(range(550, 561))
