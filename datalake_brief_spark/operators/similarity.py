@@ -68,6 +68,90 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors — the many-queries scale
+    path beside ``cosine_topk``.
+
+    cosine_topk's crossJoin + window ships |corpus|·|queries| scored rows
+    into the rank shuffle — fine for a handful of queries, quadratic pain
+    for thousands. Here the query matrix ships once per worker as a numpy
+    closure (same memory contract as a broadcast: queries must be the small
+    side), each Arrow batch of the single corpus scan scores against ALL
+    queries in one (batch × dim) @ (dim × Q) matmul, and only each batch's
+    local top-k per query leaves the scan stage. The one shuffle then
+    merges k·|batches| candidates per query — partial top-k is exact
+    because global top-k is a monotone merge of per-batch top-k.
+
+    Scores compute in float64; ties break on corpus id, matching
+    cosine_topk's determinism contract."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # keep one extra candidate per batch so dropping a self-match can never
+    # evict a legitimate global top-k member
+    kk = k + 1 if exclude_self else k
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = cmat @ qmat.T  # (n, Q)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n = len(ids)
+            take = min(kk, n)
+            out_q, out_id, out_s = [], [], []
+            for j in range(len(qids)):
+                col = scores[:, j]
+                # Exact top `take` by (-score, id): argpartition alone
+                # breaks score TIES arbitrarily, which could evict a
+                # lower-id tie the deterministic contract must keep — so
+                # expand to every element matching the boundary score, then
+                # lexsort and cut.
+                if take < n:
+                    part = np.argpartition(-col, take - 1)[:take]
+                    cand = np.flatnonzero(col >= col[part].min())
+                else:
+                    cand = np.arange(n)
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"{query_id_col} long, {id_col} long, score double"
+    )
+    if exclude_self:
+        partials = partials.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def _random_planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim)).tolist()

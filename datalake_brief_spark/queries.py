@@ -1700,6 +1700,43 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "knn_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 25
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS score
+      FROM c CROSS JOIN q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 for a 25-query BATCH via the matmul scale path: one
+    Arrow matmul per corpus batch scores all queries, only per-batch top-k
+    leaves the scan stage (similarity.cosine_topk_batch). Same answer as
+    the crossJoin form, shuffle bounded by k·|queries|·|batches| instead of
+    |corpus|·|queries|."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_batch(emb, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register("knn_lsh", None)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k (no oracle: approximate by design; pytest
@@ -2556,6 +2593,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_features",
     # similarity band (§2.14)
     "knn_bruteforce",
+    "knn_batch",
     "knn_filtered",
     "knn_lsh",
     "knn_ivf",

@@ -52,6 +52,37 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-Lines scan — the interchange format most raw LLM training
+    corpora arrive in (one JSON doc per line, splittable, append-friendly).
+
+    Pass ``schema`` in production: schema inference on JSON is a FULL text
+    parse of the dataset before the real read — at 100 TB that is two
+    complete scans. With an explicit schema Spark parses each line once and
+    prunes unreferenced fields at parse time. Rows that fail to parse land
+    in ``_corrupt_record`` (PERMISSIVE default) rather than failing the
+    job — add the column to the schema to quarantine them. JSONL is the
+    LANDING format; convert to parquet (``write_table``) before repeated
+    queries — text scans can't push predicates or skip columns the way the
+    columnar path can."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-Lines sink for interchange with non-Spark consumers (each
+    partition writes independent .json part files — still splittable and
+    parallel). Keep parquet for anything re-read by this engine."""
+    df.write.mode(mode).options(**options).json(path)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
     """K1-K3: canonical sink. ``mode='overwrite'`` mirrors the reference's
     ``overwrite=True`` blob upload (ingestion-datalake.py:135-158)."""

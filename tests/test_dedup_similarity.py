@@ -192,6 +192,31 @@ class TestSimilarity:
             assert scores == sorted(scores, reverse=True)
             assert len(ranked) == 5
 
+    def test_batch_topk_equals_crossjoin_topk(self, emb):
+        """The mapInPandas matmul path must return exactly the crossJoin +
+        window result — same ids, ranks, and rounded scores — on real
+        table vectors, including the duplicate-score tie-break on id."""
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r.query_id, r.rank): (r.vec_id, r.score)
+            for r in similarity.cosine_topk(emb, q, k=7).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.score)
+            for r in similarity.cosine_topk_batch(emb.repartition(5), q, k=7).collect()
+        }
+        assert got == want
+
+    def test_batch_topk_keeps_self_when_not_excluded(self, emb):
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.cosine_topk_batch(emb, q, k=3, exclude_self=False).collect()
+        top = next(r for r in out if r.rank == 1)
+        assert top.vec_id == 3 and top.score == 1.0
+
     def test_srp_lsh_recall_on_clustered_data(self, spark):
         """Multi-table SRP must reach ≥70% recall@10 on data with cluster
         structure (any real embedding space). Uniformly random vectors have

@@ -20,6 +20,8 @@ from datalake_brief_spark.sources.ingest import (
 from datalake_brief_spark.sources.io import (
     cloud_conf,
     read_csv,
+    read_jsonl,
+    write_jsonl,
     upsert_parquet,
     upsert_parquet_partitioned,
     write_bucketed,
@@ -209,6 +211,40 @@ class TestIO:
         write_table(df, out)
         write_table(df, out)  # overwrite mode must not fail or duplicate
         assert spark.read.parquet(out).count() == df.count()
+
+
+class TestJsonl:
+    def test_roundtrip_with_schema_and_corrupt_quarantine(self, spark, tmp_path):
+        import json
+        from pyspark.sql import types as T
+
+        src = tmp_path / "docs.jsonl"
+        rows = [{"doc_id": i, "text": f"doc {i}", "meta": {"lang": "en"}} for i in range(5)]
+        lines = [json.dumps(r) for r in rows] + ["{not json"]
+        src.write_text("\n".join(lines))
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField(
+                    "meta", T.StructType([T.StructField("lang", T.StringType())])
+                ),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        df = read_jsonl(spark, str(src), schema=schema).cache()
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert good.count() == 5 and bad.count() == 1
+        assert {r.doc_id for r in good.collect()} == set(range(5))
+        assert good.collect()[0].meta.lang == "en"
+
+        out = str(tmp_path / "out")
+        write_jsonl(good.drop("_corrupt_record"), out)
+        back = read_jsonl(spark, out, schema=T.StructType(schema.fields[:3]))
+        assert back.count() == 5
+        assert {r.doc_id for r in back.collect()} == set(range(5))
 
 
 class TestIngest:
