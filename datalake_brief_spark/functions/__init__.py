@@ -43,18 +43,44 @@ def punct_count(col: Column | str) -> Column:
     return F.length(F.regexp_replace(c, r"[\w\s]", ""))
 
 
-def word_shingles(tok: Column, k: int) -> Column:
-    """Word k-gram shingles from a token array, as array<string>.
+def word_ngram_array(tok: Column, n: int) -> Column:
+    """Word n-gram array: position i → the n tokens starting at i joined by
+    one space; docs shorter than ``n`` tokens yield an empty array.
 
-    Built from sequence+transform+slice (all higher-order builtins): for a
-    doc of n tokens produces max(n-k+1, 1) shingles. Standard MinHash
-    preprocessing (Broder 1997, "On the resemblance and containment of
-    documents").
-    """
-    n_sh = F.greatest(F.size(tok) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    Built as a chain of ``zip_with(acc, shift_j(tok), concat)`` rather than
+    ``transform(sequence(...), i -> slice(tok, i, n))``: a higher-order
+    function evaluates its LAMBDA BODY once per element, so when ``tok`` is
+    itself an expression (the usual ``split(regexp_replace(...))``
+    tokenizer), the slice form re-tokenizes the document at every
+    position — O(tokens²) regex work per doc (measured 11 s vs 0.4 s for
+    the bigram case at sf0.1). ``zip_with`` evaluates its array ARGUMENTS
+    once per row, and the repeated ``tok`` subtrees collapse under
+    subexpression elimination. zip_with pads the shorter side with nulls,
+    so tail positions (< n tokens left) null out and are filtered — never
+    emitted as truncated grams."""
+    acc = tok
+    for j in range(1, n):
+        shifted = F.slice(tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def word_shingles(tok: Column, k: int) -> Column:
+    """Word k-gram shingles from a token array, as array<string>: for a doc
+    of n tokens produces max(n-k+1, 1) shingles — a doc shorter than ``k``
+    contributes its whole token sequence as one shingle (so every doc has a
+    non-empty set). Standard MinHash preprocessing (Broder 1997, "On the
+    resemblance and containment of documents"). Built on the O(n)
+    ``word_ngram_array`` chain, not per-position slices."""
+    grams = word_ngram_array(tok, k)
+    return F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.concat_ws(" ", tok))
     )
 
 

@@ -232,6 +232,64 @@ def ngram_jaccard_pairs(
     return _verify_exact_jaccard(cand, hashed, id_col, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-sided shingle containment: C(a,b) = |S_a ∩ S_b| / min(|S_a|,
+    |S_b|) ≥ threshold. Catches the case symmetric Jaccard structurally
+    misses — a short document embedded verbatim in a much longer one has
+    containment 1.0 but Jaccard ≈ |short|/|long| (far below any useful
+    threshold), and MinHash-LSH candidates inherit that blindness because
+    MinHash estimates Jaccard. The standard boilerplate/quotation/
+    template-expansion detector in corpus curation.
+
+    Shape: inverted index on the 64-bit hashed shingles (explode →
+    (shingle, doc)), self-join on the shingle key, count shared shingles
+    per pair, divide by the smaller set size. With ``max_df=None`` the
+    count is EXACT (every shared shingle is counted once). A shingle
+    appearing in d documents contributes d·(d-1)/2 pairs to the join, so at
+    100 TB ``max_df`` caps the blow-up by dropping shingles more common
+    than it (df-based prefix filtering, Xiao et al. 2008 PPJoin lineage):
+    ubiquitous shingles carry no near-dup signal, and dropping one can only
+    LOWER a pair's counted containment — precision survives, recall of
+    pairs whose overlap is mostly stop-shingles degrades deliberately."""
+    hashed = _hashed_shingles(df, text_col, id_col, k)
+    sizes = hashed.select(F.col(id_col), F.size("__hx").alias("__n"))
+    inv = hashed.select(F.col(id_col), F.explode("__hx").alias("__s"))
+    if max_df is not None:
+        rare = (
+            inv.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__s")
+        )
+        inv = inv.join(rare, "__s")
+    a = inv.select(F.col(id_col).alias("id_a"), "__s")
+    b = inv.select(F.col(id_col).alias("id_b"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment", F.round(F.col("__shared") / F.least("__na", "__nb"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -321,33 +321,9 @@ def ngrams_lateral(df: DataFrame, n: int, text_col: str = "text", id_col: str = 
     )
 
 
-def word_ngram_array(toks: Column, n: int) -> Column:
-    """JVM-side word n-gram array: position i → the n tokens starting at i
-    joined by a single space. Pure array expressions, so generation happens
-    inside the scan stage (no UDTF worker, no shuffle). Docs shorter than
-    ``n`` tokens yield an empty array.
-
-    Built as a chain of ``zip_with(acc, shift_j(toks), concat)`` rather than
-    ``transform(sequence(...), i -> slice(toks, i, n))``: a higher-order
-    function evaluates its LAMBDA BODY once per element, so when ``toks`` is
-    itself an expression (the usual ``split(regexp_replace(...))``
-    tokenizer), the slice form re-tokenizes the document at every position —
-    O(tokens²) regex work per doc (measured 11 s vs 0.5 s at sf0.1).
-    ``zip_with`` evaluates its array ARGUMENTS once per row, and the
-    repeated ``toks`` subtrees collapse under subexpression elimination.
-    zip_with pads the shorter side with nulls, so tail positions (< n tokens
-    left) null out and are filtered — not emitted as truncated grams."""
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        acc = F.zip_with(
-            acc,
-            shifted,
-            lambda a, b: F.when(
-                a.isNull() | b.isNull(), F.lit(None).cast("string")
-            ).otherwise(F.concat(a, F.lit(" "), b)),
-        )
-    return F.filter(acc, lambda x: x.isNotNull())
+# Re-exported from functions (single home for the O(n) zip_with n-gram
+# chain — word_shingles builds on the same helper).
+from datalake_brief_spark.functions import word_ngram_array  # noqa: E402,F401
 
 
 def repetition_metrics(

@@ -1177,6 +1177,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_containment",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / least(len(a.sh), len(b.sh)) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment ≥ 0.8 — finds short-inside-long
+    near-dups that symmetric Jaccard structurally misses. Inverted-index
+    self-join on hashed trigrams (exact; df-capped variant is the 100 TB
+    knob) — see operators.dedup.containment_pairs."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+
+
+@_register(
     "dedup_ngram_jaccard",
     """
     WITH tok AS (
@@ -2611,6 +2644,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_salted_skew",
     "sketch_merge_distinct",
     "dedup_simhash",
+    # new in r3: containment near-dup (short-inside-long)
+    "dedup_containment",
     # r2 red rows, fixed in r3 (events ts-unit sniffing) — keep in-window so
     # the green rows land in the evidence file. join_semi_reduced /
     # join_dim_chain / dedup_* yield their slots: green in both r1 and r2,

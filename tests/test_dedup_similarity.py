@@ -108,6 +108,35 @@ class TestNgramJaccardLSH:
         assert lsh == allp
 
 
+class TestContainment:
+    def test_short_doc_inside_long_found_where_jaccard_misses(self, spark):
+        long = " ".join(f"w{i}" for i in range(60))
+        short = " ".join(f"w{i}" for i in range(10, 22))  # verbatim slice
+        other = " ".join(f"z{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, long), (2, short), (3, other)], ["doc_id", "text"]
+        )
+        cont = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(df, k=3, threshold=0.9).collect()
+        }
+        assert cont == {(1, 2): 1.0}  # short's shingles all inside long
+        jac = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.8).collect()
+        assert jac == []  # symmetric Jaccard ~ 10/58 — structurally blind
+
+    def test_max_df_drops_hot_shingles_only_lowers_containment(self, spark):
+        # one shingle shared by every doc; rare shingles shared by none
+        docs = [(i, "common a b " + " ".join(f"u{i}x{j}" for j in range(8))) for i in range(6)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        exact = dedup.containment_pairs(df, k=3, threshold=0.01).collect()
+        capped = dedup.containment_pairs(df, k=3, threshold=0.01, max_df=2).collect()
+        exact_pairs = {(r.id_a, r.id_b): r.containment for r in exact}
+        capped_pairs = {(r.id_a, r.id_b): r.containment for r in capped}
+        assert set(capped_pairs) <= set(exact_pairs)
+        for pair, c in capped_pairs.items():
+            assert c <= exact_pairs[pair]  # dropping shingles only lowers
+
+
 class TestConnectedComponents:
     def test_chain_and_islands(self, spark):
         """Chain 1-2-3-4 collapses to comp 1 (needs propagation, not just
