@@ -133,3 +133,39 @@ class TestStreamingMergeSink:
                 first = {(r.user_id, r.ts) for r in txlog.read(spark, table).collect()}
         second = {(r.user_id, r.ts) for r in txlog.read(spark, table).collect()}
         assert second == first  # replayed merges re-assert, never duplicate
+
+
+class TestEndToEndPipeline:
+    def test_stream_to_table_to_materialized_aggregate(self, spark, tmp_path):
+        """The full lakehouse loop: files stream in → atomic MERGE commits
+        onto the txlog table → incremental MV refresh off the change feed.
+        The MV must equal a from-scratch aggregate of the final table after
+        each landing wave."""
+        src_dir = str(tmp_path / "landing")
+        table, mv = str(tmp_path / "tbl"), str(tmp_path / "mv")
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.filter("event_id % 2 = 0").repartition(2).write.parquet(src_dir)
+
+        def drain(ckpt):
+            q = merge_stream_to_txlog(
+                stream_events(spark, src_dir),
+                table,
+                keys=["event_id"],
+                order_col="ts",
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            q.awaitTermination(120)
+
+        drain("ckpt")
+        incremental.refresh(spark, table, mv, ["event_type"], ["value"])
+        assert _mv_agg(spark, mv) == _full_agg(spark, table)
+
+        # second wave of files lands into the same stream directory
+        ev.filter("event_id % 2 = 1").repartition(2).write.mode("append").parquet(
+            src_dir
+        )
+        drain("ckpt")  # same checkpoint: only the new files process
+        incremental.refresh(spark, table, mv, ["event_type"], ["value"])
+        assert _mv_agg(spark, mv) == _full_agg(spark, table)
