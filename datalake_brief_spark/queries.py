@@ -2028,6 +2028,38 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "grouping_sets_custom",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    per-status, per-priority, and grand total in ONE pass — a single Expand
+    + aggregate, 3× row blow-up absorbed by map-side partial aggregation.
+    ``grouping_id`` disambiguates a real NULL key from a superaggregate
+    row — the standard lakehouse-report shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*)                    AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
     "pivot_status",
     """
     SELECT o_orderpriority,
@@ -2598,6 +2630,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "approx_distinct",
     "rollup_daily",
     "cube_status_priority",
+    "grouping_sets_custom",
     "pivot_status",
     "unpivot_part",
     "having_avg",
@@ -2639,11 +2672,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # composed pipeline + ML
     "pipeline_curation",
     "ml_lr_predict",
-    # new in r2, never driver-checked: oracle-backed skew join + HLL sketch
-    # rollup (rows-only) + the rewritten JVM-hash SimHash (rows-only)
-    "join_salted_skew",
-    "sketch_merge_distinct",
-    "dedup_simhash",
+    # join_salted_skew / sketch_merge_distinct / dedup_simhash earned their
+    # driver rows in r2 and are unchanged — they yield window slots to the
+    # r3 additions below
     # new in r3: containment near-dup (short-inside-long)
     "dedup_containment",
     # r2 red rows, fixed in r3 (events ts-unit sniffing) — keep in-window so

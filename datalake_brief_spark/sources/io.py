@@ -83,6 +83,22 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) ->
     df.write.mode(mode).options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar format Spark supports natively, for
+    interchange with Hive/Trino estates. Same pushdown/pruning contract as
+    parquet (predicate pushdown + column pruning reach the ORC reader);
+    this engine standardizes on parquet at rest, ORC is a compatibility
+    edge."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).orc(path)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
     """K1-K3: canonical sink. ``mode='overwrite'`` mirrors the reference's
     ``overwrite=True`` blob upload (ingestion-datalake.py:135-158)."""

@@ -21,7 +21,9 @@ from datalake_brief_spark.sources.io import (
     cloud_conf,
     read_csv,
     read_jsonl,
+    read_orc,
     write_jsonl,
+    write_orc,
     upsert_parquet,
     upsert_parquet_partitioned,
     write_bucketed,
@@ -245,6 +247,21 @@ class TestJsonl:
         back = read_jsonl(spark, out, schema=T.StructType(schema.fields[:3]))
         assert back.count() == 5
         assert {r.doc_id for r in back.collect()} == set(range(5))
+
+
+class TestOrc:
+    def test_roundtrip_and_pushdown(self, spark, tmp_path):
+        from datalake_brief_spark.plans import formatted_plan
+
+        src = load_table(spark, SF_SMOKE, "orders")
+        out = str(tmp_path / "orders_orc")
+        write_orc(src, out)
+        back = read_orc(spark, out, schema=src.schema)
+        assert back.count() == src.count()
+        flt = back.filter("o_totalprice <= 20000.0").select("o_orderkey")
+        plan = formatted_plan(flt)
+        assert "PushedFilters" in plan and "o_totalprice" in plan
+        assert flt.count() == src.filter("o_totalprice <= 20000.0").count()
 
 
 class TestIngest:
