@@ -35,6 +35,21 @@ class TestShingleProperties:
         assert row.s == max(row.n - k + 1, 1)
 
     @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(doc=_docs, k=st.integers(min_value=1, max_value=4))
+    def test_shingle_values_match_python_model(self, spark, doc, k):
+        """The zip_with n-gram chain must emit exactly the model's
+        shingles, in position order — guards the chain + short-doc
+        fallback against off-by-one regressions (it feeds every
+        Jaccard/MinHash/containment path)."""
+        df = spark.createDataFrame([(doc,)], "text string")
+        got = df.select(word_shingles(tokens("text"), k).alias("s")).first().s
+        toks = doc.split() if doc.split() else [""]
+        want = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if not want:
+            want = [" ".join(toks)]
+        assert got == want
+
+    @settings(max_examples=_EXAMPLES, deadline=None)
     @given(doc=_docs)
     def test_minhash_signature_range_and_self_identity(self, spark, doc):
         """Signature values live in the prime field; identical docs get
