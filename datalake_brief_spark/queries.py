@@ -2603,6 +2603,34 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("sketch_merge_quantiles", None)
+def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL) — the quantile twin of
+    sketch_merge_distinct: per-(returnflag, linestatus) KLL sketches over
+    extendedprice are stored partials; merging them up to returnflag gives
+    p50/p95 WITHOUT rescanning history. At 100 TB this is how per-day price
+    distributions roll into monthly ones: merge kilobyte sketches, not
+    terabyte facts. No oracle (sketch binaries are engine-specific); pytest
+    bounds the merged quantiles against exact percentile_approx within KLL's
+    published rank-error bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    partials = aggregate(
+        l,
+        ["l_returnflag", "l_linestatus"],
+        [F.kll_sketch_agg_double("l_extendedprice").alias("sk")],
+    )
+    merged = aggregate(
+        partials,
+        ["l_returnflag"],
+        [F.kll_merge_agg_double("sk").alias("mk")],
+    )
+    return merged.select(
+        "l_returnflag",
+        F.round(F.kll_sketch_get_quantile_double("mk", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("mk", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the

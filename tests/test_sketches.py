@@ -67,3 +67,23 @@ def test_hll_sketch_merge_matches_exact(spark):
     for flag, est in merged.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
         assert rel_err <= 0.05, (flag, exact[flag], est, rel_err)
+
+
+def test_kll_sketch_merge_quantiles_within_rank_error(spark):
+    """sketch_merge_quantiles: per-(flag,status) KLL partials merged up to
+    flag must place p50/p95 within KLL's normalized rank error of the true
+    rank (default k=200 → ~1.65% single-sided; assert 2x). The quantile
+    twin of the HLL mergeability contract."""
+    from datalake_brief_spark.queries import QUERIES
+
+    got = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in QUERIES["sketch_merge_quantiles"].fn(spark, SF_SMOKE).collect()
+    }
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    for flag, (p50, p95) in got.items():
+        vals = l.filter(F.col("l_returnflag") == flag)
+        n = vals.count()
+        for q, est in [(0.5, p50), (0.95, p95)]:
+            rank = vals.filter(F.col("l_extendedprice") <= est).count()
+            assert abs(rank - q * n) <= max(0.033 * n, 2), (flag, q, est, rank, n)
