@@ -2603,6 +2603,32 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("sketch_set_overlap", None)
+def sketch_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — the capability HLL lacks: besides union,
+    Theta sketches estimate INTERSECTION (Dasgupta et al., the Datasketches
+    theta framework), so "how many parts appear in BOTH returnflag A and R
+    lineitems" resolves from two kilobyte sketches instead of a
+    distinct-distinct join. The audience-overlap pattern: store per-segment
+    sketches, answer any pairwise overlap later, no rescan. No oracle
+    (sketch binaries are engine-specific); pytest bounds both estimates
+    against exact counts."""
+    l = _t(spark, sf_dir, "lineitem")
+    sk = aggregate(
+        l.filter(F.col("l_returnflag").isin("A", "R")),
+        ["l_returnflag"],
+        [F.theta_sketch_agg("l_partkey").alias("sk")],
+    )
+    return sk.agg(
+        F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")), 0)
+        .cast("long")
+        .alias("n_union"),
+        F.round(F.theta_sketch_estimate(F.theta_intersection_agg("sk")), 0)
+        .cast("long")
+        .alias("n_overlap"),
+    )
+
+
 @_register("sketch_merge_quantiles", None)
 def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Datasketches KLL) — the quantile twin of

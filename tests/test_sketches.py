@@ -87,3 +87,25 @@ def test_kll_sketch_merge_quantiles_within_rank_error(spark):
         for q, est in [(0.5, p50), (0.95, p95)]:
             rank = vals.filter(F.col("l_extendedprice") <= est).count()
             assert abs(rank - q * n) <= max(0.033 * n, 2), (flag, q, est, rank, n)
+
+
+def test_theta_sketch_intersection_within_error(spark):
+    """sketch_set_overlap: theta union AND intersection estimates must land
+    near the exact set sizes. Intersection error compounds (relative to the
+    union's sampling threshold, not the intersection size) — assert a
+    conservative 10% of the UNION as the absolute bound."""
+    from datalake_brief_spark.queries import QUERIES
+
+    row = QUERIES["sketch_set_overlap"].fn(spark, SF_SMOKE).collect()[0]
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    parts = lambda flag: {
+        r.l_partkey
+        for r in l.filter(F.col("l_returnflag") == flag)
+        .select("l_partkey")
+        .distinct()
+        .collect()
+    }
+    a, r_ = parts("A"), parts("R")
+    exact_union, exact_overlap = len(a | r_), len(a & r_)
+    assert abs(row.n_union - exact_union) <= max(0.05 * exact_union, 2)
+    assert abs(row.n_overlap - exact_overlap) <= max(0.10 * exact_union, 2)
