@@ -245,3 +245,20 @@ def test_decontaminate_broadcasts_benchmark_grams_and_joins_on_hash(spark):
     df = QUERIES["decontaminate_ngrams"].fn(spark, SF_SMOKE)
     assert_broadcast_join(df)
     assert "xxhash64" in formatted_plan(df)
+
+
+def test_knn_batch_plans_arrow_map_and_single_rank_shuffle(spark):
+    """The batch KNN path must score in MapInPandas (Arrow) inside the scan
+    stage and shuffle only the per-batch top-k partials for the global
+    rank — exactly one Exchange node."""
+    df = QUERIES["knn_batch"].fn(spark, SF_SMOKE)
+    assert count_nodes(df, "MapInPandas") == 1
+    assert count_nodes(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_grouping_sets_is_one_expand_one_aggregate_pass(spark):
+    """GROUPING SETS must plan as a single Expand over a single scan — not
+    one scan per grouping set."""
+    df = QUERIES["grouping_sets_custom"].fn(spark, SF_SMOKE)
+    assert count_nodes(df, "Expand") == 1
+    assert count_nodes(df, "Scan parquet") == 1, formatted_plan(df)
