@@ -1755,6 +1755,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 10
     """,
+    headline=True,
 )
 def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 for a 25-query BATCH via the matmul scale path: one
