@@ -55,6 +55,13 @@ COMMENT = {
         "hamming64 verifies."
     ),
     "text_pii_redact": "Pure scan-stage regexp detection/redaction, zero shuffles.",
+    "knn_batch": (
+        "25-query exact KNN via the matmul scale path: one MapInPandas node "
+        "scores every query per Arrow batch of the single corpus scan and "
+        "emits only per-batch top-k partials; the one Exchange is the global "
+        "rank merge on query_id — shuffle volume k·|queries|·|batches|, "
+        "never |corpus|·|queries| (both node counts plan-asserted)."
+    ),
     "text_repetition": (
         "dup_word_frac is a pure scan-stage expression; the bigram mode is "
         "Generate (explode) → partial+final count keyed on (doc, gram) → "
