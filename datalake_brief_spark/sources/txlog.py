@@ -327,6 +327,68 @@ def merge(
     return read_v + 1
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> int:
+    """Row-level DELETE as one atomic commit, touching only the files that
+    must change. Three pruning layers, each cutting the rewrite set:
+
+    1. **Stats skip** (free when ``prune_col``/``lo``/``hi`` given and the
+       commits carry stats): files whose logged [min, max] cannot intersect
+       the range are never even scanned.
+    2. **File-level match scan**: one pass over the surviving candidates
+       tags which FILES actually contain matching rows
+       (``input_file_name``); files with zero matches stay referenced,
+       byte-identical — copy-on-write at file granularity, the Delta/
+       Iceberg CoW contract.
+    3. **Rewrite**: only matched files re-land, minus the deleted rows.
+
+    Returns the new version (or the current one when nothing matched —
+    no empty commit)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    all_files = visible_files(path, read_v)
+    candidates = all_files
+    if prune_col is not None:
+        stats = visible_stats(path, read_v)
+        candidates = []
+        for abs_p in all_files:
+            rng = stats.get(os.path.relpath(abs_p, path), {}).get(prune_col)
+            if rng is not None and (
+                (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
+            ):
+                continue
+            candidates.append(abs_p)
+    if not candidates:
+        return read_v
+    scan = spark.read.parquet(*candidates)
+    matched = [
+        r[0]
+        for r in scan.filter(predicate)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    # input_file_name returns URIs (file://...); normalize to plain paths
+    matched = [p.removeprefix("file:") for p in matched]
+    if not matched:
+        return read_v
+    keep = spark.read.parquet(*matched).filter(~predicate)
+    removes = [os.path.relpath(p, path) for p in matched]
+    live_stats = visible_stats(path, read_v)
+    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    adds = _write_data_files(keep, path)
+    stats = _collect_stats(path, adds, stat_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats)
+    return read_v + 1
+
+
 def table_changes(
     spark: SparkSession,
     path: str,

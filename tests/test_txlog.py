@@ -207,3 +207,54 @@ class TestStatsPruning:
         pruned = txlog.read_pruned(spark, path, "id", lo=550, hi=560)
         got = sorted(r.id for r in pruned.collect())
         assert got == list(range(550, 561))
+
+
+class TestDeleteWhere:
+    @staticmethod
+    def _ranged(spark, lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "cast(id as double) AS v")
+
+    def test_delete_rewrites_only_matched_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+            txlog.append(
+                self._ranged(spark, lo, hi).coalesce(1), path, stats_cols=["id"]
+            )
+        before = set(txlog.read(spark, path).inputFiles())
+        v = txlog.delete_where(
+            spark, path, F.col("id").between(120, 150), prune_col="id", lo=120, hi=150
+        )
+        after = set(txlog.read(spark, path).inputFiles())
+        # the two untouched range files keep their exact paths (CoW at file
+        # granularity); only the middle file was rewritten
+        assert len(before & after) == 2
+        got = sorted(r.id for r in txlog.read(spark, path).collect())
+        assert got == [i for i in range(300) if not (120 <= i <= 150)]
+        # deletion is visible in the change feed as deletes of those rows
+        ch = txlog.table_changes(spark, path, v - 1, v)
+        deleted = sorted(r.id for r in ch.filter("_change_type = 'delete'").collect())
+        assert deleted == list(range(120, 151))
+
+    def test_delete_with_no_matches_is_a_noop_commit_free(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        txlog.append(self._ranged(spark, 0, 100).coalesce(1), path, stats_cols=["id"])
+        v0 = txlog.current_version(path)
+        assert txlog.delete_where(spark, path, F.col("id") > 1000) == v0
+        assert txlog.current_version(path) == v0
+
+    def test_delete_preserves_stats_for_pruned_reads(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        for lo, hi in [(0, 100), (100, 200)]:
+            txlog.append(
+                self._ranged(spark, lo, hi).coalesce(1), path, stats_cols=["id"]
+            )
+        txlog.delete_where(spark, path, F.col("id") < 10, prune_col="id", lo=None, hi=10)
+        pruned = txlog.read_pruned(spark, path, "id", lo=150)
+        assert len(pruned.inputFiles()) == 1  # rewritten file still skips
+        assert pruned.count() == 50
