@@ -219,14 +219,28 @@ def overwrite(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> 
     return read_v + 1
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Snapshot read (time travel with ``version=``): the plan scans exactly
     the log-resolved file list — uncommitted or vacuumed-away files can
-    never leak in."""
+    never leak in.
+
+    ``merge_schema=True`` enables additive schema evolution: commits may
+    carry new columns, and the snapshot unifies all visible footers (older
+    rows read NULL for columns they predate — the standard lakehouse
+    evolution contract). Off by default because schema unification reads
+    every file's footer instead of one."""
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def visible_stats(path: str, version: int | None = None) -> dict[str, dict[str, list]]:

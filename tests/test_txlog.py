@@ -258,3 +258,16 @@ class TestDeleteWhere:
         pruned = txlog.read_pruned(spark, path, "id", lo=150)
         assert len(pruned.inputFiles()) == 1  # rewritten file still skips
         assert pruned.count() == 50
+
+
+class TestSchemaEvolution:
+    def test_additive_column_reads_null_for_old_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], ["id", "v"]), path)
+        txlog.append(
+            spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]), path
+        )
+        df = txlog.read(spark, path, merge_schema=True)
+        assert set(df.columns) == {"id", "v", "score"}
+        rows = {r.id: r.score for r in df.collect()}
+        assert rows == {1: None, 2: 9.5}
