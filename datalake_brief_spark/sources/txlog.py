@@ -205,6 +205,33 @@ def append(
     raise CommitConflict(f"append lost {max_retries} commit races")
 
 
+def append_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Z-order-clustered append: range-partition + sort on the interleaved
+    Morton key (io.zorder_value) so EVERY clustered column is range-bounded
+    per file, then commit with per-file stats on those columns. The write
+    that makes ``read_pruned`` effective on any clustered dimension — the
+    OPTIMIZE ZORDER BY + stats-in-log composition, paid once at write
+    time."""
+    from pyspark.sql import functions as F
+
+    from datalake_brief_spark.sources.io import zorder_value
+
+    z = zorder_value(df, cluster_cols, bits=bits)
+    arranged = (
+        z.repartitionByRange(n_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+    return append(arranged, path, stats_cols=stats_cols or cluster_cols)
+
+
 def overwrite(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
     """Replace the table contents in one commit (adds new group, removes
     every file visible at the read version). If a concurrent commit lands

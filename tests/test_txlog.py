@@ -271,3 +271,21 @@ class TestSchemaEvolution:
         assert set(df.columns) == {"id", "v", "score"}
         rows = {r.id: r.score for r in df.collect()}
         assert rows == {1: None, 2: 9.5}
+
+
+class TestClusteredAppend:
+    def test_zorder_stats_prune_on_both_dimensions(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = (
+            spark.range(4096)
+            .selectExpr("id % 64 AS x", "cast(id / 64 as long) AS y", "id AS payload")
+        )
+        txlog.append_clustered(df, path, ["x", "y"], n_files=16)
+        total = len(txlog.read(spark, path).inputFiles())
+        assert total == 16
+        for col, lo, hi, expect in [("x", 10, 13, 256), ("y", 50, 53, 256)]:
+            pruned = txlog.read_pruned(spark, path, col, lo=lo, hi=hi)
+            # Z-order bounds BOTH dimensions per file: a narrow range on
+            # either column must skip most files
+            assert len(pruned.inputFiles()) < total / 2, (col, len(pruned.inputFiles()))
+            assert pruned.count() == expect
