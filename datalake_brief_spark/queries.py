@@ -1771,6 +1771,55 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "knn_doc_hybrid",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND d.n_chars >= 200
+    ),
+    s AS (
+      SELECT query_id, vec_id,
+             list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS score
+      FROM c CROSS JOIN q WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s
+    )
+    SELECT query_id, vec_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def knn_doc_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table hybrid retrieval: restrict the vector corpus by DOCUMENT
+    metadata (language + length from the documents table), then exact
+    top-5 cosine — the RAG-retrieval shape where eligibility lives in a
+    different table than the vectors. The metadata predicate pushes to the
+    documents scan, the doc→vector join shuffles only qualifying ids
+    (broadcast under AQE at small scale), and scoring touches the joined
+    survivors only — pre-filter semantics across tables."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(corpus, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @_register("knn_lsh", None)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k (no oracle: approximate by design; pytest
@@ -2715,6 +2764,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # similarity band (§2.14)
     "knn_bruteforce",
     "knn_batch",
+    "knn_doc_hybrid",
     "knn_filtered",
     "knn_lsh",
     "knn_ivf",
