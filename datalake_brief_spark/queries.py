@@ -1679,6 +1679,107 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE comp.cluster_id = k.doc_id
     """,
 )
+@_register(
+    "pipeline_curation_v2",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP_EN}, x))) AS DOUBLE) AS n_stop,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, norm, CAST(n_tok AS BIGINT) AS n_tokens,
+             round(greatest(least(
+               0.5 * least(n_tok / 100.0, 1.0)
+               + 0.5 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+               - n_punct / greatest(n_chars, 1.0) * 2,
+             1.0), 0.0), 6) AS quality,
+             round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+               AS dup_word_frac,
+             toks
+      FROM t
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+1], ' ')
+                           for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS gram
+            FROM scored)
+      GROUP BY 1, 2
+    ),
+    rep AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+      FROM gc GROUP BY 1
+    ),
+    grams5 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS g
+      FROM scored
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams5 WHERE doc_id < 20),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams5 WHERE doc_id >= 20) c
+      JOIN bench USING (gram)
+    ),
+    kept AS (
+      SELECT s.doc_id, s.norm, s.n_tokens, s.quality
+      FROM scored s JOIN rep USING (doc_id)
+      WHERE s.doc_id >= 20
+        AND s.quality >= 0.3
+        AND s.dup_word_frac <= 0.9
+        AND rep.top_bigram_frac <= 0.2
+        AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT k.doc_id, k.n_tokens, k.quality
+    FROM kept k
+    JOIN (SELECT norm, min(doc_id) AS canon FROM kept GROUP BY 1) d
+      ON d.canon = k.doc_id
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern LLM-curation chain as ONE declarative plan: quality gate →
+    Gopher repetition gates (dup-word + top-bigram fractions) → benchmark
+    decontamination (5-gram overlap with the doc_id<20 eval stand-in) →
+    exact dedup keeping the lowest-id canonical per normalized text. Every
+    stage is a scan-stage expression or a keyed aggregation; the oracle
+    replays the identical chain in SQL — unlike pipeline_curation (v1,
+    near-dup clustering) this composition is fully hash-checkable without a
+    recursive CTE."""
+    from datalake_brief_spark.functions import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    scored = text.with_quality(d).select("doc_id", "n_tokens", "quality")
+    rep = text.repetition_metrics(d).select(
+        "doc_id", "dup_word_frac", "top_bigram_frac"
+    )
+    contaminated = text.contamination_overlap(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    ).select("doc_id")
+    kept = (
+        scored.join(rep, "doc_id")
+        .filter(
+            (F.col("doc_id") >= 20)
+            & (F.col("quality") >= 0.3)
+            & (F.col("dup_word_frac") <= 0.9)
+            & (F.col("top_bigram_frac") <= 0.2)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    with_norm = d.select("doc_id", normalize_text("text").alias("__norm")).join(
+        kept, "doc_id"
+    )
+    canon = with_norm.groupBy("__norm").agg(F.min("doc_id").alias("doc_id"))
+    return with_norm.join(canon.select("doc_id"), "doc_id").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation as ONE declarative pipeline:
     quality-score → drop low-quality docs → near-dup clustering (trigram
@@ -2740,8 +2841,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "having_avg",
     "percentiles",
     "sql_frontend",
-    "explode_tokens",
-    "udtf_ngrams",
+    # explode_tokens / udtf_ngrams: r2-evidenced, unchanged — yield slots
     "window_lag_delta",
     "setop_intersect",
     "asof_join",
@@ -2774,8 +2874,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_near_dup_exact",
     "emb_near_dup",
     "semantic_dedup",
-    # composed pipeline + ML
+    # composed pipeline + ML (v1/v2 + cluster dedup re-evidence the r3
+    # word_shingles refactor through the driver gate)
     "pipeline_curation",
+    "pipeline_curation_v2",
+    "dedup_clusters",
     "ml_lr_predict",
     # join_salted_skew / sketch_merge_distinct / dedup_simhash earned their
     # driver rows in r2 and are unchanged — they yield window slots to the
@@ -2788,7 +2891,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # unchanged since.
     "events_resample_fill",
     "dedup_ngram_jaccard",
-    "dedup_minhash",
 ]
 
 
