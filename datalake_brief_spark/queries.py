@@ -1679,6 +1679,20 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE comp.cluster_id = k.doc_id
     """,
 )
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation as ONE declarative pipeline:
+    quality-score → drop low-quality docs → near-dup clustering (trigram
+    Jaccard ≥ 0.8 within source, connected components) → keep one canonical
+    doc per cluster. Composes text.with_quality, dedup.ngram_jaccard_pairs
+    and dedup.cluster_dedup; the oracle replays the whole chain including
+    the recursive component walk."""
+    d = text.with_quality(_t(spark, sf_dir, "documents"))
+    kept = d.filter(F.col("quality") >= 0.3)
+    pairs = dedup.ngram_jaccard_pairs(kept, block_col="source", k=3, threshold=0.8)
+    out = dedup.cluster_dedup(kept, pairs)
+    return out.filter(F.col("is_canonical")).select("doc_id", "n_tokens", "quality")
+
+
 @_register(
     "pipeline_curation_v2",
     f"""
@@ -1778,20 +1792,6 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_norm.join(canon.select("doc_id"), "doc_id").select(
         "doc_id", "n_tokens", "quality"
     )
-
-
-def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation as ONE declarative pipeline:
-    quality-score → drop low-quality docs → near-dup clustering (trigram
-    Jaccard ≥ 0.8 within source, connected components) → keep one canonical
-    doc per cluster. Composes text.with_quality, dedup.ngram_jaccard_pairs
-    and dedup.cluster_dedup; the oracle replays the whole chain including
-    the recursive component walk."""
-    d = text.with_quality(_t(spark, sf_dir, "documents"))
-    kept = d.filter(F.col("quality") >= 0.3)
-    pairs = dedup.ngram_jaccard_pairs(kept, block_col="source", k=3, threshold=0.8)
-    out = dedup.cluster_dedup(kept, pairs)
-    return out.filter(F.col("is_canonical")).select("doc_id", "n_tokens", "quality")
 
 
 # --------------------------------------------------------------------------
