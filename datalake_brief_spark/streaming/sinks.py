@@ -33,6 +33,7 @@ def merge_stream_to_txlog(
     order_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """Land a stream into a txlog table via per-batch atomic MERGE.
 
@@ -40,6 +41,15 @@ def merge_stream_to_txlog(
     txlog.merge). ``available_now=True`` drains the current backlog and
     stops — the incremental-batch pattern for file-landing pipelines;
     ``False`` runs continuously.
+
+    ``output_mode="update"`` (default) matters when the stream is an
+    AGGREGATION: append mode would hold every window back until the
+    watermark passes it, so windows inside the final watermark never reach
+    the sink before an availableNow drain ends. Update emits each window
+    whenever its value grows, and the keyed merge collapses re-emissions —
+    for a monotone measure (counts) latest-wins equals max-wins, giving the
+    streaming-materialized-view shape with no extra operator. For
+    stateless streams update and append behave identically.
 
     Scale shape: the per-batch merge is one window over (keys) on snapshot ⊎
     batch. Cost per batch tracks TABLE size, not batch size — acceptable for
@@ -63,8 +73,10 @@ def merge_stream_to_txlog(
         )
         txlog.merge(batch_df.sparkSession, path, latest, keys, order_col)
 
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
+    writer = (
+        stream.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -169,3 +169,42 @@ class TestEndToEndPipeline:
         drain("ckpt")  # same checkpoint: only the new files process
         incremental.refresh(spark, table, mv, ["event_type"], ["value"])
         assert _mv_agg(spark, mv) == _full_agg(spark, table)
+
+
+class TestStreamingAggregateUpsert:
+    def test_windowed_counts_upsert_into_txlog_matches_batch(self, spark, tmp_path):
+        """The streaming-materialized-view shape with no extra operator:
+        windowed counts in update mode emit a row each time a window's
+        count grows; merge_stream_to_txlog keyed on the window with
+        order_col=n keeps the max (= latest) count per window, so after the
+        drain the table equals the batch aggregate. Works because counts
+        are monotone per key — latest-wins and max-wins coincide."""
+        from datalake_brief_spark.streaming import windowed_counts
+
+        src = str(tmp_path / "events_stream")
+        load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ).repartition(4).write.parquet(src)
+        table = str(tmp_path / "wintbl")
+
+        agg = windowed_counts(stream_events(spark, src), window="1 hour")
+        q = merge_stream_to_txlog(
+            agg.drop("total_value"),  # keep the monotone measure only
+            table,
+            keys=["window_start", "event_type"],
+            order_col="n",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (str(r.window_start), r.event_type): r.n
+            for r in txlog.read(spark, table).collect()
+        }
+        batch = (
+            spark.read.parquet(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        want = {(str(r.w.start), r.event_type): r.n for r in batch.collect()}
+        assert got == want
