@@ -363,3 +363,45 @@ class TestMultimodal:
         assert all(1 <= row["count"] <= 8 for row in r)
         first = frames.filter(F.col("frame_idx") == 0).first()
         assert len(first.frame_bytes) <= 64
+
+
+class TestEventsTsUnitSniffing:
+    """The round-3 root-cause regression: testdata regenerated events.ts
+    from timestamp[ns] to timestamp[us] and the hardcoded ns conversion
+    silently shifted every timestamp to 1970. load_table now sniffs the
+    footer — prove both physical units read identically."""
+
+    def _write(self, tmp_path, unit):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ts = pd.to_datetime(["2024-03-01 10:00:00", "2024-03-02 23:59:59"])
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp(unit)),
+                "user_id": pa.array([7, 8], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.5, 2.5]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        path = str(tmp_path / f"events_{unit}" / "events.parquet")
+        import os
+
+        os.makedirs(os.path.dirname(path))
+        pq.write_table(table, path)
+        return str(tmp_path / f"events_{unit}")
+
+    def test_ns_and_us_files_read_identically(self, spark, tmp_path):
+        from datalake_brief_spark.catalog import load_table
+
+        got = {}
+        for unit in ("ns", "us"):
+            sf_dir = self._write(tmp_path, unit)
+            df = load_table(spark, sf_dir, "events")
+            got[unit] = sorted((r.event_id, str(r.ts)) for r in df.collect())
+            assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert got["ns"] == got["us"]
+        assert got["us"][0] == (1, "2024-03-01 10:00:00")
