@@ -161,17 +161,105 @@ def _collect_stats(
     return out
 
 
+_BLOOM_BITS = 8 * 1024  # 1 KiB per (file, column); ~1% FPR at ~1k distinct
+_BLOOM_HASHES = 7
+
+
+def _bloom_positions(values, seed_base: int = 0x9E3779B9):
+    """k bit positions per value via double hashing over xxhash64-style
+    mixing (numpy-vectorized)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint64)
+    h1 = v * np.uint64(0xFF51AFD7ED558CCD)
+    h1 ^= h1 >> np.uint64(33)
+    h2 = v * np.uint64(seed_base) + np.uint64(1)
+    h2 ^= h2 >> np.uint64(29)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def _hash_values(col_values) -> "object":
+    """Map a column's python values to uint64 for the bloom: ints use their
+    two's-complement bits; everything else hashes its UTF-8 repr."""
+    import numpy as np
+
+    out = np.empty(len(col_values), dtype=np.uint64)
+    for i, x in enumerate(col_values):
+        if isinstance(x, bool) or x is None:
+            out[i] = np.uint64(1 if x else 0)
+        elif isinstance(x, int):
+            out[i] = np.uint64(x & 0xFFFFFFFFFFFFFFFF)
+        else:
+            import hashlib
+
+            out[i] = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(str(x).encode(), digest_size=8).digest(), "big"
+                )
+            )
+    return out
+
+
+def _file_bloom(abs_path: str, col: str) -> str:
+    """Base64 bloom filter of a column's values in one data file (reads only
+    that column)."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    vals = pq.read_table(abs_path, columns=[col]).column(col).to_pylist()
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    if vals:
+        for pos in _bloom_positions(_hash_values(vals)):
+            bits[pos] = True
+    return base64.b64encode(np.packbits(bits).tobytes()).decode()
+
+
+def _bloom_may_contain(b64: str, value) -> bool:
+    import base64
+
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(b64), dtype=np.uint8))
+    for pos in _bloom_positions(_hash_values([value])):
+        if not bits[pos[0]]:
+            return False
+    return True
+
+
+def _collect_blooms(
+    path: str, rels: list[str], bloom_cols: list[str] | None
+) -> dict[str, dict[str, str]]:
+    if not bloom_cols:
+        return {}
+    out: dict[str, dict[str, str]] = {}
+    for rel in rels:
+        entry = {
+            c: _file_bloom(os.path.join(path, rel), c) for c in bloom_cols
+        }
+        if entry:
+            out[rel] = entry
+    return out
+
+
 def _try_commit(
     path: str,
     version: int,
     adds: list[str],
     removes: list[str],
     stats: dict[str, dict[str, list]] | None = None,
+    blooms: dict[str, dict[str, str]] | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {"version": version, "adds": adds, "removes": removes}
     if stats:
         commit["stats"] = stats
+    if blooms:
+        commit["blooms"] = blooms
     payload = json.dumps(commit)
     try:
         with open(_commit_path(path, version), "x") as f:
@@ -185,6 +273,7 @@ def append(
     path: str,
     max_retries: int = 10,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Blind append: always merges cleanly under races (adds only — no
     read-set to validate), so a conflict just re-targets the new tip.
@@ -192,13 +281,21 @@ def append(
     ``stats_cols`` records per-file min/max for those columns in the commit
     (footer-only reads, no data pages) so ``read_pruned`` can skip files
     from the log alone — the Delta-style stats-in-log design. Pair with
-    io.write_sorted/write_zorder-shaped data for tight ranges."""
+    io.write_sorted/write_zorder-shaped data for tight ranges.
+
+    ``bloom_cols`` additionally stores a 1 KiB per-file Bloom filter per
+    column in the commit: min/max ranges cannot skip POINT lookups on a
+    high-cardinality key in unclustered data (every file's range covers
+    every id), a membership sketch can — ``read_point`` skips any file
+    whose bloom excludes the value (~1% false-keep, zero false-skip).
+    Costs one column read per file at write time."""
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
+    blooms = _collect_blooms(path, adds, bloom_cols)
     for _ in range(max_retries):
         v = current_version(path) + 1
         try:
-            _try_commit(path, v, adds, [], stats)
+            _try_commit(path, v, adds, [], stats, blooms)
             return v
         except CommitConflict:
             continue
@@ -366,6 +463,57 @@ def merge(
     adds = _write_data_files(latest, path)
     _try_commit(path, read_v + 1, adds, removes)
     return read_v + 1
+
+
+def visible_blooms(path: str, version: int | None = None) -> dict[str, dict[str, str]]:
+    """Per-file bloom filters for the snapshot, resolved like the file
+    list. Files committed without ``bloom_cols`` have no entry (reader must
+    keep them)."""
+    live: dict[str, dict[str, str]] = {}
+    for v in _versions(path):
+        if version is not None and v > version:
+            break
+        with open(_commit_path(path, v)) as f:
+            commit = json.load(f)
+        blooms = commit.get("blooms", {})
+        for rel in commit.get("adds", []):
+            if rel in blooms:
+                live[rel] = blooms[rel]
+        for rel in commit.get("removes", []):
+            live.pop(rel, None)
+    return live
+
+
+def read_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read: skip every data file whose logged Bloom filter
+    proves ``col = value`` cannot match. The complement of ``read_pruned``:
+    min/max ranges skip RANGE predicates on clustered data but are useless
+    for a point probe on a high-cardinality key in unclustered data (every
+    file's range covers every id); the membership sketch skips there.
+    Blooms never false-skip; ~1% of files false-keep and are eliminated by
+    the residual filter. Files without a logged bloom are conservatively
+    read, so results always equal ``read().filter(col = value)``."""
+    all_files = visible_files(path, version)
+    if not all_files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    blooms = visible_blooms(path, version)
+    keep = []
+    for abs_p in all_files:
+        b64 = blooms.get(os.path.relpath(abs_p, path), {}).get(col)
+        if b64 is not None and not _bloom_may_contain(b64, value):
+            continue
+        keep.append(abs_p)
+    if not keep:
+        df = spark.read.parquet(*all_files).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    return df.filter(F.col(col) == F.lit(value))
 
 
 def delete_where(

@@ -289,3 +289,62 @@ class TestClusteredAppend:
             # either column must skip most files
             assert len(pruned.inputFiles()) < total / 2, (col, len(pruned.inputFiles()))
             assert pruned.count() == expect
+
+
+class TestBloomPointSkipping:
+    def test_point_lookup_skips_files_ranges_cannot(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # UNCLUSTERED ids: every file's [min,max] range covers nearly the
+        # full id space, so min/max stats cannot skip a point probe —
+        # exactly the case the bloom covers.
+        for residue in range(4):
+            df = (
+                spark.range(1000)
+                .selectExpr(f"id * 4 + {residue} AS id", "cast(id as double) AS v")
+            )
+            txlog.append(
+                df.coalesce(1), path, stats_cols=["id"], bloom_cols=["id"]
+            )
+        total = len(txlog.read(spark, path).inputFiles())
+        assert total == 4
+        probe = txlog.read_point(spark, path, "id", 4 * 123 + 2)  # residue-2 file
+        assert len(probe.inputFiles()) < total
+        rows = probe.collect()
+        assert len(rows) == 1 and rows[0].id == 4 * 123 + 2
+        # range pruning genuinely cannot help here (sanity check)
+        ranged = txlog.read_pruned(spark, path, "id", lo=4 * 123 + 2, hi=4 * 123 + 2)
+        assert len(ranged.inputFiles()) == total
+
+    def test_absent_value_reads_no_matching_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.range(100).selectExpr("id", "id AS v").coalesce(1),
+            path,
+            bloom_cols=["id"],
+        )
+        probe = txlog.read_point(spark, path, "id", 10_000)
+        assert probe.count() == 0
+
+    def test_string_keys_supported(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        a = spark.createDataFrame([("alpha", 1), ("beta", 2)], ["k", "x"])
+        b = spark.createDataFrame([("gamma", 3), ("delta", 4)], ["k", "x"])
+        txlog.append(a.coalesce(1), path, bloom_cols=["k"])
+        txlog.append(b.coalesce(1), path, bloom_cols=["k"])
+        probe = txlog.read_point(spark, path, "k", "gamma")
+        assert len(probe.inputFiles()) == 1
+        assert [r.x for r in probe.collect()] == [3]
+
+    def test_files_without_blooms_are_kept(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.range(50).selectExpr("id", "id AS v").coalesce(1), path
+        )  # no bloom
+        txlog.append(
+            spark.range(50, 100).selectExpr("id", "id AS v").coalesce(1),
+            path,
+            bloom_cols=["id"],
+        )
+        probe = txlog.read_point(spark, path, "id", 25)
+        assert len(probe.inputFiles()) == 1  # bloomed file skipped, bare kept
+        assert [r.id for r in probe.collect()] == [25]
