@@ -546,12 +546,19 @@ def delete_where(
     candidates = all_files
     if prune_col is not None:
         stats = visible_stats(path, read_v)
+        # a point predicate (lo == hi) can additionally consult the blooms —
+        # the unclustered-key case where every file's range matches
+        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
         candidates = []
         for abs_p in all_files:
-            rng = stats.get(os.path.relpath(abs_p, path), {}).get(prune_col)
+            rel = os.path.relpath(abs_p, path)
+            rng = stats.get(rel, {}).get(prune_col)
             if rng is not None and (
                 (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
             ):
+                continue
+            b64 = blooms.get(rel, {}).get(prune_col)
+            if b64 is not None and not _bloom_may_contain(b64, lo):
                 continue
             candidates.append(abs_p)
     if not candidates:

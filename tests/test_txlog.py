@@ -348,3 +348,22 @@ class TestBloomPointSkipping:
         probe = txlog.read_point(spark, path, "id", 25)
         assert len(probe.inputFiles()) == 1  # bloomed file skipped, bare kept
         assert [r.id for r in probe.collect()] == [25]
+
+    def test_point_delete_uses_blooms_to_avoid_scanning(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        for residue in range(4):
+            df = spark.range(100).selectExpr(
+                f"id * 4 + {residue} AS id", "cast(id as double) AS v"
+            )
+            txlog.append(df.coalesce(1), path, bloom_cols=["id"])
+        before = set(txlog.read(spark, path).inputFiles())
+        target = 4 * 42 + 3
+        txlog.delete_where(
+            spark, path, F.col("id") == target, prune_col="id", lo=target, hi=target
+        )
+        after = set(txlog.read(spark, path).inputFiles())
+        assert len(before & after) == 3  # only the residue-3 file rewritten
+        assert txlog.read(spark, path).filter(F.col("id") == target).count() == 0
+        assert txlog.read(spark, path).count() == 399
