@@ -465,6 +465,45 @@ def merge(
     return read_v + 1
 
 
+def read_pruned_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read pruned on SEVERAL column ranges at once: a file
+    survives only if every constrained column's logged [min, max] can
+    intersect its range — the file sets intersect, so a Z-order-clustered
+    table (append_clustered) prunes tighter than any single dimension
+    allows. ``ranges`` maps column → (lo, hi), either bound None = open.
+    Same conservative contract as read_pruned: statless files are kept and
+    every residual predicate applies."""
+    all_files = visible_files(path, version)
+    if not all_files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    stats = visible_stats(path, version)
+    keep = []
+    for abs_p in all_files:
+        fstats = stats.get(os.path.relpath(abs_p, path), {})
+        drop = False
+        for col, (lo, hi) in ranges.items():
+            rng = fstats.get(col)
+            if rng is not None and (
+                (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
+            ):
+                drop = True
+                break
+        if not drop:
+            keep.append(abs_p)
+    df = spark.read.parquet(*keep) if keep else spark.read.parquet(*all_files).limit(0)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def visible_blooms(path: str, version: int | None = None) -> dict[str, dict[str, str]]:
     """Per-file bloom filters for the snapshot, resolved like the file
     list. Files committed without ``bloom_cols`` have no entry (reader must

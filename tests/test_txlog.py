@@ -367,3 +367,21 @@ class TestBloomPointSkipping:
         assert len(before & after) == 3  # only the residue-3 file rewritten
         assert txlog.read(spark, path).filter(F.col("id") == target).count() == 0
         assert txlog.read(spark, path).count() == 399
+
+
+class TestMultiRangePruning:
+    def test_two_dim_ranges_prune_tighter_than_either_alone(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(4096).selectExpr(
+            "id % 64 AS x", "cast(id / 64 as long) AS y", "id AS payload"
+        )
+        txlog.append_clustered(df, path, ["x", "y"], n_files=16)
+        one_x = txlog.read_pruned(spark, path, "x", lo=10, hi=13)
+        one_y = txlog.read_pruned(spark, path, "y", lo=50, hi=53)
+        both = txlog.read_pruned_multi(
+            spark, path, {"x": (10, 13), "y": (50, 53)}
+        )
+        n_both = len(both.inputFiles())
+        assert n_both <= min(len(one_x.inputFiles()), len(one_y.inputFiles()))
+        want = df.filter("x BETWEEN 10 AND 13 AND y BETWEEN 50 AND 53").count()
+        assert both.count() == want
