@@ -9,43 +9,29 @@ snapshots' file-list symmetric difference), turn it into signed deltas, and
 fold the deltas into the stored aggregate — classic view-maintenance for the
 distributive aggregates (COUNT, SUM; AVG derives as sum/count at read time).
 
-The materialized state lives in its own txlog table, so each refresh is one
-atomic commit carrying the source version it reflects — a reader always sees
-a consistent (version, aggregate) pair, and a crashed refresh replays from
-the recorded version (idempotent: same deltas → same fold).
+The materialized state lives in its own txlog table, and each refresh is ONE
+atomic commit that carries the reflected source version INSIDE the commit
+file (txlog ``meta`` — the Delta ``txn``-action pattern): a reader always
+sees a consistent (version, aggregate) pair, and a refresh that dies at any
+point leaves either the old (state, version) or the new one — never state
+that contains a change window the recorded version doesn't, so replay can
+never double-count.
 """
 
 from __future__ import annotations
-
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_brief_spark.sources import txlog
 
-_META = "_mv_meta.json"
 _N = "__mv_count"
-
-
-def _meta_path(mv_path: str) -> str:
-    return os.path.join(mv_path, _META)
+_SRC_V = "source_version"
 
 
 def _read_refreshed_version(mv_path: str) -> int:
-    try:
-        with open(_meta_path(mv_path)) as fh:
-            return int(json.load(fh)["source_version"])
-    except FileNotFoundError:
-        return 0
-
-
-def _write_refreshed_version(mv_path: str, version: int) -> None:
-    tmp = _meta_path(mv_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"source_version": version}, fh)
-    os.replace(tmp, _meta_path(mv_path))  # POSIX-atomic, like the txlog commit
+    v = txlog.latest_meta(mv_path, _SRC_V)
+    return int(v) if v is not None else 0
 
 
 def signed_deltas(
@@ -104,13 +90,14 @@ def refresh(
             F.count(F.lit(1)).alias(_N),
             *[F.sum(c).alias(c) for c in sum_cols],
         )
-        txlog.overwrite(state, mv_path)
     else:
         changes = txlog.table_changes(spark, source_path, last_v, src_v)
         deltas = signed_deltas(changes, keys, sum_cols)
         state = apply_deltas(txlog.read(spark, mv_path), deltas, keys, sum_cols)
-        txlog.overwrite(state, mv_path)
-    _write_refreshed_version(mv_path, src_v)
+    # One atomic commit: the new state and the source version it reflects
+    # land in the same O_EXCL commit file — no window where state already
+    # folded the deltas but the version still points at last_v.
+    txlog.overwrite(state, mv_path, meta={_SRC_V: src_v})
     return src_v
 
 

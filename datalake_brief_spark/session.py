@@ -38,6 +38,11 @@ _DEFAULTS: dict[str, str] = {
     # the generator emits µs-precision values).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.compression.codec": "zstd",
+    # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96 carries
+    # no usable parquet min/max statistics, which would blind both Spark's
+    # own row-group skipping and txlog's stats-in-log file pruning on any
+    # timestamp column.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -44,6 +44,7 @@ dataflow.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -112,11 +113,69 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     return sorted(rels)
 
 
+def _canon_stat(x, is_min: bool):
+    """JSON-safe, order-preserving canonical form for a parquet stat value.
+
+    datetime/date serialize to fixed-width ISO strings (lexicographic order ==
+    chronological order at constant precision); Decimal converts to float
+    widened OUTWARD (min rounds down, max rounds up) so float rounding can
+    only ever keep an extra file, never false-skip one. Probe bounds pass
+    through :func:`_canon_bound` so both sides compare in the same domain."""
+    import decimal
+    import math
+
+    if isinstance(x, _dt.datetime):
+        return _canon_ts(x)
+    if isinstance(x, _dt.date):
+        return x.isoformat()
+    if isinstance(x, decimal.Decimal):
+        f = float(x)
+        return math.nextafter(f, -math.inf) if is_min else math.nextafter(f, math.inf)
+    return x
+
+
+def _canon_ts(x: "_dt.datetime") -> str:
+    """Fixed-width ISO form in naive UTC: tz-aware values (pyarrow returns
+    these for parquet TIMESTAMP_MICROS with isAdjustedToUTC) convert to UTC
+    and drop the offset; naive values are taken AS UTC (the session timezone
+    — session.py pins ``spark.sql.session.timeZone=UTC``). Constant width ⇒
+    lexicographic order == chronological order on both sides."""
+    if x.tzinfo is not None:
+        x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return x.isoformat(sep=" ", timespec="microseconds")
+
+
+def _canon_bound(x):
+    """Canonicalize a caller-supplied prune bound to the stats domain of
+    :func:`_canon_stat` (plain float for Decimal — the file ranges were
+    already widened outward, so no rounding here can false-skip)."""
+    import decimal
+
+    if isinstance(x, _dt.datetime):
+        return _canon_ts(x)
+    if isinstance(x, _dt.date):
+        return x.isoformat()
+    if isinstance(x, decimal.Decimal):
+        return float(x)
+    return x
+
+
+def _decode_decimal_raw(raw, scale: int):
+    """Unscaled parquet decimal stat → ``decimal.Decimal``."""
+    import decimal
+
+    unscaled = (
+        int.from_bytes(raw, "big", signed=True) if isinstance(raw, bytes) else int(raw)
+    )
+    return decimal.Decimal(unscaled).scaleb(-scale)
+
+
 def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
     """Per-file min/max for ``cols`` from the parquet footer's row-group
     statistics (no data pages read). A column missing stats in ANY row
     group is omitted — absence means "cannot prune", never "no rows".
-    Byte stats (parquet physical strings) decode to str for JSON."""
+    Byte stats (parquet physical strings) decode to str; temporal/decimal
+    stats canonicalize via :func:`_canon_stat` so the commit stays JSON."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -133,7 +192,19 @@ def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
             st = c.statistics
             if st is None or not st.has_min_max:
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow can't cast decimal stats; decode the raw scaled
+                # integer (int32/int64, or big-endian two's-complement bytes
+                # for FIXED_LEN_BYTE_ARRAY) ourselves. Anything else stays
+                # conservative: no stats ⇒ the file is never skipped.
+                lt = st.logical_type
+                if lt is None or getattr(lt, "type", None) != "DECIMAL":
+                    continue
+                scale = json.loads(lt.to_json())["scale"]
+                lo = _decode_decimal_raw(st.min_raw, scale)
+                hi = _decode_decimal_raw(st.max_raw, scale)
             if isinstance(lo, bytes):
                 lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
             seen[name] = seen.get(name, 0) + 1
@@ -142,7 +213,7 @@ def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
     return {
-        c: [mins[c], maxs[c]]
+        c: [_canon_stat(mins[c], True), _canon_stat(maxs[c], False)]
         for c in cols
         if seen.get(c, 0) == md.num_row_groups and md.num_row_groups > 0
     }
@@ -181,17 +252,41 @@ def _bloom_positions(values, seed_base: int = 0x9E3779B9):
     ]
 
 
+#: Spark simpleString type names bloom_cols accepts. Hashing is value-
+#: REPRESENTATION-sensitive (write side hashes pyarrow to_pylist values, the
+#: probe hashes the caller's Python value), so only types whose Python form is
+#: unambiguous on both sides are allowed — a double column would hash 5.0 as
+#: '5.0' at write but an int probe 5 by its bits, silently false-skipping.
+_BLOOM_OK_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
+
+
+def _check_bloom_cols(df: DataFrame, bloom_cols: list[str] | None) -> None:
+    if not bloom_cols:
+        return
+    types = dict(df.dtypes)
+    bad = {c: types[c] for c in bloom_cols if types.get(c) not in _BLOOM_OK_TYPES}
+    if bad:
+        raise TypeError(
+            f"bloom_cols supports integer/string/boolean columns only "
+            f"(value hashing is representation-sensitive); got {bad}. "
+            f"Use stats_cols for range-prunable float/decimal/temporal columns."
+        )
+
+
 def _hash_values(col_values) -> "object":
     """Map a column's python values to uint64 for the bloom: ints use their
-    two's-complement bits; everything else hashes its UTF-8 repr."""
+    two's-complement bits; everything else hashes its UTF-8 repr. Probe
+    values normalize the same way (bool→0/1, int/np.integer→bits), and
+    :func:`_check_bloom_cols` rejects column types whose write-side pylist
+    form could diverge from a caller's probe value."""
     import numpy as np
 
     out = np.empty(len(col_values), dtype=np.uint64)
     for i, x in enumerate(col_values):
         if isinstance(x, bool) or x is None:
             out[i] = np.uint64(1 if x else 0)
-        elif isinstance(x, int):
-            out[i] = np.uint64(x & 0xFFFFFFFFFFFFFFFF)
+        elif isinstance(x, (int, np.integer)):
+            out[i] = np.uint64(int(x) & 0xFFFFFFFFFFFFFFFF)
         else:
             import hashlib
 
@@ -253,6 +348,7 @@ def _try_commit(
     removes: list[str],
     stats: dict[str, dict[str, list]] | None = None,
     blooms: dict[str, dict[str, str]] | None = None,
+    meta: dict | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {"version": version, "adds": adds, "removes": removes}
@@ -260,6 +356,8 @@ def _try_commit(
         commit["stats"] = stats
     if blooms:
         commit["blooms"] = blooms
+    if meta:
+        commit["meta"] = meta
     payload = json.dumps(commit)
     try:
         with open(_commit_path(path, version), "x") as f:
@@ -288,7 +386,10 @@ def append(
     high-cardinality key in unclustered data (every file's range covers
     every id), a membership sketch can — ``read_point`` skips any file
     whose bloom excludes the value (~1% false-keep, zero false-skip).
-    Costs one column read per file at write time."""
+    Costs one column read per file at write time. Bloom columns must be
+    integer/string/boolean (validated against the schema BEFORE any data
+    file lands) — see ``_check_bloom_cols``."""
+    _check_bloom_cols(df, bloom_cols)
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     blooms = _collect_blooms(path, adds, bloom_cols)
@@ -329,18 +430,44 @@ def append_clustered(
     return append(arranged, path, stats_cols=stats_cols or cluster_cols)
 
 
-def overwrite(df: DataFrame, path: str, stats_cols: list[str] | None = None) -> int:
+def overwrite(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
     """Replace the table contents in one commit (adds new group, removes
     every file visible at the read version). If a concurrent commit lands
     in between, the conflict surfaces — the caller decides whether to
     re-run against the new state (write-write conflicts on overlapping data
-    are not auto-mergeable, unlike appends)."""
+    are not auto-mergeable, unlike appends).
+
+    ``meta`` rides INSIDE the commit file, so application state (e.g. an
+    incremental MV's reflected source version) becomes visible atomically
+    with the data it describes — the Delta ``txn``-action pattern. Read it
+    back with :func:`latest_meta`."""
     read_v = current_version(path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
-    _try_commit(path, read_v + 1, adds, removes, stats)
+    _try_commit(path, read_v + 1, adds, removes, stats, meta=meta)
     return read_v + 1
+
+
+def latest_meta(path: str, key: str, version: int | None = None):
+    """Most recent commit-embedded ``meta[key]`` at or below ``version``
+    (None if no commit carries it). Because the meta landed in the same
+    O_EXCL commit file as the adds/removes it describes, a reader can never
+    observe data from a commit without that commit's meta — no torn
+    state/meta window exists."""
+    for v in reversed(_versions(path)):
+        if version is not None and v > version:
+            continue
+        with open(_commit_path(path, v)) as f:
+            m = json.load(f).get("meta", {})
+        if key in m:
+            return m[key]
+    return None
 
 
 def read(
@@ -409,6 +536,7 @@ def read_pruned(
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     stats = visible_stats(path, version)
+    c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
     keep = []
     for abs_p in all_files:
         rel = os.path.relpath(abs_p, path)
@@ -417,7 +545,7 @@ def read_pruned(
             keep.append(abs_p)
             continue
         fmin, fmax = rng
-        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+        if (c_hi is not None and fmin > c_hi) or (c_lo is not None and fmax < c_lo):
             continue
         keep.append(abs_p)
     if not keep:
@@ -451,7 +579,11 @@ def merge(
         # verbatim append of a possibly multi-row-per-key updates batch.
         combined = updates
     else:
-        combined = read(spark, path, read_v).select(*updates.columns).unionByName(updates)
+        combined = (
+            read(spark, path, read_v, merge_schema=True)
+            .select(*updates.columns)
+            .unionByName(updates)
+        )
     latest = (
         combined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -482,11 +614,12 @@ def read_pruned_multi(
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     stats = visible_stats(path, version)
+    canon = {c: (_canon_bound(lo), _canon_bound(hi)) for c, (lo, hi) in ranges.items()}
     keep = []
     for abs_p in all_files:
         fstats = stats.get(os.path.relpath(abs_p, path), {})
         drop = False
-        for col, (lo, hi) in ranges.items():
+        for col, (lo, hi) in canon.items():
             rng = fstats.get(col)
             if rng is not None and (
                 (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
@@ -576,11 +709,20 @@ def delete_where(
        Iceberg CoW contract.
     3. **Rewrite**: only matched files re-land, minus the deleted rows.
 
+    SQL DELETE semantics: only rows where the predicate evaluates to TRUE
+    are deleted — rows where it is NULL survive (three-valued logic: a bare
+    ``NOT(pred)`` keep-filter would silently drop NULL-predicate rows from
+    rewritten files while identical rows in untouched files survived).
+
     Returns the new version (or the current one when nothing matched —
     no empty commit)."""
+    from urllib.parse import unquote, urlparse
+
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
     all_files = visible_files(path, read_v)
     candidates = all_files
     if prune_col is not None:
@@ -588,12 +730,14 @@ def delete_where(
         # a point predicate (lo == hi) can additionally consult the blooms —
         # the unclustered-key case where every file's range matches
         blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
         candidates = []
         for abs_p in all_files:
             rel = os.path.relpath(abs_p, path)
             rng = stats.get(rel, {}).get(prune_col)
             if rng is not None and (
-                (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
+                (c_hi is not None and rng[0] > c_hi)
+                or (c_lo is not None and rng[1] < c_lo)
             ):
                 continue
             b64 = blooms.get(rel, {}).get(prune_col)
@@ -602,7 +746,9 @@ def delete_where(
             candidates.append(abs_p)
     if not candidates:
         return read_v
-    scan = spark.read.parquet(*candidates)
+    # mergeSchema: candidate files may span additive schema evolution; the
+    # narrower single-footer schema would drop evolved columns on rewrite.
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
     matched = [
         r[0]
         for r in scan.filter(predicate)
@@ -610,11 +756,18 @@ def delete_where(
         .distinct()
         .collect()
     ]
-    # input_file_name returns URIs (file://...); normalize to plain paths
-    matched = [p.removeprefix("file:") for p in matched]
+    # input_file_name returns URIs (file:///..., percent-encoded); resolve
+    # via urlparse+unquote so paths with spaces etc. match the commit log
+    matched = [
+        unquote(urlparse(p).path) if p.startswith("file:") else p for p in matched
+    ]
     if not matched:
         return read_v
-    keep = spark.read.parquet(*matched).filter(~predicate)
+    keep = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*matched)
+        .filter(~F.coalesce(predicate, F.lit(False)))
+    )
     removes = [os.path.relpath(p, path) for p in matched]
     live_stats = visible_stats(path, read_v)
     stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
@@ -692,7 +845,12 @@ def optimize(
         return read_v
     total = sum(os.path.getsize(p) for p in small)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    compacted = spark.read.parquet(*small).coalesce(n_out)
+    # mergeSchema: compacting across additive schema evolution must unify
+    # the footers, or the rewrite could pick the narrower schema and lose
+    # evolved columns permanently once vacuum reclaims the originals.
+    compacted = (
+        spark.read.option("mergeSchema", "true").parquet(*small).coalesce(n_out)
+    )
     adds = _write_data_files(compacted, path)
     removes = [os.path.relpath(p, path) for p in small]
     # Compaction must not silently degrade data skipping: recollect stats

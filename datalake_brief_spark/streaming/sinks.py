@@ -26,6 +26,29 @@ from pyspark.sql.streaming import StreamingQuery
 from datalake_brief_spark.sources import txlog
 
 
+def apply_merge_batch(
+    batch_df: DataFrame, path: str, keys: list[str], order_col: str
+) -> None:
+    """Apply ONE micro-batch as one atomic latest-wins MERGE commit — the
+    foreachBatch body of ``merge_stream_to_txlog``, exposed so a batch-mode
+    replay (e.g. the ``streaming_merge_replay`` registry query, or a backfill
+    over a historical event log) drives the exact code the live sink runs.
+
+    Reduces the batch to its per-key latest BEFORE merging: a batch
+    (especially availableNow's single backlog batch) carries many rows per
+    key, and merge's contract is "updates" — one assertion per key. This
+    also shrinks the merge's window input to |keys in batch| rows."""
+    if batch_df.isEmpty():
+        return
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    txlog.merge(batch_df.sparkSession, path, latest, keys, order_col)
+
+
 def merge_stream_to_txlog(
     stream: DataFrame,
     path: str,
@@ -58,20 +81,7 @@ def merge_stream_to_txlog(
     shape; see txlog.append/optimize)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # Reduce the batch to its per-key latest BEFORE merging: a batch
-        # (especially availableNow's single backlog batch) carries many rows
-        # per key, and merge's contract is "updates" — one assertion per
-        # key. This also shrinks the merge's window input to |keys in
-        # batch| rows.
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        txlog.merge(batch_df.sparkSession, path, latest, keys, order_col)
+        apply_merge_batch(batch_df, path, keys, order_col)
 
     writer = (
         stream.writeStream.outputMode(output_mode)

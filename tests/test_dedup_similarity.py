@@ -372,6 +372,29 @@ class TestSimilarity:
         approx = similarity.ivf_topk(emb, q, dim=64, k=10, n_centroids=16, nprobe=4)
         assert self._recall_vs_bruteforce(emb, approx) >= 0.3
 
+    def test_knn_recall_floors_at_driver_scale(self, spark):
+        """Recall@10 floors at sf0.01 — the driver's CORRECTNESS scale —
+        with the registry's OWN knn_lsh / knn_ivf parameterizations, so the
+        approximate entries the driver records rows-only for carry a pinned
+        quality bound on the exact data distribution the driver sees
+        (measured: SRP+multiprobe 0.62, IVF 0.52; floors leave margin for
+        per-round testdata regeneration)."""
+        from tests.conftest import SF_CORRECT
+
+        emb = load_table(spark, SF_CORRECT, "embeddings").cache()
+        try:
+            q = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            lsh = similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
+            ivf = similarity.ivf_topk(
+                emb, q, dim=64, k=10, n_centroids=16, nprobe=4
+            )
+            assert self._recall_vs_bruteforce(emb, lsh) >= 0.5
+            assert self._recall_vs_bruteforce(emb, ivf) >= 0.4
+        finally:
+            emb.unpersist()
+
     def test_semantic_pairs_one_cluster_degenerates_to_exact(self, emb):
         """SemDeDup with n_clusters=1 compares every pair — it must equal
         the exact all-pairs relation bit-for-bit (same ids, same scores)."""

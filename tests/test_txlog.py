@@ -385,3 +385,138 @@ class TestMultiRangePruning:
         assert n_both <= min(len(one_x.inputFiles()), len(one_y.inputFiles()))
         want = df.filter("x BETWEEN 10 AND 13 AND y BETWEEN 50 AND 53").count()
         assert both.count() == want
+
+
+class TestAdviceFixes:
+    """Regression tests for the round-3 ADVICE findings (txlog semantics)."""
+
+    def test_delete_where_null_predicate_rows_survive(self, spark, tmp_path):
+        """SQL DELETE three-valued logic: rows where the predicate is NULL
+        are NOT deleted, even when they sit in a file that gets rewritten."""
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 99)], "id long, v long"
+        )
+        txlog.append(df, path)
+        txlog.delete_where(spark, path, "v > 50")  # NULL for id=2
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == {1, 2}  # id=3 deleted; NULL-predicate id=2 survives
+
+    def test_delete_where_column_predicate_null_semantics(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id long, s string")
+        txlog.append(df, path)
+        txlog.delete_where(spark, path, F.col("s") == "y")
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == {1, 2}
+
+    def test_optimize_preserves_evolved_schema(self, spark, tmp_path):
+        """Compaction across additive schema evolution keeps the new column
+        (narrower-footer rewrite would lose it permanently post-vacuum)."""
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        txlog.append(
+            spark.createDataFrame([(2, "b", 7)], "id long, v string, extra long"),
+            path,
+        )
+        v = txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        assert v == 3
+        got = txlog.read(spark, path, merge_schema=True)
+        assert "extra" in got.columns
+        rows = {r.id: r.extra for r in got.collect()}
+        assert rows == {1: None, 2: 7}
+
+    def test_delete_where_preserves_evolved_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        txlog.append(
+            spark.createDataFrame(
+                [(2, "b", 7), (3, "c", 8)], "id long, v string, extra long"
+            ),
+            path,
+        )
+        txlog.delete_where(spark, path, "id = 3")
+        got = txlog.read(spark, path, merge_schema=True)
+        assert "extra" in got.columns
+        assert {r.id: r.extra for r in got.collect()} == {1: None, 2: 7}
+
+    def test_delete_where_path_with_spaces(self, spark, tmp_path):
+        """input_file_name() returns percent-encoded URIs; matched-file
+        normalization must decode them or the remove-list never matches."""
+        path = str(tmp_path / "ta ble dir")
+        txlog.append(
+            spark.createDataFrame([(1, 1), (2, 2)], "id long, v long"), path
+        )
+        v = txlog.delete_where(spark, path, "id = 2")
+        assert v == 2
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1}
+
+    def test_temporal_and_decimal_stats_round_trip(self, spark, tmp_path):
+        """stats_cols on timestamp/date/decimal columns must not crash at
+        commit (json.dumps) and must prune correctly via canonical forms."""
+        import datetime
+
+        path = str(tmp_path / "t")
+        rows_old = [
+            (1, datetime.datetime(2020, 1, 1), datetime.date(2020, 1, 1)),
+            (2, datetime.datetime(2020, 6, 1), datetime.date(2020, 6, 1)),
+        ]
+        rows_new = [
+            (3, datetime.datetime(2021, 1, 1), datetime.date(2021, 1, 1)),
+            (4, datetime.datetime(2021, 6, 1), datetime.date(2021, 6, 1)),
+        ]
+        schema = "id long, ts timestamp, d date"
+        txlog.append(
+            spark.createDataFrame(rows_old, schema), path, stats_cols=["ts", "d"]
+        )
+        txlog.append(
+            spark.createDataFrame(rows_new, schema), path, stats_cols=["ts", "d"]
+        )
+        got = txlog.read_pruned(
+            spark, path, "ts", lo=datetime.datetime(2021, 1, 1)
+        )
+        assert {r.id for r in got.collect()} == {3, 4}
+        # the 2020 file was skipped at plan build, not just filtered
+        assert len(got.inputFiles()) < len(txlog.read(spark, path).inputFiles())
+        got_d = txlog.read_pruned(
+            spark, path, "d", hi=datetime.date(2020, 12, 31)
+        )
+        assert {r.id for r in got_d.collect()} == {1, 2}
+
+    def test_decimal_stats_prune_conservatively(self, spark, tmp_path):
+        from decimal import Decimal
+
+        path = str(tmp_path / "t")
+        schema = "id long, amt decimal(10,2)"
+        txlog.append(
+            spark.createDataFrame([(1, Decimal("10.00")), (2, Decimal("20.00"))], schema),
+            path,
+            stats_cols=["amt"],
+        )
+        txlog.append(
+            spark.createDataFrame([(3, Decimal("90.00")), (4, Decimal("99.99"))], schema),
+            path,
+            stats_cols=["amt"],
+        )
+        got = txlog.read_pruned(spark, path, "amt", lo=Decimal("50"))
+        assert {r.id for r in got.collect()} == {3, 4}
+        assert len(got.inputFiles()) < len(txlog.read(spark, path).inputFiles())
+
+    def test_bloom_cols_reject_float_columns(self, spark, tmp_path):
+        """Representation-sensitive hashing: float bloom columns are refused
+        up front (before any data file lands) instead of false-skipping."""
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 5.0)], "id long, x double")
+        with pytest.raises(TypeError, match="bloom_cols"):
+            txlog.append(df, path, bloom_cols=["x"])
+        assert txlog.current_version(path) == 0  # nothing committed
+
+    def test_commit_meta_is_atomic_with_data(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.overwrite(_df(spark, [(2, "b", 2)]), path, meta={"source_version": 7})
+        assert txlog.latest_meta(path, "source_version") == 7
+        # meta resolves per-version: version 1 predates it
+        assert txlog.latest_meta(path, "source_version", version=1) is None
