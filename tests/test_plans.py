@@ -262,3 +262,17 @@ def test_grouping_sets_is_one_expand_one_aggregate_pass(spark):
     df = QUERIES["grouping_sets_custom"].fn(spark, SF_SMOKE)
     assert count_nodes(df, "Expand") == 1
     assert count_nodes(df, "Scan parquet") == 1, formatted_plan(df)
+
+
+def test_lsh_band_exchange_is_reused_at_runtime(spark):
+    """The band self-join docstring claims 'one Arrow signature pass — both
+    join sides read the same shuffle output'. AQE materializes exchange
+    reuse only at runtime, so a static explain can't verify it; execute and
+    assert the FINAL adaptive plan carries a ReusedExchange (and therefore
+    the minhash signature UDF ran once, not per join side)."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, (name, plan)
