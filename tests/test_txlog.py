@@ -520,3 +520,50 @@ class TestAdviceFixes:
         assert txlog.latest_meta(path, "source_version") == 7
         # meta resolves per-version: version 1 predates it
         assert txlog.latest_meta(path, "source_version", version=1) is None
+
+
+class TestComposedPruning:
+    """Round-4 hardening: the pruning layers (multi-range stats, blooms)
+    and additive schema evolution composed in ONE table lifecycle, the way
+    a real table accretes features — previously each was tested alone."""
+
+    def test_multirange_blooms_and_evolution_compose(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # epoch 1: narrow schema, clustered on (a, b) with stats + blooms
+        df1 = spark.createDataFrame(
+            [(i, i * 10, f"u{i}") for i in range(0, 50)], "a long, b long, k string"
+        ).coalesce(1)
+        df2 = spark.createDataFrame(
+            [(i, i * 10, f"u{i}") for i in range(50, 100)], "a long, b long, k string"
+        ).coalesce(1)
+        txlog.append(df1, path, stats_cols=["a", "b"], bloom_cols=["k"])
+        txlog.append(df2, path, stats_cols=["a", "b"], bloom_cols=["k"])
+        # epoch 2: schema evolves (adds column c), still stats on (a, b)
+        df3 = spark.createDataFrame(
+            [(i, i * 10, f"u{i}", "new") for i in range(100, 150)],
+            "a long, b long, k string, c string",
+        ).coalesce(1)
+        txlog.append(df3, path, stats_cols=["a", "b"], bloom_cols=["k"])
+
+        # multi-range prune intersects BOTH dimensions and skips files 2+3
+        got = txlog.read_pruned_multi(spark, path, {"a": (0, 40), "b": (0, 300)})
+        assert {r.a for r in got.collect()} == set(range(0, 31))
+        assert len(got.inputFiles()) == 1
+
+        # bloom point-read still zero-false-skips across the evolved commit
+        got_pt = txlog.read_point(spark, path, "k", "u120")
+        assert [r.a for r in got_pt.collect()] == [120]
+        assert len(got_pt.inputFiles()) == 1
+
+        # DELETE in the old-schema band, then OPTIMIZE across the evolution
+        # boundary: evolved column survives, NULL for pre-evolution rows
+        txlog.delete_where(spark, path, "a >= 140", prune_col="a", lo=140)
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        final = txlog.read(spark, path, merge_schema=True)
+        rows = {r.a: r.c for r in final.collect()}
+        assert set(rows) == set(range(0, 140))
+        assert rows[0] is None and rows[120] == "new"
+
+        # stats survived delete+optimize: the multi-range prune still skips
+        pruned = txlog.read_pruned_multi(spark, path, {"a": (100, 139), "b": (1000, 1390)})
+        assert {r.a for r in pruned.collect()} == set(range(100, 140))

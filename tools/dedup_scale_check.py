@@ -1,0 +1,104 @@
+"""Second scale point for the dedup band's O(n) claims (VERDICT r3 #8).
+
+Replicates the sf0.1 ``documents`` corpus 1×/2×/4×/8× (≈ sf0.8 at the top)
+with per-replica word salting, so replicas of the same document are NOT
+near-duplicates of each other — true-pair density stays constant while n
+grows. If the MinHash-LSH candidate generator is linear as claimed, the
+candidate-pair count and wall time grow ~proportionally with n; a quadratic
+regression would show candidates growing ~n².
+
+Usage::
+
+    python tools/dedup_scale_check.py            # sf0.1 base, scales 1 2 4 8
+
+Prints one line per scale: rows, LSH candidate pairs, verified dup pairs,
+wall seconds for the full ngram_jaccard pipeline (noop count sink), then a
+linearity summary. Results are recorded in BASELINE.md §r4.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.catalog import load_table
+from datalake_brief_spark.operators import dedup
+from datalake_brief_spark.operators.dedup import (  # noqa: PLC2701
+    _hashed_shingles,
+    _lsh_candidate_pairs,
+)
+from datalake_brief_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALES = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+
+
+def replicate(docs, factor: int):
+    """factor salted copies: every word in replica j>0 gains a j-specific
+    suffix on a deterministic half of the vocabulary, pushing cross-replica
+    Jaccard far below any dedup threshold while keeping within-replica
+    similarity structure identical to the base corpus."""
+    parts = []
+    for j in range(factor):
+        if j == 0:
+            parts.append(docs)
+            continue
+        salted = docs.select(
+            (F.col("doc_id") + F.lit(j * 10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        w,
+                        F.when(
+                            F.pmod(F.xxhash64(w, F.lit(j)), F.lit(2)) == 0,
+                            F.lit(f"_{j}"),
+                        ).otherwise(F.lit("")),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        parts.append(salted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("dedup_scale_check")
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    results = []
+    for s in SCALES:
+        corpus = replicate(base, s)
+        n = corpus.count()
+        hashed = _hashed_shingles(corpus, "text", "doc_id", 3)
+        cands = _lsh_candidate_pairs(hashed, "doc_id", [], 128, 32, 42).count()
+        t0 = time.monotonic()
+        pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.8).count()
+        dt = time.monotonic() - t0
+        results.append((s, n, cands, pairs, dt))
+        print(
+            f"scale={s} rows={n} lsh_candidates={cands} dup_pairs={pairs} "
+            f"pipeline_sec={dt:.2f}",
+            flush=True,
+        )
+    s1 = results[0]
+    s_top = results[-1]
+    n_ratio = s_top[1] / s1[1]
+    c_ratio = s_top[2] / max(s1[2], 1)
+    t_ratio = s_top[4] / s1[4]
+    print(
+        f"linearity: n x{n_ratio:.1f} -> candidates x{c_ratio:.1f}, "
+        f"time x{t_ratio:.1f} (quadratic would be x{n_ratio**2:.0f})"
+    )
+
+
+if __name__ == "__main__":
+    main()
