@@ -88,6 +88,35 @@ to look for. Regenerate: `python -m datalake_brief_spark.plans.snapshot`.
 MAX_LINES = 120
 
 
+def lakehouse_section(spark, sf: str) -> list[str]:
+    """txlog data skipping happens at PLAN BUILD (the log picks the file
+    list), so the evidence is scan-file counts, not plan-node shapes."""
+    from datalake_brief_spark import queries as q
+    from datalake_brief_spark.sources import txlog
+
+    lines = [
+        "## Lakehouse reads (txlog file-skipping evidence)",
+        "",
+        "A txlog snapshot read plans over the log-resolved file list; data",
+        "skipping therefore shows up as FEWER FILES IN THE SCAN rather than a",
+        "different plan shape. `df.inputFiles()` at sf0.01, pruned vs the",
+        "snapshot's full file count:",
+        "",
+    ]
+    probes = [
+        ("txlog_pruned_read", "pruned", "range [1, 1000] on the clustered key"),
+        ("txlog_point_read", "bloom", "bloom point lookup on a scattered key"),
+    ]
+    for name, kind, what in probes:
+        df = q.QUERIES[name].fn(spark, sf)
+        scanned = len(df.inputFiles())
+        path = q._LAKEHOUSE_TABLES[(kind, os.path.abspath(sf))]  # noqa: SLF001
+        total = len(txlog.visible_files(path))
+        lines.append(f"- `{name}` ({what}): scans **{scanned} / {total}** files")
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
     spark = get_spark("plans")
@@ -99,6 +128,7 @@ def main() -> None:
         if len(plan_lines) > MAX_LINES:
             lines.append(f"... ({len(plan_lines) - MAX_LINES} more lines)")
         lines += ["```", ""]
+    lines += lakehouse_section(spark, sf)
     with open(os.path.join(os.path.dirname(__file__), "..", "..", "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     spark.stop()

@@ -3034,6 +3034,63 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_update",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE as one atomic copy-on-write commit: open orders get
+    a 10% repricing; files with no open orders stay referenced
+    byte-identical. The oracle applies the same SET as a CASE over the raw
+    table, so a rewrite that touches non-matching rows (or misses matching
+    ones) hash-mismatches. The SET is a bare IEEE multiply (no per-row
+    round) so both engines produce bit-identical updated values."""
+    path, fresh = _lakehouse_dir("update", sf_dir)
+    if fresh:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path)
+        txlog.update_where(
+            spark,
+            path,
+            F.col("o_orderstatus") == "O",
+            {"o_totalprice": F.col("o_totalprice") * 1.1},
+        )
+    return aggregate(
+        txlog.read(spark, path),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register("txlog_restore", _TXLOG_AGG_SQL.format(where=""))
+def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION as a new visibility-only commit: append the full
+    table, DELETE a band, then roll back to the pre-delete version — the
+    restored snapshot must equal the raw table exactly (no rewrite; stats
+    carried forward from the target version's resolution)."""
+    path, fresh = _lakehouse_dir("restore", sf_dir)
+    if fresh:
+        l = _t(spark, sf_dir, "lineitem")
+        txlog.append(l, path, stats_cols=["l_quantity"])
+        txlog.delete_where(
+            spark, path, F.col("l_quantity") < 5, prune_col="l_quantity", hi=5
+        )
+        txlog.restore(path, 1)
+    return _txlog_agg(txlog.read(spark, path))
+
+
+@_register(
     "incremental_mv",
     """
     SELECT l_returnflag, l_linestatus,
@@ -3183,6 +3240,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_pruned_read",
     "txlog_point_read",
     "txlog_merge_upsert",
+    "txlog_update",
+    "txlog_restore",
     "incremental_mv",
     "streaming_merge_replay",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +

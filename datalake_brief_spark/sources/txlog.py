@@ -232,11 +232,24 @@ def _collect_stats(
     return out
 
 
-_BLOOM_BITS = 8 * 1024  # 1 KiB per (file, column); ~1% FPR at ~1k distinct
+_BLOOM_MIN_BITS = 8 * 1024  # floor: 1 KiB per (file, column)
+_BLOOM_BITS_PER_VALUE = 10  # ~1% FPR at k=7 — sized to the DATA, not fixed
 _BLOOM_HASHES = 7
 
 
-def _bloom_positions(values, seed_base: int = 0x9E3779B9):
+def _bloom_n_bits(n_values: int) -> int:
+    """Power-of-two bloom size ≥ 10 bits/value: a FIXED size saturates as
+    files grow (8 Kib at 3,750 keys ≈ 75% false-keep — no skipping at all);
+    scaling with the value count holds ~1% FPR at any file size. The size
+    is recovered at probe time from the stored filter's own length, so
+    every file can carry a different size and old commits stay readable."""
+    import math
+
+    need = max(_BLOOM_MIN_BITS, _BLOOM_BITS_PER_VALUE * max(n_values, 1))
+    return 1 << math.ceil(math.log2(need))
+
+
+def _bloom_positions(values, n_bits: int, seed_base: int = 0x9E3779B9):
     """k bit positions per value via double hashing over xxhash64-style
     mixing (numpy-vectorized)."""
     import numpy as np
@@ -247,7 +260,7 @@ def _bloom_positions(values, seed_base: int = 0x9E3779B9):
     h2 = v * np.uint64(seed_base) + np.uint64(1)
     h2 ^= h2 >> np.uint64(29)
     return [
-        ((h1 + np.uint64(i) * h2) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+        ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
         for i in range(_BLOOM_HASHES)
     ]
 
@@ -307,9 +320,9 @@ def _file_bloom(abs_path: str, col: str) -> str:
     import pyarrow.parquet as pq
 
     vals = pq.read_table(abs_path, columns=[col]).column(col).to_pylist()
-    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits = np.zeros(_bloom_n_bits(len(vals)), dtype=bool)
     if vals:
-        for pos in _bloom_positions(_hash_values(vals)):
+        for pos in _bloom_positions(_hash_values(vals), bits.size):
             bits[pos] = True
     return base64.b64encode(np.packbits(bits).tobytes()).decode()
 
@@ -320,7 +333,8 @@ def _bloom_may_contain(b64: str, value) -> bool:
     import numpy as np
 
     bits = np.unpackbits(np.frombuffer(base64.b64decode(b64), dtype=np.uint8))
-    for pos in _bloom_positions(_hash_values([value])):
+    # the filter's own (power-of-two, byte-aligned) length IS its bit count
+    for pos in _bloom_positions(_hash_values([value]), bits.size):
         if not bits[pos[0]]:
             return False
     return True
@@ -396,7 +410,7 @@ def append(
     for _ in range(max_retries):
         v = current_version(path) + 1
         try:
-            _try_commit(path, v, adds, [], stats, blooms)
+            _try_commit(path, v, adds, [], stats, blooms, meta={"op": "append"})
             return v
         except CommitConflict:
             continue
@@ -450,7 +464,9 @@ def overwrite(
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
-    _try_commit(path, read_v + 1, adds, removes, stats, meta=meta)
+    _try_commit(
+        path, read_v + 1, adds, removes, stats, meta={"op": "overwrite", **(meta or {})}
+    )
     return read_v + 1
 
 
@@ -593,7 +609,7 @@ def merge(
         return append(latest, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(latest, path)
-    _try_commit(path, read_v + 1, adds, removes)
+    _try_commit(path, read_v + 1, adds, removes, meta={"op": "merge"})
     return read_v + 1
 
 
@@ -773,8 +789,160 @@ def delete_where(
     stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
     adds = _write_data_files(keep, path)
     stats = _collect_stats(path, adds, stat_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats)
+    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "delete"})
     return read_v + 1
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> int:
+    """Row-level ``UPDATE ... SET`` as one atomic copy-on-write commit —
+    the mutation twin of :func:`delete_where`, with the same three pruning
+    layers (stats skip → file-level match scan → rewrite only matched
+    files). ``assignments`` maps column → new-value expression (Column or
+    SQL string); each assignment casts back to the column's existing type
+    so the table schema never drifts under an UPDATE.
+
+    SQL UPDATE semantics: only rows where the predicate evaluates to TRUE
+    change; NULL-predicate rows pass through byte-identical. Unmatched
+    files stay referenced untouched, so rewrite cost tracks the matched
+    data, never the table. Returns the new version (current one when
+    nothing matched)."""
+    from urllib.parse import unquote, urlparse
+
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    all_files = visible_files(path, read_v)
+    candidates = all_files
+    if prune_col is not None:
+        stats = visible_stats(path, read_v)
+        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+        candidates = []
+        for abs_p in all_files:
+            rel = os.path.relpath(abs_p, path)
+            rng = stats.get(rel, {}).get(prune_col)
+            if rng is not None and (
+                (c_hi is not None and rng[0] > c_hi)
+                or (c_lo is not None and rng[1] < c_lo)
+            ):
+                continue
+            b64 = blooms.get(rel, {}).get(prune_col)
+            if b64 is not None and not _bloom_may_contain(b64, lo):
+                continue
+            candidates.append(abs_p)
+    if not candidates:
+        return read_v
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+    matched = [
+        r[0]
+        for r in scan.filter(predicate)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    matched = [
+        unquote(urlparse(p).path) if p.startswith("file:") else p for p in matched
+    ]
+    if not matched:
+        return read_v
+    src = spark.read.option("mergeSchema", "true").parquet(*matched)
+    hit = F.coalesce(predicate, F.lit(False))
+    cols = []
+    for field in src.schema.fields:
+        if field.name in assignments:
+            a = assignments[field.name]
+            a = F.expr(a) if isinstance(a, str) else a
+            cols.append(
+                F.when(hit, a.cast(field.dataType))
+                .otherwise(F.col(field.name))
+                .alias(field.name)
+            )
+        else:
+            cols.append(F.col(field.name))
+    unknown = set(assignments) - {f.name for f in src.schema.fields}
+    if unknown:
+        raise ValueError(f"assignments reference unknown columns: {sorted(unknown)}")
+    rewritten = src.select(*cols)
+    removes = [os.path.relpath(p, path) for p in matched]
+    live_stats = visible_stats(path, read_v)
+    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    adds = _write_data_files(rewritten, path)
+    stats = _collect_stats(path, adds, stat_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "update"})
+    return read_v + 1
+
+
+def restore(path: str, version: int) -> int:
+    """Roll the table back to an earlier version as a NEW commit (the
+    lakehouse ``RESTORE TABLE ... TO VERSION``): flips visibility only —
+    no data is rewritten, and history is preserved (the rollback itself is
+    a version you can inspect or restore past). The re-added files carry
+    their stats/blooms forward from the target version's resolution, so
+    data skipping survives the rollback. Fails up front if vacuum already
+    reclaimed any file the target version needs."""
+    cur_v = current_version(path)
+    if not 1 <= version <= cur_v:
+        raise ValueError(f"version {version} not in [1, {cur_v}]")
+    target = visible_files(path, version)
+    missing = [p for p in target if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            f"file(s) already vacuumed, e.g. {missing[0]!r}"
+        )
+    current = set(visible_files(path, cur_v))
+    adds = sorted(os.path.relpath(p, path) for p in set(target) - current)
+    removes = sorted(os.path.relpath(p, path) for p in current - set(target))
+    old_stats = visible_stats(path, version)
+    old_blooms = visible_blooms(path, version)
+    stats = {rel: old_stats[rel] for rel in adds if rel in old_stats}
+    blooms = {rel: old_blooms[rel] for rel in adds if rel in old_blooms}
+    _try_commit(
+        path,
+        cur_v + 1,
+        adds,
+        removes,
+        stats or None,
+        blooms or None,
+        meta={"op": "restore", "restored_version": version},
+    )
+    return cur_v + 1
+
+
+def history(path: str) -> list[dict]:
+    """Commit history, newest first (the ``DESCRIBE HISTORY`` surface):
+    one dict per version with the operation name (recorded in commit meta
+    by each writer; older commits without one report ``write``) and the
+    add/remove file counts. Reads only the log — O(versions), no data."""
+    out = []
+    for v in _versions(path):
+        with open(_commit_path(path, v)) as f:
+            commit = json.load(f)
+        meta = commit.get("meta", {})
+        out.append(
+            {
+                "version": v,
+                "op": meta.get("op", "write"),
+                "n_added": len(commit.get("adds", [])),
+                "n_removed": len(commit.get("removes", [])),
+                **{
+                    k: meta[k]
+                    for k in meta
+                    if k != "op"
+                },
+            }
+        )
+    return sorted(out, key=lambda d: -d["version"])
 
 
 def table_changes(
@@ -859,7 +1027,7 @@ def optimize(
     live_stats = visible_stats(path, read_v)
     stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
     stats = _collect_stats(path, adds, stat_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats)
+    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "optimize"})
     return read_v + 1
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from datalake_brief_spark.sources import txlog
 
@@ -567,3 +568,127 @@ class TestComposedPruning:
         # stats survived delete+optimize: the multi-range prune still skips
         pruned = txlog.read_pruned_multi(spark, path, {"a": (100, 139), "b": (1000, 1390)})
         assert {r.a for r in pruned.collect()} == set(range(100, 140))
+
+
+class TestUpdateRestoreHistory:
+    def test_update_where_rewrites_only_matched_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+            .coalesce(1),
+            path,
+        )
+        txlog.append(
+            spark.createDataFrame([(3, 30.0), (4, 40.0)], "id long, v double")
+            .coalesce(1),
+            path,
+        )
+        before = set(txlog.visible_files(path))
+        v = txlog.update_where(spark, path, "id = 3", {"v": "v * 10"})
+        assert v == 3
+        after = set(txlog.visible_files(path))
+        # the untouched file (ids 1,2) is still referenced byte-identical
+        assert len(before & after) == len(before) - 1
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 300.0, 4: 40.0}
+
+    def test_update_where_null_predicate_rows_unchanged(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame(
+                [(1, 5.0, "x"), (2, None, "y"), (3, 50.0, "z")],
+                "id long, thresh double, s string",
+            ),
+            path,
+        )
+        txlog.update_where(spark, path, "thresh > 10", {"s": F.lit("hit")})
+        got = {r.id: r.s for r in txlog.read(spark, path).collect()}
+        assert got == {1: "x", 2: "y", 3: "hit"}
+
+    def test_update_keeps_column_type(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, 10)], "id long, v int"), path
+        )
+        txlog.update_where(spark, path, "id = 1", {"v": "v + 1.5"})
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["v"] == "int"
+        assert df.collect()[0].v == 11
+
+    def test_update_unknown_column_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1,)], "id long"), path)
+        with pytest.raises(ValueError, match="unknown columns"):
+            txlog.update_where(spark, path, "id = 1", {"nope": F.lit(0)})
+
+    def test_restore_flips_visibility_without_rewrite(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.delete_where(spark, path, "id = 2")
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1}
+        n_data_files = len(txlog.visible_files(path))
+        v = txlog.restore(path, 1)
+        assert v == 3
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1, 2}
+        # nothing was rewritten: restored snapshot = version 1's exact files
+        assert set(txlog.visible_files(path, 3)) == set(txlog.visible_files(path, 1))
+        # and the rollback is itself history: version 2 still readable
+        assert {r.id for r in txlog.read(spark, path, version=2).collect()} == {1}
+        del n_data_files
+
+    def test_restore_carries_stats_and_blooms_forward(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(i, f"k{i}") for i in range(10)], "id long, k string")
+            .coalesce(1),
+            path,
+            stats_cols=["id"],
+            bloom_cols=["k"],
+        )
+        txlog.overwrite(
+            spark.createDataFrame([(99, "zz")], "id long, k string"), path
+        )
+        txlog.restore(path, 1)
+        assert txlog.visible_stats(path), "stats lost across restore"
+        assert txlog.visible_blooms(path), "blooms lost across restore"
+        got = txlog.read_pruned(spark, path, "id", lo=0, hi=5)
+        assert {r.id for r in got.collect()} == set(range(6))
+
+    def test_restore_refuses_vacuumed_target(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.overwrite(_df(spark, [(2, "b", 2)]), path)
+        txlog.vacuum(path, retain_versions=1)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            txlog.restore(path, 1)
+
+    def test_history_records_operations(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.delete_where(spark, path, "id = 2")
+        txlog.merge(
+            spark, path, _df(spark, [(1, "a2", 2)]), keys=["id"], order_col="version"
+        )
+        txlog.restore(path, 1)
+        h = txlog.history(path)
+        assert [d["version"] for d in h] == [4, 3, 2, 1]
+        assert [d["op"] for d in h] == ["restore", "merge", "delete", "append"]
+        assert h[0]["restored_version"] == 1
+
+
+class TestBloomSizing:
+    def test_blooms_stay_effective_at_high_file_cardinality(self, spark, tmp_path):
+        """A FIXED-size bloom saturates as per-file key counts grow (8 Kib
+        at ~4k keys ≈ 75% false-keep — skipping stops working exactly when
+        files reach realistic sizes). The filter must scale with the value
+        count: at 4k keys/file a point probe still skips ~99% of non-owner
+        files."""
+        path = str(tmp_path / "t")
+        for g in range(4):
+            df = spark.createDataFrame(
+                [(i,) for i in range(16000) if i % 4 == g], "k long"
+            ).coalesce(1)
+            txlog.append(df, path, bloom_cols=["k"])
+        got = txlog.read_point(spark, path, "k", 7)  # lives in group 3
+        assert [r.k for r in got.collect()] == [7]
+        assert len(got.inputFiles()) <= 2, got.inputFiles()
