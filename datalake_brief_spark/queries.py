@@ -3091,6 +3091,44 @@ def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_partition_pruned",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout with PHYSICAL partition pruning: events
+    land once as ``partitionBy(event_date)`` parquet (the standard
+    date-partitioned fact layout), and a single-day query prunes to that
+    day's directory at plan build — `PartitionFilters` in the scan, other
+    days never listed into the plan (asserted in tests/test_plans.py). The
+    oracle filters the raw table by the same derived date."""
+    path, fresh = _lakehouse_dir("events_part", sf_dir)
+    if fresh:
+        e = _t(spark, sf_dir, "events")
+        e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+            "event_date"
+        ).parquet(path)
+    part = spark.read.parquet(path)
+    # bounded single-value collect: the target day (min event date, resolved
+    # from partition-column metadata only) — the oracle's scalar subquery
+    min_day = part.agg(F.min("event_date")).collect()[0][0]
+    day = part.filter(F.col("event_date") == F.lit(min_day))
+    return aggregate(
+        day,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+
+
+@_register(
     "incremental_mv",
     """
     SELECT l_returnflag, l_linestatus,
@@ -3242,6 +3280,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_merge_upsert",
     "txlog_update",
     "txlog_restore",
+    "events_partition_pruned",
     "incremental_mv",
     "streaming_merge_replay",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +

@@ -276,3 +276,32 @@ def test_lsh_band_exchange_is_reused_at_runtime(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         assert "isFinalPlan=true" in plan, name
         assert "ReusedExchange" in plan, (name, plan)
+
+
+def test_events_partition_pruned_scans_one_day_directory(spark):
+    """The date-partitioned events layout must prune physically: the scan
+    carries a PartitionFilters entry on event_date, and the files entering
+    the plan all come from the single matching day directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_brief_spark import queries as q
+
+    df = QUERIES["events_partition_pruned"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # runtime proof (inputFiles() lists the relation pre-pruning): the rows
+    # actually read all come from ONE day directory
+    path = q._LAKEHOUSE_TABLES[("events_part", os.path.abspath(SF_SMOKE))]  # noqa: SLF001
+    part = spark.read.parquet(path)
+    min_day = part.agg(F.min("event_date")).collect()[0][0]
+    touched = {
+        r[0].rsplit("/", 2)[-2]
+        for r in part.filter(F.col("event_date") == F.lit(min_day))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert touched == {f"event_date={min_day}"}, touched
