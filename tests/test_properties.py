@@ -158,3 +158,56 @@ class TestPackChunksProperties:
         for members in by_pack.values():
             if len(members) > 1:
                 assert sum(members) <= budget
+
+
+class TestTxlogMutationProperties:
+    """DELETE/UPDATE three-valued-logic semantics pinned against a Python
+    model over generated nullable columns — the shape of the round-3 advice
+    bug (NOT(NULL)=NULL silently deleting NULL-predicate rows) can't
+    reappear anywhere in the generated space."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=10
+        ),
+        t=st.integers(min_value=-5, max_value=5),
+    )
+    def test_delete_where_matches_three_valued_model(
+        self, spark, tmp_path_factory, vals, t
+    ):
+        import uuid
+
+        from datalake_brief_spark.sources import txlog
+
+        path = str(tmp_path_factory.mktemp("txprop") / uuid.uuid4().hex)
+        rows = [(i, v) for i, v in enumerate(vals)]
+        txlog.append(spark.createDataFrame(rows, "id long, v long"), path)
+        txlog.delete_where(spark, path, f"v > {t}")
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        want = {i for i, v in rows if not (v is not None and v > t)}
+        assert got == want, (vals, t)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=10
+        ),
+        t=st.integers(min_value=-5, max_value=5),
+    )
+    def test_update_where_matches_three_valued_model(
+        self, spark, tmp_path_factory, vals, t
+    ):
+        import uuid
+
+        from datalake_brief_spark.sources import txlog
+
+        path = str(tmp_path_factory.mktemp("txprop") / uuid.uuid4().hex)
+        rows = [(i, v) for i, v in enumerate(vals)]
+        txlog.append(spark.createDataFrame(rows, "id long, v long"), path)
+        txlog.update_where(spark, path, f"v > {t}", {"v": "v + 100"})
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        want = {
+            i: (v + 100 if (v is not None and v > t) else v) for i, v in rows
+        }
+        assert got == want, (vals, t)

@@ -692,3 +692,32 @@ class TestBloomSizing:
         got = txlog.read_point(spark, path, "k", 7)  # lives in group 3
         assert [r.k for r in got.collect()] == [7]
         assert len(got.inputFiles()) <= 2, got.inputFiles()
+
+
+class TestConcurrency:
+    def test_racing_appends_all_land(self, spark, tmp_path):
+        """Optimistic concurrency under a real thread race: N writers
+        blind-append simultaneously; every append must land in SOME version
+        (retry past stolen versions), the log must be gap-free, and the
+        final snapshot must hold all rows exactly once."""
+        import threading
+
+        path = str(tmp_path / "t")
+        n_writers, errors = 8, []
+
+        def writer(i: int) -> None:
+            try:
+                df = spark.createDataFrame([(i, j) for j in range(10)], "w long, j long")
+                txlog.append(df, path)
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert txlog.current_version(path) == n_writers  # gap-free log
+        got = txlog.read(spark, path).groupBy("w").count().collect()
+        assert {r.w: r["count"] for r in got} == {i: 10 for i in range(n_writers)}
