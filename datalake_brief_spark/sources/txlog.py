@@ -587,7 +587,12 @@ def merge(
     snapshot. Readers see the pre-merge or post-merge table, never between.
     (File-level pruning of untouched data belongs to the partition variant,
     sources.io.upsert_parquet_partitioned — same dataflow, narrower swap.)
-    """
+
+    Additive schema evolution on MERGE (the Delta ``mergeSchema`` upsert
+    contract): an updates batch may carry columns the table predates —
+    existing rows read NULL for them — and may omit columns the table has —
+    the updates' rows read NULL there. Key and order columns must exist on
+    both sides (enforced by the window)."""
     read_v = current_version(path)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     if read_v == 0:
@@ -595,10 +600,8 @@ def merge(
         # verbatim append of a possibly multi-row-per-key updates batch.
         combined = updates
     else:
-        combined = (
-            read(spark, path, read_v, merge_schema=True)
-            .select(*updates.columns)
-            .unionByName(updates)
+        combined = read(spark, path, read_v, merge_schema=True).unionByName(
+            updates, allowMissingColumns=True
         )
     latest = (
         combined.withColumn("__rn", F.row_number().over(w))

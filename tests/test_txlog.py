@@ -721,3 +721,33 @@ class TestConcurrency:
         assert txlog.current_version(path) == n_writers  # gap-free log
         got = txlog.read(spark, path).groupBy("w").count().collect()
         assert {r.w: r["count"] for r in got} == {i: 10 for i in range(n_writers)}
+
+
+class TestMergeSchemaEvolution:
+    def test_merge_accepts_updates_with_new_columns(self, spark, tmp_path):
+        """Additive evolution on MERGE: the updates batch carries a column
+        the table predates; pre-merge rows read NULL for it."""
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, v string, rev long"),
+            path,
+        )
+        upd = spark.createDataFrame(
+            [(2, "b2", 2, "extra")], "id long, v string, rev long, note string"
+        )
+        txlog.merge(spark, path, upd, keys=["id"], order_col="rev")
+        got = {r.id: (r.v, r.note) for r in txlog.read(spark, path).collect()}
+        assert got == {1: ("a", None), 2: ("b2", "extra")}
+
+    def test_merge_updates_missing_table_columns_read_null(self, spark, tmp_path):
+        """Latest-wins is FULL-ROW replacement: an updates row that omits a
+        table column wins with NULL there (documented contract — partial
+        column patching is not what latest-wins means)."""
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, "a", 1)], "id long, v string, rev long"), path
+        )
+        upd = spark.createDataFrame([(1, 2)], "id long, rev long")
+        txlog.merge(spark, path, upd, keys=["id"], order_col="rev")
+        row = txlog.read(spark, path).collect()[0]
+        assert (row.id, row.v, row.rev) == (1, None, 2)
