@@ -424,6 +424,7 @@ def append_clustered(
     n_files: int,
     bits: int = 8,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Z-order-clustered append: range-partition + sort on the interleaved
     Morton key (io.zorder_value) so EVERY clustered column is range-bounded
@@ -441,7 +442,12 @@ def append_clustered(
         .sortWithinPartitions("__zval")
         .drop("__zval")
     )
-    return append(arranged, path, stats_cols=stats_cols or cluster_cols)
+    return append(
+        arranged,
+        path,
+        stats_cols=stats_cols or cluster_cols,
+        bloom_cols=bloom_cols,
+    )
 
 
 def overwrite(
@@ -1034,10 +1040,13 @@ def optimize(
     return read_v + 1
 
 
-def vacuum(path: str, retain_versions: int = 1) -> list[str]:
+def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[str]:
     """Delete data files unreferenced by the ``retain_versions`` most recent
-    versions (older time travel stops working, as documented for any
-    vacuum). Returns the deleted table-relative paths."""
+    versions (older time travel — and ``restore``/``table_changes`` into
+    the vacuumed window — stops working, as documented for any vacuum).
+    Returns the deleted table-relative paths; ``dry_run=True`` returns the
+    would-delete list without removing anything (the Delta ``VACUUM ...
+    DRY RUN`` surface — audit the blast radius before reclaiming)."""
     vs = _versions(path)
     keep: set[str] = set()
     for v in vs[-retain_versions:] if retain_versions > 0 else []:
@@ -1048,10 +1057,12 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
         for f in files:
             rel = os.path.relpath(os.path.join(root, f), path)
             if f.endswith(".parquet") and rel not in keep:
-                os.remove(os.path.join(path, rel))
+                if not dry_run:
+                    os.remove(os.path.join(path, rel))
                 deleted.append(rel)
     # drop now-empty group dirs so listings stay clean
-    for root, dirs, files in list(os.walk(data_root, topdown=False)):
-        if not dirs and not files and root != data_root:
-            shutil.rmtree(root, ignore_errors=True)
+    if not dry_run:
+        for root, dirs, files in list(os.walk(data_root, topdown=False)):
+            if not dirs and not files and root != data_root:
+                shutil.rmtree(root, ignore_errors=True)
     return sorted(deleted)

@@ -751,3 +751,26 @@ class TestMergeSchemaEvolution:
         txlog.merge(spark, path, upd, keys=["id"], order_col="rev")
         row = txlog.read(spark, path).collect()[0]
         assert (row.id, row.v, row.rev) == (1, None, 2)
+
+
+class TestSmallSurface:
+    def test_vacuum_dry_run_deletes_nothing(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.overwrite(_df(spark, [(2, "b", 2)]), path)
+        would = txlog.vacuum(path, retain_versions=1, dry_run=True)
+        assert would, "superseded files should be reported"
+        assert {r.id for r in txlog.read(spark, path, version=1).collect()} == {1}
+        assert txlog.vacuum(path, retain_versions=1) == would
+
+    def test_append_clustered_carries_blooms(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 7, f"u{i}") for i in range(64)], "a long, b long, k string"
+        )
+        txlog.append_clustered(
+            df, path, cluster_cols=["a", "b"], n_files=4, bloom_cols=["k"]
+        )
+        assert txlog.visible_blooms(path), "clustered append lost bloom_cols"
+        got = txlog.read_point(spark, path, "k", "u9")
+        assert [r.a for r in got.collect()] == [9]
