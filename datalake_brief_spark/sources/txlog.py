@@ -35,8 +35,12 @@ POSIX caveat (same as sources.io.upsert_parquet): O_EXCL-create is atomic
 on a local filesystem; object stores need a put-if-absent primitive — the
 protocol is unchanged, only the commit-file create swaps implementation.
 
-At 100 TB the log stays tiny (one small JSON per commit, listed once per
-read), data file counts bound plan size exactly as for any parquet table,
+At 100 TB the log stays tiny (one small JSON per commit), and resolution
+cost stays FLAT as history grows: every 10th commit writes a consolidated
+``<v>.checkpoint.json`` of the live state (files + stats + blooms), and
+readers replay only the commits after the newest covering checkpoint — the
+Delta checkpoint-Parquet design, in JSON. Data file counts bound plan size
+exactly as for any parquet table,
 and MERGE cost is governed by the same partition-pruning arguments as
 ``upsert_parquet_partitioned`` — the log only changes *visibility*, not
 dataflow.
@@ -75,8 +79,76 @@ def _versions(path: str) -> list[int]:
     if not os.path.isdir(d):
         return []
     return sorted(
-        int(f[: -len(".json")]) for f in os.listdir(d) if f.endswith(".json")
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json") and ".checkpoint." not in f
     )
+
+
+_CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:0{_PAD}d}.checkpoint.json")
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    suffix = ".checkpoint.json"
+    return sorted(
+        int(f[: -len(suffix)]) for f in os.listdir(d) if f.endswith(suffix)
+    )
+
+
+def _replay(path: str, version: int | None = None) -> dict:
+    """Resolve the live-file state at ``version`` (None → latest): rel path
+    → {"stats": ..., "blooms": ...}. Starts from the newest checkpoint at
+    or below the target and replays only the commits AFTER it — O(tail),
+    not O(versions); without a checkpoint it replays the full log. The
+    single resolution primitive behind visible_files/visible_stats/
+    visible_blooms, so every reader benefits identically."""
+    live: dict[str, dict] = {}
+    start_after = 0
+    cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
+    if cps:
+        start_after = max(cps)
+        with open(_checkpoint_path(path, start_after)) as f:
+            live = {
+                rel: {"stats": e.get("stats"), "blooms": e.get("blooms")}
+                for rel, e in json.load(f)["files"].items()
+            }
+    for v in _versions(path):
+        if v <= start_after:
+            continue
+        if version is not None and v > version:
+            break
+        with open(_commit_path(path, v)) as f:
+            commit = json.load(f)
+        stats = commit.get("stats", {})
+        blooms = commit.get("blooms", {})
+        for rel in commit.get("adds", []):
+            live[rel] = {"stats": stats.get(rel), "blooms": blooms.get(rel)}
+        for rel in commit.get("removes", []):
+            live.pop(rel, None)
+    return live
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Every ``_CHECKPOINT_EVERY`` commits, consolidate the live state into
+    ``<v>.checkpoint.json`` (O_EXCL — a racing duplicate writer loses
+    harmlessly: the content is a deterministic function of the log).
+    Commit files are never deleted, so time travel below the checkpoint
+    still replays the original log."""
+    if version % _CHECKPOINT_EVERY != 0:
+        return
+    payload = json.dumps({"version": version, "files": _replay(path, version)})
+    try:
+        with open(_checkpoint_path(path, version), "x") as f:
+            f.write(payload)
+    except FileExistsError:
+        pass
 
 
 def current_version(path: str) -> int:
@@ -87,16 +159,9 @@ def current_version(path: str) -> int:
 
 def visible_files(path: str, version: int | None = None) -> list[str]:
     """Resolve the snapshot's data-file list from the log (absolute paths).
-    ``version=None`` → latest."""
-    live: set[str] = set()
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        with open(_commit_path(path, v)) as f:
-            commit = json.load(f)
-        live.update(commit.get("adds", []))
-        live.difference_update(commit.get("removes", []))
-    return [os.path.join(path, rel) for rel in sorted(live)]
+    ``version=None`` → latest. Checkpoint-accelerated: replays only the
+    commits after the newest checkpoint at or below the target."""
+    return [os.path.join(path, rel) for rel in sorted(_replay(path, version))]
 
 
 def _write_data_files(df: DataFrame, path: str) -> list[str]:
@@ -378,6 +443,7 @@ def _try_commit(
             f.write(payload)
     except FileExistsError as e:
         raise CommitConflict(f"version {version} already committed") from e
+    _maybe_checkpoint(path, version)
 
 
 def append(
@@ -518,21 +584,13 @@ def read(
 
 def visible_stats(path: str, version: int | None = None) -> dict[str, dict[str, list]]:
     """Per-file min/max stats for the snapshot, resolved from the log the
-    same way as the file list. Files committed without ``stats_cols`` have
-    no entry (reader must keep them)."""
-    live: dict[str, dict[str, list]] = {}
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        with open(_commit_path(path, v)) as f:
-            commit = json.load(f)
-        stats = commit.get("stats", {})
-        for rel in commit.get("adds", []):
-            if rel in stats:
-                live[rel] = stats[rel]
-        for rel in commit.get("removes", []):
-            live.pop(rel, None)
-    return live
+    same way as the file list (checkpoint-accelerated). Files committed
+    without ``stats_cols`` have no entry (reader must keep them)."""
+    return {
+        rel: e["stats"]
+        for rel, e in _replay(path, version).items()
+        if e.get("stats")
+    }
 
 
 def read_pruned(
@@ -664,21 +722,13 @@ def read_pruned_multi(
 
 def visible_blooms(path: str, version: int | None = None) -> dict[str, dict[str, str]]:
     """Per-file bloom filters for the snapshot, resolved like the file
-    list. Files committed without ``bloom_cols`` have no entry (reader must
-    keep them)."""
-    live: dict[str, dict[str, str]] = {}
-    for v in _versions(path):
-        if version is not None and v > version:
-            break
-        with open(_commit_path(path, v)) as f:
-            commit = json.load(f)
-        blooms = commit.get("blooms", {})
-        for rel in commit.get("adds", []):
-            if rel in blooms:
-                live[rel] = blooms[rel]
-        for rel in commit.get("removes", []):
-            live.pop(rel, None)
-    return live
+    list (checkpoint-accelerated). Files committed without ``bloom_cols``
+    have no entry (reader must keep them)."""
+    return {
+        rel: e["blooms"]
+        for rel, e in _replay(path, version).items()
+        if e.get("blooms")
+    }
 
 
 def read_point(

@@ -774,3 +774,83 @@ class TestSmallSurface:
         assert txlog.visible_blooms(path), "clustered append lost bloom_cols"
         got = txlog.read_point(spark, path, "k", "u9")
         assert [r.a for r in got.collect()] == [9]
+
+
+class TestLogCheckpoints:
+    def test_checkpoint_resolution_equals_full_replay(self, spark, tmp_path):
+        """Every 10th commit consolidates the live state; resolution through
+        the checkpoint must be indistinguishable from replaying the whole
+        log — files, stats, and blooms alike, at the tip AND time-traveled."""
+        import glob
+        import json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        for i in range(23):
+            txlog.append(
+                spark.createDataFrame([(i, f"k{i}")], "id long, k string").coalesce(1),
+                path,
+                stats_cols=["id"],
+                bloom_cols=["k"],
+            )
+        cps = glob.glob(_os.path.join(path, "_txlog", "*.checkpoint.json"))
+        assert sorted(int(_os.path.basename(p).split(".")[0]) for p in cps) == [10, 20]
+
+        # ground truth: replay every commit by hand (no checkpoint involved)
+        live = {}
+        for cf in sorted(glob.glob(_os.path.join(path, "_txlog", "*.json"))):
+            if ".checkpoint." in cf:
+                continue
+            c = json.load(open(cf))
+            for rel in c.get("adds", []):
+                live[rel] = True
+            for rel in c.get("removes", []):
+                live.pop(rel, None)
+        expect_files = sorted(_os.path.join(path, r) for r in live)
+        assert txlog.visible_files(path) == expect_files
+        assert len(txlog.visible_stats(path)) == 23
+        assert len(txlog.visible_blooms(path)) == 23
+        # time travel below, at, and above a checkpoint
+        for v in (9, 10, 15, 20, 23):
+            assert len(txlog.visible_files(path, v)) == v
+        got = {r.id for r in txlog.read(spark, path, version=15).collect()}
+        assert got == set(range(15))
+
+    def test_reads_survive_archived_pre_checkpoint_commits(self, spark, tmp_path):
+        """The point of checkpointing at scale: once a checkpoint exists,
+        current-snapshot resolution never touches the commits it covers —
+        proven by ARCHIVING (moving away) every pre-checkpoint commit file
+        and reading anyway."""
+        import os as _os
+        import shutil as _sh
+
+        path = str(tmp_path / "t")
+        for i in range(12):
+            txlog.append(
+                spark.createDataFrame([(i,)], "id long").coalesce(1), path
+            )
+        archive = str(tmp_path / "archive")
+        _os.makedirs(archive)
+        for v in range(1, 10):
+            src = _os.path.join(path, "_txlog", f"{v:020d}.json")
+            _sh.move(src, archive)
+        assert txlog.current_version(path) == 12
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == set(range(12))
+
+    def test_checkpoint_respects_removes(self, spark, tmp_path):
+        """A delete/optimize inside the checkpoint window must not resurrect
+        removed files through the consolidated state."""
+        path = str(tmp_path / "t")
+        for i in range(9):
+            txlog.append(
+                spark.createDataFrame([(i, i * 1.0)], "id long, v double").coalesce(1),
+                path,
+            )
+        txlog.delete_where(spark, path, "id < 3")  # version 10 → checkpoint
+        import glob
+        import os as _os
+
+        assert glob.glob(_os.path.join(path, "_txlog", "*.checkpoint.json"))
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == set(range(3, 9))
