@@ -1090,6 +1090,44 @@ def optimize(
     return read_v + 1
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``OPTIMIZE ... ZORDER BY`` — the maintenance-time twin of
+    ``append_clustered``: rewrite the CURRENT snapshot range-partitioned +
+    sorted on the interleaved Morton key and flip visibility in one commit,
+    so a table that accreted unclustered appends becomes multi-dimension
+    prunable after the fact. Per-file stats on every clustered column land
+    in the same commit; superseded files stay on disk for time travel until
+    vacuum. Cost: one full rewrite of the snapshot — schedule it like any
+    OPTIMIZE, off the write path. Returns the new version (current one on
+    an empty table)."""
+    from datalake_brief_spark.sources.io import zorder_value
+
+    read_v = current_version(path)
+    if read_v == 0:
+        return 0
+    df = read(spark, path, read_v, merge_schema=True)
+    z = zorder_value(df, cluster_cols, bits=bits)
+    arranged = (
+        z.repartitionByRange(n_files, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+    removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
+    adds = _write_data_files(arranged, path)
+    stats = _collect_stats(path, adds, stats_cols or cluster_cols)
+    _try_commit(
+        path, read_v + 1, adds, removes, stats, meta={"op": "optimize_zorder"}
+    )
+    return read_v + 1
+
+
 def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[str]:
     """Delete data files unreferenced by the ``retain_versions`` most recent
     versions (older time travel — and ``restore``/``table_changes`` into

@@ -854,3 +854,33 @@ class TestLogCheckpoints:
         assert glob.glob(_os.path.join(path, "_txlog", "*.checkpoint.json"))
         got = {r.id for r in txlog.read(spark, path).collect()}
         assert got == set(range(3, 9))
+
+
+class TestOptimizeZorder:
+    def test_rezorder_makes_unclustered_table_prunable(self, spark, tmp_path):
+        """A table built from unclustered appends prunes nothing; after
+        OPTIMIZE ZORDER the same two-dimension range read skips most files,
+        content is unchanged, and the pre-optimize version still time-
+        travels."""
+        path = str(tmp_path / "t")
+        # 4 unclustered appends: every file spans the full (a, b) range
+        for s in range(4):
+            rows = [(i, (i * 7 + s) % 64, i % 8) for i in range(s, 256, 4)]
+            txlog.append(
+                spark.createDataFrame(rows, "id long, a long, b long").coalesce(1),
+                path,
+                stats_cols=["a", "b"],
+            )
+        before = txlog.read_pruned_multi(spark, path, {"a": (0, 7), "b": (0, 1)})
+        n_before = len(before.inputFiles())
+        v = txlog.optimize_zorder(spark, path, ["a", "b"], n_files=8)
+        assert v == 5
+        after = txlog.read_pruned_multi(spark, path, {"a": (0, 7), "b": (0, 1)})
+        assert len(after.inputFiles()) < n_before
+        assert sorted(r.id for r in after.collect()) == sorted(
+            r.id for r in before.collect()
+        )
+        # full content identical, and time travel to the unclustered state
+        assert txlog.read(spark, path).count() == 256
+        assert txlog.read(spark, path, version=4).count() == 256
+        assert txlog.history(path)[0]["op"] == "optimize_zorder"
