@@ -144,11 +144,14 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     if version % _CHECKPOINT_EVERY != 0:
         return
     payload = json.dumps({"version": version, "files": _replay(path, version)})
-    try:
-        with open(_checkpoint_path(path, version), "x") as f:
-            f.write(payload)
-    except FileExistsError:
-        pass
+    # tmp + rename: a writer dying mid-write must never leave a TORN
+    # checkpoint (readers would fail on json.load forever). rename is
+    # POSIX-atomic; racing writers produce identical content (the state is
+    # a deterministic function of the log), so last-rename-wins is safe.
+    tmp = _checkpoint_path(path, version) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, _checkpoint_path(path, version))
 
 
 def current_version(path: str) -> int:
