@@ -91,7 +91,16 @@ def refresh(
             *[F.sum(c).alias(c) for c in sum_cols],
         )
     else:
-        changes = txlog.table_changes(spark, source_path, last_v, src_v)
+        try:
+            changes = txlog.table_changes(spark, source_path, last_v, src_v)
+        except ValueError:
+            # version moved but the visible FILE SET did not (e.g. a restore
+            # back to the refreshed snapshot, or an empty-append commit):
+            # the aggregate is already current — just re-assert it with the
+            # new source version so refresh doesn't re-raise forever.
+            state = txlog.read(spark, mv_path)
+            txlog.overwrite(state, mv_path, meta={_SRC_V: src_v})
+            return src_v
         deltas = signed_deltas(changes, keys, sum_cols)
         state = apply_deltas(txlog.read(spark, mv_path), deltas, keys, sum_cols)
     # One atomic commit: the new state and the source version it reflects

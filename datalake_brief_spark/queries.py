@@ -2822,19 +2822,23 @@ def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _lakehouse_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
-    """Temp txlog-table root per (kind, sf_dir), memoized for the process.
-    The returned DataFrames are lazy, so the files must outlive them —
-    nothing is deleted until process exit (tmpfs-sized builds only)."""
+def _lakehouse_table(kind: str, sf_dir: str, build) -> str:
+    """Temp txlog-table root per (kind, sf_dir), built once per process by
+    ``build(path)`` and memoized ONLY after the build completes — a build
+    that throws is not poisoned into later queries sharing the table; the
+    next call retries in a fresh directory. The returned DataFrames are
+    lazy, so the files must outlive them — nothing is deleted until process
+    exit (tmpfs-sized builds only)."""
     import os
     import tempfile
 
     key = (kind, os.path.abspath(sf_dir))
     if key in _LAKEHOUSE_TABLES:
-        return _LAKEHOUSE_TABLES[key], False
+        return _LAKEHOUSE_TABLES[key]
     path = os.path.join(tempfile.mkdtemp(prefix=f"dbs_{kind}_"), "t")
+    build(path)
     _LAKEHOUSE_TABLES[key] = path
-    return path, True
+    return path
 
 
 _LAKEHOUSE_TABLES: dict[tuple[str, str], str] = {}
@@ -2845,8 +2849,7 @@ def _snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     Versions: 1 = even-orderkey half, 2 = full table, 3 = after a stats-
     pruned row-level DELETE of l_quantity < 5, 4 = after OPTIMIZE
     compaction (content identical to 3)."""
-    path, fresh = _lakehouse_dir("snapshot", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         l = _t(spark, sf_dir, "lineitem")
         half = F.pmod(F.col("l_orderkey"), F.lit(2))
         txlog.append(l.filter(half == 0), path, stats_cols=["l_quantity"])
@@ -2855,7 +2858,8 @@ def _snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             spark, path, F.col("l_quantity") < 5, prune_col="l_quantity", hi=5
         )
         txlog.optimize(spark, path, target_file_bytes=1 << 30)
-    return path
+
+    return _lakehouse_table("snapshot", sf_dir, build)
 
 
 def _txlog_agg(df: DataFrame) -> DataFrame:
@@ -2942,13 +2946,14 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves its file list from the log alone — files outside [1, 1000]
     never enter the plan (pruning asserted in tests/test_txlog.py; the
     oracle here proves the kept+filtered rows are exactly right)."""
-    path, fresh = _lakehouse_dir("pruned", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         l = _t(spark, sf_dir, "lineitem")
         arranged = l.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
             "l_orderkey"
         )
         txlog.append(arranged, path, stats_cols=["l_orderkey"])
+
+    path = _lakehouse_table("pruned", sf_dir, build)
     df = txlog.read_pruned(spark, path, "l_orderkey", lo=1, hi=1000)
     return aggregate(
         df,
@@ -2974,8 +2979,7 @@ def txlog_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a per-file Bloom on o_orderkey in the commit; read_point skips
     every file whose bloom excludes the key and the residual filter does
     the rest. Zero false-skip is the contract the oracle checks."""
-    path, fresh = _lakehouse_dir("bloom", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         o = _t(spark, sf_dir, "orders")
         for i in range(4):
             txlog.append(
@@ -2983,6 +2987,8 @@ def txlog_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 path,
                 bloom_cols=["o_orderkey"],
             )
+
+    path = _lakehouse_table("bloom", sf_dir, build)
     df = txlog.read_point(spark, path, "o_orderkey", 1)
     return df.select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
@@ -3008,8 +3014,7 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins MERGE as one atomic commit: base table at rev=1, an
     updates batch re-prices every 10th order at rev=2; the merged snapshot
     must hold exactly base-minus-touched ∪ updates (per-key max rev)."""
-    path, fresh = _lakehouse_dir("merge", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         o = _t(spark, sf_dir, "orders")
         base = o.select(
             "o_orderkey",
@@ -3023,8 +3028,9 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).cast("long").alias("rev"),
         )
         txlog.merge(spark, path, upd, keys=["o_orderkey"], order_col="rev")
+
     return aggregate(
-        txlog.read(spark, path),
+        txlog.read(spark, _lakehouse_table("merge", sf_dir, build)),
         ["rev"],
         [
             F.count(F.lit(1)).alias("n_rows"),
@@ -3051,8 +3057,7 @@ def txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so a rewrite that touches non-matching rows (or misses matching
     ones) hash-mismatches. The SET is a bare IEEE multiply (no per-row
     round) so both engines produce bit-identical updated values."""
-    path, fresh = _lakehouse_dir("update", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         o = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -3063,8 +3068,9 @@ def txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus") == "O",
             {"o_totalprice": F.col("o_totalprice") * 1.1},
         )
+
     return aggregate(
-        txlog.read(spark, path),
+        txlog.read(spark, _lakehouse_table("update", sf_dir, build)),
         ["o_orderstatus"],
         [
             F.count(F.lit(1)).alias("n_rows"),
@@ -3079,15 +3085,15 @@ def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, DELETE a band, then roll back to the pre-delete version — the
     restored snapshot must equal the raw table exactly (no rewrite; stats
     carried forward from the target version's resolution)."""
-    path, fresh = _lakehouse_dir("restore", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         l = _t(spark, sf_dir, "lineitem")
         txlog.append(l, path, stats_cols=["l_quantity"])
         txlog.delete_where(
             spark, path, F.col("l_quantity") < 5, prune_col="l_quantity", hi=5
         )
         txlog.restore(path, 1)
-    return _txlog_agg(txlog.read(spark, path))
+
+    return _txlog_agg(txlog.read(spark, _lakehouse_table("restore", sf_dir, build)))
 
 
 @_register(
@@ -3107,13 +3113,13 @@ def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's directory at plan build — `PartitionFilters` in the scan, other
     days never listed into the plan (asserted in tests/test_plans.py). The
     oracle filters the raw table by the same derived date."""
-    path, fresh = _lakehouse_dir("events_part", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         e = _t(spark, sf_dir, "events")
         e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
             "event_date"
         ).parquet(path)
-    part = spark.read.parquet(path)
+
+    part = spark.read.parquet(_lakehouse_table("events_part", sf_dir, build))
     # bounded single-value collect: the target day (min event date, resolved
     # from partition-column metadata only) — the oracle's scalar subquery
     min_day = part.agg(F.min("event_date")).collect()[0][0]
@@ -3149,11 +3155,13 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (double-count, missed delete, wrong sign) hash-mismatches."""
     from datalake_brief_spark.operators import incremental
 
-    src, fresh = _lakehouse_dir("mvsrc", sf_dir)
-    mv, _ = _lakehouse_dir("mvstate", sf_dir)
+    import os as _os
+
     keys = ["l_returnflag", "l_linestatus"]
     sums = ["l_quantity", "l_extendedprice"]
-    if fresh:
+
+    def build(root: str) -> None:
+        src, mv = _os.path.join(root, "src"), _os.path.join(root, "mv")
         l = _t(spark, sf_dir, "lineitem").select(*keys, *sums, "l_orderkey")
         half = F.pmod(F.col("l_orderkey"), F.lit(2))
         txlog.append(l.filter(half == 0).drop("l_orderkey"), src)
@@ -3161,7 +3169,9 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         txlog.append(l.filter(half == 1).drop("l_orderkey"), src)
         txlog.delete_where(spark, src, F.col("l_quantity") < 5)
         incremental.refresh(spark, src, mv, keys=keys, sum_cols=sums)
-    state = txlog.read(spark, mv)
+
+    root = _lakehouse_table("mv", sf_dir, build)
+    state = txlog.read(spark, _os.path.join(root, "mv"))
     return state.select(
         *keys,
         F.col("__mv_count").alias("n"),
@@ -3195,8 +3205,7 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals it regardless of batch order or replay."""
     from datalake_brief_spark.streaming.sinks import apply_merge_batch
 
-    path, fresh = _lakehouse_dir("streamrep", sf_dir)
-    if fresh:
+    def build(path: str) -> None:
         e = _t(spark, sf_dir, "events").select(
             "user_id",
             "event_type",
@@ -3215,7 +3224,8 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             apply_merge_batch(b, path, keys=["user_id"], order_col="ord")
         apply_merge_batch(batches[1], path, keys=["user_id"], order_col="ord")
-    return txlog.read(spark, path).select(
+
+    return txlog.read(spark, _lakehouse_table("streamrep", sf_dir, build)).select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
         F.round("value", 6).alias("last_value"),
@@ -3290,9 +3300,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_near_dup",
     # -- txlog.delete_where/optimize/merge changed this round (NULL DELETE
     # semantics, mergeSchema rewrites, temporal/decimal stats): the queries
-    # above cover them directly. The rest of the window re-evidences bands
-    # whose shared modules were touched (session outputTimestampType) or
-    # are headline surface worth fresh rows.
+    # above cover them directly. The remaining WINDOW slots (through
+    # position 50) re-evidence bands whose shared modules were touched or
+    # are headline surface worth fresh rows; entries past position 50 are
+    # ordering-only (outside the driver's 50-query window — all carry green
+    # rows from earlier rounds and are unchanged).
     "q1_pricing_summary",
     "events_resample_fill",
     "asof_join",

@@ -228,6 +228,47 @@ def _canon_bound(x):
     return x
 
 
+_DATE10 = None  # compiled lazily
+
+
+def _unify_stat_strs(a, b):
+    """Date stats serialize as 10-char ``YYYY-MM-DD``; timestamps as
+    26-char ``YYYY-MM-DD HH:MM:SS.ffffff``. When a bound and a stat mix
+    the two widths, pad the date form to midnight — exactly Spark's
+    date→timestamp cast — so the lexicographic skip decision agrees with
+    the residual filter (a bare mixed-width compare would false-skip a
+    file whose timestamp min is midnight of a date hi bound)."""
+    global _DATE10
+    if isinstance(a, str) and isinstance(b, str) and len(a) != len(b):
+        if _DATE10 is None:
+            import re
+
+            _DATE10 = re.compile(r"\d{4}-\d{2}-\d{2}")
+        if len(a) == 10 and len(b) == 26 and _DATE10.fullmatch(a):
+            a = a + " 00:00:00.000000"
+        elif len(b) == 10 and len(a) == 26 and _DATE10.fullmatch(b):
+            b = b + " 00:00:00.000000"
+    return a, b
+
+
+def _range_excludes(rng, c_lo, c_hi) -> bool:
+    """True iff a file's logged [min, max] provably cannot intersect the
+    canonicalized [c_lo, c_hi] — the ONE skip decision every pruned read
+    and pruned rewrite shares."""
+    if rng is None:
+        return False
+    fmin, fmax = rng
+    if c_hi is not None:
+        a, b = _unify_stat_strs(fmin, c_hi)
+        if a > b:
+            return True
+    if c_lo is not None:
+        a, b = _unify_stat_strs(fmax, c_lo)
+        if a < b:
+            return True
+    return False
+
+
 def _decode_decimal_raw(raw, scale: int):
     """Unscaled parquet decimal stat → ``decimal.Decimal``."""
     import decimal
@@ -388,9 +429,14 @@ def _file_bloom(abs_path: str, col: str) -> str:
     import pyarrow.parquet as pq
 
     vals = pq.read_table(abs_path, columns=[col]).column(col).to_pylist()
-    bits = np.zeros(_bloom_n_bits(len(vals)), dtype=bool)
+    hashed = _hash_values(vals) if vals else None
+    # size on DISTINCT values (post-hash unique), not raw rows: a 10M-row
+    # file with 1k distinct keys needs KiB, not a multi-MiB blob re-embedded
+    # into every checkpoint
+    n_distinct = int(np.unique(hashed).size) if vals else 0
+    bits = np.zeros(_bloom_n_bits(n_distinct), dtype=bool)
     if vals:
-        for pos in _bloom_positions(_hash_values(vals), bits.size):
+        for pos in _bloom_positions(hashed, bits.size):
             bits[pos] = True
     return base64.b64encode(np.packbits(bits).tobytes()).decode()
 
@@ -627,8 +673,7 @@ def read_pruned(
         if rng is None:
             keep.append(abs_p)
             continue
-        fmin, fmax = rng
-        if (c_hi is not None and fmin > c_hi) or (c_lo is not None and fmax < c_lo):
+        if _range_excludes(rng, c_lo, c_hi):
             continue
         keep.append(abs_p)
     if not keep:
@@ -678,8 +723,14 @@ def merge(
     if read_v == 0:
         return append(latest, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
+    # a MERGE rewrites the whole snapshot: recollect stats/blooms on every
+    # column the superseded files carried, or the table silently loses its
+    # data skipping after the first upsert
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     adds = _write_data_files(latest, path)
-    _try_commit(path, read_v + 1, adds, removes, meta={"op": "merge"})
+    stats = _collect_stats(path, adds, stat_cols or None)
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "merge"})
     return read_v + 1
 
 
@@ -706,10 +757,7 @@ def read_pruned_multi(
         fstats = stats.get(os.path.relpath(abs_p, path), {})
         drop = False
         for col, (lo, hi) in canon.items():
-            rng = fstats.get(col)
-            if rng is not None and (
-                (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
-            ):
+            if _range_excludes(fstats.get(col), lo, hi):
                 drop = True
                 break
         if not drop:
@@ -766,6 +814,69 @@ def read_point(
     return df.filter(F.col(col) == F.lit(value))
 
 
+def _matched_files(
+    spark: SparkSession,
+    path: str,
+    read_v: int,
+    predicate,
+    prune_col: str | None,
+    lo,
+    hi,
+) -> list[str]:
+    """Shared candidate-pruning + file-level match scan for the
+    copy-on-write mutations (DELETE/UPDATE): stats skip (+ bloom skip for
+    point predicates) → one predicate scan tagging which files contain
+    TRUE rows (``input_file_name``, URI-normalized via urlparse+unquote).
+    Returns absolute paths of matched files (empty = nothing to rewrite)."""
+    from urllib.parse import unquote, urlparse
+
+    all_files = visible_files(path, read_v)
+    candidates = all_files
+    if prune_col is not None:
+        stats = visible_stats(path, read_v)
+        # a point predicate (lo == hi) can additionally consult the blooms —
+        # the unclustered-key case where every file's range matches
+        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+        candidates = []
+        for abs_p in all_files:
+            rel = os.path.relpath(abs_p, path)
+            if _range_excludes(stats.get(rel, {}).get(prune_col), c_lo, c_hi):
+                continue
+            b64 = blooms.get(rel, {}).get(prune_col)
+            if b64 is not None and not _bloom_may_contain(b64, lo):
+                continue
+            candidates.append(abs_p)
+    if not candidates:
+        return []
+    # mergeSchema: candidate files may span additive schema evolution; the
+    # narrower single-footer schema would drop evolved columns on rewrite.
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+    matched = [
+        r[0]
+        for r in scan.filter(predicate)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    return [
+        unquote(urlparse(p).path) if p.startswith("file:") else p for p in matched
+    ]
+
+
+def _removed_skipping_cols(
+    path: str, read_v: int, removes: list[str]
+) -> tuple[list[str], list[str]]:
+    """Column names the removed files carried stats/blooms for — a rewrite
+    commit must recollect BOTH on its replacement files, or the mutation
+    silently degrades data skipping for every later read."""
+    live_stats = visible_stats(path, read_v)
+    live_blooms = visible_blooms(path, read_v)
+    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    bloom_cols = sorted({c for rel in removes for c in live_blooms.get(rel, {})})
+    return stat_cols, bloom_cols
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -794,51 +905,12 @@ def delete_where(
 
     Returns the new version (or the current one when nothing matched —
     no empty commit)."""
-    from urllib.parse import unquote, urlparse
-
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    all_files = visible_files(path, read_v)
-    candidates = all_files
-    if prune_col is not None:
-        stats = visible_stats(path, read_v)
-        # a point predicate (lo == hi) can additionally consult the blooms —
-        # the unclustered-key case where every file's range matches
-        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
-        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
-        candidates = []
-        for abs_p in all_files:
-            rel = os.path.relpath(abs_p, path)
-            rng = stats.get(rel, {}).get(prune_col)
-            if rng is not None and (
-                (c_hi is not None and rng[0] > c_hi)
-                or (c_lo is not None and rng[1] < c_lo)
-            ):
-                continue
-            b64 = blooms.get(rel, {}).get(prune_col)
-            if b64 is not None and not _bloom_may_contain(b64, lo):
-                continue
-            candidates.append(abs_p)
-    if not candidates:
-        return read_v
-    # mergeSchema: candidate files may span additive schema evolution; the
-    # narrower single-footer schema would drop evolved columns on rewrite.
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
-    matched = [
-        r[0]
-        for r in scan.filter(predicate)
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
-    ]
-    # input_file_name returns URIs (file:///..., percent-encoded); resolve
-    # via urlparse+unquote so paths with spaces etc. match the commit log
-    matched = [
-        unquote(urlparse(p).path) if p.startswith("file:") else p for p in matched
-    ]
+    matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     if not matched:
         return read_v
     keep = (
@@ -847,11 +919,11 @@ def delete_where(
         .filter(~F.coalesce(predicate, F.lit(False)))
     )
     removes = [os.path.relpath(p, path) for p in matched]
-    live_stats = visible_stats(path, read_v)
-    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     adds = _write_data_files(keep, path)
     stats = _collect_stats(path, adds, stat_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "delete"})
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "delete"})
     return read_v + 1
 
 
@@ -876,48 +948,27 @@ def update_where(
     files stay referenced untouched, so rewrite cost tracks the matched
     data, never the table. Returns the new version (current one when
     nothing matched)."""
-    from urllib.parse import unquote, urlparse
-
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    all_files = visible_files(path, read_v)
-    candidates = all_files
-    if prune_col is not None:
-        stats = visible_stats(path, read_v)
-        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
-        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
-        candidates = []
-        for abs_p in all_files:
-            rel = os.path.relpath(abs_p, path)
-            rng = stats.get(rel, {}).get(prune_col)
-            if rng is not None and (
-                (c_hi is not None and rng[0] > c_hi)
-                or (c_lo is not None and rng[1] < c_lo)
-            ):
-                continue
-            b64 = blooms.get(rel, {}).get(prune_col)
-            if b64 is not None and not _bloom_may_contain(b64, lo):
-                continue
-            candidates.append(abs_p)
-    if not candidates:
-        return read_v
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
-    matched = [
-        r[0]
-        for r in scan.filter(predicate)
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
-    ]
-    matched = [
-        unquote(urlparse(p).path) if p.startswith("file:") else p for p in matched
-    ]
+    # Validate assignments against the TABLE schema up front — a no-match
+    # UPDATE with a misspelled SET column must error, not silently no-op,
+    # and an assignment to an evolved column must work even when every
+    # matched file predates it.
+    table_schema = read(spark, path, read_v, merge_schema=True).schema
+    table_fields = {f.name: f.dataType for f in table_schema.fields}
+    unknown = set(assignments) - set(table_fields)
+    if unknown:
+        raise ValueError(f"assignments reference unknown columns: {sorted(unknown)}")
+    matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     if not matched:
         return read_v
     src = spark.read.option("mergeSchema", "true").parquet(*matched)
+    for name, dtype in table_fields.items():
+        if name not in src.columns:
+            src = src.withColumn(name, F.lit(None).cast(dtype))
     hit = F.coalesce(predicate, F.lit(False))
     cols = []
     for field in src.schema.fields:
@@ -931,16 +982,13 @@ def update_where(
             )
         else:
             cols.append(F.col(field.name))
-    unknown = set(assignments) - {f.name for f in src.schema.fields}
-    if unknown:
-        raise ValueError(f"assignments reference unknown columns: {sorted(unknown)}")
     rewritten = src.select(*cols)
     removes = [os.path.relpath(p, path) for p in matched]
-    live_stats = visible_stats(path, read_v)
-    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     adds = _write_data_files(rewritten, path)
     stats = _collect_stats(path, adds, stat_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "update"})
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "update"})
     return read_v + 1
 
 
@@ -1084,12 +1132,12 @@ def optimize(
     adds = _write_data_files(compacted, path)
     removes = [os.path.relpath(p, path) for p in small]
     # Compaction must not silently degrade data skipping: recollect stats
-    # for the rewritten files on every column the superseded files had
-    # logged stats for.
-    live_stats = visible_stats(path, read_v)
-    stat_cols = sorted({c for rel in removes for c in live_stats.get(rel, {})})
+    # AND blooms for the rewritten files on every column the superseded
+    # files carried them for.
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     stats = _collect_stats(path, adds, stat_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, meta={"op": "optimize"})
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "optimize"})
     return read_v + 1
 
 
@@ -1123,10 +1171,14 @@ def optimize_zorder(
         .drop("__zval")
     )
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
+    prev_stat_cols, prev_bloom_cols = _removed_skipping_cols(path, read_v, removes)
     adds = _write_data_files(arranged, path)
-    stats = _collect_stats(path, adds, stats_cols or cluster_cols)
+    stats = _collect_stats(
+        path, adds, sorted(set(stats_cols or cluster_cols) | set(prev_stat_cols))
+    )
+    blooms = _collect_blooms(path, adds, prev_bloom_cols or None)
     _try_commit(
-        path, read_v + 1, adds, removes, stats, meta={"op": "optimize_zorder"}
+        path, read_v + 1, adds, removes, stats, blooms, meta={"op": "optimize_zorder"}
     )
     return read_v + 1
 

@@ -884,3 +884,135 @@ class TestOptimizeZorder:
         assert txlog.read(spark, path).count() == 256
         assert txlog.read(spark, path, version=4).count() == 256
         assert txlog.history(path)[0]["op"] == "optimize_zorder"
+
+
+class TestReviewFixes:
+    """Round-4 self-review regressions: mixed-width temporal prune bounds,
+    skipping-metadata preservation across every rewrite commit, UPDATE
+    validation timing, and bloom sizing by distinct count."""
+
+    def test_date_bound_on_timestamp_column_does_not_false_skip(self, spark, tmp_path):
+        """hi = a DATE, column = TIMESTAMP, file min exactly midnight of
+        that date: Spark's residual filter (date casts to midnight) keeps
+        the row, so the stats skip must too — a bare lexicographic compare
+        of the 10-char date form against the 26-char timestamp form would
+        skip the file and lose the row."""
+        import datetime
+
+        path = str(tmp_path / "t")
+        rows = [(1, datetime.datetime(2024, 12, 31, 0, 0, 0))]
+        txlog.append(
+            spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1),
+            path,
+            stats_cols=["ts"],
+        )
+        got = txlog.read_pruned(
+            spark, path, "ts", hi=datetime.date(2024, 12, 31)
+        )
+        assert [r.id for r in got.collect()] == [1]
+
+    def test_timestamp_bound_on_date_column_prunes_consistently(self, spark, tmp_path):
+        import datetime
+
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame(
+                [(1, datetime.date(2024, 12, 31))], "id long, d date"
+            ).coalesce(1),
+            path,
+            stats_cols=["d"],
+        )
+        # lo = midnight datetime of the same day: the date row (midnight)
+        # satisfies d >= lo, so the file must be kept
+        got = txlog.read_pruned(
+            spark, path, "d", lo=datetime.datetime(2024, 12, 31, 0, 0, 0)
+        )
+        assert [r.id for r in got.collect()] == [1]
+
+    def test_merge_preserves_stats_and_blooms(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame(
+                [(i, f"k{i}", 1) for i in range(20)], "id long, k string, rev int"
+            ).coalesce(1),
+            path,
+            stats_cols=["id"],
+            bloom_cols=["k"],
+        )
+        upd = spark.createDataFrame([(3, "k3b", 2)], "id long, k string, rev int")
+        txlog.merge(spark, path, upd, keys=["id"], order_col="rev")
+        assert txlog.visible_stats(path), "merge dropped logged stats"
+        assert txlog.visible_blooms(path), "merge dropped logged blooms"
+
+    def test_delete_preserves_blooms(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        for g in range(2):
+            txlog.append(
+                spark.createDataFrame(
+                    [(i, f"k{i}") for i in range(g * 10, g * 10 + 10)],
+                    "id long, k string",
+                ).coalesce(1),
+                path,
+                bloom_cols=["k"],
+            )
+        txlog.delete_where(spark, path, "id = 15")
+        blooms = txlog.visible_blooms(path)
+        assert len(blooms) == 2, blooms  # untouched file + rewrite both covered
+        got = txlog.read_point(spark, path, "k", "k3")
+        assert len(got.inputFiles()) == 1
+
+    def test_update_unknown_column_errors_even_without_matches(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1,)], "id long"), path)
+        with pytest.raises(ValueError, match="unknown columns"):
+            txlog.update_where(spark, path, "id = 999", {"tpyo": F.lit(0)})
+
+    def test_update_evolved_column_on_pre_evolution_files(self, spark, tmp_path):
+        """SET on a column the matched files predate: validation passes
+        (the TABLE has it) and the rewrite materializes it."""
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        txlog.append(
+            spark.createDataFrame([(2, "b", 7)], "id long, v string, extra long"),
+            path,
+        )
+        txlog.update_where(spark, path, "id = 1", {"extra": F.lit(99)})
+        got = {r.id: r.extra for r in txlog.read(spark, path, merge_schema=True).collect()}
+        assert got == {1: 99, 2: 7}
+
+    def test_refresh_survives_restore_to_same_file_set(self, spark, tmp_path):
+        from datalake_brief_spark.operators import incremental
+
+        src = str(tmp_path / "src")
+        mv = str(tmp_path / "mv")
+        txlog.append(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"), src
+        )
+        incremental.refresh(spark, src, mv, keys=["k"], sum_cols=["v"])
+        txlog.restore(src, 1)  # version bumps, file set identical
+        v = incremental.refresh(spark, src, mv, keys=["k"], sum_cols=["v"])
+        assert v == txlog.current_version(src)
+        # and refresh is now a no-op again (version recorded)
+        assert incremental.refresh(spark, src, mv, keys=["k"], sum_cols=["v"]) == v
+        got = {r.k: r.v for r in incremental.read_aggregate(spark, mv, ["v"]).collect()}
+        assert got == {1: 10.0, 2: 20.0}
+
+    def test_bloom_sized_by_distinct_not_rows(self, spark, tmp_path):
+        """A low-cardinality, many-row file must not produce a giant bloom:
+        100k rows over 100 distinct keys stays at the minimum filter size."""
+        import base64
+        import json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        df = spark.range(100_000).select(
+            (F.col("id") % 100).cast("long").alias("k")
+        ).coalesce(1)
+        txlog.append(df, path, bloom_cols=["k"])
+        blooms = txlog.visible_blooms(path)
+        (entry,) = blooms.values()
+        n_bits = len(base64.b64decode(entry["k"])) * 8
+        assert n_bits == 8 * 1024, n_bits  # the floor, not 2^20
+        got = txlog.read_point(spark, path, "k", 42)
+        assert got.count() == 1000
+        del json, _os
