@@ -374,6 +374,106 @@ def repetition_metrics(
     )
 
 
+# Gopher's required-stopword list (Rae et al. 2021 §A1.1): a document must
+# contain at least 2 of these to count as natural language.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText quality-rule suite (Rae et al. 2021 §A1.1) — the
+    standard pre-training document filter, evaluated per document:
+
+    - ``n_words``          in [50, 100 000]
+    - ``mean_word_len``    in [3, 10]
+    - ``symbol_ratio``     (# and ... occurrences / words) < 0.1
+    - ``alpha_word_ratio`` (words containing a letter / words) > 0.80
+    - ``n_stop_distinct``  (distinct required stopwords present) ≥ 2
+
+    Emits every signal plus the composite ``passes`` flag, so downstream
+    curation can re-threshold without recomputing. All pure column
+    expressions over the normalized token array — scan-stage, zero
+    shuffles, zero Python at any scale (same posture as with_quality).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    n_safe = F.greatest(n, F.lit(1.0))
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_safe,
+        6,
+    )
+    sym = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    ).cast("double")
+    symbol_ratio = F.round(sym / n_safe, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_safe, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    n_words = n.cast("long")
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (alpha_ratio > 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stop_distinct"),
+        passes.alias("passes"),
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixture sampling: per ``group_col`` stratum, take
+    documents in a deterministic pseudo-random order until the stratum's
+    cumulative token count reaches ``budget`` — how a training mix caps
+    each source's contribution ("no more than N tokens of source X").
+
+    Order is a Knuth multiplicative hash of the id (expressible identically
+    in any SQL engine — the DuckDB oracle replays it verbatim, unlike
+    xxhash64), so the sample is reproducible across runs AND engines, and
+    adding new docs to a stratum perturbs only the tail near the budget
+    boundary, not the whole sample (hash order is stable under inserts —
+    the reservoir-stability property a re-runnable pipeline needs).
+
+    Scale shape: ONE window aggregation partitioned by stratum (running
+    sum over hash order). Strata are the unit of parallelism; a stratum's
+    rows must sort within its partition, which is exactly Spark's window
+    exchange — no driver-side state, no collect."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col).cast("long")
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

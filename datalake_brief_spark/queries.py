@@ -3266,6 +3266,188 @@ def emb_near_dup_srp45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-4 additions: Gopher-rule filtering, mixture composition/budgeted
+# sampling (the remaining standard pre-training curation surface), and the
+# replaceWhere backfill primitive on the txlog table.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                   / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_word_len,
+             round(CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                   / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS alpha_word_ratio,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS n_stop_distinct
+      FROM t
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+           alpha_word_ratio, n_stop_distinct,
+           (n BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+           AND n_stop_distinct >= 2 AS passes
+    FROM s
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality-rule suite per document (word count, mean word
+    length, symbol ratio, alphabetic-word fraction, required stopwords) +
+    composite pass flag — scan-stage expressions, zero shuffles."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_mix_stats",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+             CAST(count(*) AS DOUBLE) AS n_src
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / tot, 6)             AS token_share,
+           round(tot / (n_src * n_tokens), 6)   AS mix_weight
+    FROM s, tot
+    """,
+)
+def source_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition: per-source doc/token counts, the source's
+    share of corpus tokens, and the up/down-weighting factor that equalizes
+    the mix (uniform target: weight = (1/n_sources)/share). One keyed
+    aggregation with map-side combine + a broadcast of the 1-row totals."""
+    d = _t(spark, sf_dir, "documents")
+    from datalake_brief_spark.functions import token_count
+
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.select(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+            F.round(
+                F.col("tot") / (F.col("n_src") * F.col("n_tokens")), 6
+            ).alias("mix_weight"),
+        )
+    )
+
+
+@_register(
+    "sample_token_budget",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM d
+    QUALIFY cum_tokens <= 500
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per source, documents in Knuth-hash
+    order until 500 cumulative tokens — caps each source's contribution to
+    a training mix, reproducibly across runs AND engines (the oracle
+    replays the same hash). Budget sized so the cutoff FIRES at the
+    driver's sf0.01 gate (~700 tokens/source there): a boundary that never
+    triggers would be vacuous evidence. One window aggregation per
+    stratum."""
+    return text.budget_sample(
+        _t(spark, sf_dir, "documents"), budget=500, group_col="source"
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+
+
+@_register(
+    "txlog_replace_where",
+    """
+    SELECT rev, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2)   AS sum_price
+    FROM (
+      SELECT CAST(1 AS BIGINT) AS rev, round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 1000
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS rev, round(o_totalprice * 3, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 1 AND 1000
+    )
+    GROUP BY rev
+    """,
+)
+def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere backfill: re-land the o_orderkey ∈ [1, 1000] band (at
+    3× price, rev=2) in ONE atomic commit that deletes the old band and
+    inserts the replacement. The table lands range-clustered with stats in
+    the log, so the rewrite's candidate set is stats-pruned to the band's
+    files; untouched files stay referenced byte-identical. The oracle is
+    untouched-rows ∪ replacement — a scope leak (enforce contract), a lost
+    survivor row, or a broken prune all hash-mismatch."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.lit(1).cast("long").alias("rev"),
+        )
+        arranged = o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+        txlog.append(arranged, path, stats_cols=["o_orderkey"])
+        new = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey").between(1, 1000))
+            .select(
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 3, 2).alias("o_totalprice"),
+                F.lit(2).cast("long").alias("rev"),
+            )
+        )
+        txlog.overwrite_where(
+            spark,
+            path,
+            new,
+            F.col("o_orderkey").between(1, 1000),
+            prune_col="o_orderkey",
+            lo=1,
+            hi=1000,
+        )
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("replace", sf_dir, build)),
+        ["rev"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
 # similarity/text/multimodal/relational-extension bands unverified by the
@@ -3293,6 +3475,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_partition_pruned",
     "incremental_mv",
     "streaming_merge_replay",
+    # -- round 4, session 2: replaceWhere backfill + the standard curation
+    # trio (Gopher rules, mix composition, budgeted sampling) — all new,
+    # all oracle-backed, all inside the window
+    "txlog_replace_where",
+    "text_gopher_rules",
+    "source_mix_stats",
+    "sample_token_budget",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

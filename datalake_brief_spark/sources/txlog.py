@@ -992,6 +992,64 @@ def update_where(
     return read_v + 1
 
 
+def overwrite_where(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    predicate,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+    enforce: bool = True,
+) -> int:
+    """Predicate-scoped atomic overwrite (the Delta ``replaceWhere``
+    contract): in ONE commit, delete every row where ``predicate`` is TRUE
+    and insert ``new_df`` — the idempotent-backfill primitive (re-land one
+    day/partition of a 100 TB table without touching the rest).
+
+    Same three pruning layers as :func:`delete_where` bound the rewrite to
+    the files that actually contain matching rows; files with no matches
+    stay referenced byte-identical, so cost tracks the replaced band, never
+    the table. ``enforce=True`` (default, as in Delta) rejects the write if
+    any ``new_df`` row does NOT satisfy the predicate — otherwise a bad
+    backfill silently leaks rows outside its declared scope and a replay
+    would duplicate them. NULL-predicate rows count as outside the scope on
+    both sides (delete keeps them, enforcement rejects them).
+
+    Returns the new version. Unlike delete_where, a no-match predicate
+    still commits (the insert half must land)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if enforce:
+        stray = new_df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).count()
+        if stray:
+            raise ValueError(
+                "overwrite_where: new_df contains rows that do not satisfy "
+                "the replace predicate (pass enforce=False to allow)"
+            )
+    matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
+    adds = _write_data_files(new_df, path)
+    removes = []
+    if matched:
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*matched)
+            .filter(~F.coalesce(predicate, F.lit(False)))
+        )
+        adds += _write_data_files(survivors, path)
+        removes = [os.path.relpath(p, path) for p in matched]
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
+    stats = _collect_stats(path, adds, stat_cols or None)
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(
+        path, read_v + 1, adds, removes, stats, blooms, meta={"op": "replace_where"}
+    )
+    return read_v + 1
+
+
 def restore(path: str, version: int) -> int:
     """Roll the table back to an earlier version as a NEW commit (the
     lakehouse ``RESTORE TABLE ... TO VERSION``): flips visibility only —

@@ -66,3 +66,66 @@ class TestContaminationOverlap:
         )
         out = _rows(text.contamination_overlap(corpus, bench, n=5), "doc_id")
         assert out[1]["n_shared"] == 1  # distinct grams per doc, not occurrences
+
+
+class TestGopherRules:
+    def test_hand_computed_signals(self, spark):
+        # 60 words, all 4-letter alphabetic, includes 'the' and 'with':
+        # passes every rule.
+        good = " ".join(["word"] * 56 + ["the", "with", "that", "have"])
+        # 10 words -> fails the 50-word floor; no required stopwords.
+        short = " ".join(["zz"] * 10)
+        # symbol soup: '#' per word -> symbol_ratio 1.0 >= 0.1.
+        syms = " ".join(["the#"] * 30 + ["with"] * 30)
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, syms)], ["doc_id", "text"]
+        )
+        out = _rows(text.gopher_rules(df), "doc_id")
+        assert out[1]["n_words"] == 60
+        assert out[1]["mean_word_len"] == 4.0 or 3.0 <= out[1]["mean_word_len"] <= 10.0
+        assert out[1]["n_stop_distinct"] == 4
+        assert out[1]["passes"] is True
+        assert out[2]["passes"] is False  # too short
+        assert out[2]["n_stop_distinct"] == 0
+        assert out[3]["symbol_ratio"] == 0.5  # 30 hashes / 60 words
+        assert out[3]["passes"] is False
+
+    def test_alpha_word_ratio_counts_letterless_words(self, spark):
+        df = spark.createDataFrame([(1, "abc 123 456 789")], ["doc_id", "text"])
+        out = _rows(text.gopher_rules(df), "doc_id")
+        assert out[1]["alpha_word_ratio"] == 0.25
+
+
+class TestBudgetSample:
+    def test_budget_is_respected_per_stratum(self, spark):
+        rows = [(s, i, " ".join(["w"] * 10)) for s in ("a", "b") for i in range(20)]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        out = text.budget_sample(df, budget=55, group_col="source").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        for src, got in by_src.items():
+            assert max(r.cum_tokens for r in got) <= 55
+            # 10-token docs under a 55 budget -> exactly 5 docs per stratum
+            assert len(got) == 5, src
+
+    def test_sample_is_deterministic_and_stable_under_inserts(self, spark):
+        rows = [("a", i, " ".join(["w"] * 10)) for i in range(40)]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        pick1 = {r.doc_id for r in text.budget_sample(df, budget=100).collect()}
+        pick2 = {r.doc_id for r in text.budget_sample(df, budget=100).collect()}
+        assert pick1 == pick2  # reproducible
+        # hash order is stable under inserts: adding docs can only displace
+        # picks near the budget boundary, and the kept prefix is a prefix
+        # of the same hash order
+        bigger = spark.createDataFrame(
+            rows + [("a", 1000 + i, " ".join(["w"] * 10)) for i in range(40)],
+            ["source", "doc_id", "text"],
+        )
+        pick3 = {r.doc_id for r in text.budget_sample(bigger, budget=100).collect()}
+        # inserts can only DISPLACE old picks toward the budget boundary
+        # (old docs' relative hash order is unchanged; cumulative tokens
+        # only grow), never promote an old doc that wasn't picked before
+        old_survivors = {d for d in pick3 if d < 1000}
+        assert old_survivors <= pick1
+        assert old_survivors, "some original picks must survive the insert"

@@ -1016,3 +1016,88 @@ class TestReviewFixes:
         got = txlog.read_point(spark, path, "k", 42)
         assert got.count() == 1000
         del json, _os
+
+
+class TestOverwriteWhere:
+    """replaceWhere backfill: predicate-scoped atomic overwrite."""
+
+    def test_replaces_band_in_one_commit(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "old", 1) for i in range(10)]), path)
+        pre = txlog.current_version(path)
+        new = _df(spark, [(i, "new", 2) for i in range(3, 7)])
+        v = txlog.overwrite_where(spark, path, new, F.col("id").between(3, 6))
+        assert v == pre + 1  # one atomic commit
+        rows = {(r.id, r.v) for r in txlog.read(spark, path).collect()}
+        assert rows == {(i, "new" if 3 <= i <= 6 else "old") for i in range(10)}
+        # time travel still shows the pre-replace table
+        old = {r.v for r in txlog.read(spark, path, version=pre).collect()}
+        assert old == {"old"}
+
+    def test_enforce_rejects_out_of_scope_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        stray = _df(spark, [(99, "leak", 2)])
+        with pytest.raises(ValueError, match="do not satisfy"):
+            txlog.overwrite_where(spark, path, stray, F.col("id") <= 10)
+        # nothing committed
+        assert txlog.current_version(path) == 1
+        # enforce=False allows the caller to take responsibility
+        v = txlog.overwrite_where(
+            spark, path, stray, F.col("id") <= 10, enforce=False
+        )
+        assert v == 2
+
+    def test_null_predicate_rows_survive_rewrite(self, spark, tmp_path):
+        """Three-valued logic: rows where the predicate is NULL are outside
+        the replace scope and must survive the rewritten files."""
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "id long, tag string"
+        )
+        txlog.append(df, path)
+        new = spark.createDataFrame([(9, "x")], "id long, tag string")
+        txlog.overwrite_where(spark, path, new, F.col("tag") == "x")
+        got = {(r.id, r.tag) for r in txlog.read(spark, path).collect()}
+        assert got == {(9, "x"), (2, None), (3, "y")}
+
+    def test_stats_prune_bounds_rewrite_set(self, spark, tmp_path):
+        """Files outside the replaced band stay referenced byte-identical
+        (never rewritten) when stats can prove they cannot match."""
+        path = str(tmp_path / "t")
+        lo = _df(spark, [(i, "lo", 1) for i in range(100)]).coalesce(1)
+        hi = _df(spark, [(i, "hi", 1) for i in range(500, 600)]).coalesce(1)
+        txlog.append(lo, path, stats_cols=["id"])
+        txlog.append(hi, path, stats_cols=["id"])
+        pre_files = set(txlog.visible_files(path))
+        new = _df(spark, [(i, "new", 2) for i in range(0, 50)])
+        txlog.overwrite_where(
+            spark, path, new, F.col("id") < 50, prune_col="id", hi=49
+        )
+        post_files = set(txlog.visible_files(path))
+        # the hi-band file group survives untouched in the new snapshot
+        kept = pre_files & post_files
+        assert kept, "pruned-out file group must stay referenced"
+        kept_rows = {r.v for r in spark.read.parquet(*kept).collect()}
+        assert kept_rows == {"hi"}
+
+    def test_no_match_still_lands_insert(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        new = _df(spark, [(50, "b", 1)])
+        v = txlog.overwrite_where(spark, path, new, F.col("id").between(50, 60))
+        assert v == 2
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1, 50}
+
+    def test_replace_preserves_skipping_metadata(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            _df(spark, [(i, "a", 1) for i in range(20)]),
+            path,
+            stats_cols=["id"],
+            bloom_cols=["v"],
+        )
+        new = _df(spark, [(i, "b", 2) for i in range(5)])
+        txlog.overwrite_where(spark, path, new, F.col("id") < 5)
+        assert txlog.visible_stats(path), "stats recollected on rewrite"
+        assert txlog.visible_blooms(path), "blooms recollected on rewrite"
