@@ -474,6 +474,67 @@ def budget_sample(
     )
 
 
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    score every document by its log importance weight
+    ``log p_target(doc) − log q_raw(doc)`` under bag-of-unigram language
+    models with add-one smoothing — the standard cheap way to select raw
+    web data that "looks like" a high-quality target corpus. ``target`` is
+    a boolean Column marking the target subset within ``df``; documents
+    whose vocabulary leans toward the target score high and are kept by a
+    top-k / thresholded resample downstream.
+
+    DSIR proper hashes n-grams into a fixed bucket space; explicit unigrams
+    keep the statistic engine-portable (the DuckDB oracle replays it
+    exactly) and the scale shape identical: ONE token-keyed aggregation
+    builds both corpus histograms in a single pass (count + conditional
+    count, map-side combined), the 3 scalars broadcast, and the per-doc
+    score is one join of the exploded corpus against the vocabulary-sized
+    ratio table + one doc-keyed sum — every stage partial-aggregated, no
+    Python, no driver state. Swap the unigram key for
+    ``xxhash64(gram) % B`` to get hashed-DSIR when vocabulary size (not
+    portability) is the constraint.
+
+    Add-one smoothing over the RAW vocabulary keeps every corpus token
+    scoreable (target-unseen tokens get mass 1/(N_target+V), pulling the
+    weight down — exactly the penalty DSIR wants for off-target text).
+    """
+    tok = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("q_c"),
+        F.count_if(F.col("__is_t")).cast("double").alias("p_c"),
+    )
+    scalars = counts.select(
+        F.sum("q_c").alias("nq"),
+        F.sum("p_c").alias("np"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratio = counts.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        (
+            F.log((F.col("p_c") + 1) / (F.col("np") + F.col("v")))
+            - F.log((F.col("q_c") + 1) / (F.col("nq") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        tok.join(ratio, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_iw"),
+        )
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

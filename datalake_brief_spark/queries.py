@@ -3386,6 +3386,42 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS token
+      FROM documents
+    ), c AS (
+      SELECT token,
+             CAST(count(*) AS DOUBLE)                      AS q_c,
+             CAST(count(*) FILTER (is_t) AS DOUBLE)        AS p_c
+      FROM tok GROUP BY token
+    ), s AS (
+      SELECT sum(q_c) AS nq, sum(p_c) AS np,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM c
+    ), r AS (
+      SELECT token,
+             ln((p_c + 1) / (np + v)) - ln((q_c + 1) / (nq + v)) AS lr
+      FROM c, s
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 6)        AS log_iw
+    FROM tok t JOIN r USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for every document against the English
+    subset as the target corpus: smoothed unigram log-likelihood ratio,
+    the data-selection statistic of Xie et al. 2023. High scorers "look
+    like" the target; a threshold/top-k downstream is the resample."""
+    d = _t(spark, sf_dir, "documents")
+    return text.dsir_log_weights(d, target=F.col("lang") == "en")
+
+
+@_register(
     "txlog_replace_where",
     """
     SELECT rev, CAST(count(*) AS BIGINT) AS n_rows,
@@ -3482,6 +3518,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_gopher_rules",
     "source_mix_stats",
     "sample_token_budget",
+    "dsir_weights",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

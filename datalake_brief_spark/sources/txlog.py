@@ -501,9 +501,16 @@ def append(
     max_retries: int = 10,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Blind append: always merges cleanly under races (adds only — no
     read-set to validate), so a conflict just re-targets the new tip.
+
+    ``meta`` rides inside the commit file (see :func:`overwrite` /
+    :func:`latest_meta`) — the idempotent-writer hook: a streaming sink
+    records its (app id → epoch) watermark atomically with the data, so a
+    replayed micro-batch can be detected and skipped (the Delta
+    txnAppId/txnVersion pattern; see streaming.sinks.apply_append_batch).
 
     ``stats_cols`` records per-file min/max for those columns in the commit
     (footer-only reads, no data pages) so ``read_pruned`` can skip files
@@ -525,7 +532,9 @@ def append(
     for _ in range(max_retries):
         v = current_version(path) + 1
         try:
-            _try_commit(path, v, adds, [], stats, blooms, meta={"op": "append"})
+            _try_commit(
+                path, v, adds, [], stats, blooms, meta={"op": "append", **(meta or {})}
+            )
             return v
         except CommitConflict:
             continue

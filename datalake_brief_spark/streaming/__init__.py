@@ -14,7 +14,11 @@ from datalake_brief_spark.streaming.alerts import (
     threshold_alert_stream,
     windowed_counts,
 )
-from datalake_brief_spark.streaming.sinks import merge_stream_to_txlog
+from datalake_brief_spark.streaming.sinks import (
+    append_stream_to_txlog,
+    apply_append_batch,
+    merge_stream_to_txlog,
+)
 from datalake_brief_spark.streaming.stateful import (
     dedup_stream,
     enrich_stream,
@@ -25,6 +29,8 @@ from datalake_brief_spark.streaming.stateful import (
 __all__ = [
     "Alert",
     "alerts_to_parquet",
+    "append_stream_to_txlog",
+    "apply_append_batch",
     "dedup_stream",
     "enrich_stream",
     "merge_stream_to_txlog",

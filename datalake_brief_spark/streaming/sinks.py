@@ -49,6 +49,55 @@ def apply_merge_batch(
     txlog.merge(batch_df.sparkSession, path, latest, keys, order_col)
 
 
+def apply_append_batch(
+    batch_df: DataFrame, path: str, txn_app_id: str, epoch_id: int
+) -> bool:
+    """Idempotently append ONE micro-batch: the commit carries
+    ``txn:<app_id> = epoch_id`` in its meta, and a batch whose epoch is at
+    or below the last committed epoch for that app id is SKIPPED — so
+    foreachBatch's at-least-once replay (crash between sink success and
+    checkpoint write) cannot double-append. This is the Delta
+    txnAppId/txnVersion idempotent-writer contract for APPEND streams —
+    the fact-table complement of the latest-wins MERGE sink (there
+    idempotence comes from the merge itself; a plain append needs the
+    epoch watermark).
+
+    Single-writer-per-app-id (Structured Streaming's checkpoint guarantee);
+    different app ids interleave freely — each key is tracked independently
+    in the log. Returns True when the batch landed, False when skipped."""
+    last = txlog.latest_meta(path, f"txn:{txn_app_id}")
+    if last is not None and int(last) >= int(epoch_id):
+        return False
+    txlog.append(batch_df, path, meta={f"txn:{txn_app_id}": int(epoch_id)})
+    return True
+
+
+def append_stream_to_txlog(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    txn_app_id: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once APPEND of a stream into a txlog table: each micro-batch
+    is one atomic commit tagged with its epoch; replays are detected from
+    the log and skipped (see apply_append_batch). The ever-growing-fact-
+    table shape — pair with txlog.optimize for small-file compaction off
+    the write path."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_append_batch(batch_df, path, txn_app_id, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def merge_stream_to_txlog(
     stream: DataFrame,
     path: str,

@@ -208,3 +208,61 @@ class TestStreamingAggregateUpsert:
         )
         want = {(str(r.w.start), r.event_type): r.n for r in batch.collect()}
         assert got == want
+
+
+class TestStreamingAppendSink:
+    """Exactly-once APPEND via the epoch-in-commit-meta watermark (the
+    txnAppId/txnVersion idempotent-writer contract)."""
+
+    def test_replayed_epoch_is_skipped(self, spark, tmp_path):
+        from datalake_brief_spark.streaming import apply_append_batch
+
+        table = str(tmp_path / "tbl")
+        b0 = spark.range(0, 5).withColumnRenamed("id", "k")
+        b1 = spark.range(5, 8).withColumnRenamed("id", "k")
+        assert apply_append_batch(b0, table, "appA", 0) is True
+        # crash-between-sink-and-checkpoint: the SAME epoch replays
+        assert apply_append_batch(b0, table, "appA", 0) is False
+        assert apply_append_batch(b1, table, "appA", 1) is True
+        got = sorted(r.k for r in txlog.read(spark, table).collect())
+        assert got == list(range(8))  # no duplicates from the replay
+
+    def test_app_ids_are_tracked_independently(self, spark, tmp_path):
+        from datalake_brief_spark.streaming import apply_append_batch
+
+        table = str(tmp_path / "tbl")
+        a = spark.range(0, 3).withColumnRenamed("id", "k")
+        b = spark.range(10, 13).withColumnRenamed("id", "k")
+        assert apply_append_batch(a, table, "appA", 0) is True
+        # a DIFFERENT writer's epoch 0 must still land
+        assert apply_append_batch(b, table, "appB", 0) is True
+        assert apply_append_batch(a, table, "appA", 0) is False
+        assert txlog.read(spark, table).count() == 6
+
+    def test_stream_appends_exactly_once_across_restart(
+        self, spark, tmp_path
+    ):
+        """Live availableNow stream, then a restart with a FRESH checkpoint
+        (forcing a full source replay): the epoch watermark alone must stop
+        the duplicates a plain append sink would produce."""
+        from datalake_brief_spark.streaming import append_stream_to_txlog
+
+        src = str(tmp_path / "src")
+        load_table(spark, SF_SMOKE, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ).limit(200).repartition(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        table = str(tmp_path / "tbl")
+        for ckpt in ("c1", "c2"):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = append_stream_to_txlog(
+                stream, table, str(tmp_path / ckpt), txn_app_id="ingest"
+            )
+            q.awaitTermination(120)
+        got = txlog.read(spark, table)
+        assert got.count() == 200
+        assert got.select("event_id").distinct().count() == 200

@@ -129,3 +129,46 @@ class TestBudgetSample:
         old_survivors = {d for d in pick3 if d < 1000}
         assert old_survivors <= pick1
         assert old_survivors, "some original picks must survive the insert"
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        # target speaks 'alpha beta', raw background speaks 'gamma delta';
+        # a candidate in target vocabulary must outscore one in background
+        # vocabulary under log p_t - log q.
+        rows = (
+            [(i, "alpha beta alpha beta", "t") for i in range(5)]
+            + [(100 + i, "gamma delta gamma delta", "r") for i in range(5)]
+            + [(900, "alpha beta alpha beta", "r"), (901, "gamma delta gamma delta", "x")]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+        out = {
+            r.doc_id: r.log_iw
+            for r in text.dsir_log_weights(df, target=F.col("grp") == "t").collect()
+        }
+        assert out[900] > out[901]
+        # target-vocab docs all share one score; same for background docs
+        assert out[900] == out[0]
+
+    def test_weights_are_exact_llr(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        # one target doc 'a a', one raw-only doc 'b'; V=2 tokens.
+        df = spark.createDataFrame(
+            [(1, "a a", True), (2, "b", False)], ["doc_id", "text", "t"]
+        )
+        out = {
+            r.doc_id: r.log_iw
+            for r in text.dsir_log_weights(df, target=F.col("t")).collect()
+        }
+        # totals: np=2 (both 'a'), nq=3, v=2
+        # token a: p=(2+1)/(2+2), q=(2+1)/(3+2) -> lr = ln(3/4) - ln(3/5)
+        lr_a = math.log(3 / 4) - math.log(3 / 5)
+        # token b: p=(0+1)/4, q=(1+1)/5 -> lr = ln(1/4) - ln(2/5)
+        lr_b = math.log(1 / 4) - math.log(2 / 5)
+        assert out[1] == round(2 * lr_a, 6)
+        assert out[2] == round(lr_b, 6)
