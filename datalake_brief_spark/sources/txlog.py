@@ -495,6 +495,46 @@ def _try_commit(
     _maybe_checkpoint(path, version)
 
 
+def _validate_append_schema(
+    path: str, df: DataFrame, merge_schema: bool
+) -> dict[str, str]:
+    """Writer-side schema enforcement (the Delta contract): compare the
+    incoming frame against the schema recorded in the log and return the
+    schema dict this commit should record.
+
+    - A TYPE CHANGE on an existing column is always rejected — two files
+      disagreeing on a column's type poison every later read, and no read
+      option repairs it.
+    - ADDED or MISSING columns require an explicit ``merge_schema=True``
+      (additive evolution is legal but must be opted into, exactly like
+      Delta's ``mergeSchema`` write option) — a typo'd column name must
+      fail loudly, not fork the schema silently.
+
+    Tables created before schemas were logged have no entry — enforcement
+    starts at their next schema-recording commit (backward compatible)."""
+    logged = latest_meta(path, "schema")
+    cur = dict(df.dtypes)
+    if logged is None:
+        return cur
+    conflicts = {
+        c: (logged[c], cur[c]) for c in cur if c in logged and logged[c] != cur[c]
+    }
+    if conflicts:
+        raise TypeError(
+            f"append schema conflicts with the table schema (column: "
+            f"(table type, append type)): {conflicts}"
+        )
+    added = set(cur) - set(logged)
+    missing = set(logged) - set(cur)
+    if (added or missing) and not merge_schema:
+        raise ValueError(
+            f"append schema differs from the table schema "
+            f"(added={sorted(added)}, missing={sorted(missing)}); pass "
+            f"merge_schema=True to evolve the schema additively"
+        )
+    return {**logged, **cur}
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -502,6 +542,7 @@ def append(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Blind append: always merges cleanly under races (adds only — no
     read-set to validate), so a conflict just re-targets the new tip.
@@ -524,16 +565,32 @@ def append(
     whose bloom excludes the value (~1% false-keep, zero false-skip).
     Costs one column read per file at write time. Bloom columns must be
     integer/string/boolean (validated against the schema BEFORE any data
-    file lands) — see ``_check_bloom_cols``."""
+    file lands) — see ``_check_bloom_cols``.
+
+    Writer-side schema enforcement: the commit records the table schema in
+    its meta, a type change on an existing column is always rejected, and
+    added/missing columns require ``merge_schema=True`` (additive evolution
+    — pair with ``read(merge_schema=True)``); see
+    :func:`_validate_append_schema`."""
     _check_bloom_cols(df, bloom_cols)
+    _validate_append_schema(path, df, merge_schema)  # fail BEFORE data lands
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     blooms = _collect_blooms(path, adds, bloom_cols)
     for _ in range(max_retries):
+        # re-resolve against the tip each attempt: a racing writer may have
+        # evolved the schema between our validation and our commit
+        schema_meta = _validate_append_schema(path, df, merge_schema)
         v = current_version(path) + 1
         try:
             _try_commit(
-                path, v, adds, [], stats, blooms, meta={"op": "append", **(meta or {})}
+                path,
+                v,
+                adds,
+                [],
+                stats,
+                blooms,
+                meta={"op": "append", "schema": schema_meta, **(meta or {})},
             )
             return v
         except CommitConflict:
@@ -549,6 +606,7 @@ def append_clustered(
     bits: int = 8,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Z-order-clustered append: range-partition + sort on the interleaved
     Morton key (io.zorder_value) so EVERY clustered column is range-bounded
@@ -571,6 +629,7 @@ def append_clustered(
         path,
         stats_cols=stats_cols or cluster_cols,
         bloom_cols=bloom_cols,
+        merge_schema=merge_schema,
     )
 
 
@@ -595,7 +654,14 @@ def overwrite(
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     _try_commit(
-        path, read_v + 1, adds, removes, stats, meta={"op": "overwrite", **(meta or {})}
+        path,
+        read_v + 1,
+        adds,
+        removes,
+        stats,
+        # overwrite replaces the WHOLE table, so its schema simply becomes
+        # the table schema (Delta's overwriteSchema shape)
+        meta={"op": "overwrite", "schema": dict(df.dtypes), **(meta or {})},
     )
     return read_v + 1
 
@@ -739,7 +805,17 @@ def merge(
     adds = _write_data_files(latest, path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "merge"})
+    _try_commit(
+        path,
+        read_v + 1,
+        adds,
+        removes,
+        stats,
+        blooms,
+        # merge is the evolution-tolerant path by contract (unionByName
+        # allowMissingColumns above); record the unified post-merge schema
+        meta={"op": "merge", "schema": dict(latest.dtypes)},
+    )
     return read_v + 1
 
 
@@ -1030,6 +1106,7 @@ def overwrite_where(
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    schema_meta = _validate_append_schema(path, new_df, merge_schema=False)
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     if enforce:
@@ -1054,7 +1131,13 @@ def overwrite_where(
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     _try_commit(
-        path, read_v + 1, adds, removes, stats, blooms, meta={"op": "replace_where"}
+        path,
+        read_v + 1,
+        adds,
+        removes,
+        stats,
+        blooms,
+        meta={"op": "replace_where", "schema": schema_meta},
     )
     return read_v + 1
 
@@ -1112,10 +1195,12 @@ def history(path: str) -> list[dict]:
                 "op": meta.get("op", "write"),
                 "n_added": len(commit.get("adds", [])),
                 "n_removed": len(commit.get("removes", [])),
+                # schema meta is bookkeeping, not an operation detail —
+                # surface it via latest_meta(path, "schema"), not history rows
                 **{
                     k: meta[k]
                     for k in meta
-                    if k != "op"
+                    if k not in ("op", "schema")
                 },
             }
         )

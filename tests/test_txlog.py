@@ -266,7 +266,9 @@ class TestSchemaEvolution:
         path = str(tmp_path / "t")
         txlog.append(spark.createDataFrame([(1, "a")], ["id", "v"]), path)
         txlog.append(
-            spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]), path
+            spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]),
+            path,
+            merge_schema=True,
         )
         df = txlog.read(spark, path, merge_schema=True)
         assert set(df.columns) == {"id", "v", "score"}
@@ -421,6 +423,7 @@ class TestAdviceFixes:
         txlog.append(
             spark.createDataFrame([(2, "b", 7)], "id long, v string, extra long"),
             path,
+            merge_schema=True,
         )
         v = txlog.optimize(spark, path, target_file_bytes=1 << 30)
         assert v == 3
@@ -437,6 +440,7 @@ class TestAdviceFixes:
                 [(2, "b", 7), (3, "c", 8)], "id long, v string, extra long"
             ),
             path,
+            merge_schema=True,
         )
         txlog.delete_where(spark, path, "id = 3")
         got = txlog.read(spark, path, merge_schema=True)
@@ -544,7 +548,9 @@ class TestComposedPruning:
             [(i, i * 10, f"u{i}", "new") for i in range(100, 150)],
             "a long, b long, k string, c string",
         ).coalesce(1)
-        txlog.append(df3, path, stats_cols=["a", "b"], bloom_cols=["k"])
+        txlog.append(
+            df3, path, stats_cols=["a", "b"], bloom_cols=["k"], merge_schema=True
+        )
 
         # multi-range prune intersects BOTH dimensions and skips files 2+3
         got = txlog.read_pruned_multi(spark, path, {"a": (0, 40), "b": (0, 300)})
@@ -975,6 +981,7 @@ class TestReviewFixes:
         txlog.append(
             spark.createDataFrame([(2, "b", 7)], "id long, v string, extra long"),
             path,
+            merge_schema=True,
         )
         txlog.update_where(spark, path, "id = 1", {"extra": F.lit(99)})
         got = {r.id: r.extra for r in txlog.read(spark, path, merge_schema=True).collect()}
@@ -1101,3 +1108,84 @@ class TestOverwriteWhere:
         txlog.overwrite_where(spark, path, new, F.col("id") < 5)
         assert txlog.visible_stats(path), "stats recollected on rewrite"
         assert txlog.visible_blooms(path), "blooms recollected on rewrite"
+
+
+class TestSchemaEnforcement:
+    """Writer-side schema checks (the Delta append contract): type changes
+    always rejected; additive/missing columns need merge_schema=True."""
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        with pytest.raises(TypeError, match="conflicts"):
+            txlog.append(
+                spark.createDataFrame([(2.5, "b")], "id double, v string"), path
+            )
+        # merge_schema does NOT excuse a type conflict
+        with pytest.raises(TypeError, match="conflicts"):
+            txlog.append(
+                spark.createDataFrame([(2.5, "b")], "id double, v string"),
+                path,
+                merge_schema=True,
+            )
+        assert txlog.current_version(path) == 1  # nothing landed
+
+    def test_added_column_needs_explicit_flag(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        evolved = spark.createDataFrame([(2, "b", 7)], "id long, v string, n long")
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            txlog.append(evolved, path)
+        v = txlog.append(evolved, path, merge_schema=True)
+        assert v == 2
+        # the log now records the evolved schema; a third writer using it
+        # needs no flag
+        assert txlog.latest_meta(path, "schema") == {
+            "id": "bigint", "v": "string", "n": "bigint"
+        }
+        txlog.append(
+            spark.createDataFrame([(3, "c", 8)], "id long, v string, n long"), path
+        )
+
+    def test_missing_column_needs_explicit_flag(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, "a", 7)], "id long, v string, n long"), path
+        )
+        narrow = spark.createDataFrame([(2, "b")], "id long, v string")
+        with pytest.raises(ValueError, match="missing"):
+            txlog.append(narrow, path)
+        txlog.append(narrow, path, merge_schema=True)
+        # logged schema keeps the union — the dropped column is still part
+        # of the table (old rows carry it; new rows read NULL)
+        assert set(txlog.latest_meta(path, "schema")) == {"id", "v", "n"}
+
+    def test_pre_schema_tables_enforce_nothing(self, spark, tmp_path):
+        """Tables whose commits predate schema recording (no 'schema' meta)
+        accept any append — backward compatibility."""
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        adds = txlog._write_data_files(df, path)
+        txlog._try_commit(path, 1, adds, [], meta={"op": "append"})  # no schema
+        txlog.append(
+            spark.createDataFrame([(2, "b", 9)], "id long, v string, n long"), path
+        )
+        assert txlog.read(spark, path, merge_schema=True).count() == 2
+
+    def test_overwrite_resets_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        txlog.overwrite(spark.createDataFrame([(1,)], "k long"), path)
+        assert txlog.latest_meta(path, "schema") == {"k": "bigint"}
+        # appends now validate against the replacement schema
+        with pytest.raises(ValueError, match="merge_schema"):
+            txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+
+    def test_merge_records_unified_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        upd = spark.createDataFrame(
+            [(1, "a2", 2, "x")], "id long, v string, version int, note string"
+        )
+        txlog.merge(spark, path, upd, keys=["id"], order_col="version")
+        assert "note" in txlog.latest_meta(path, "schema")
