@@ -116,7 +116,11 @@ def _replay(path: str, version: int | None = None) -> dict:
         start_after = max(cps)
         with open(_checkpoint_path(path, start_after)) as f:
             live = {
-                rel: {"stats": e.get("stats"), "blooms": e.get("blooms")}
+                rel: {
+                    "stats": e.get("stats"),
+                    "blooms": e.get("blooms"),
+                    "rows": e.get("rows"),
+                }
                 for rel, e in json.load(f)["files"].items()
             }
     for v in _versions(path):
@@ -128,8 +132,13 @@ def _replay(path: str, version: int | None = None) -> dict:
             commit = json.load(f)
         stats = commit.get("stats", {})
         blooms = commit.get("blooms", {})
+        rows = commit.get("rows", {})
         for rel in commit.get("adds", []):
-            live[rel] = {"stats": stats.get(rel), "blooms": blooms.get(rel)}
+            live[rel] = {
+                "stats": stats.get(rel),
+                "blooms": blooms.get(rel),
+                "rows": rows.get(rel),
+            }
         for rel in commit.get("removes", []):
             live.pop(rel, None)
     return live
@@ -469,6 +478,13 @@ def _collect_blooms(
     return out
 
 
+def _file_rows(abs_path: str) -> int:
+    """Exact row count from the parquet footer (no data pages read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(abs_path).metadata.num_rows
+
+
 def _try_commit(
     path: str,
     version: int,
@@ -480,6 +496,11 @@ def _try_commit(
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {"version": version, "adds": adds, "removes": removes}
+    if adds:
+        # every commit records its added files' exact row counts (one footer
+        # read each — the files were just written, their pages are hot), so
+        # COUNT(*) resolves from the log alone at any table size: fast_count
+        commit["rows"] = {rel: _file_rows(os.path.join(path, rel)) for rel in adds}
     if stats:
         commit["stats"] = stats
     if blooms:
@@ -715,6 +736,23 @@ def visible_stats(path: str, version: int | None = None) -> dict[str, dict[str, 
         for rel, e in _replay(path, version).items()
         if e.get("stats")
     }
+
+
+def fast_count(path: str, version: int | None = None) -> int:
+    """Exact ``COUNT(*)`` without scanning any data: per-file row counts
+    land in every commit (and checkpoint), so the count is a sum over the
+    log resolution — O(live files) metadata, independent of table bytes,
+    the same trick Delta/Iceberg use to answer bare counts from the
+    transaction log. Files from commits that predate row-count recording
+    fall back to ONE parquet footer read each (still no data pages)."""
+    live = _replay(path, version)
+    if not live:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    total = 0
+    for rel, e in live.items():
+        n = e.get("rows")
+        total += _file_rows(os.path.join(path, rel)) if n is None else int(n)
+    return total
 
 
 def read_pruned(

@@ -1189,3 +1189,36 @@ class TestSchemaEnforcement:
         )
         txlog.merge(spark, path, upd, keys=["id"], order_col="version")
         assert "note" in txlog.latest_meta(path, "schema")
+
+
+class TestFastCount:
+    def test_count_tracks_mutations_without_scans(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(100)]), path)
+        txlog.append(_df(spark, [(i, "b", 1) for i in range(100, 150)]), path)
+        assert txlog.fast_count(path) == 150
+        txlog.delete_where(spark, path, "id < 20")
+        assert txlog.fast_count(path) == 130
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        assert txlog.fast_count(path) == 130
+        # time travel counts resolve per version
+        assert txlog.fast_count(path, version=1) == 100
+        assert txlog.fast_count(path) == txlog.read(spark, path).count()
+
+    def test_count_survives_checkpoint_and_legacy_commits(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # legacy commit without row counts: fast_count falls back to footers
+        adds = txlog._write_data_files(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        import json as _json
+        import os as _os
+        # strip the rows key to simulate a pre-upgrade commit
+        cp = txlog._commit_path(path, 1)
+        _os.makedirs(txlog._log_dir(path), exist_ok=True)
+        with open(cp, "x") as f:
+            f.write(_json.dumps({"version": 1, "adds": adds, "removes": []}))
+        assert txlog.fast_count(path) == 2
+        # enough commits to cross a checkpoint boundary: counts still exact
+        for i in range(12):
+            txlog.append(_df(spark, [(10 + i, "x", 1)]), path)
+        assert txlog.fast_count(path) == 14
+        assert txlog.fast_count(path) == txlog.read(spark, path).count()
