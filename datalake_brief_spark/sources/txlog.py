@@ -266,7 +266,7 @@ def _range_excludes(rng, c_lo, c_hi) -> bool:
     and pruned rewrite shares."""
     if rng is None:
         return False
-    fmin, fmax = rng
+    fmin, fmax = rng[0], rng[1]  # entry may carry [min, max, null_count]
     if c_hi is not None:
         a, b = _unify_stat_strs(fmin, c_hi)
         if a > b:
@@ -293,12 +293,15 @@ def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
     statistics (no data pages read). A column missing stats in ANY row
     group is omitted — absence means "cannot prune", never "no rows".
     Byte stats (parquet physical strings) decode to str; temporal/decimal
-    stats canonicalize via :func:`_canon_stat` so the commit stays JSON."""
+    stats canonicalize via :func:`_canon_stat` so the commit stays JSON.
+    Each entry is ``[min, max, null_count]`` (null_count None when any row
+    group omits it) — the third element feeds ``read_pruned_nulls``."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, object] = {}
     seen: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -310,6 +313,10 @@ def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
             st = c.statistics
             if st is None or not st.has_min_max:
                 continue
+            if st.has_null_count and nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls[name] = None  # any gap poisons the count — unknown
             try:
                 lo, hi = st.min, st.max
             except Exception:
@@ -331,7 +338,7 @@ def _file_minmax(abs_path: str, cols: list[str]) -> dict[str, list]:
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
     return {
-        c: [_canon_stat(mins[c], True), _canon_stat(maxs[c], False)]
+        c: [_canon_stat(mins[c], True), _canon_stat(maxs[c], False), nulls.get(c)]
         for c in cols
         if seen.get(c, 0) == md.num_row_groups and md.num_row_groups > 0
     }
@@ -798,6 +805,45 @@ def read_pruned(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def read_pruned_nulls(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    is_null: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """``IS [NOT] NULL`` read that skips files from the log's null counts
+    (the Delta ``nullCount`` stat): an ``IS NULL`` probe skips every file
+    whose logged null_count is 0; ``IS NOT NULL`` skips files that are
+    all-null (null_count == the file's row count). Neither min/max ranges
+    nor blooms can answer these — NULL never satisfies a range predicate
+    and never enters a bloom — so the null tally is its own skip channel.
+    Same conservative contract as every pruned read: files without the
+    stat are kept, the residual predicate applies, results always equal
+    ``read().filter(...)``."""
+    live = _replay(path, version)
+    if not live:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    keep = []
+    for rel in sorted(live):
+        e = live[rel]
+        st = (e.get("stats") or {}).get(col)
+        nc = st[2] if st is not None and len(st) > 2 else None
+        rows = e.get("rows")
+        if nc is not None:
+            if is_null and int(nc) == 0:
+                continue
+            if not is_null and rows is not None and int(nc) == int(rows):
+                continue
+        keep.append(os.path.join(path, rel))
+    if not keep:
+        all_files = [os.path.join(path, rel) for rel in sorted(live)]
+        df = spark.read.parquet(*all_files).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    return df.filter(F.col(col).isNull() if is_null else F.col(col).isNotNull())
 
 
 def merge(

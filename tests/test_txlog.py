@@ -1222,3 +1222,57 @@ class TestFastCount:
             txlog.append(_df(spark, [(10 + i, "x", 1)]), path)
         assert txlog.fast_count(path) == 14
         assert txlog.fast_count(path) == txlog.read(spark, path).count()
+
+
+class TestNullCountSkipping:
+    def test_is_null_probe_skips_null_free_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        clean = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, v double"
+        ).coalesce(1)
+        holey = spark.createDataFrame(
+            [(100 + i, None if i % 3 == 0 else float(i)) for i in range(100)],
+            "id long, v double",
+        ).coalesce(1)
+        txlog.append(clean, path, stats_cols=["v"])
+        txlog.append(holey, path, stats_cols=["v"])
+        got = txlog.read_pruned_nulls(spark, path, "v", is_null=True)
+        assert len(got.inputFiles()) == 1  # the null-free file never scans
+        want = txlog.read(spark, path).filter("v IS NULL")
+        assert {r.id for r in got.collect()} == {r.id for r in want.collect()}
+        assert got.count() == 34
+
+    def test_statless_files_are_kept_conservatively(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # committed WITHOUT stats_cols: no null counts -> every file kept
+        txlog.append(
+            spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double"), path
+        )
+        got = txlog.read_pruned_nulls(spark, path, "v", is_null=True)
+        assert {r.id for r in got.collect()} == {1}
+        got2 = txlog.read_pruned_nulls(spark, path, "v", is_null=False)
+        assert {r.id for r in got2.collect()} == {2}
+
+    def test_null_counts_survive_rewrites(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame(
+                [(i, None if i < 10 else float(i)) for i in range(100)],
+                "id long, v double",
+            ).coalesce(1),
+            path,
+            stats_cols=["id", "v"],
+        )
+        txlog.append(
+            spark.createDataFrame(
+                [(100 + i, float(i)) for i in range(100)], "id long, v double"
+            ).coalesce(1),
+            path,
+            stats_cols=["id", "v"],
+        )
+        txlog.delete_where(spark, path, "id >= 190", prune_col="id", lo=190)
+        got = txlog.read_pruned_nulls(spark, path, "v", is_null=True)
+        # the rewritten null-free file still skips: stats (incl. null count)
+        # were recollected on the rewrite
+        assert len(got.inputFiles()) == 1
+        assert got.count() == 10
