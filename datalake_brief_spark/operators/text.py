@@ -509,6 +509,40 @@ def dsir_log_weights(
         target.alias("__is_t"),
         F.explode(tokens(text_col)).alias("token"),
     )
+    return _dsir_score(tok, id_col)
+
+
+def dsir_log_weights_hashed(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-feature DSIR — the Xie et al. 2023 shape proper: tokens map
+    to ``xxhash64(token) % n_buckets``, bounding the histogram/ratio table
+    at ``n_buckets`` rows no matter how large the vocabulary grows (the
+    hashing trick). Collisions merge token statistics — harmless smoothing
+    at DSIR's operating point; with ``n_buckets`` well above the vocabulary
+    the weights equal :func:`dsir_log_weights` exactly (pinned in tests).
+    Use this form at corpus scale: the explicit-unigram variant's ratio
+    table is vocabulary-sized, this one is a constant-sized broadcast."""
+    tok = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select(
+        id_col,
+        "__is_t",
+        F.pmod(F.xxhash64("__tok"), F.lit(int(n_buckets))).alias("token"),
+    )
+    return _dsir_score(tok, id_col)
+
+
+def _dsir_score(tok: DataFrame, id_col: str) -> DataFrame:
+    """Shared DSIR core over (id, __is_t, token-key) rows: one keyed
+    double-histogram aggregation (count + conditional count, map-side
+    combined), a broadcast of the 3 scalars, a key join, a doc-keyed sum."""
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("q_c"),
         F.count_if(F.col("__is_t")).cast("double").alias("p_c"),

@@ -172,3 +172,25 @@ class TestDsirWeights:
         lr_b = math.log(1 / 4) - math.log(2 / 5)
         assert out[1] == round(2 * lr_a, 6)
         assert out[2] == round(lr_b, 6)
+
+    def test_hashed_variant_equals_explicit_when_collision_free(self, spark):
+        """With n_buckets far above the vocabulary, bucket statistics are
+        exactly token statistics, so hashed-DSIR == explicit-unigram DSIR."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            [(i, "alpha beta gamma", True) for i in range(4)]
+            + [(10 + i, "delta epsilon zeta eta", False) for i in range(6)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text", "t"])
+        exact = {
+            r.doc_id: (r.n_tokens, r.log_iw)
+            for r in text.dsir_log_weights(df, target=F.col("t")).collect()
+        }
+        hashed = {
+            r.doc_id: (r.n_tokens, r.log_iw)
+            for r in text.dsir_log_weights_hashed(
+                df, target=F.col("t"), n_buckets=1 << 30
+            ).collect()
+        }
+        assert hashed == exact
