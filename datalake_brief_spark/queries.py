@@ -3386,6 +3386,60 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_fast_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE NOT (l_quantity < 5)
+    """,
+)
+def txlog_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): after append + append + DELETE + OPTIMIZE,
+    fast_count sums the per-file row counts from the log resolution — zero
+    data scanned (the Spark side of this query runs NO job at all; the one
+    row is built from the log's integer). The oracle recomputes the same
+    count by scanning, so a commit that loses or double-counts rows
+    anywhere in the lifecycle mismatches here."""
+    n = txlog.fast_count(_snapshot_table(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
+@_register(
+    "txlog_null_skip",
+    _NULLED_SQL
+    + """
+    SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_seg
+    FROM nulled WHERE bal IS NULL
+    """,
+)
+def txlog_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL read through null-count file skipping: the table lands as a
+    null-free group and a holey group (file-level null locality, the shape
+    clustering produces), stats carry per-file null counts, and
+    read_pruned_nulls drops the null-free files from the plan before the
+    residual filter. The oracle replays the injected-null relation, so a
+    false skip (lost NULL rows) or a miscounted tally mismatches."""
+    def build(path: str) -> None:
+        d = _nulled_customer(spark, sf_dir)
+        txlog.append(
+            d.filter(F.col("bal").isNotNull()).coalesce(2), path, stats_cols=["bal"]
+        )
+        txlog.append(
+            d.filter(F.col("bal").isNull()).coalesce(2),
+            path,
+            stats_cols=["bal"],
+        )
+
+    path = _lakehouse_table("nullskip", sf_dir, build)
+    got = txlog.read_pruned_nulls(spark, path, "bal", is_null=True)
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("seg").cast("long").alias("n_seg"),
+    )
+
+
+@_register(
     "dsir_weights",
     f"""
     WITH tok AS (
@@ -3515,6 +3569,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # trio (Gopher rules, mix composition, budgeted sampling) — all new,
     # all oracle-backed, all inside the window
     "txlog_replace_where",
+    "txlog_fast_count",
+    "txlog_null_skip",
     "text_gopher_rules",
     "source_mix_stats",
     "sample_token_budget",
