@@ -305,3 +305,51 @@ def test_events_partition_pruned_scans_one_day_directory(spark):
         .collect()
     }
     assert touched == {f"event_date={min_day}"}, touched
+
+
+def test_gopher_rules_is_scan_stage_only(spark):
+    """The full rule suite must evaluate inside the scan stage: no
+    exchange, no generator blow-up, no Python — per-row expressions over
+    the token array."""
+    q = QUERIES["text_gopher_rules"].fn(spark, SF_SMOKE)
+    assert count_nodes(q, "Exchange") == 0, formatted_plan(q)
+    plan = formatted_plan(q)
+    assert "EvalPython" not in plan, plan
+
+
+def test_budget_sample_is_one_window_exchange(spark):
+    """Budgeted sampling = one running sum per stratum: exactly the window
+    partitioning exchange, nothing else — no join, no second shuffle."""
+    q = QUERIES["sample_token_budget"].fn(spark, SF_SMOKE)
+    assert count_nodes(q, "Exchange") == 1, formatted_plan(q)
+    assert plan_has(q, "Window"), formatted_plan(q)
+
+
+def test_dsir_histograms_are_partial_aggregated(spark):
+    """Both corpus histograms come from ONE keyed aggregation with map-side
+    combine (partial+final HashAggregate pairs), and the scalar totals ride
+    a broadcast — never a cartesian shuffle."""
+    q = QUERIES["dsir_weights"].fn(spark, SF_SMOKE)
+    assert_no_cartesian(q)
+    assert count_nodes(q, "HashAggregate") >= 4, formatted_plan(q)  # partial+final ×2
+    assert plan_has(q, "BroadcastNestedLoopJoin") or plan_has(
+        q, "BroadcastExchange"
+    ), formatted_plan(q)
+
+
+def test_null_skip_read_drops_null_free_files(spark):
+    """Runtime evidence in the registry context: the IS NULL read's plan
+    must scan only the holey file group — the null-free group never enters
+    inputFiles()."""
+    from datalake_brief_spark.queries import _lakehouse_table, _nulled_customer
+    from datalake_brief_spark.sources import txlog
+
+    def build(path):
+        d = _nulled_customer(spark, SF_SMOKE)
+        txlog.append(d.filter(F.col("bal").isNotNull()).coalesce(2), path, stats_cols=["bal"])
+        txlog.append(d.filter(F.col("bal").isNull()).coalesce(2), path, stats_cols=["bal"])
+
+    path = _lakehouse_table("nullskip", SF_SMOKE, build)
+    got = txlog.read_pruned_nulls(spark, path, "bal", is_null=True)
+    all_files = txlog.visible_files(path)
+    assert len(got.inputFiles()) < len(all_files), (got.inputFiles(), all_files)
