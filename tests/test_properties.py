@@ -211,3 +211,51 @@ class TestTxlogMutationProperties:
             i: (v + 100 if (v is not None and v > t) else v) for i, v in rows
         }
         assert got == want, (vals, t)
+
+
+class TestBudgetSampleProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=12),
+        budget=st.integers(min_value=1, max_value=120),
+    )
+    def test_matches_python_model_exactly(self, spark, sizes, budget):
+        """budget_sample == the model: sort docs by the Knuth hash (id
+        tie-break), take while the running token total stays <= budget."""
+        from datalake_brief_spark.operators.text import budget_sample
+
+        rows = [("s", i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        got = {r.doc_id for r in budget_sample(df, budget=budget).collect()}
+
+        order = sorted(range(len(sizes)), key=lambda i: ((i * 2654435761) % (1 << 32), i))
+        want, cum = set(), 0
+        for i in order:
+            cum += sizes[i]
+            if cum > budget:
+                break
+            want.add(i)
+        assert got == want
+
+
+class TestGopherRuleProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        doc=st.lists(
+            st.text(alphabet="ab12", min_size=1, max_size=4),  # digits too:
+            min_size=1,                                        # alpha ratio
+            max_size=12,                                       # must vary
+        ).map(" ".join)
+    )
+    def test_signals_match_python_model(self, spark, doc):
+        """Word count, mean word length, and alpha fraction equal the
+        whitespace-token model on arbitrary generated docs."""
+        from datalake_brief_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+        row = gopher_rules(df).first()
+        toks = " ".join(doc.lower().split()).split(" ")
+        assert row.n_words == len(toks)
+        assert row.mean_word_len == round(sum(map(len, toks)) / len(toks), 6)
+        alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+        assert row.alpha_word_ratio == round(alpha / len(toks), 6)
