@@ -3274,7 +3274,8 @@ def emb_near_dup_srp45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "text_gopher_rules",
-    f"""
+    headline=True,
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, text, {_TOKS} AS toks FROM documents
     ), s AS (
@@ -3441,7 +3442,8 @@ def txlog_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dsir_weights",
-    f"""
+    headline=True,
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS token
       FROM documents
