@@ -75,6 +75,21 @@ COMMENT = {
         "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan; "
         "window top-k on query_id."
     ),
+    "text_gopher_rules": (
+        "The whole rule suite (word count, mean word length, symbol ratio, "
+        "alpha fraction, stopword presence, composite flag) is per-row "
+        "expressions over the token array — zero exchanges, zero Python; "
+        "cost is one pass over the scan at any scale."
+    ),
+    "dsir_weights": (
+        "One token-keyed aggregation builds BOTH corpus histograms in a "
+        "single pass (count + conditional count, partial+final around one "
+        "exchange); the 3 scalars ride a 1-row broadcast; the per-doc score "
+        "is the exploded corpus joined against the vocabulary-sized ratio "
+        "table plus one doc-keyed partial-aggregated sum. Swap the key for "
+        "xxhash64 % B (dsir_log_weights_hashed) to bound the ratio table at "
+        "corpus scale."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of the headline queries
@@ -106,6 +121,7 @@ def lakehouse_section(spark, sf: str) -> list[str]:
     probes = [
         ("txlog_pruned_read", "pruned", "range [1, 1000] on the clustered key"),
         ("txlog_point_read", "bloom", "bloom point lookup on a scattered key"),
+        ("txlog_null_skip", "nullskip", "IS NULL via per-file null counts"),
     ]
     for name, kind, what in probes:
         df = q.QUERIES[name].fn(spark, sf)
