@@ -1291,6 +1291,31 @@ def history(path: str) -> list[dict]:
     return sorted(out, key=lambda d: -d["version"])
 
 
+def describe_detail(path: str, version: int | None = None) -> dict:
+    """The ``DESCRIBE DETAIL`` surface: one dict of table facts resolved
+    from the log + filesystem metadata only (no data pages) — current
+    version, file count, total bytes, exact row count (fast_count), the
+    logged schema, and which skipping channels the live files carry
+    (stats / bloom columns). The at-a-glance health check before deciding
+    whether a table needs OPTIMIZE / ZORDER / bloom re-append."""
+    live = _replay(path, version)
+    if not live:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    stat_cols = sorted({c for e in live.values() for c in (e.get("stats") or {})})
+    bloom_cols = sorted({c for e in live.values() for c in (e.get("blooms") or {})})
+    return {
+        "version": current_version(path) if version is None else version,
+        "num_files": len(live),
+        "size_bytes": sum(
+            os.path.getsize(os.path.join(path, rel)) for rel in live
+        ),
+        "num_rows": fast_count(path, version),
+        "schema": latest_meta(path, "schema", version),
+        "stats_cols": stat_cols,
+        "bloom_cols": bloom_cols,
+    }
+
+
 def table_changes(
     spark: SparkSession,
     path: str,

@@ -1276,3 +1276,26 @@ class TestNullCountSkipping:
         # were recollected on the rewrite
         assert len(got.inputFiles()) == 1
         assert got.count() == 10
+
+
+class TestDescribeDetail:
+    def test_detail_reflects_table_state(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            _df(spark, [(i, "a", 1) for i in range(50)]).coalesce(2),
+            path,
+            stats_cols=["id"],
+            bloom_cols=["v"],
+        )
+        d = txlog.describe_detail(path)
+        assert d["version"] == 1
+        assert d["num_files"] == 2
+        assert d["num_rows"] == 50
+        assert d["size_bytes"] > 0
+        assert d["schema"] == {"id": "bigint", "v": "string", "version": "int"}
+        assert d["stats_cols"] == ["id"]
+        assert d["bloom_cols"] == ["v"]
+        # time-travel detail: version pinned, row count per snapshot
+        txlog.delete_where(spark, path, "id < 10")
+        assert txlog.describe_detail(path)["num_rows"] == 40
+        assert txlog.describe_detail(path, version=1)["num_rows"] == 50
