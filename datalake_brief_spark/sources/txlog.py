@@ -533,10 +533,14 @@ def _validate_append_schema(
     - A TYPE CHANGE on an existing column is always rejected — two files
       disagreeing on a column's type poison every later read, and no read
       option repairs it.
-    - ADDED or MISSING columns require an explicit ``merge_schema=True``
-      (additive evolution is legal but must be opted into, exactly like
-      Delta's ``mergeSchema`` write option) — a typo'd column name must
-      fail loudly, not fork the schema silently.
+    - ADDED columns require an explicit ``merge_schema=True`` (additive
+      evolution is legal but must be opted into, exactly like Delta's
+      ``mergeSchema`` write option) — a typo'd column name must fail
+      loudly, not fork the schema silently.
+    - MISSING columns are always fine (the rows read NULL there) — this is
+      what makes additive evolution race-safe: a writer validated against
+      the old schema keeps working after a concurrent evolution append,
+      instead of suddenly "missing" the new column.
 
     Tables created before schemas were logged have no entry — enforcement
     starts at their next schema-recording commit (backward compatible)."""
@@ -553,12 +557,11 @@ def _validate_append_schema(
             f"(table type, append type)): {conflicts}"
         )
     added = set(cur) - set(logged)
-    missing = set(logged) - set(cur)
-    if (added or missing) and not merge_schema:
+    if added and not merge_schema:
         raise ValueError(
-            f"append schema differs from the table schema "
-            f"(added={sorted(added)}, missing={sorted(missing)}); pass "
-            f"merge_schema=True to evolve the schema additively"
+            f"append schema adds columns the table does not have "
+            f"({sorted(added)}); pass merge_schema=True to evolve the "
+            f"schema additively"
         )
     return {**logged, **cur}
 

@@ -1147,18 +1147,20 @@ class TestSchemaEnforcement:
             spark.createDataFrame([(3, "c", 8)], "id long, v string, n long"), path
         )
 
-    def test_missing_column_needs_explicit_flag(self, spark, tmp_path):
+    def test_missing_columns_are_race_safe(self, spark, tmp_path):
+        """A writer may omit columns the table has (its rows read NULL
+        there) WITHOUT any flag — otherwise a concurrent additive
+        evolution would break every validated-but-not-yet-committed
+        writer. The logged schema keeps the union."""
         path = str(tmp_path / "t")
         txlog.append(
             spark.createDataFrame([(1, "a", 7)], "id long, v string, n long"), path
         )
         narrow = spark.createDataFrame([(2, "b")], "id long, v string")
-        with pytest.raises(ValueError, match="missing"):
-            txlog.append(narrow, path)
-        txlog.append(narrow, path, merge_schema=True)
-        # logged schema keeps the union — the dropped column is still part
-        # of the table (old rows carry it; new rows read NULL)
+        txlog.append(narrow, path)  # no flag needed
         assert set(txlog.latest_meta(path, "schema")) == {"id", "v", "n"}
+        got = {r.id: r.n for r in txlog.read(spark, path, merge_schema=True).collect()}
+        assert got == {1: 7, 2: None}
 
     def test_pre_schema_tables_enforce_nothing(self, spark, tmp_path):
         """Tables whose commits predate schema recording (no 'schema' meta)
@@ -1299,3 +1301,49 @@ class TestDescribeDetail:
         txlog.delete_where(spark, path, "id < 10")
         assert txlog.describe_detail(path)["num_rows"] == 40
         assert txlog.describe_detail(path, version=1)["num_rows"] == 50
+
+
+class TestSchemaRaceRevalidation:
+    def test_retry_records_schema_against_the_new_tip(self, spark, monkeypatch, tmp_path):
+        """A racing writer evolves the schema between our validation and
+        our commit: the retry must re-resolve against the new tip, so our
+        commit's schema meta carries the racer's column instead of
+        clobbering it back to the narrow schema."""
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+
+        real_try_commit = txlog._try_commit
+        fired = {"done": False}
+
+        def racing_try_commit(p, version, adds, removes, *args, **kwargs):
+            if not fired["done"]:
+                fired["done"] = True
+                # the racer lands an evolution commit at OUR target version
+                evo = spark.createDataFrame(
+                    [(9, "z", 1)], "id long, v string, extra long"
+                )
+                evo_adds = txlog._write_data_files(evo, p)
+                real_try_commit(
+                    p,
+                    version,
+                    evo_adds,
+                    [],
+                    meta={
+                        "op": "append",
+                        "schema": {"id": "bigint", "v": "string", "extra": "bigint"},
+                    },
+                )
+                # our original attempt now collides and retries
+            return real_try_commit(p, version, adds, removes, *args, **kwargs)
+
+        monkeypatch.setattr(txlog, "_try_commit", racing_try_commit)
+        v = txlog.append(spark.createDataFrame([(2, "b")], "id long, v string"), path)
+        monkeypatch.undo()
+        assert v == 3  # lost one race, landed on retry
+        # the final logged schema keeps the racer's evolved column
+        assert txlog.latest_meta(path, "schema") == {
+            "id": "bigint",
+            "v": "string",
+            "extra": "bigint",
+        }
+        assert txlog.read(spark, path, merge_schema=True).count() == 3
