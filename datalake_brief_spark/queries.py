@@ -3441,6 +3441,45 @@ def txlog_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_schema_evolution",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(round(p_retailprice, 2)), 2) AS sum_price,
+           round(sum(CASE WHEN p_partkey % 2 = 1
+                          THEN round(round(p_retailprice, 2) * 0.1, 2)
+                          ELSE 0 END), 2) AS sum_disc
+    FROM part
+    """,
+)
+def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the hash gate: half the table
+    lands with the narrow schema, the other half evolves in a ``disc``
+    column (merge_schema=True append), and the unified snapshot read must
+    show every row with pre-evolution rows NULL in the new column. The
+    oracle derives the same relation from the raw table, so a lost evolved
+    column, a mis-unified footer, or non-NULL backfill all mismatch."""
+    def build(path: str) -> None:
+        p = _t(spark, sf_dir, "part").select(
+            "p_partkey", F.round("p_retailprice", 2).alias("price")
+        )
+        even = F.pmod(F.col("p_partkey"), F.lit(2)) == 0
+        txlog.append(p.filter(even), path)
+        evolved = p.filter(~even).withColumn(
+            "disc", F.round(F.col("price") * 0.1, 2)
+        )
+        txlog.append(evolved, path, merge_schema=True)
+
+    df = txlog.read(
+        spark, _lakehouse_table("evolution", sf_dir, build), merge_schema=True
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.sum(F.coalesce("disc", F.lit(0.0))), 2).alias("sum_disc"),
+    )
+
+
+@_register(
     "dsir_weights",
     headline=True,
     oracle=f"""
@@ -3573,6 +3612,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_replace_where",
     "txlog_fast_count",
     "txlog_null_skip",
+    "txlog_schema_evolution",
     "text_gopher_rules",
     "source_mix_stats",
     "sample_token_budget",

@@ -1347,3 +1347,43 @@ class TestSchemaRaceRevalidation:
             "extra": "bigint",
         }
         assert txlog.read(spark, path, merge_schema=True).count() == 3
+
+
+class TestMutationRace:
+    def test_delete_losing_a_race_leaves_table_intact(self, spark, monkeypatch, tmp_path):
+        """A DELETE whose target version gets stolen by a concurrent append
+        must surface CommitConflict and leave the table EXACTLY as the
+        concurrent history wrote it — the survivors it already landed stay
+        invisible garbage (vacuumable), never a half-applied delete."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]), path)
+
+        real_write = txlog._write_data_files
+
+        def racing_write(df, p):
+            out = real_write(df, p)
+            if getattr(racing_write, "armed", True):
+                racing_write.armed = False
+                # concurrent append lands AFTER the delete chose its
+                # read version but BEFORE its commit
+                real_try = txlog._try_commit
+                adds = real_write(
+                    spark.createDataFrame([(99, "late", 1)], "id long, v string, version int"),
+                    p,
+                )
+                real_try(p, txlog.current_version(p) + 1, adds, [], meta={"op": "append"})
+            return out
+
+        racing_write.armed = True
+        monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+        with pytest.raises(txlog.CommitConflict):
+            txlog.delete_where(spark, path, "id < 5")
+        monkeypatch.undo()
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == set(range(10)) | {99}  # nothing deleted, racer intact
+        # the delete's orphaned survivor files are reclaimable, not visible
+        orphans = [
+            rel
+            for rel in txlog.vacuum(path, retain_versions=10, dry_run=True)
+        ]
+        assert orphans, "the aborted delete's files should be vacuumable"
