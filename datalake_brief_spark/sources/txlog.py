@@ -566,6 +566,82 @@ def _validate_append_schema(
     return {**logged, **cur}
 
 
+def add_constraint(
+    spark: SparkSession, path: str, name: str, check_sql: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: the constraint
+    rides in commit meta (like the schema) and every later write validates
+    its incoming rows against it BEFORE any commit — bad data is rejected
+    at the door, the lakehouse data-quality contract. Existing rows are
+    validated first (a constraint the table already violates is a lie).
+    SQL CHECK semantics: only rows where the expression is FALSE violate —
+    NULL passes, as in every SQL engine. Returns the new version (a
+    metadata-only commit: no files move)."""
+    cur = dict(latest_meta(path, "constraints") or {})
+    if name in cur:
+        raise ValueError(f"constraint {name!r} already exists: {cur[name]!r}")
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    existing_bad = (
+        read(spark, path, read_v, merge_schema=True)
+        .filter(F.expr(check_sql) == F.lit(False))
+        .limit(1)
+        .count()
+    )
+    if existing_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: existing rows violate {check_sql!r}"
+        )
+    cur[name] = check_sql
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={"op": "add_constraint", "constraints": cur, "constraint": name},
+    )
+    return read_v + 1
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: metadata-only commit removing the
+    named constraint from enforcement."""
+    cur = dict(latest_meta(path, "constraints") or {})
+    if name not in cur:
+        raise ValueError(f"no constraint {name!r} (have {sorted(cur)})")
+    del cur[name]
+    v = current_version(path)
+    _try_commit(
+        path,
+        v + 1,
+        [],
+        [],
+        meta={"op": "drop_constraint", "constraints": cur, "constraint": name},
+    )
+    return v + 1
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    """Reject a write whose rows violate any logged CHECK constraint (one
+    combined pass over the incoming batch; the per-constraint re-check runs
+    only on the error path to name the offenders)."""
+    cons = latest_meta(path, "constraints") or {}
+    if not cons:
+        return
+    viol = None
+    for sql in cons.values():
+        c = F.expr(sql) == F.lit(False)
+        viol = c if viol is None else viol | c
+    if df.filter(viol).limit(1).count():
+        bad = sorted(
+            n
+            for n, sql in cons.items()
+            if df.filter(F.expr(sql) == F.lit(False)).limit(1).count()
+        )
+        raise ValueError(f"CHECK constraint(s) violated by the write: {bad}")
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -605,6 +681,7 @@ def append(
     :func:`_validate_append_schema`."""
     _check_bloom_cols(df, bloom_cols)
     _validate_append_schema(path, df, merge_schema)  # fail BEFORE data lands
+    _enforce_constraints(df, path)
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     blooms = _collect_blooms(path, adds, bloom_cols)
@@ -681,6 +758,7 @@ def overwrite(
     with the data it describes — the Delta ``txn``-action pattern. Read it
     back with :func:`latest_meta`."""
     read_v = current_version(path)
+    _enforce_constraints(df, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
@@ -868,6 +946,7 @@ def merge(
     the updates' rows read NULL there. Key and order columns must exist on
     both sides (enforced by the window)."""
     read_v = current_version(path)
+    _enforce_constraints(updates, path)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     if read_v == 0:
         # Same contract on an empty table: one row per key survives, not a
@@ -1155,6 +1234,7 @@ def update_where(
         else:
             cols.append(F.col(field.name))
     rewritten = src.select(*cols)
+    _enforce_constraints(rewritten, path)
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     adds = _write_data_files(rewritten, path)
@@ -1194,6 +1274,7 @@ def overwrite_where(
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     schema_meta = _validate_append_schema(path, new_df, merge_schema=False)
+    _enforce_constraints(new_df, path)
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
     if enforce:
@@ -1314,6 +1395,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         ),
         "num_rows": fast_count(path, version),
         "schema": latest_meta(path, "schema", version),
+        "constraints": latest_meta(path, "constraints", version) or {},
         "stats_cols": stat_cols,
         "bloom_cols": bloom_cols,
     }

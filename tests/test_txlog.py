@@ -1387,3 +1387,68 @@ class TestMutationRace:
             for rel in txlog.vacuum(path, retain_versions=10, dry_run=True)
         ]
         assert orphans, "the aborted delete's files should be vacuumable"
+
+
+class TestCheckConstraints:
+    def test_violating_append_rejected_before_commit(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.add_constraint(spark, path, "id_positive", "id > 0")
+        pre = txlog.current_version(path)
+        with pytest.raises(ValueError, match="id_positive"):
+            txlog.append(_df(spark, [(-5, "bad", 1)]), path)
+        assert txlog.current_version(path) == pre  # nothing landed
+        txlog.append(_df(spark, [(2, "ok", 1)]), path)  # clean rows pass
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1, 2}
+
+    def test_null_passes_sql_check_semantics(self, spark, tmp_path):
+        """SQL CHECK: only FALSE violates — NULL passes, as in every SQL
+        engine."""
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        txlog.append(df, path)
+        txlog.add_constraint(spark, path, "v_pos", "v > 0")
+        txlog.append(
+            spark.createDataFrame([(2, None)], "id long, v double"), path
+        )  # NULL v passes
+        with pytest.raises(ValueError, match="v_pos"):
+            txlog.append(
+                spark.createDataFrame([(3, -1.0)], "id long, v double"), path
+            )
+
+    def test_add_constraint_validates_existing_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(-1, "a", 1)]), path)
+        with pytest.raises(ValueError, match="existing rows violate"):
+            txlog.add_constraint(spark, path, "id_positive", "id > 0")
+
+    def test_update_cannot_write_violations(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.add_constraint(spark, path, "ver_pos", "version > 0")
+        with pytest.raises(ValueError, match="ver_pos"):
+            txlog.update_where(spark, path, "id = 1", {"version": F.lit(-9)})
+
+    def test_merge_and_replace_enforce_on_incoming(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.add_constraint(spark, path, "id_positive", "id > 0")
+        with pytest.raises(ValueError, match="id_positive"):
+            txlog.merge(
+                spark, path, _df(spark, [(-2, "x", 2)]), keys=["id"], order_col="version"
+            )
+        with pytest.raises(ValueError, match="id_positive"):
+            txlog.overwrite_where(
+                spark, path, _df(spark, [(-3, "y", 1)]), "id < 0"
+            )
+
+    def test_drop_constraint_stops_enforcement(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.add_constraint(spark, path, "id_positive", "id > 0")
+        txlog.drop_constraint(path, "id_positive")
+        txlog.append(_df(spark, [(-5, "now ok", 1)]), path)
+        assert {r.id for r in txlog.read(spark, path).collect()} == {1, -5}
+        # history records both metadata commits
+        ops = [h["op"] for h in txlog.history(path)]
+        assert "add_constraint" in ops and "drop_constraint" in ops
