@@ -19,6 +19,10 @@ from datalake_brief_spark.streaming.sinks import (
     apply_append_batch,
     merge_stream_to_txlog,
 )
+from datalake_brief_spark.streaming.source import (
+    TxlogDataSource,
+    register_txlog_source,
+)
 from datalake_brief_spark.streaming.stateful import (
     dedup_stream,
     enrich_stream,
@@ -34,9 +38,11 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "merge_stream_to_txlog",
+    "register_txlog_source",
     "running_user_stats",
     "sessionize_stream",
     "stream_events",
+    "TxlogDataSource",
     "threshold_alert_stream",
     "windowed_counts",
 ]

@@ -1,0 +1,210 @@
+"""txlog as a Spark DATA SOURCE: ``spark.read.format("txlog")`` and
+``spark.readStream.format("txlog")`` via the PySpark 4 Python Data Source
+API — the Delta-streaming-source story for the commit-log table.
+
+Batch read plans over the log-resolved snapshot (same contract as
+txlog.read). The STREAMING read treats the log as the offset axis: each
+micro-batch covers the commits in ``(startVersion, endVersion]`` and emits
+the rows of files those commits ADDED — so a downstream pipeline consumes
+the table incrementally, commit by commit, with Structured Streaming
+tracking the version offset in its checkpoint.
+
+Change-commit semantics (mirrors Delta's source):
+
+- ``append`` commits stream their added files' rows.
+- Maintenance commits that only rewrite existing rows (``optimize``,
+  ``optimize_zorder``, ``restore``, constraint DDL) are data-change-free
+  and are skipped entirely — their adds must NOT re-emit rows the stream
+  already delivered.
+- Commits that change rows (``merge``/``delete``/``update``/``overwrite``/
+  ``replace_where``) make the source non-append-only: the stream FAILS
+  with a clear error unless ``skipChangeCommits=true`` (then the whole
+  commit is skipped; downstream sees inserts-only, Delta's
+  ``skipChangeCommits`` contract).
+
+Scale shape: offsets are version numbers (tiny JSON), planning reads only
+the commit files in the window (never a directory listing), and each input
+partition is one parquet file read Arrow-batch-wise on the executor —
+per-batch cost tracks the NEW data, never the table. Local-mode note: the
+reader class is pickled to workers, which share this repo's Python
+environment; a cluster deployment ships the package like any other dep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from datalake_brief_spark.sources import txlog
+
+#: meta ops that rewrite existing rows without changing table content —
+#: invisible to the stream (Delta's dataChange=false actions)
+_NO_DATA_CHANGE_OPS = {
+    "optimize",
+    "optimize_zorder",
+    "restore",
+    "add_constraint",
+    "drop_constraint",
+}
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
+
+
+def _table_ddl(path: str) -> str:
+    """Schema DDL for the table: the logged schema (exact Spark type
+    names) when present; otherwise derived from one visible parquet
+    footer (pre-schema-logging tables)."""
+    logged = txlog.latest_meta(path, "schema")
+    if logged:
+        return ", ".join(f"{c} {t}" for c, t in logged.items())
+    import pyarrow.parquet as pq
+
+    files = txlog.visible_files(path)
+    if not files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    fields = []
+    for f in pq.ParquetFile(files[0]).schema_arrow:
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t  # decimal(p, s) is valid DDL
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise TypeError(f"cannot map arrow type {t!r} of column {f.name!r}")
+        fields.append(f"{f.name} {ddl}")
+    return ", ".join(fields)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str, columns: list[str]):
+        self.abs_path = abs_path
+        self.columns = columns
+
+
+def _read_file_batches(partition: _FilePartition):
+    """Executor-side read of one data file → Arrow RecordBatches in the
+    source's column order; columns a file predates materialize as NULL
+    (additive evolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(partition.abs_path)
+    cols = []
+    for name in partition.columns:
+        if name in table.column_names:
+            cols.append(table.column(name))
+        else:
+            cols.append(pa.nulls(table.num_rows))
+    yield from pa.table(dict(zip(partition.columns, cols))).to_batches()
+
+
+class _TxlogBatchReader(DataSourceReader):
+    def __init__(self, options, columns):
+        self.path = options["path"]
+        self.columns = columns
+        self.version = options.get("version")
+
+    def partitions(self):
+        v = int(self.version) if self.version is not None else None
+        files = txlog.visible_files(self.path, v)
+        return [_FilePartition(f, self.columns) for f in files] or [
+            _FilePartition("", self.columns)
+        ]
+
+    def read(self, partition):
+        if not partition.abs_path:
+            return iter(())
+        return _read_file_batches(partition)
+
+
+class _TxlogStreamReader(DataSourceStreamReader):
+    def __init__(self, options, columns):
+        self.path = options["path"]
+        self.columns = columns
+        self.skip_change = str(
+            options.get("skipChangeCommits", "false")
+        ).lower() in ("true", "1")
+
+    def initialOffset(self):
+        return {"version": 0}
+
+    def latestOffset(self):
+        return {"version": txlog.current_version(self.path)}
+
+    def partitions(self, start, end):
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
+                commit = json.load(f)
+            op = commit.get("meta", {}).get("op", "write")
+            if op in _NO_DATA_CHANGE_OPS:
+                continue
+            if commit.get("removes"):
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"txlog stream source: version {v} is a {op!r} commit "
+                    f"that changes existing rows; set skipChangeCommits=true "
+                    f"to ignore change commits (inserts-only stream)"
+                )
+            parts += [
+                _FilePartition(os.path.join(self.path, rel), self.columns)
+                for rel in commit.get("adds", [])
+            ]
+        return parts or [_FilePartition("", self.columns)]
+
+    def read(self, partition):
+        if not partition.abs_path:
+            return iter(())
+        return _read_file_batches(partition)
+
+    def commit(self, end):
+        pass
+
+
+class TxlogDataSource(DataSource):
+    """``format("txlog")`` — register once per session with
+    :func:`register_txlog_source`. Required option: ``path``. Batch also
+    honors ``version`` (time travel); streaming honors
+    ``skipChangeCommits``."""
+
+    @classmethod
+    def name(cls):
+        return "txlog"
+
+    def schema(self):
+        return _table_ddl(self.options["path"])
+
+    def _columns(self, schema) -> list[str]:
+        return [f.name for f in schema.fields]
+
+    def reader(self, schema):
+        return _TxlogBatchReader(self.options, self._columns(schema))
+
+    def streamReader(self, schema):
+        return _TxlogStreamReader(self.options, self._columns(schema))
+
+
+def register_txlog_source(spark) -> None:
+    """Register the txlog data source on this session (idempotent)."""
+    spark.dataSource.register(TxlogDataSource)

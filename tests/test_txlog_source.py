@@ -1,0 +1,133 @@
+"""txlog as a Spark data source (streaming/source.py): batch/time-travel
+parity with txlog.read, incremental streaming over the commit log, and the
+Delta-shaped change-commit semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalake_brief_spark.sources import txlog
+from datalake_brief_spark.streaming.source import register_txlog_source
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    register_txlog_source(spark)
+    path = str(tmp_path / "t")
+    txlog.append(_df(spark, [(1, "a"), (2, "b")]), path)
+    txlog.append(_df(spark, [(3, "c")]), path)
+    return path
+
+
+class TestBatchSource:
+    def test_batch_read_equals_snapshot_read(self, spark, table):
+        via_source = spark.read.format("txlog").option("path", table).load()
+        via_api = txlog.read(spark, table)
+        assert sorted(map(tuple, via_source.collect())) == sorted(
+            map(tuple, via_api.collect())
+        )
+        assert via_source.schema.simpleString() == "struct<id:bigint,v:string>"
+
+    def test_time_travel_option(self, spark, table):
+        v1 = spark.read.format("txlog").options(path=table, version="1").load()
+        assert sorted(r.id for r in v1.collect()) == [1, 2]
+
+    def test_evolved_column_reads_null_for_old_files(self, spark, tmp_path):
+        register_txlog_source(spark)
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a")]), path)
+        txlog.append(
+            spark.createDataFrame([(2, "b", 9)], "id long, v string, n long"),
+            path,
+            merge_schema=True,
+        )
+        got = {
+            r.id: r.n
+            for r in spark.read.format("txlog").option("path", path).load().collect()
+        }
+        assert got == {1: None, 2: 9}
+
+
+class TestStreamSource:
+    def test_stream_delivers_commits_incrementally(self, spark, table, tmp_path):
+        stream = spark.readStream.format("txlog").option("path", table).load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc1")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM txsrc1").collect()}
+            assert got == {1, 2, 3}  # the backlog
+            txlog.append(_df(spark, [(4, "d")]), table)
+            q.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM txsrc1").collect()}
+            assert got == {1, 2, 3, 4}  # exactly the new commit's rows
+        finally:
+            q.stop()
+
+    def test_optimize_is_invisible_to_the_stream(self, spark, table, tmp_path):
+        """Compaction rewrites rows the stream already delivered — its adds
+        must not re-emit (dataChange=false semantics)."""
+        stream = spark.readStream.format("txlog").option("path", table).load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc2")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            txlog.optimize(spark, table, target_file_bytes=1 << 30)
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM txsrc2").collect()
+            assert len(rows) == 3  # no duplicates from the rewrite
+        finally:
+            q.stop()
+
+    def test_change_commit_fails_unless_skipped(self, spark, table, tmp_path):
+        txlog.delete_where(spark, table, "id = 2")
+        stream = spark.readStream.format("txlog").option("path", table).load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc3")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="skipChangeCommits"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # with the flag: the DELETE commit is skipped wholesale, later
+        # appends still flow
+        txlog.append(_df(spark, [(9, "z")]), table)
+        stream2 = (
+            spark.readStream.format("txlog")
+            .options(path=table, skipChangeCommits="true")
+            .load()
+        )
+        q2 = (
+            stream2.writeStream.format("memory")
+            .queryName("txsrc4")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM txsrc4").collect()}
+            # inserts-only view: original appends + the new one; the DELETE
+            # commit (rewrite of the survivor file) is skipped entirely
+            assert got == {1, 2, 3, 9}
+        finally:
+            q2.stop()
