@@ -131,3 +131,37 @@ class TestStreamSource:
             assert got == {1, 2, 3, 9}
         finally:
             q2.stop()
+
+
+class TestTableToTablePipeline:
+    def test_stream_from_one_txlog_table_into_another(self, spark, tmp_path):
+        """The full lakehouse loop with the new source: table A streams
+        through a transformation into table B via the exactly-once append
+        sink; appending to A propagates to B incrementally, and B never
+        holds duplicates."""
+        from datalake_brief_spark.streaming import append_stream_to_txlog
+
+        register_txlog_source(spark)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        txlog.append(_df(spark, [(1, "a"), (2, "b")]), a)
+
+        def run_pipeline(ckpt):
+            stream = spark.readStream.format("txlog").option("path", a).load()
+            doubled = stream.selectExpr("id * 2 AS id2", "upper(v) AS vu")
+            q = append_stream_to_txlog(
+                doubled, b, str(tmp_path / ckpt), txn_app_id="a_to_b"
+            )
+            q.awaitTermination(120)
+
+        run_pipeline("ck1")
+        got = {(r.id2, r.vu) for r in txlog.read(spark, b).collect()}
+        assert got == {(2, "A"), (4, "B")}
+        # new commit on A flows through on the next incremental run
+        txlog.append(_df(spark, [(5, "e")]), a)
+        run_pipeline("ck1")
+        got = {(r.id2, r.vu) for r in txlog.read(spark, b).collect()}
+        assert got == {(2, "A"), (4, "B"), (10, "E")}
+        # a fresh-checkpoint replay re-reads A from version 0, but the epoch
+        # watermark in B's commit meta rejects the replayed batches
+        run_pipeline("ck_fresh")
+        assert txlog.read(spark, b).count() == 3
