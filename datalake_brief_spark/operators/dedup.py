@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -406,6 +406,30 @@ def cluster_dedup(
         "left",
     ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+def cluster_dedup_by_score(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST dedup: same connected-components clustering as
+    :func:`cluster_dedup`, but the canonical survivor per cluster is the
+    row with the highest ``score_col`` (ties broken by smallest id) — the
+    production policy ("keep the longest / highest-quality copy"), vs
+    keep-min-id's arbitrary pick. One extra window over the cluster id;
+    everything else identical."""
+    comp = connected_components(pairs)
+    out = df.join(
+        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id")),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return out.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
 _SIMHASH_BITS = 64

@@ -1312,6 +1312,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_dedup(d, pairs).select("doc_id", "cluster_id", "is_canonical")
 
 
+@_register(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    walk(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    labeled AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           row_number() OVER (
+             PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id
+           ) = 1 AS is_canonical
+    FROM labeled l JOIN documents d ON l.doc_id = d.doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup decision: same exact trigram-Jaccard≥0.8 clusters as
+    dedup_clusters, but the survivor per cluster is the LONGEST document
+    (n_chars, ties to smallest id) — the production keep policy, not the
+    arbitrary min-id pick. The oracle walks the identical recursive-CTE
+    cluster relation and replays the argmax."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_col="source", k=3, threshold=0.8)
+    return dedup.cluster_dedup_by_score(d, pairs, score_col="n_chars").select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 # --------------------------------------------------------------------------
 # Text-analysis band (SURVEY §2.14)
 # --------------------------------------------------------------------------
@@ -3617,6 +3668,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_mix_stats",
     "sample_token_budget",
     "dsir_weights",
+    "dedup_keep_best",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

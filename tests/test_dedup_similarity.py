@@ -478,3 +478,25 @@ class TestSimilarity:
         pairs = {(r.id_a, r.id_b) for r in got}
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestKeepBestDedup:
+    def test_canonical_is_highest_score_not_lowest_id(self, spark):
+        from datalake_brief_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 99), (7, 5)],  # 7 is a singleton
+            ["doc_id", "score"],
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        out = {
+            r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in dedup.cluster_dedup_by_score(df, pairs, "score").collect()
+        }
+        # cluster {1,2,3}: best score 99 is tied between 2 and 3 -> min id 2
+        assert out[1] == (1, False)
+        assert out[2] == (1, True)
+        assert out[3] == (1, False)
+        # singleton is its own canonical regardless of score
+        assert out[7] == (7, True)
