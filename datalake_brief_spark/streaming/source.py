@@ -144,9 +144,13 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self.skip_change = str(
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
+        self.starting_version = int(options.get("startingVersion", 1))
 
     def initialOffset(self):
-        return {"version": 0}
+        # startingVersion=N streams commit N onward (Delta's semantics:
+        # the named version's changes are included); the default streams
+        # the full history from version 1.
+        return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self):
         return {"version": txlog.current_version(self.path)}

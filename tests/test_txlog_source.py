@@ -165,3 +165,25 @@ class TestTableToTablePipeline:
         # watermark in B's commit meta rejects the replayed batches
         run_pipeline("ck_fresh")
         assert txlog.read(spark, b).count() == 3
+
+    def test_starting_version_skips_the_earlier_backlog(self, spark, table, tmp_path):
+        """startingVersion=2 streams commit 2 onward — version 1's rows
+        never enter the stream (Delta's startingVersion contract)."""
+        stream = (
+            spark.readStream.format("txlog")
+            .options(path=table, startingVersion="2")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc5")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM txsrc5").collect()}
+            assert got == {3}  # commit 2 only; commit 1's {1, 2} skipped
+        finally:
+            q.stop()
