@@ -145,6 +145,8 @@ class _TxlogStreamReader(DataSourceStreamReader):
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingVersion", 1))
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._last_offered = max(0, self.starting_version - 1)
 
     def initialOffset(self):
         # startingVersion=N streams commit N onward (Delta's semantics:
@@ -153,9 +155,23 @@ class _TxlogStreamReader(DataSourceStreamReader):
         return {"version": max(0, self.starting_version - 1)}
 
     def latestOffset(self):
-        return {"version": txlog.current_version(self.path)}
+        # maxVersionsPerTrigger=N bounds each micro-batch to N commits (the
+        # maxFilesPerTrigger analog): a consumer attaching to a long
+        # backlog drains it in bounded steps instead of one giant batch.
+        # 0 (default) = unbounded. The cap advances from the last offset
+        # this reader OFFERED — restart recovery re-seeds from the
+        # checkpoint via initialOffset/partitions, so under-offering after
+        # a restart only costs an extra micro-batch, never data.
+        cur = txlog.current_version(self.path)
+        if self.max_versions > 0:
+            cur = min(cur, self._last_offered + self.max_versions)
+        self._last_offered = max(self._last_offered, cur)
+        return {"version": cur}
 
     def partitions(self, start, end):
+        # re-sync the rate-limit cursor after a checkpoint restart: the
+        # real start offset comes from the checkpoint, not this instance
+        self._last_offered = max(self._last_offered, int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
@@ -183,7 +199,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         return _read_file_batches(partition)
 
     def commit(self, end):
-        pass
+        self._last_offered = max(self._last_offered, int(end["version"]))
 
 
 class TxlogDataSource(DataSource):

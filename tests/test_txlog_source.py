@@ -187,3 +187,35 @@ class TestTableToTablePipeline:
             assert got == {3}  # commit 2 only; commit 1's {1, 2} skipped
         finally:
             q.stop()
+
+    def test_max_versions_per_trigger_bounds_each_batch(self, spark, tmp_path):
+        """A 4-commit backlog with maxVersionsPerTrigger=1 drains in ≥4
+        micro-batches, each covering one commit — bounded batches for
+        long backlogs (the maxFilesPerTrigger analog)."""
+        register_txlog_source(spark)
+        path = str(tmp_path / "t")
+        for i in range(4):
+            txlog.append(_df(spark, [(i, f"v{i}")]), path)
+        stream = (
+            spark.readStream.format("txlog")
+            .options(path=path, maxVersionsPerTrigger="1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc6")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM txsrc6").collect()}
+            assert got == {0, 1, 2, 3}  # all rows arrive...
+            batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            assert len(batches) >= 4  # ...but never more than 1 commit/batch
+            assert max(p["numInputRows"] for p in batches) == 1
+        finally:
+            q.stop()
