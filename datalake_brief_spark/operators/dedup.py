@@ -38,6 +38,7 @@ from datalake_brief_spark.functions import (
     minhash_band_udf,
     normalize_text,
     tokens,
+    word_ngram_array,
     word_shingles,
 )
 from datalake_brief_spark.operators.windows import dedup_sorted
@@ -512,3 +513,80 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated token spans across the corpus — the scalable
+    stand-in for suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): instead of
+    removing whole near-duplicate documents, find the exact sub-document
+    regions that recur verbatim in ``min_docs``+ distinct documents
+    (boilerplate, licenses, templated passages) so a pipeline can excise
+    just those spans.
+
+    Returns one row per maximal span: ``(id_col, span_start, span_end,
+    span_tokens)`` with 0-based inclusive token offsets into the normalized
+    token sequence. A token position is covered iff some duplicated k-gram
+    covers it; runs of overlapping/adjacent duplicated grams merge into one
+    span (gaps-and-islands over gram start positions).
+
+    Shape (the 100 TB contract — a suffix array over the corpus would need
+    a global sort of every suffix; this is 4 linear keyed passes):
+
+    1. gram extraction is a scan-stage JVM expression (O(n) ``zip_with``
+       n-gram chain + xxhash64 — no Python, no per-position re-tokenize);
+    2. document frequency is one partial+final aggregate keyed on the
+       64-bit gram hash (map-side combine bounds shuffle rows by distinct
+       grams per partition);
+    3. duplicated-gram membership is one shuffle equi-join on the gram hash
+       (both sides hash-family keys — never a broadcast: the duplicated
+       set grows with the corpus);
+    4. island-merging is one window per document (shuffle keyed on the doc
+       id, state bounded by grams per doc).
+    """
+    # posexplode_OUTER for the same reason as _lsh_candidate_pairs: a
+    # non-outer generate gains an inferred `size(arr)>0` pre-filter that
+    # re-evaluates the whole n-gram chain a second time. Docs shorter than
+    # k tokens surface as one null gram row and are dropped by the cheap
+    # post-explode filter instead.
+    grams = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(word_ngram_array(tokens(text_col), k)).alias(
+                "pos", "__g"
+            ),
+        )
+        .filter(F.col("__g").isNotNull())
+        .select(F.col(id_col), "pos", F.xxhash64("__g").alias("__gh"))
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gh")
+    )
+    hits = grams.join(dup, "__gh").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, F.lit(1)).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("__brk", brk)
+        .withColumn(
+            "__sid",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__sid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+        )
+        .drop("__sid")
+    )
+    return spans

@@ -1363,12 +1363,65 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+@_register(
+    "dedup_repeated_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)                AS span_start,
+           CAST(max(pos) + 4 AS BIGINT)            AS span_end,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+    FROM sp GROUP BY doc_id, sid
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022): maximal
+    token spans whose every 5-gram recurs verbatim in ≥2 distinct documents
+    — the sub-document dedup tier between exact whole-doc and fuzzy
+    Jaccard. Four linear keyed passes (scan-stage gram hashing, gram-hash
+    doc-frequency aggregate, gram-hash membership join, per-doc island
+    window) — the scalable alternative to a corpus suffix array. The oracle
+    replays the identical construction on raw gram strings, so a hash-join
+    false positive, a lost tail gram, or an off-by-one island merge all
+    mismatch."""
+    return dedup.repeated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Text-analysis band (SURVEY §2.14)
 # --------------------------------------------------------------------------
-
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 _STOP_EN = "['the','and','of','to','is','in','that','it','a','for','on','with','as','at','by']"
 
 
@@ -3669,6 +3722,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_token_budget",
     "dsir_weights",
     "dedup_keep_best",
+    # -- round 4, session 3: ExactSubstr-style sub-document dedup — new,
+    # oracle-backed, inside the window
+    "dedup_repeated_spans",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

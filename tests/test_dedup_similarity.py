@@ -500,3 +500,66 @@ class TestKeepBestDedup:
         assert out[3] == (1, False)
         # singleton is its own canonical regardless of score
         assert out[7] == (7, True)
+
+
+class TestRepeatedSpans:
+    """Hand-pinned ExactSubstr-style span semantics: duplicated-gram
+    detection, island merging across overlapping grams, gap splitting, and
+    the shorter-than-k edge (the registry's oracle re-checks the full
+    construction against DuckDB on TESTDATA)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_run_merges_into_one_maximal_span(self, spark):
+        # docs 1 and 2 share tokens a..h (8 tokens) => 6 duplicated 3-grams
+        # at positions 0..5, overlapping => ONE span [0, 7] in doc 1;
+        # in doc 2 the run starts at position 2 => span [2, 9].
+        shared = "a b c d e f g h"
+        d = self._df(
+            spark,
+            [
+                (1, shared + " x1 y1 z1"),
+                (2, "p2 q2 " + shared),
+                (3, "unrelated words only here"),
+            ],
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.repeated_spans(d, k=3).collect()
+        }
+        assert got == {(1, 0, 7, 8), (2, 2, 9, 8)}
+
+    def test_gap_splits_spans(self, spark):
+        # two shared 3-gram runs separated by unique middles => two spans
+        d = self._df(
+            spark,
+            [
+                (1, "a b c M1 M2 M3 M4 x y z"),
+                (2, "a b c N1 N2 N3 N4 x y z"),
+            ],
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.repeated_spans(d, k=3).collect()
+        )
+        assert got == [(1, 0, 2), (1, 7, 9), (2, 0, 2), (2, 7, 9)]
+
+    def test_within_doc_repeat_alone_does_not_fire(self, spark):
+        # min_docs=2 counts DISTINCT docs: a gram repeated only inside one
+        # doc is not a cross-corpus duplicate
+        d = self._df(
+            spark,
+            [(1, "a b c a b c"), (2, "totally different words here now")],
+        )
+        assert dedup.repeated_spans(d, k=3).count() == 0
+
+    def test_short_docs_and_min_docs_threshold(self, spark):
+        # doc shorter than k contributes no grams; min_docs=3 demands the
+        # gram in 3 distinct docs
+        d = self._df(spark, [(1, "a b"), (2, "a b c"), (3, "a b c"), (4, "a b c")])
+        got2 = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.repeated_spans(d, k=3, min_docs=3).collect()
+        }
+        assert got2 == {(2, 0, 2), (3, 0, 2), (4, 0, 2)}
