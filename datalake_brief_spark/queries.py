@@ -777,6 +777,93 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan → global aggregate, zero joins. The whole
+    point at 100 TB is the scan: all four predicates push to the parquet
+    reader (PushedFilters on shipdate/discount/quantity — row groups
+    outside the year or discount band never decompress), ReadSchema
+    carries only the four referenced columns, and the single-row result
+    comes from a partial+final aggregate with no keyed shuffle at all."""
+    l = _t(spark, sf_dir, "lineitem")
+    f = filter_rows(
+        l,
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24),
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2)            AS totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact FIRST (one keyed shuffle with
+    map-side combine collapses lineitem to one row per order), filter with
+    HAVING to a tiny key set, and only then join orders and customer — the
+    aggregate-then-join pattern that keeps the join build side proportional
+    to qualifying orders, not the fact table. The filtered aggregate
+    broadcasts into orders under AQE (its size is known at runtime), so the
+    6B-row fact is never re-shuffled for the join."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey", F.round("__qty", 2).alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # both joins broadcast the SMALL side: `big` (HAVING-filtered keys)
+    # into orders, then the qualified-orders result into customer — the
+    # customer table itself is never a broadcast candidate at scale
+    qualified = join_dim(o, big, on=o.o_orderkey == big.l_orderkey)
+    j = join_dim(
+        c.select("c_custkey", "c_name"),
+        qualified,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "total_qty",
+    )
+
+
+@_register(
     "join_left_outer",
     """
     SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
@@ -3722,9 +3809,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_token_budget",
     "dsir_weights",
     "dedup_keep_best",
-    # -- round 4, session 3: ExactSubstr-style sub-document dedup — new,
-    # oracle-backed, inside the window
+    # -- round 4, session 3: ExactSubstr-style sub-document dedup + two
+    # more TPC-H plan shapes (pure-scan Q6, aggregate-then-join Q18) —
+    # new, oracle-backed, inside the window
     "dedup_repeated_spans",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",
