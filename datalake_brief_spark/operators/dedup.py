@@ -590,3 +590,53 @@ def repeated_spans(
         .drop("__sid")
     )
     return spans
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excise every cross-corpus repeated span from the text — the
+    remediation half of ExactSubstr dedup (Lee et al. 2022 *remove* the
+    duplicated substrings rather than whole documents; this applies that
+    policy to all occurrences, the conservative choice for boilerplate /
+    license / template removal).
+
+    Returns ``(id_col, clean_text, n_tokens_kept, n_tokens_removed)`` where
+    ``clean_text`` is the normalized token sequence minus all tokens
+    covered by a :func:`repeated_spans` span. Docs with no repeated span
+    pass through with their normalized text intact.
+
+    Scale shape: :func:`repeated_spans`'s four linear passes, plus one
+    per-doc span-list aggregate and one doc-keyed equi-join back to the
+    corpus (span side is a small fraction of docs — shuffle join, never a
+    broadcast: it grows with the corpus). Token excision is a JVM
+    higher-order ``filter`` with the position index against the per-row
+    span array — no Python, no explode of the token stream."""
+    spans = repeated_spans(
+        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    j = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    sp = F.coalesce(F.col("__spans"), empty)
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            sp,
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") <= s["span_end"]),
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

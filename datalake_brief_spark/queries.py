@@ -1506,6 +1506,62 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_strip_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p FROM hits
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS p FROM toks
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p
+      FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+      WHERE c.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '')                        AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT)             AS n_tokens_kept,
+           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)  AS n_tokens_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation half of ExactSubstr dedup: every repeated span is
+    excised from the normalized token stream (boilerplate/template
+    removal), tokens outside spans pass through untouched. Token excision
+    is a JVM higher-order filter with the position index — no Python, no
+    token-stream explode. The oracle rebuilds the identical clean text via
+    covered-position anti-join + ordered string_agg, so an off-by-one span
+    boundary or a dropped survivor token mismatches on the full string."""
+    return dedup.strip_repeated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Text-analysis band (SURVEY §2.14)
 # --------------------------------------------------------------------------
@@ -3813,6 +3869,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # more TPC-H plan shapes (pure-scan Q6, aggregate-then-join Q18) —
     # new, oracle-backed, inside the window
     "dedup_repeated_spans",
+    "dedup_strip_spans",
     "q6_forecast_revenue",
     "q18_large_orders",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +

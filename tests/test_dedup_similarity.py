@@ -563,3 +563,30 @@ class TestRepeatedSpans:
             for r in dedup.repeated_spans(d, k=3, min_docs=3).collect()
         }
         assert got2 == {(2, 0, 2), (3, 0, 2), (4, 0, 2)}
+
+    def test_strip_removes_exactly_the_spans(self, spark):
+        shared = "a b c d e f g h"
+        d = self._df(
+            spark,
+            [
+                (1, shared + " x1 y1 z1"),
+                (2, "p2 q2 " + shared),
+                (3, "unrelated words only here"),
+            ],
+        )
+        out = {
+            r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in dedup.strip_repeated_spans(d, k=3).collect()
+        }
+        assert out[1] == ("x1 y1 z1", 3, 8)
+        assert out[2] == ("p2 q2", 2, 8)
+        # untouched doc passes through with its normalized text intact
+        assert out[3] == ("unrelated words only here", 4, 0)
+
+    def test_strip_fully_duplicated_doc_empties(self, spark):
+        d = self._df(spark, [(1, "a b c d"), (2, "a b c d")])
+        out = {
+            r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+            for r in dedup.strip_repeated_spans(d, k=3).collect()
+        }
+        assert out == {1: ("", 0, 4), 2: ("", 0, 4)}
