@@ -81,6 +81,20 @@ COMMENT = {
         "expressions over the token array — zero exchanges, zero Python; "
         "cost is one pass over the scan at any scale."
     ),
+    "dedup_repeated_spans": (
+        "ExactSubstr-style span detection in four linear keyed passes: gram "
+        "hashing is scan-stage JVM (zip_with n-gram chain + xxhash64, "
+        "posexplode_outer so InferFiltersFromGenerate cannot clone the chain "
+        "into a pre-filter); doc frequency is a partial+final HashAggregate "
+        "keyed on the 64-bit gram hash; duplicated-gram membership is an "
+        "equi-join on the same key (the dup side is the HAVING-filtered "
+        "aggregate: broadcast while its stats stay small, AQE flips to a "
+        "shuffle join as it grows). The gram chain computes once per join "
+        "side deliberately: materializing it through a gram-keyed exchange "
+        "measured slower, 2.2 s vs 1.5 s at sf0.1, than re-running the "
+        "scan-stage expressions. Island-merging is one per-doc window plus "
+        "a doc-keyed final aggregate. No Python node anywhere."
+    ),
     "dsir_weights": (
         "One token-keyed aggregation builds BOTH corpus histograms in a "
         "single pass (count + conditional count, partial+final around one "

@@ -1456,7 +1456,8 @@ _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 
 @_register(
     "dedup_repeated_spans",
-    f"""
+    headline=True,
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ),
