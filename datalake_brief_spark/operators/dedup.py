@@ -521,6 +521,7 @@ def repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Maximal repeated token spans across the corpus — the scalable
     stand-in for suffix-array ExactSubstr dedup (Lee et al. 2022,
@@ -554,7 +555,13 @@ def repeated_spans(
        sf0.1) than re-running the scan-stage expressions;
     4. island-merging is one window per document (shuffle keyed on the doc
        id, state bounded by grams per doc).
-    """
+
+    ``keep_first=True`` applies the ExactSubstr keep-one policy: a gram
+    occurrence in the LOWEST doc id that contains it is not a hit, so the
+    earliest document keeps each duplicated passage and only the later
+    copies report spans (strip with this mode never loses content from the
+    corpus). The per-gram min doc rides the same doc-frequency aggregate —
+    no extra pass."""
     # posexplode_OUTER for the same reason as _lsh_candidate_pairs: a
     # non-outer generate gains an inferred `size(arr)>0` pre-filter that
     # re-evaluates the whole n-gram chain a second time. Docs shorter than
@@ -573,11 +580,17 @@ def repeated_spans(
     )
     dup = (
         grams.groupBy("__gh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.min(F.col(id_col)).alias("__min_doc"),
+        )
         .filter(F.col("__df") >= min_docs)
-        .select("__gh")
+        .select("__gh", "__min_doc")
     )
-    hits = grams.join(dup, "__gh").select(F.col(id_col), "pos")
+    hits = grams.join(dup, "__gh")
+    if keep_first:
+        hits = hits.filter(F.col(id_col) != F.col("__min_doc"))
+    hits = hits.select(F.col(id_col), "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, F.lit(1)).otherwise(F.lit(0))
     spans = (
@@ -603,12 +616,15 @@ def strip_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Excise every cross-corpus repeated span from the text — the
     remediation half of ExactSubstr dedup (Lee et al. 2022 *remove* the
-    duplicated substrings rather than whole documents; this applies that
-    policy to all occurrences, the conservative choice for boilerplate /
-    license / template removal).
+    duplicated substrings rather than whole documents). ``keep_first=False``
+    excises all occurrences — the conservative choice for boilerplate /
+    license / template removal; ``keep_first=True`` is the paper's
+    keep-one policy: the lowest-id document containing each duplicated
+    passage keeps it, so no content vanishes from the corpus.
 
     Returns ``(id_col, clean_text, n_tokens_kept, n_tokens_removed)`` where
     ``clean_text`` is the normalized token sequence minus all tokens
@@ -622,7 +638,12 @@ def strip_repeated_spans(
     higher-order ``filter`` with the position index against the per-row
     span array — no Python, no explode of the token stream."""
     spans = repeated_spans(
-        df, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+        df,
+        k=k,
+        min_docs=min_docs,
+        text_col=text_col,
+        id_col=id_col,
+        keep_first=keep_first,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

@@ -1563,6 +1563,64 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_strip_spans_keep_first",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+      FROM pos
+    ),
+    dup AS (
+      SELECT gram, min(doc_id) AS mdoc
+      FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN dup d ON g.gram = d.gram AND g.doc_id <> d.mdoc
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p FROM hits
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS p FROM toks
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p
+      FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+      WHERE c.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '')                        AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT)             AS n_tokens_kept,
+           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)  AS n_tokens_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_strip_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with the paper's keep-one policy: the lowest-id document
+    containing each duplicated 5-gram keeps it (its occurrences are not
+    hits), later copies lose their spans — dedup without content loss.
+    The per-gram min doc rides the same doc-frequency aggregate as the
+    count, so the plan is identical to dedup_strip_spans plus one join
+    predicate. The oracle replays the min-doc exemption on raw gram
+    strings and re-checks the full clean text."""
+    return dedup.strip_repeated_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2, keep_first=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Text-analysis band (SURVEY §2.14)
 # --------------------------------------------------------------------------
@@ -3871,6 +3929,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new, oracle-backed, inside the window
     "dedup_repeated_spans",
     "dedup_strip_spans",
+    "dedup_strip_spans_keep_first",
     "q6_forecast_revenue",
     "q18_large_orders",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +

@@ -590,3 +590,29 @@ class TestRepeatedSpans:
             for r in dedup.strip_repeated_spans(d, k=3).collect()
         }
         assert out == {1: ("", 0, 4), 2: ("", 0, 4)}
+
+    def test_keep_first_exempts_earliest_doc(self, spark):
+        shared = "a b c d e f g h"
+        d = self._df(
+            spark,
+            [
+                (1, shared + " x1 y1 z1"),
+                (2, "p2 q2 " + shared),
+                (3, "unrelated words only here"),
+            ],
+        )
+        # spans: doc 1 is the min doc for every duplicated gram -> no span;
+        # doc 2 still reports its copy
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.repeated_spans(d, k=3, keep_first=True).collect()
+        }
+        assert got == {(2, 2, 9)}
+        out = {
+            r.doc_id: (r.clean_text, r.n_tokens_removed)
+            for r in dedup.strip_repeated_spans(d, k=3, keep_first=True).collect()
+        }
+        # earliest doc keeps the passage; later copy is excised
+        assert out[1] == (shared + " x1 y1 z1", 0)
+        assert out[2] == ("p2 q2", 8)
+        assert out[3] == ("unrelated words only here", 0)
