@@ -71,6 +71,60 @@ def replicate(docs, factor: int):
     return out
 
 
+def replicate_full_salt(docs, factor: int):
+    """factor copies with EVERY word suffixed per replica: no gram ever
+    matches across replicas, so the duplicated-gram structure is exactly
+    ``factor`` disjoint copies of the base corpus — the clean control for
+    the repeated-spans linearity check (hits, spans, and covered tokens
+    must all grow exactly ×factor if the pipeline is linear)."""
+    parts = [docs]
+    for j in range(1, factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(j * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(f"_{j}")),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def spans_check(spark, base, scales) -> None:
+    """Repeated-spans (ExactSubstr) linearity: span count must track the
+    replica factor exactly (disjoint-vocabulary replicas), wall time
+    ~linearly."""
+    print("-- repeated_spans (fully-salted replicas: exact ×factor expected)")
+    results = []
+    for s in scales:
+        corpus = replicate_full_salt(base, s)
+        t0 = time.monotonic()
+        agg = dedup.repeated_spans(corpus, k=5, min_docs=2).agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("covered"),
+        ).collect()[0]
+        dt = time.monotonic() - t0
+        results.append((s, agg.n_spans, agg.covered, dt))
+        print(
+            f"scale={s} spans={agg.n_spans} covered_tokens={agg.covered} "
+            f"wall_sec={dt:.2f}",
+            flush=True,
+        )
+    s1, s_top = results[0], results[-1]
+    print(
+        f"spans linearity: factor x{s_top[0] / s1[0]:.0f} -> spans "
+        f"x{s_top[1] / max(s1[1], 1):.2f} (exact linear = x{s_top[0] / s1[0]:.0f}), "
+        f"time x{s_top[3] / s1[3]:.1f}"
+    )
+
+
 def main() -> None:
     spark = get_spark("dedup_scale_check")
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -98,6 +152,7 @@ def main() -> None:
         f"linearity: n x{n_ratio:.1f} -> candidates x{c_ratio:.1f}, "
         f"time x{t_ratio:.1f} (quadratic would be x{n_ratio**2:.0f})"
     )
+    spans_check(spark, base, SCALES)
 
 
 if __name__ == "__main__":
