@@ -353,3 +353,40 @@ def test_null_skip_read_drops_null_free_files(spark):
     got = txlog.read_pruned_nulls(spark, path, "bal", is_null=True)
     all_files = txlog.visible_files(path)
     assert len(got.inputFiles()) < len(all_files), (got.inputFiles(), all_files)
+
+
+def test_q6_pushes_all_predicates_and_prunes_schema(spark):
+    """Q6 is a pure scan-aggregate: every predicate must reach the parquet
+    reader and the scan must read only the four referenced columns."""
+    q = QUERIES["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(q, col)
+    assert_read_schema_only(
+        q, ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    assert count_nodes(q, "HashAggregate") == 2, formatted_plan(q)  # partial+final
+
+
+def test_q18_joins_broadcast_small_side_never_sort_merge(spark):
+    """Aggregate-then-join: the HAVING-filtered key set and the qualified
+    orders broadcast; neither join may fall back to sort-merge (the
+    customer table must never be shuffled for this query)."""
+    q = QUERIES["q18_large_orders"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(q)
+    assert count_nodes(q, "BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repeated_spans_plan_is_jvm_only_linear_passes(spark):
+    """The ExactSubstr span pipeline must stay JVM-side (no Python
+    evaluation node of any kind) with partial+final doc-frequency
+    aggregation and a windowed island merge — the four-linear-pass shape
+    from PLANS.md."""
+    q = QUERIES["dedup_repeated_spans"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(q)
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert bad not in plan, plan
+    assert "Window" in plan, plan
+    # doc-frequency agg (partial+final around its exchange) + final span agg
+    assert count_nodes(q, "HashAggregate") >= 3, plan
+    assert_no_cartesian(q)
