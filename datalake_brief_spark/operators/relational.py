@@ -238,3 +238,59 @@ def mixture_sample(
     if any(not (0.0 <= w <= 1.0) for w in weights.values()):
         raise ValueError("mixture weights must be sampling rates in [0, 1]")
     return df.sampleBy(source_col, fractions=weights, seed=seed)
+
+
+def histogram(
+    df: DataFrame, column: str, n_bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Fixed-width numeric histogram: one partial+final aggregate keyed on
+    the bucket index (map-side combine collapses each partition to ≤
+    ``n_bins``+2 rows before the shuffle — cost is one scan at any size,
+    shuffle volume bounded by the bin count, never the data).
+
+    ``width_bucket`` semantics: bucket 0 is the underflow (< lo), buckets
+    1..n_bins cover [lo, hi) evenly, bucket n_bins+1 the overflow (≥ hi).
+    NULLs are excluded. Empty buckets are absent from the output (a dense
+    spine is one sequence-join away if a caller needs it)."""
+    c = F.col(column)
+    bucket = (
+        F.when(c < F.lit(lo), F.lit(0))
+        .when(c >= F.lit(hi), F.lit(n_bins + 1))
+        .otherwise(
+            (F.floor((c - F.lit(lo)) / F.lit((hi - lo) / n_bins)) + 1).cast("int")
+        )
+    )
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def correlations(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the named numeric columns
+    in ONE aggregate pass: all C(n,2) ``corr`` aggregates combine map-side
+    (each is a constant-size moment accumulator), so the full matrix costs
+    a single scan + one 1-row exchange regardless of table size — never a
+    per-pair job. Returns the upper triangle as (col_a, col_b, corr)
+    rows."""
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    row = df.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return row.select(F.explode(cells).alias("c")).select("c.*")

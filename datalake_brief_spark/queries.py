@@ -777,6 +777,66 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "profile_histogram",
+    """
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 60000 THEN 21
+                ELSE CAST(floor((l_extendedprice - 0) / 3000.0) + 1 AS BIGINT)
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY bucket
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (20 buckets over [0, 60k],
+    width_bucket under/overflow semantics): one partial+final aggregate
+    keyed on the bucket index — map-side combine bounds the shuffle at
+    n_bins+2 rows per partition, so the profile costs one scan at any
+    table size. The oracle replays the same floor arithmetic."""
+    from datalake_brief_spark.operators.relational import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", 20, 0.0, 60000.0
+    )
+
+
+@_register(
+    "profile_correlations",
+    """
+    SELECT col_a, col_b, round(corr_v, 6) AS corr
+    FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             corr(l_quantity, l_extendedprice) AS corr_v FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+    )
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures in ONE
+    aggregate pass — all six corr accumulators combine map-side, so the
+    full matrix is one scan + a 1-row exchange at any scale (the oracle's
+    six separate scans are the luxury of a 60k-row gate; the Spark plan is
+    the shape you'd run at 100 TB)."""
+    from datalake_brief_spark.operators.relational import correlations
+
+    return correlations(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+@_register(
     "q6_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -3932,6 +3992,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_strip_spans_keep_first",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "profile_histogram",
+    "profile_correlations",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",
