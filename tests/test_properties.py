@@ -259,3 +259,32 @@ class TestGopherRuleProperties:
         assert row.mean_word_len == round(sum(map(len, toks)) / len(toks), 6)
         alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
         assert row.alpha_word_ratio == round(alpha / len(toks), 6)
+
+
+class TestProfilingOps:
+    """Pinned semantics for the one-pass profiling operators (the registry
+    oracles re-check them against DuckDB on TESTDATA)."""
+
+    def test_histogram_buckets_underflow_overflow_nulls(self, spark):
+        from datalake_brief_spark.operators.relational import histogram
+
+        df = spark.createDataFrame(
+            [(-1.0,), (0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)],
+            "v double",
+        )
+        got = {r.bucket: r.n for r in histogram(df, "v", 2, 0.0, 10.0).collect()}
+        # width 5: bucket 0 = underflow, 1 = [0,5), 2 = [5,10), 3 = overflow;
+        # NULL excluded entirely
+        assert got == {0: 1, 1: 2, 2: 2, 3: 2}
+
+    def test_correlations_known_values(self, spark):
+        from datalake_brief_spark.operators.relational import correlations
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)],
+            "a double, b double, c double",
+        )
+        got = {(r.col_a, r.col_b): r.corr for r in correlations(df, ["a", "b", "c"]).collect()}
+        assert got == {("a", "b"): 1.0, ("a", "c"): -1.0, ("b", "c"): -1.0}
+        # upper triangle only: 3 columns -> exactly C(3,2) rows
+        assert len(got) == 3
