@@ -409,6 +409,36 @@ def cluster_dedup(
     return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: hash-split on the near-dup
+    CLUSTER id rather than the document id, so two near-duplicate documents
+    can never land on opposite sides of the train/eval boundary (the
+    classic eval-leakage failure of naive per-doc splitting — a paraphrase
+    of a test document in train inflates every benchmark it touches).
+
+    ``pairs`` is any near-dup relation (MinHash/SimHash/Jaccard/embedding
+    pairs); documents outside every pair form singleton clusters of
+    themselves. The split inherits ``split_by_hash``'s contract:
+    deterministic, growth-stable, engine-portable (md5), no shuffle beyond
+    the component join. Returns ``df`` + ``cluster_id`` + ``out``."""
+    from datalake_brief_spark.operators.relational import split_by_hash
+
+    comp = connected_components(pairs)
+    clustered = df.join(
+        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id")),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return split_by_hash(clustered, "cluster_id", weights, out=out, salt=salt)
+
+
 def cluster_dedup_by_score(
     df: DataFrame,
     pairs: DataFrame,

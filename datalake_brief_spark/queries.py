@@ -777,6 +777,61 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    ),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    walk(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+             WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM clusters
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage-safe 80/10/10 split: near-dup clusters (trigram Jaccard
+    ≥0.8, LSH candidates, connected components) are the split unit, so no
+    near-duplicate pair straddles the train/eval boundary. The assignment
+    is the md5-bucket hash of the cluster id — deterministic, stable under
+    corpus growth, portable (the oracle recomputes the identical md5
+    bucket in DuckDB and walks the identical cluster relation, so a
+    cluster split across sides or a drifting bucket both mismatch)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_col="source", k=3, threshold=0.8)
+    return dedup.leakage_safe_split(
+        d, pairs, {"train": 8, "val": 1, "test": 1}
+    ).select("doc_id", "cluster_id", "split")
+
+
+@_register(
     "profile_histogram",
     """
     SELECT CASE WHEN l_extendedprice < 0 THEN 0
@@ -3994,6 +4049,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q18_large_orders",
     "profile_histogram",
     "profile_correlations",
+    "leakage_safe_split",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

@@ -616,3 +616,32 @@ class TestRepeatedSpans:
         assert out[1] == (shared + " x1 y1 z1", 0)
         assert out[2] == ("p2 q2", 8)
         assert out[3] == ("unrelated words only here", 0)
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_share_split_and_pairs_never_straddle(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.8)
+        out = dedup.leakage_safe_split(
+            docs, pairs, {"train": 8, "val": 1, "test": 1}
+        )
+        # every cluster maps to exactly one split
+        multi = (
+            out.groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        assert multi == 0
+        # and therefore no near-dup pair straddles the boundary
+        s = {r.doc_id: r.split for r in out.collect()}
+        for r in pairs.collect():
+            assert s[r.id_a] == s[r.id_b], (r.id_a, r.id_b)
+
+    def test_deterministic_and_salt_rerolls(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.8)
+        w = {"train": 8, "val": 1, "test": 1}
+        a = {r.doc_id: r.split for r in dedup.leakage_safe_split(docs, pairs, w).collect()}
+        b = {r.doc_id: r.split for r in dedup.leakage_safe_split(docs, pairs, w).collect()}
+        assert a == b
+        c = {r.doc_id: r.split for r in dedup.leakage_safe_split(docs, pairs, w, salt="2").collect()}
+        assert c != a  # a new salt is a new independent assignment
