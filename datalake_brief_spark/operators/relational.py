@@ -294,3 +294,39 @@ def correlations(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")
+
+
+def dq_report(df: DataFrame, rules: dict[str, Column | str]) -> DataFrame:
+    """Data-quality report: violation counts for every named rule in ONE
+    partial+final aggregate pass (each rule is a conditional count that
+    combines map-side, so the whole report costs one scan + a 1-row
+    exchange at any table size — never a per-rule job).
+
+    SQL CHECK semantics per rule: a row VIOLATES when the expression is
+    FALSE; NULL passes (unknown ≠ violation, as in every SQL engine — pair
+    with an explicit IS NOT NULL rule to count nulls). Returns one row per
+    rule: ``(rule, n_violations, violation_rate)`` with the rate in
+    [0, 1] rounded to 6 places."""
+    exprs = {
+        name: F.expr(r) if isinstance(r, str) else r for name, r in rules.items()
+    }
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(c == F.lit(False), 1).otherwise(0)).alias(f"__v_{name}")
+            for name, c in exprs.items()
+        ],
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").cast("long").alias("n_violations"),
+                F.round(
+                    F.col(f"__v_{name}") / F.greatest(F.col("__n"), F.lit(1)), 6
+                ).alias("violation_rate"),
+            )
+            for name in exprs
+        ]
+    )
+    return row.select(F.explode(cells).alias("c")).select("c.*")

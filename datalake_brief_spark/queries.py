@@ -777,6 +777,49 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_report",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT (o_totalprice > 5000) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F')) THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(sum(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+             CAST(sum(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS v_cust
+      FROM orders
+    )
+    SELECT 'positive_price' AS rule, v_price AS n_violations,
+           round(v_price * 1.0 / greatest(n, 1), 6) AS violation_rate FROM agg
+    UNION ALL
+    SELECT 'known_status', v_status, round(v_status * 1.0 / greatest(n, 1), 6) FROM agg
+    UNION ALL
+    SELECT 'date_in_range', v_date, round(v_date * 1.0 / greatest(n, 1), 6) FROM agg
+    UNION ALL
+    SELECT 'custkey_present', v_cust, round(v_cust * 1.0 / greatest(n, 1), 6) FROM agg
+    """,
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over orders: four CHECK-semantics rules counted
+    in one partial+final aggregate pass (each rule a map-side-combined
+    conditional count — one scan, a 1-row exchange, any table size; the
+    write-path twin is txlog add_constraint, which REJECTS violations at
+    commit time, while this read-path report MEASURES them). Thresholds
+    chosen so three of the four rules FIRE on TESTDATA (125 / 5088 / 2286
+    violations at sf0.01) — an all-zero report would be vacuous
+    evidence."""
+    from datalake_brief_spark.operators.relational import dq_report as _dq
+
+    return _dq(
+        _t(spark, sf_dir, "orders"),
+        {
+            "positive_price": "o_totalprice > 5000",
+            "known_status": "o_orderstatus IN ('O','F')",
+            "date_in_range": "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+            "custkey_present": "o_custkey IS NOT NULL",
+        },
+    )
+
+
+@_register(
     "leakage_safe_split",
     """
     WITH RECURSIVE tok AS (
@@ -4050,6 +4093,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_histogram",
     "profile_correlations",
     "leakage_safe_split",
+    "dq_report",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
     # its always-empty production-threshold sibling for the rows-only row
     "emb_near_dup_srp45",

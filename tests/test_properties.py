@@ -288,3 +288,15 @@ class TestProfilingOps:
         assert got == {("a", "b"): 1.0, ("a", "c"): -1.0, ("b", "c"): -1.0}
         # upper triangle only: 3 columns -> exactly C(3,2) rows
         assert len(got) == 3
+
+    def test_dq_report_null_passes_check_semantics(self, spark):
+        from datalake_brief_spark.operators.relational import dq_report
+
+        df = spark.createDataFrame([(1.0,), (-2.0,), (None,)], "v double")
+        got = {r.rule: (r.n_violations, r.violation_rate) for r in dq_report(
+            df, {"pos": "v > 0", "present": "v IS NOT NULL"}
+        ).collect()}
+        # NULL predicate is not a violation (SQL CHECK); the explicit
+        # presence rule counts it
+        assert got["pos"] == (1, 0.333333)
+        assert got["present"] == (1, 0.333333)
