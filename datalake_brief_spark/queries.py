@@ -4082,9 +4082,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_token_budget",
     "dsir_weights",
     "dedup_keep_best",
-    # -- round 4, session 3: ExactSubstr-style sub-document dedup + two
-    # more TPC-H plan shapes (pure-scan Q6, aggregate-then-join Q18) —
-    # new, oracle-backed, inside the window
+    # -- round 4, session 3: ExactSubstr-style sub-document dedup (detect /
+    # strip / keep-one), TPC-H Q6+Q18 plan shapes, one-pass profiling
+    # (histogram, correlation matrix), leakage-safe cluster split, and the
+    # data-quality report — all new, all oracle-backed, inside the window
     "dedup_repeated_spans",
     "dedup_strip_spans",
     "dedup_strip_spans_keep_first",
