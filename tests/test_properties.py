@@ -300,3 +300,57 @@ class TestProfilingOps:
         # presence rule counts it
         assert got["pos"] == (1, 0.333333)
         assert got["present"] == (1, 0.333333)
+
+
+class TestRepeatedSpanProperties:
+    @staticmethod
+    def _model(docs: list[tuple[int, str]], k: int, min_docs: int):
+        """Pure-Python reference: duplicated k-grams (>= min_docs distinct
+        docs) -> per-doc hit positions -> merge islands with gap <= k."""
+        gram_docs: dict[str, set[int]] = {}
+        for did, text in docs:
+            toks = text.split()
+            for i in range(len(toks) - k + 1):
+                gram_docs.setdefault(" ".join(toks[i : i + k]), set()).add(did)
+        spans = set()
+        for did, text in docs:
+            toks = text.split()
+            hits = [
+                i
+                for i in range(len(toks) - k + 1)
+                if len(gram_docs[" ".join(toks[i : i + k])]) >= min_docs
+            ]
+            start = prev = None
+            for p in hits:
+                if start is None:
+                    start = prev = p
+                elif p > prev + k:
+                    spans.add((did, start, prev + k - 1))
+                    start = prev = p
+                else:
+                    prev = p
+            if start is not None:
+                spans.add((did, start, prev + k - 1))
+        return spans
+
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        data=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14
+            ).map(" ".join),
+            min_size=2,
+            max_size=6,
+        ),
+        k=st.integers(min_value=2, max_value=4),
+    )
+    def test_spans_match_python_model(self, spark, data, k):
+        from datalake_brief_spark.operators.dedup import repeated_spans
+
+        docs = list(enumerate(data))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_spans(df, k=k).collect()
+        }
+        assert got == self._model(docs, k, 2)
