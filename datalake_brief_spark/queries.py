@@ -1022,6 +1022,248 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns: EXISTS a line
+    shipped after the order date): the EXISTS is a LEFT SEMI join with a
+    compound equi+range condition — the fact side never widens the row and
+    duplicate lines never double-count an order, exactly the plan shape a
+    correlated EXISTS must compile to at scale (never distinct+inner)."""
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp")),
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = semi_join(
+        o,
+        l,
+        on=(o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+    )
+    return aggregate(
+        sj, ["o_orderpriority"], [F.count(F.lit(1)).alias("n_orders")]
+    )
+
+
+@_register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT)                  AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                          AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s_suppkey = l_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o   ON o_orderkey = l_orderkey
+    JOIN customer c ON c_custkey = o_custkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_4', 'NATION_13')
+      AND n2.n_name IN ('NATION_4', 'NATION_13')
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Two INDEPENDENT dimension chains (supplier→nation, customer→nation)
+    both broadcast into their fact side; the only big shuffle is
+    orders⋈lineitem on the order key, and the asymmetric nation pair
+    filter (n1 ≠ n2, both in the set) applies before the aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    nations = F.col("n_name").isin("NATION_4", "NATION_13")
+    n1 = filter_rows(n, nations).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = filter_rows(n, nations).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    sup = join_dim(s, n1, on=F.col("s_nationkey") == F.col("nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = join_dim(c, n2, on=F.col("c_nationkey") == F.col("nk2")).select(
+        "c_custkey", "cust_nation"
+    )
+    ords = join_dim(o, cust, on=F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    j = join_fact(
+        join_dim(l, sup, on=F.col("l_suppkey") == F.col("s_suppkey")),
+        ords,
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("supp_nation") != F.col("cust_nation"))
+    return aggregate(
+        j.withColumn("ship_year", F.year("l_shipdate").cast("long")),
+        ["supp_nation", "cust_nation", "ship_year"],
+        [
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o  ON o_custkey = c_custkey
+    JOIN lineitem l ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The returnflag filter pushes to the lineitem scan, the date
+    filter to orders; nation broadcasts; the top-20 is
+    TakeOrderedAndProject after the aggregate — no total sort."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")),
+    )
+    l = filter_rows(_t(spark, sf_dir, "lineitem"), F.col("l_returnflag") == "R")
+    cn = join_dim(c, n, on=F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    j = join_fact(
+        join_dim(o, cn, on=F.col("o_custkey") == F.col("c_custkey")),
+        l,
+        on=F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    agg = aggregate(
+        j,
+        ["c_custkey", "c_name", "n_name"],
+        [
+            # exact DECIMAL arithmetic: double round() diverges between
+            # engines on half-cent values (Spark rounds the shortest
+            # decimal repr, DuckDB multiplies in fp), so the sum runs in
+            # decimals — exact, order-independent — and only the final
+            # 2dp value casts back to double
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        ],
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
+        "c_custkey", "c_name", "n_name", "revenue"
+    )
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(count(*) AS BIGINT)                            AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. Part broadcasts
+    into the date-filtered lineitem scan; numerator and denominator are
+    conditional sums in the SAME partial+final aggregate — one scan, one
+    1-row exchange, never two jobs for a ratio."""
+    l = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp")),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = join_dim(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(count(*) AS BIGINT)                          AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's columns): a disjunction of
+    conjunctive bands spanning BOTH join sides. Catalyst pushes the
+    per-side implied filters (the OR of brands/sizes to the part scan, the
+    OR of quantity bands to lineitem) below the broadcast join and keeps
+    the cross-side residual above it — the predicate-decomposition shape
+    that makes disjunctive joins scan-bounded instead of join-bounded."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = join_dim(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@_register(
     "join_left_outer",
     """
     SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
@@ -4091,6 +4333,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_strip_spans_keep_first",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
     "profile_histogram",
     "profile_correlations",
     "leakage_safe_split",
