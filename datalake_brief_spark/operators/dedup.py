@@ -430,12 +430,9 @@ def leakage_safe_split(
     the component join. Returns ``df`` + ``cluster_id`` + ``out``."""
     from datalake_brief_spark.operators.relational import split_by_hash
 
-    comp = connected_components(pairs)
-    clustered = df.join(
-        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id")),
-        id_col,
-        "left",
-    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    # cluster_dedup owns the component-join + singleton-fallback convention;
+    # reuse it so the two call sites can never drift
+    clustered = cluster_dedup(df, pairs, id_col=id_col).drop("is_canonical")
     return split_by_hash(clustered, "cluster_id", weights, out=out, salt=salt)
 
 

@@ -251,13 +251,21 @@ def histogram(
     ``width_bucket`` semantics: bucket 0 is the underflow (< lo), buckets
     1..n_bins cover [lo, hi) evenly, bucket n_bins+1 the overflow (≥ hi).
     NULLs are excluded. Empty buckets are absent from the output (a dense
-    spine is one sequence-join away if a caller needs it)."""
+    spine is one sequence-join away if a caller needs it).
+
+    The in-range branch clamps to ``n_bins``: when (hi-lo)/n_bins rounds
+    DOWN in floating point (e.g. 1/3), a value just below ``hi`` can have
+    floor((v-lo)/width) == n_bins — without the clamp it would leak into
+    the overflow bucket despite being < hi, breaking the contract."""
     c = F.col(column)
     bucket = (
         F.when(c < F.lit(lo), F.lit(0))
         .when(c >= F.lit(hi), F.lit(n_bins + 1))
         .otherwise(
-            (F.floor((c - F.lit(lo)) / F.lit((hi - lo) / n_bins)) + 1).cast("int")
+            F.least(
+                F.floor((c - F.lit(lo)) / F.lit((hi - lo) / n_bins)) + 1,
+                F.lit(n_bins),
+            ).cast("int")
         )
     )
     return (
@@ -273,14 +281,19 @@ def correlations(df: DataFrame, columns: list[str]) -> DataFrame:
     (each is a constant-size moment accumulator), so the full matrix costs
     a single scan + one 1-row exchange regardless of table size — never a
     per-pair job. Returns the upper triangle as (col_a, col_b, corr)
-    rows."""
+    rows. Internal aliases are index-based so column names containing
+    '__' (or any other character) can never collide or misparse."""
     pairs = [
         (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
     ]
+    if not pairs:
+        raise ValueError(
+            f"correlations needs at least two columns, got {columns!r}"
+        )
     row = df.agg(
         *[
-            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
-            for a, b in pairs
+            F.round(F.corr(a, b), 6).alias(f"__corr_{i}")
+            for i, (a, b) in enumerate(pairs)
         ]
     )
     cells = F.array(
@@ -288,9 +301,9 @@ def correlations(df: DataFrame, columns: list[str]) -> DataFrame:
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.col(f"{a}__{b}").alias("corr"),
+                F.col(f"__corr_{i}").alias("corr"),
             )
-            for a, b in pairs
+            for i, (a, b) in enumerate(pairs)
         ]
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")
@@ -306,27 +319,29 @@ def dq_report(df: DataFrame, rules: dict[str, Column | str]) -> DataFrame:
     FALSE; NULL passes (unknown ≠ violation, as in every SQL engine — pair
     with an explicit IS NOT NULL rule to count nulls). Returns one row per
     rule: ``(rule, n_violations, violation_rate)`` with the rate in
-    [0, 1] rounded to 6 places."""
-    exprs = {
-        name: F.expr(r) if isinstance(r, str) else r for name, r in rules.items()
-    }
+    [0, 1] rounded to 6 places. Internal aliases are index-based — rule
+    names are display strings and may contain dots, backticks, anything."""
+    items = [
+        (name, F.expr(r) if isinstance(r, str) else r)
+        for name, r in rules.items()
+    ]
     row = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.when(c == F.lit(False), 1).otherwise(0)).alias(f"__v_{name}")
-            for name, c in exprs.items()
+            F.sum(F.when(c == F.lit(False), 1).otherwise(0)).alias(f"__v_{i}")
+            for i, (_, c) in enumerate(items)
         ],
     )
     cells = F.array(
         *[
             F.struct(
                 F.lit(name).alias("rule"),
-                F.col(f"__v_{name}").cast("long").alias("n_violations"),
+                F.col(f"__v_{i}").cast("long").alias("n_violations"),
                 F.round(
-                    F.col(f"__v_{name}") / F.greatest(F.col("__n"), F.lit(1)), 6
+                    F.col(f"__v_{i}") / F.greatest(F.col("__n"), F.lit(1)), 6
                 ).alias("violation_rate"),
             )
-            for name in exprs
+            for i, (name, _) in enumerate(items)
         ]
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")

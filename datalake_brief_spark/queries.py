@@ -879,7 +879,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN l_extendedprice < 0 THEN 0
                 WHEN l_extendedprice >= 60000 THEN 21
-                ELSE CAST(floor((l_extendedprice - 0) / 3000.0) + 1 AS BIGINT)
+                ELSE least(CAST(floor((l_extendedprice - 0) / 3000.0) + 1 AS BIGINT), 20)
            END AS bucket,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
@@ -1078,10 +1078,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by year.
-    Two INDEPENDENT dimension chains (supplier→nation, customer→nation)
-    both broadcast into their fact side; the only big shuffle is
-    orders⋈lineitem on the order key, and the asymmetric nation pair
-    filter (n1 ≠ n2, both in the set) applies before the aggregate."""
+    Only NATION broadcasts (25 rows, the one true dimension); supplier and
+    customer — scale-proportional tables even after the two-nation filter —
+    join their fact sides as shuffle joins, and AQE may still elect a
+    runtime broadcast at gate scale where the filtered slices are tiny.
+    The asymmetric pair filter (n1 ≠ n2, both in the set) applies before
+    the aggregate."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
@@ -1100,11 +1102,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = join_dim(c, n2, on=F.col("c_nationkey") == F.col("nk2")).select(
         "c_custkey", "cust_nation"
     )
-    ords = join_dim(o, cust, on=F.col("o_custkey") == F.col("c_custkey")).select(
+    ords = join_fact(o, cust, on=F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "cust_nation"
     )
     j = join_fact(
-        join_dim(l, sup, on=F.col("l_suppkey") == F.col("s_suppkey")),
+        join_fact(l, sup, on=F.col("l_suppkey") == F.col("s_suppkey")),
         ords,
         on=F.col("l_orderkey") == F.col("o_orderkey"),
     ).filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1141,7 +1143,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
     quarter. The returnflag filter pushes to the lineitem scan, the date
-    filter to orders; nation broadcasts; the top-20 is
+    filter to orders; only NATION broadcasts — customer is scale-
+    proportional, so orders⋈customer is a shuffle join (AQE may still
+    elect a runtime broadcast at gate scale); the top-20 is
     TakeOrderedAndProject after the aggregate — no total sort."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1155,7 +1159,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "n_name"
     )
     j = join_fact(
-        join_dim(o, cn, on=F.col("o_custkey") == F.col("c_custkey")),
+        join_fact(o, cn, on=F.col("o_custkey") == F.col("c_custkey")),
         l,
         on=F.col("o_orderkey") == F.col("l_orderkey"),
     )

@@ -354,3 +354,36 @@ class TestRepeatedSpanProperties:
             for r in repeated_spans(df, k=k).collect()
         }
         assert got == self._model(docs, k, 2)
+
+    def test_histogram_fp_width_boundary_clamps_to_last_bucket(self, spark):
+        from datalake_brief_spark.operators.relational import histogram
+
+        # width 1/3 rounds DOWN in fp, so 0.9999999999999999 (< hi) would
+        # compute floor(v/width)+1 == 4 without the clamp — it must land in
+        # the LAST in-range bucket, not overflow
+        df = spark.createDataFrame([(0.9999999999999999,), (1.0,)], "v double")
+        got = {r.bucket: r.n for r in histogram(df, "v", 3, 0.0, 1.0).collect()}
+        assert got == {3: 1, 4: 1}
+
+    def test_correlations_weird_names_and_single_column(self, spark):
+        import pytest as _pytest
+
+        from datalake_brief_spark.operators.relational import correlations
+
+        # '__'-bearing names must not collide in internal aliases
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0, 4.0)], ["a__b", "c", "a", "b__c"]
+        )
+        got = {(r.col_a, r.col_b) for r in correlations(df, ["a__b", "c", "a", "b__c"]).collect()}
+        assert len(got) == 6
+        with _pytest.raises(ValueError):
+            correlations(df, ["a"])
+
+    def test_dq_report_rule_names_with_dots(self, spark):
+        from datalake_brief_spark.operators.relational import dq_report
+
+        df = spark.createDataFrame([(1.0,), (-1.0,)], "v double")
+        got = {r.rule: r.n_violations for r in dq_report(
+            df, {"price.positive": "v > 0", "`weird`": "v < 100"}
+        ).collect()}
+        assert got == {"price.positive": 1, "`weird`": 0}
