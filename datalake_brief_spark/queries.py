@@ -700,8 +700,10 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, two pushed-down date filters, aggregate,
-    global top-10. Customer (filtered to one segment) broadcasts into
-    orders; orders⋈lineitem shuffles on the order key; the final top-10 is
+    global top-10. The segment-filtered customer side is scale-proportional
+    (1/5 of a SF-sized table), so orders⋈customer is declared as a shuffle
+    join and AQE elects the runtime broadcast at gate scale;
+    orders⋈lineitem shuffles on the order key; the final top-10 is
     TakeOrderedAndProject — no total sort."""
     c = filter_rows(_t(spark, sf_dir, "customer"), F.col("c_mktsegment") == "BUILDING")
     o = filter_rows(
@@ -712,7 +714,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"),
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"),
     )
-    j = join_fact(join_dim(o, c.select("c_custkey"), on=o.o_custkey == c.c_custkey), l,
+    j = join_fact(join_fact(o, c.select("c_custkey"), on=o.o_custkey == c.c_custkey), l,
                   on=F.col("o_orderkey") == l.l_orderkey)
     agg = aggregate(
         j.withColumn("orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")),
@@ -742,9 +744,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way star join. All three dims (supplier, nation,
-    region) broadcast — the lineitem side's only shuffle is the
-    orders⋈lineitem key exchange, then one aggregate."""
+    """TPC-H Q5 shape: 5-way star join. Nation and region (fixed-size
+    dims) broadcast into supplier; the ASIA-supplier result is
+    scale-proportional, so lineitem⋈suppliers is declared as a shuffle
+    join — AQE elects the runtime broadcast at gate scale — and
+    orders⋈lineitem shuffles on the order key, then one aggregate."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -760,7 +764,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=F.col("n_regionkey") == r.r_regionkey,
     ).select("s_suppkey", "n_name")
     j = join_fact(
-        join_dim(l, dims, on=l.l_suppkey == F.col("s_suppkey")),
+        join_fact(l, dims, on=l.l_suppkey == F.col("s_suppkey")),
         o.select("o_orderkey"),
         on=F.col("l_orderkey") == F.col("o_orderkey"),
     )
@@ -1202,17 +1206,19 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share for one month. Part broadcasts
-    into the date-filtered lineitem scan; numerator and denominator are
-    conditional sums in the SAME partial+final aggregate — one scan, one
-    1-row exchange, never two jobs for a ratio."""
+    """TPC-H Q14 shape: promo revenue share for one month. Part is
+    scale-proportional (SF×200k rows), so lineitem⋈part is declared as a
+    shuffle join (AQE elects the runtime broadcast at gate scale);
+    numerator and denominator are conditional sums in the SAME
+    partial+final aggregate — one scan, one 1-row exchange, never two
+    jobs for a ratio."""
     l = filter_rows(
         _t(spark, sf_dir, "lineitem"),
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp")),
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = join_dim(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    j = join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.agg(
         F.round(
@@ -1240,12 +1246,12 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (adapted to this schema's columns): a disjunction of
     conjunctive bands spanning BOTH join sides. Catalyst pushes the
     per-side implied filters (the OR of brands/sizes to the part scan, the
-    OR of quantity bands to lineitem) below the broadcast join and keeps
+    OR of quantity bands to lineitem) below the join and keeps
     the cross-side residual above it — the predicate-decomposition shape
     that makes disjunctive joins scan-bounded instead of join-bounded."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = join_dim(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    j = join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
     band = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
