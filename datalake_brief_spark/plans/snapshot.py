@@ -24,12 +24,18 @@ COMMENT = {
         "coalescing/skew at runtime."
     ),
     "q3_shipping_priority": (
-        "Filtered customer broadcasts; both date filters pushed to their scans; "
+        "Both date filters pushed to their scans; the segment-filtered "
+        "customer side is scale-proportional, so orders-customer is DECLARED "
+        "a shuffle join and AQE elects the runtime broadcast at gate scale "
+        "(asserted on the adaptive final plan in test_plans.py); "
         "TakeOrderedAndProject for the top-10 (no total sort)."
     ),
     "q5_nation_revenue": (
-        "The supplier-nation-region chain is 3 BroadcastHashJoins; lineitem "
-        "shuffles once for the orders join."
+        "Nation and region (fixed dims) broadcast into supplier; the "
+        "scale-proportional ASIA-supplier side is declared a shuffle join "
+        "(a forced broadcast would fail at 100 TB where it is ~3 GB+), so "
+        "the static plan honestly carries the lineitem shuffle write and "
+        "AQE re-elects the broadcast at gate scale."
     ),
     "topk_per_group": "Single exchange on the partition key; window row_number + rank filter.",
     "events_hourly": "Scan-stage date_trunc, partial+final aggregate, one shuffle.",
