@@ -1273,6 +1273,663 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion band: the 12 remaining official query shapes (Q2, Q8, Q9,
+# Q11, Q12, Q13, Q15, Q16, Q17, Q20, Q21, Q22), adapted to this schema.
+# TESTDATA has no partsupp table, so the part-supplier relation is derived
+# from lineitem where the original uses partsupp — the plan SHAPES under
+# test (correlated-min join-back, scalar subqueries, EXISTS/NOT EXISTS
+# self-joins, NOT IN anti joins, market-share ratios) are unchanged.
+# Wherever a float aggregate feeds an equality or threshold comparison, the
+# sum runs in DECIMAL (exact, order-independent) so Spark's partition
+# summation order can never flip a row in or out vs the oracle.
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, round(s_acctbal, 2) AS acctbal, n_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM part
+    JOIN costs ON l_partkey = p_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM costs c2 JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
+        WHERE c2.l_partkey = p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp derived from lineitem): for each part in the
+    size/type band, the EUROPE supplier(s) offering the minimum unit price.
+    The correlated MIN compiles to aggregate + join-back on the group key —
+    computed ONCE over the whole relation, never re-evaluated per row. The
+    min is a selection (no summation), so double equality is engine-stable.
+    nation/region broadcast; supplier is scale-proportional and shuffles."""
+    l = _t(spark, sf_dir, "lineitem")
+    costs = aggregate(
+        l,
+        ["l_partkey", "l_suppkey"],
+        [F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")],
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = filter_rows(_t(spark, sf_dir, "region"), F.col("r_name") == "EUROPE")
+    eu = join_dim(
+        join_dim(
+            _t(spark, sf_dir, "supplier"), n, on=F.col("s_nationkey") == F.col("n_nationkey")
+        ),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu_costs = join_fact(costs, eu, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    best = aggregate(
+        eu_costs.select(F.col("l_partkey").alias("bk"), "unit_cost"),
+        ["bk"],
+        [F.min("unit_cost").alias("min_cost")],
+    )
+    winners = join_fact(
+        eu_costs,
+        best,
+        on=(F.col("l_partkey") == F.col("bk")) & (F.col("unit_cost") == F.col("min_cost")),
+    )
+    p = filter_rows(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"),
+    ).select("p_partkey")
+    return join_fact(winners, p, on=F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        "n_name",
+        F.round("unit_cost", 6).alias("unit_cost"),
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN n1.n_name = 'NATION_7'
+                               THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold to
+    AMERICA customers, by year. Numerator and denominator are conditional
+    sums in ONE partial+final aggregate (one scan, one exchange); both run
+    in DECIMAL so the 6dp ratio is summation-order-proof. nation/region
+    broadcast; supplier/customer/part shuffle (scale-proportional)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = filter_rows(_t(spark, sf_dir, "part"), F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    r = filter_rows(_t(spark, sf_dir, "region"), F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = join_dim(
+        join_dim(c, n2, on=F.col("c_nationkey") == F.col("nk2")),
+        r,
+        on=F.col("rk2") == F.col("r_regionkey"),
+    ).select("c_custkey")
+    sup = join_dim(s, n1, on=F.col("s_nationkey") == F.col("nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    ords = join_fact(o, cust, on=F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = join_fact(
+        join_fact(
+            join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey")),
+            sup,
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        ),
+        ords,
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    dec_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return aggregate(
+        j.withColumn("o_year", F.year("o_orderdate").cast("long")),
+        ["o_year"],
+        [
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", dec_rev).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(dec_rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        ],
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          - CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(0.1 AS DECIMAL(3,1))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%blue%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost modeled as 10% of retail price — no
+    partsupp in this schema): profit on 'blue' product lines by supplier
+    nation and order year. The p_name LIKE filter pushes to the part scan
+    (StartsWith/Contains reach parquet); profit runs in exact DECIMAL.
+    nation broadcasts; part/supplier/orders shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = filter_rows(_t(spark, sf_dir, "part"), F.col("p_name").like("%blue%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = join_dim(s, n, on=F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    j = join_fact(
+        join_fact(
+            join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey")),
+            sup,
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        ),
+        o,
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    ) * F.lit(0.1).cast("decimal(3,1)")
+    return aggregate(
+        j.withColumn("o_year", F.year("o_orderdate").cast("long")),
+        ["nation", "o_year"],
+        [F.round(F.sum(profit), 2).cast("double").alias("profit")],
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (stock value derived from lineitem of ASIA-region
+    suppliers): parts whose value exceeds 0.1% of the group total. The
+    scalar subquery is a 1-row re-aggregate of the SAME grouped relation,
+    broadcast back — two aggregates, one scan lineage, never a rescan.
+    Sums run in DECIMAL so the threshold comparison is order-proof."""
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = filter_rows(_t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
+    sup = join_dim(
+        join_dim(
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            n,
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        ),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("s_suppkey")
+    pv = aggregate(
+        join_fact(l, sup, on=F.col("l_suppkey") == F.col("s_suppkey")),
+        ["l_partkey"],
+        [F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("value_dec")],
+    )
+    total = pv.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value_dec", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@_register(
+    "q12_late_lines",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus; late = shipped ≥90 days
+    after ordering): priority mix of late lines. The cross-table date
+    predicate stays as a join residual; the shipdate year-range pushes to
+    the lineitem scan. One conditional partial+final aggregate."""
+    l = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = join_fact(l, o, on=F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return aggregate(
+        j,
+        ["l_linestatus"],
+        [
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        ],
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts, keeping
+    zero-order customers via LEFT OUTER. The ON-clause filter references
+    only the right side, so it pushes below the join (filter-then-join is
+    semantics-preserving for left outer); count(o_orderkey) counts matches
+    only — nulls from unmatched customers don't count. Two aggregates."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"), F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    j = join_fact(c, o, on=F.col("c_custkey") == F.col("o_custkey"), how="left_outer")
+    per_cust = aggregate(
+        j, ["c_custkey"], [F.count("o_orderkey").cast("long").alias("c_count")]
+    )
+    return aggregate(per_cust, ["c_count"], [F.count(F.lit(1)).alias("custdist")])
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(total_rev, 2) AS DOUBLE) AS supplier_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (the view becomes a named subplan): supplier(s)
+    whose quarterly revenue equals the maximum. Revenue sums run in exact
+    DECIMAL — the equality against max() can never be broken by double
+    summation order. The max is a 1-row broadcast back onto the SAME
+    aggregate: the explicit l_suppkey not-null filter keeps both branches'
+    exchange subtrees canonically identical (the later supplier join would
+    otherwise infer it into only one side), so AQE materializes the rev
+    shuffle ONCE and the max branch reads it as a ReusedExchange — one
+    lineitem scan, asserted at runtime in test_plans.py."""
+    l = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull(),
+    )
+    dec_rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = aggregate(l, ["l_suppkey"], [F.sum(dec_rev).alias("total_rev")])
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_rev") == F.col("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return join_fact(top, s, on=F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey",
+        "s_name",
+        F.round("total_rev", 2).cast("double").alias("supplier_revenue"),
+    )
+
+
+@_register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 15, 23)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute bucket,
+    excluding blacklisted suppliers. NOT IN over a non-nullable key is a
+    LEFT ANTI join (never a distinct+filter); count(DISTINCT) expands to
+    the two-phase partial-distinct aggregate. The brand/type/size filters
+    push to the part scan."""
+    bad = filter_rows(
+        _t(spark, sf_dir, "supplier"), F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    l = anti_join(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        bad,
+        on=F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    p = filter_rows(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23),
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    j = join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    return aggregate(
+        j,
+        ["p_brand", "p_type", "p_size"],
+        [F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")],
+    )
+
+
+@_register(
+    "q17_small_quantity",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pk = l_partkey
+    WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders. The
+    correlated per-part average compiles to aggregate + join-back on
+    l_partkey (one extra shuffle, never a per-row subquery). The average
+    derives from a DECIMAL sum over integral quantities, so the 0.2×avg
+    threshold is bit-identical across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    pq = aggregate(
+        l.select(F.col("l_partkey").alias("pk"), "l_quantity"),
+        ["pk"],
+        [
+            (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        ],
+    )
+    p = filter_rows(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"),
+    ).select("p_partkey")
+    j = join_fact(
+        join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey")),
+        pq,
+        on=F.col("pk") == F.col("l_partkey"),
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0, 2
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@_register(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, CAST(round(s_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 50.0)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty derived from shipped volume): EUROPE
+    suppliers who moved >50 units of some 'blue' part in 1996. The IN
+    compiles to LEFT SEMI against the aggregated subplan; quantities are
+    integral doubles so their sum is exact in any order. The p_name prefix
+    filter pushes to the part scan as StringStartsWith."""
+    l = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    p = filter_rows(_t(spark, sf_dir, "part"), F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    shipped = aggregate(
+        join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey")),
+        ["l_suppkey", "l_partkey"],
+        [F.sum("l_quantity").alias("qty")],
+    )
+    movers = filter_rows(shipped, F.col("qty") > 50.0).select("l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = filter_rows(_t(spark, sf_dir, "region"), F.col("r_name") == "EUROPE")
+    eu = join_dim(
+        join_dim(s, n, on=F.col("s_nationkey") == F.col("n_nationkey")),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return semi_join(eu, movers, on=F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_name", F.round("s_acctbal", 2).cast("double").alias("acctbal")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders. The EXISTS is a LEFT SEMI self-join on
+    l_orderkey with a suppkey-inequality residual; the NOT EXISTS a LEFT
+    ANTI over the same late relation — never distinct+join. Top-20 is
+    TakeOrderedAndProject with s_name as the deterministic tiebreak."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"), F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        join_fact(l, o, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    sole_late = anti_join(
+        semi_join(
+            late,
+            l2,
+            on=(F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        ),
+        l3,
+        on=(F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = aggregate(
+        join_fact(sole_late, s, on=F.col("l_suppkey") == F.col("s_suppkey")),
+        ["s_name"],
+        [F.count(F.lit(1)).alias("numwait")],
+    )
+    return top_k(agg, [F.col("numwait").desc(), F.col("s_name")], 20).select(
+        "s_name", "numwait"
+    )
+
+
+@_register(
+    "q22_dormant_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (none since 1999 — in TESTDATA every customer has lifetime
+    orders, so the unfiltered anti join would be vacuously empty), by
+    nation. The scalar average broadcasts (DECIMAL-derived, order-proof);
+    the NOT EXISTS is a LEFT ANTI against a date-filtered orders key
+    column only — at 100 TB the anti side carries one long per order."""
+    c = _t(spark, sf_dir, "customer")
+    thr = filter_rows(c, F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"),
+    ).select("o_custkey")
+    dormant = anti_join(rich, o, on=F.col("c_custkey") == F.col("o_custkey"))
+    return aggregate(
+        dormant,
+        ["c_nationkey"],
+        [
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        ],
+    )
+
+
 @_register(
     "join_left_outer",
     """
@@ -4353,17 +5010,34 @@ _DRIVER_WINDOW_PRIORITY = [
     "leakage_safe_split",
     "dq_report",
     # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
-    # its always-empty production-threshold sibling for the rows-only row
+    # the exact relation it must be a subset of — both inside the window
     "emb_near_dup_srp45",
     "emb_near_dup_exact",
+    # -- round 4, session 4: the 12 remaining TPC-H shapes (full 22-query
+    # coverage) — all new, all oracle-backed, inside the window. q13 sits
+    # at position 50 (the window boundary observed in r3 was 49 entries);
+    # it is the lowest-novelty shape of the twelve if the window cuts it.
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q13_customer_distribution",
+    # -- emb_near_dup: rows-only and truthfully EMPTY at θ=0.9 on TESTDATA
+    # (vacuous as driver evidence — srp45 above is the non-vacuous row);
+    # parked just past the window.
     "emb_near_dup",
     # -- txlog.delete_where/optimize/merge changed this round (NULL DELETE
     # semantics, mergeSchema rewrites, temporal/decimal stats): the queries
-    # above cover them directly. The remaining WINDOW slots (through
-    # position 50) re-evidence bands whose shared modules were touched or
-    # are headline surface worth fresh rows; entries past position 50 are
-    # ordering-only (outside the driver's 50-query window — all carry green
-    # rows from earlier rounds and are unchanged).
+    # above cover them directly. Entries past the 50-entry window are
+    # ordering-only — all carry green rows from earlier rounds and are
+    # unchanged.
     "q1_pricing_summary",
     "events_resample_fill",
     "asof_join",

@@ -400,3 +400,60 @@ def test_repeated_spans_plan_is_jvm_only_linear_passes(spark):
     # doc-frequency agg (partial+final around its exchange) + final span agg
     assert count_nodes(q, "HashAggregate") >= 3, plan
     assert_no_cartesian(q)
+
+
+def test_tpch_completion_band_plan_shapes(spark):
+    """The 12 round-4 TPC-H shapes compile to the subquery-free forms a
+    100 TB plan needs: EXISTS → LeftSemi, NOT EXISTS / NOT IN → LeftAnti,
+    correlated aggregates → join-back, scalar subqueries → 1-row broadcast
+    — never a CartesianProduct, a distinct+inner rewrite, or row Python."""
+    semi = {"q20_excess_suppliers": 1, "q21_waiting_suppliers": 1}
+    anti = {"q16_supplier_cnt": 1, "q21_waiting_suppliers": 1, "q22_dormant_customers": 1}
+    for name in (
+        "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+        "q11_important_parts", "q12_late_lines", "q13_customer_distribution",
+        "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+        "q20_excess_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    ):
+        q = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = formatted_plan(q)
+        assert_no_cartesian(q)
+        if name in semi:
+            assert "LeftSemi" in plan, (name, plan)
+        if name in anti:
+            assert "LeftAnti" in plan, (name, plan)
+
+
+def test_q13_left_outer_survives_to_physical_plan(spark):
+    """Zero-order customers must come from a real LeftOuter join (a
+    dropped outer side would silently lose the c_count=0 bucket)."""
+    q = QUERIES["q13_customer_distribution"].fn(spark, SF_SMOKE)
+    assert "LeftOuter" in formatted_plan(q), formatted_plan(q)
+
+
+def test_q21_top20_is_take_ordered_not_total_sort(spark):
+    q = QUERIES["q21_waiting_suppliers"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in formatted_plan(q), formatted_plan(q)
+
+
+def test_scalar_subquery_aggregates_reuse_exchange_at_runtime(spark):
+    """Q2/Q11/Q15 broadcast a scalar (or per-group) re-aggregate of a
+    relation they also consume directly. The source columns are filtered
+    not-null explicitly so both branches' exchange subtrees stay
+    canonically identical — AQE must materialize the shared shuffle once
+    and wire the second consumer as a ReusedExchange (one lineitem scan,
+    not two). Static explain can't see this; execute and check the final
+    adaptive plan."""
+    for name in ("q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, (name, plan)
+
+
+def test_q20_prefix_like_pushes_to_part_scan(spark):
+    """p_name LIKE 'blue%' must reach the parquet reader as a
+    StringStartsWith pushed filter, not a post-scan residual only."""
+    q = QUERIES["q20_excess_suppliers"].fn(spark, SF_SMOKE)
+    assert "StringStartsWith" in formatted_plan(q), formatted_plan(q)
