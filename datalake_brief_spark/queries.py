@@ -1316,12 +1316,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp derived from lineitem): for each part in the
     size/type band, the EUROPE supplier(s) offering the minimum unit price.
     The correlated MIN compiles to aggregate + join-back on the group key —
-    computed ONCE over the whole relation, never re-evaluated per row. The
-    min is a selection (no summation), so double equality is engine-stable.
-    nation/region broadcast; supplier is scale-proportional and shuffles."""
+    computed ONCE, never re-evaluated per row — and the selective part
+    filter pushes THROUGH the aggregate: unit costs are derived from
+    lineitem already joined to the ~1/300-selectivity part band (the
+    filter drops whole parts, so each surviving part's per-supplier min is
+    unchanged), exactly the partsupp⋈filtered-part-first ordering every
+    production Q2 plan uses. The min is a selection (no summation), so
+    double equality is engine-stable. nation/region broadcast; supplier is
+    scale-proportional and shuffles."""
     l = _t(spark, sf_dir, "lineitem")
+    psel = filter_rows(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"),
+    ).select("p_partkey")
     costs = aggregate(
-        l,
+        join_fact(l, psel, on=F.col("l_partkey") == F.col("p_partkey")),
         ["l_partkey", "l_suppkey"],
         [F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")],
     )
@@ -1345,12 +1354,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best,
         on=(F.col("l_partkey") == F.col("bk")) & (F.col("unit_cost") == F.col("min_cost")),
     )
-    p = filter_rows(
-        _t(spark, sf_dir, "part"),
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"),
-    ).select("p_partkey")
-    return join_fact(winners, p, on=F.col("l_partkey") == F.col("p_partkey")).select(
-        "p_partkey",
+    return winners.select(
+        F.col("l_partkey").alias("p_partkey"),
         "s_name",
         F.round("s_acctbal", 2).alias("acctbal"),
         "n_name",
@@ -1734,12 +1739,23 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders. The
     correlated per-part average compiles to aggregate + join-back on
-    l_partkey (one extra shuffle, never a per-row subquery). The average
-    derives from a DECIMAL sum over integral quantities, so the 0.2×avg
-    threshold is bit-identical across engines."""
+    l_partkey (never a per-row subquery) — and the selective part filter
+    pushes THROUGH the aggregate: the per-part average is computed from
+    lineitem already joined to the filtered part set (the filter drops
+    whole parts, never lines within a part, so each surviving part's
+    average is unchanged), shrinking the aggregate input ~150× — at
+    100 TB the difference between aggregating the whole fact table and
+    aggregating one brand's slice. The average derives from a DECIMAL
+    sum over integral quantities, so the 0.2×avg threshold is
+    bit-identical across engines."""
     l = _t(spark, sf_dir, "lineitem")
+    p = filter_rows(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"),
+    ).select("p_partkey")
+    lp = join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey"))
     pq = aggregate(
-        l.select(F.col("l_partkey").alias("pk"), "l_quantity"),
+        lp.select(F.col("l_partkey").alias("pk"), "l_quantity"),
         ["pk"],
         [
             (
@@ -1748,15 +1764,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_qty")
         ],
     )
-    p = filter_rows(
-        _t(spark, sf_dir, "part"),
-        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"),
-    ).select("p_partkey")
-    j = join_fact(
-        join_fact(l, p, on=F.col("l_partkey") == F.col("p_partkey")),
-        pq,
-        on=F.col("pk") == F.col("l_partkey"),
-    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    j = join_fact(lp, pq, on=F.col("pk") == F.col("l_partkey")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
     return j.agg(
         F.round(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0, 2
@@ -1846,9 +1856,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey with a suppkey-inequality residual; the NOT EXISTS a LEFT
     ANTI over the same late relation — never distinct+join. Top-20 is
     TakeOrderedAndProject with s_name as the deterministic tiebreak."""
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # explicit not-null filters on the join keys: `late` is consumed twice
+    # (as l1 and as the NOT-EXISTS side l3); the supplier/semi joins below
+    # would infer these constraints into only the l1 branch, de-canonicalizing
+    # the shared subtree — aligned, AQE reuses the l⋈o shuffles instead of
+    # recomputing the late relation (asserted at runtime in test_plans.py)
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+    )
     o = filter_rows(
-        _t(spark, sf_dir, "orders"), F.col("o_orderstatus") == "F"
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderstatus") == "F") & F.col("o_orderkey").isNotNull(),
     ).select("o_orderkey", "o_orderdate")
     late = (
         join_fact(l, o, on=F.col("l_orderkey") == F.col("o_orderkey"))

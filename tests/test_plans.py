@@ -444,7 +444,12 @@ def test_scalar_subquery_aggregates_reuse_exchange_at_runtime(spark):
     and wire the second consumer as a ReusedExchange (one lineitem scan,
     not two). Static explain can't see this; execute and check the final
     adaptive plan."""
-    for name in ("q2_min_cost_supplier", "q11_important_parts", "q15_top_supplier"):
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q21_waiting_suppliers",  # `late` consumed as l1 and as the anti side
+    ):
         df = QUERIES[name].fn(spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
