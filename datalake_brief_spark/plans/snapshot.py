@@ -101,6 +101,36 @@ COMMENT = {
         "scan-stage expressions. Island-merging is one per-doc window plus "
         "a doc-keyed final aggregate. No Python node anywhere."
     ),
+    "q2_min_cost_supplier": (
+        "Correlated-min as aggregate + join-back, with the selective part "
+        "band JOINED BELOW the cost aggregate (filter-through-aggregate: "
+        "the band drops whole parts, never lines within one, so each "
+        "surviving part's per-supplier min is unchanged and the aggregate "
+        "input shrinks ~300×). nation/region broadcast; supplier shuffles "
+        "(scale-proportional). The EU-cost relation feeds both the main "
+        "branch and the per-part min; explicit not-null source filters "
+        "keep the two subtrees canonically identical so AQE wires a "
+        "runtime ReusedExchange instead of recomputing (asserted in "
+        "test_plans.py)."
+    ),
+    "q8_market_share": (
+        "Seven-table star: nation/region broadcast (fixed dims); "
+        "part/supplier/customer/orders join their fact sides as declared "
+        "shuffle joins (scale-proportional; AQE re-elects runtime "
+        "broadcasts at gate scale). Numerator and denominator of the "
+        "market share are conditional DECIMAL sums in ONE partial+final "
+        "aggregate — one scan of lineitem, one 2-row result exchange, "
+        "never two jobs for a ratio."
+    ),
+    "q21_waiting_suppliers": (
+        "EXISTS → LeftSemi on (orderkey, suppkey≠) and NOT EXISTS → "
+        "LeftAnti over the same late relation — never distinct+inner. "
+        "The late relation (lineitem⋈F-orders, 60-day residual) is "
+        "consumed twice; source-side not-null filters keep both branches' "
+        "shuffle subtrees canonical so AQE reuses the l⋈o exchanges "
+        "(without alignment the join recomputed: 7.4 s → 0.95 s at "
+        "sf0.1). Top-20 is TakeOrderedAndProject with a unique tiebreak."
+    ),
     "dsir_weights": (
         "One token-keyed aggregation builds BOTH corpus histograms in a "
         "single pass (count + conditional count, partial+final around one "

@@ -1311,6 +1311,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM costs c2 JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
         WHERE c2.l_partkey = p_partkey)
     """,
+    headline=True,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp derived from lineitem): for each part in the
@@ -1387,6 +1388,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY o_year
     """,
+    headline=True,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold to
@@ -1849,6 +1851,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 20
     """,
+    headline=True,
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
