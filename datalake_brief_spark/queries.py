@@ -1878,10 +1878,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l2 = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    # both self-join sides are scale-proportional (full lineitem / the late
+    # quarter of it): declare them sort-merge so the static plan never
+    # builds a fact-sized broadcast hash relation. Un-hinted, Catalyst's
+    # compressed-file-size estimate elects a static broadcast at small SF
+    # and the cost explodes superlinearly as data grows (measured 22.9×
+    # wall at 8× data in tools/tpch_scale_check.py); with the hint the 8×
+    # point is ~linear.
+    l2 = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+        .hint("merge")
     )
-    l3 = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    l3 = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    ).hint("merge")
     sole_late = anti_join(
         semi_join(
             late,
