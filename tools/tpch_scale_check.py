@@ -11,7 +11,14 @@ Because every replica is an exact copy, results are exactly predictable:
   (replicated orders are disjoint, so sole-late status is preserved);
 - q8_market_share: the ratio is invariant;
 - q2_min_cost_supplier: the winner set is invariant (same per-supplier
-  minima, N x the aggregate input).
+  minima, N x the aggregate input);
+- q12_late_lines: both priority counts scale by N;
+- q13_customer_distribution: each customer's order count scales by N,
+  so histogram KEYS multiply by N while bucket sizes stay fixed;
+- q16_supplier_cnt: distinct-supplier counts are invariant (replicas
+  add no new suppliers);
+- q22_dormant_customers: the dormant set is invariant (replicas carry
+  the same custkeys).
 
 A superlinear wall-time trend, or any invariant breaking, fails the
 check. Results recorded in BASELINE.md.
@@ -40,7 +47,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALES = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
 BASE = "/tmp/spark_graft_tpch_scale"
 OFFSET = 1 << 33  # far above any real orderkey at bench scales
-CHECK = ["q1_pricing_summary", "q2_min_cost_supplier", "q8_market_share", "q21_waiting_suppliers"]
+CHECK = [
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+]
 
 
 def build(spark, scale: int) -> str:
@@ -94,7 +110,13 @@ def main() -> None:
                 elif q == "q21_waiting_suppliers":
                     exp = sorted((r[0], r[1] * f) for r in base_rows[q])
                     assert rows == exp, (rows[:3], exp[:3])
-                else:  # q2 winners / q8 share are invariant
+                elif q == "q12_late_lines":
+                    exp = sorted((r[0], r[1] * f, r[2] * f) for r in base_rows[q])
+                    assert rows == exp, (rows, exp)
+                elif q == "q13_customer_distribution":
+                    exp = sorted((r[0] * f, r[1]) for r in base_rows[q])
+                    assert rows == exp, (rows[:3], exp[:3])
+                else:  # q2 winners / q8 share / q16 counts / q22 set invariant
                     assert rows == base_rows[q], (q, rows[:3], base_rows[q][:3])
             print(f"scale={scale} {q}: {best:.2f}s rows={len(rows)}", flush=True)
     print("\nlinearity (wall_N / wall_1 vs N):")
