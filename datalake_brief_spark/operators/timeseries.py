@@ -80,3 +80,48 @@ def forward_fill(
     for c in cols:
         df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return df
+
+def rolling_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    n_preceding: int,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Trailing row-frame statistics per key: for each row, aggregates of
+    ``value_col`` over the last ``n_preceding`` rows plus the current one
+    (ROWS BETWEEN n PRECEDING AND CURRENT ROW). One shuffle on the key;
+    the sliding frame is evaluated in ORDER BY order within each
+    partition — the standard trailing-feature shape for ML feature
+    pipelines. ``aggs`` maps output column name -> agg ('avg', 'min',
+    'max', 'sum', 'count'); defaults to a rolling mean."""
+    aggs = aggs or {f"rolling_avg_{value_col}": "avg"}
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_preceding, 0)
+    )
+    for out_col, agg in aggs.items():
+        df = df.withColumn(out_col, getattr(F, agg)(F.col(value_col)).over(w))
+    return df
+
+
+def trailing_range_count(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    range_seconds: int,
+    out_col: str = "n_trailing",
+) -> DataFrame:
+    """Events per key in the trailing time window (RANGE frame on epoch
+    seconds: rows within ``range_seconds`` BEFORE each row's timestamp,
+    inclusive). Spark's rangeBetween needs a numeric ordering column, so
+    the frame runs over unix_timestamp(ts) — identical semantics to
+    ORDER BY ts RANGE BETWEEN INTERVAL ... PRECEDING."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-range_seconds, 0)
+    )
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))

@@ -2337,6 +2337,70 @@ def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_rolling_stats",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS roll_avg,
+           round(max(value) OVER w, 2) AS roll_max
+    FROM events
+    WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing row-frame features (operators.timeseries.rolling_stats):
+    per-user rolling mean/max of the last 7 click values — the standard
+    trailing-window feature shape for ML pipelines. One shuffle on
+    user_id; the sliding frame evaluates in ORDER BY order (event_id
+    tiebreak keeps the frame deterministic under timestamp ties)."""
+    ev = filter_rows(_t(spark, sf_dir, "events"), F.col("event_type") == "click")
+    out = timeseries.rolling_stats(
+        ev,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        "value",
+        n_preceding=6,
+        aggs={"roll_avg": "avg", "roll_max": "max"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("roll_avg", 4).alias("roll_avg"),
+        F.round("roll_max", 2).alias("roll_max"),
+    )
+
+
+@_register(
+    "events_trailing_hour",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-window count (operators.timeseries
+    trailing_range_count): purchases by the same user in the hour up to
+    and including each event — a RANGE frame over epoch seconds (Spark's
+    rangeBetween needs a numeric ordering column; identical semantics to
+    ORDER BY ts RANGE INTERVAL 1 HOUR PRECEDING, and timestamp-tie peers
+    are included by both engines, so the count is deterministic)."""
+    ev = filter_rows(_t(spark, sf_dir, "events"), F.col("event_type") == "purchase")
+    out = timeseries.trailing_range_count(
+        ev, ["user_id"], "ts", range_seconds=3600, out_col="n_trailing"
+    )
+    return out.select(
+        "event_id", "user_id", F.col("n_trailing").cast("long").alias("n_trailing")
+    )
+
+
 @_register("sample_stratified", None)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum sampling for source rebalancing (no oracle: the

@@ -462,3 +462,14 @@ def test_q20_prefix_like_pushes_to_part_scan(spark):
     StringStartsWith pushed filter, not a post-scan residual only."""
     q = QUERIES["q20_excess_suppliers"].fn(spark, SF_SMOKE)
     assert "StringStartsWith" in formatted_plan(q), formatted_plan(q)
+
+
+def test_q21_self_join_sides_declared_sort_merge(spark):
+    """Regression guard for the tpch_scale_check finding: un-hinted, the
+    static planner broadcast the fact-sized semi/anti build sides from
+    their compressed-file-size estimates and the 8x-data wall was 22.9x
+    the 1x wall. The static plan must carry SortMergeJoin for BOTH
+    self-joins (AQE may still locally optimize at runtime)."""
+    plan = formatted_plan(QUERIES["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
+    assert "SortMergeJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin LeftAnti" in plan, plan
