@@ -81,6 +81,7 @@ def forward_fill(
         df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return df
 
+
 def rolling_stats(
     df: DataFrame,
     key_cols: list[str],
@@ -125,3 +126,32 @@ def trailing_range_count(
         .rangeBetween(-range_seconds, 0)
     )
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the recursive
+    trailing feature (y_0 = x_0; y_t = (1-alpha)*y_{t-1} + alpha*x_t,
+    pandas ``ewm(alpha=..., adjust=False)`` semantics) that window frames
+    cannot express. Runs as ONE Arrow pass per key group
+    (applyInPandas — never row-at-a-time Python); the shuffle is the
+    group-by on the key. Contract: a single key's series must fit in one
+    task's memory (the same bound every per-entity sequence model needs —
+    at 100 TB keys are users/devices with bounded history, not global
+    sequences)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+
+    def per_key(pdf):
+        pdf = pdf.sort_values(order_cols)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, out_schema)

@@ -2401,6 +2401,23 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("events_ewma", None)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of each user's click values (α=0.3, adjust=False) — the
+    recursive trailing feature no window frame can express, so it runs as
+    one Arrow applyInPandas pass per user (operators.timeseries.ewma).
+    No oracle: the recurrence isn't SQL-expressible in DuckDB without a
+    per-key recursive CTE; exact ground truth (driver-side pandas on the
+    same data) is pinned in tests/test_properties.py instead."""
+    ev = filter_rows(_t(spark, sf_dir, "events"), F.col("event_type") == "click")
+    out = timeseries.ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, out_col="ewma"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
 @_register("sample_stratified", None)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum sampling for source rebalancing (no oracle: the

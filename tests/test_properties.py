@@ -387,3 +387,75 @@ class TestRepeatedSpanProperties:
             df, {"price.positive": "v > 0", "`weird`": "v < 100"}
         ).collect()}
         assert got == {"price.positive": 1, "`weird`": 0}
+
+
+class TestTrailingFeatures:
+    def test_ewma_matches_driver_side_pandas_exactly(self, spark):
+        """The distributed EWMA (Arrow applyInPandas per key) must equal
+        the same pandas recurrence computed driver-side on collected data
+        — identical library, identical per-key order, so equality is
+        EXACT, not approximate. This is the oracle for the oracle-free
+        events_ewma registry entry."""
+        from datalake_brief_spark.catalog import load_table
+        from datalake_brief_spark.operators.timeseries import ewma
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            "event_type = 'click'"
+        ).select("event_id", "user_id", "ts", "value")
+        got = {
+            r.event_id: r.ewma
+            for r in ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+            .select("event_id", "ewma")
+            .collect()
+        }
+        pdf = ev.toPandas()
+        expected = {}
+        for _, g in pdf.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            e = g["value"].ewm(alpha=0.3, adjust=False).mean()
+            expected.update(dict(zip(g["event_id"], e)))
+        assert got == expected
+
+    def test_rolling_stats_window_edges(self, spark):
+        """First rows of each key aggregate over fewer than N rows (the
+        frame truncates at the partition start) — pinned against a tiny
+        hand-computed series."""
+        from datalake_brief_spark.operators.timeseries import rolling_stats
+
+        df = spark.createDataFrame(
+            [("u", 1, 10.0), ("u", 2, 20.0), ("u", 3, 30.0), ("v", 1, 5.0)],
+            "k string, i long, x double",
+        )
+        got = {
+            (r.k, r.i): (r.avg_x, r.max_x)
+            for r in rolling_stats(
+                df, ["k"], ["i"], "x", n_preceding=1,
+                aggs={"avg_x": "avg", "max_x": "max"},
+            ).collect()
+        }
+        assert got == {
+            ("u", 1): (10.0, 10.0),
+            ("u", 2): (15.0, 20.0),
+            ("u", 3): (25.0, 30.0),
+            ("v", 1): (5.0, 5.0),
+        }
+
+    def test_trailing_range_count_includes_timestamp_peers(self, spark):
+        """RANGE frames include all peer rows at the current timestamp —
+        ties must count each other regardless of row order."""
+        from datalake_brief_spark.operators.timeseries import trailing_range_count
+
+        df = spark.createDataFrame(
+            [
+                ("u", 1, "2024-01-01 10:00:00"),
+                ("u", 2, "2024-01-01 10:00:00"),  # same second as event 1
+                ("u", 3, "2024-01-01 10:30:00"),
+                ("u", 4, "2024-01-01 12:00:00"),  # outside 1h of all above
+            ],
+            "k string, i long, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r.i: r.n_trailing
+            for r in trailing_range_count(df, ["k"], "ts", 3600).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 3, 4: 1}
