@@ -110,7 +110,7 @@ def _hashed_shingles(
     )
 
 
-def _lsh_candidate_pairs(
+def _banded(
     hashed: DataFrame,
     id_col: str,
     block_cols: list[str],
@@ -118,15 +118,8 @@ def _lsh_candidate_pairs(
     num_bands: int,
     seed: int,
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs from MinHash-LSH banding over hashed
-    shingle sets — the shared candidate generator for every Jaccard-family
-    dedup path.
-
-    Shape (the 100 TB contract): one Arrow-vectorized signature pass in the
-    scan stage, one posexplode to ``num_bands`` short keys, one equi-join on
-    (band_idx, band_hash, *block_cols). Candidates are linear in the number
-    of truly-similar pairs (plus s-curve noise), never quadratic in a block.
-    """
+    """(id, *block, band_idx, band_hash): MinHash band keys for LSH joins,
+    repartitioned on the band keys (see _lsh_candidate_pairs for why)."""
     # Fold the 64-bit shingle hashes into the MinHash prime field JVM-side;
     # own select so Catalyst doesn't inline it under the signature UDF.
     folded = hashed.select(
@@ -155,13 +148,33 @@ def _lsh_candidate_pairs(
         F.posexplode_outer("__bands").alias("band_idx", "band_hash"),
     )
     # Materialize ONE exchange on the band keys above the signature UDF:
-    # both sides of the self-join then read the same shuffle output
+    # a self-join's two sides then read the same shuffle output
     # (ReusedExchange), so the Arrow signature pass runs once instead of
     # per join side — measured 24% off the whole pipeline at sf0.1. The
     # column-only repartition stays AQE-coalescible, and hash-partitioning
     # on a subset of the join keys satisfies the join's distribution, so no
     # further exchange is added.
-    banded = banded.repartition("band_idx", "band_hash")
+    return banded.repartition("band_idx", "band_hash")
+
+
+def _lsh_candidate_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    num_hashes: int,
+    num_bands: int,
+    seed: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from MinHash-LSH banding over hashed
+    shingle sets — the shared candidate generator for every Jaccard-family
+    dedup path.
+
+    Shape (the 100 TB contract): one Arrow-vectorized signature pass in the
+    scan stage, one posexplode to ``num_bands`` short keys, one equi-join on
+    (band_idx, band_hash, *block_cols). Candidates are linear in the number
+    of truly-similar pairs (plus s-curve noise), never quadratic in a block.
+    """
+    banded = _banded(hashed, id_col, block_cols, num_hashes, num_bands, seed)
     lhs = banded.withColumnRenamed(id_col, "id_a")
     rhs = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -231,6 +244,68 @@ def ngram_jaccard_pairs(
     else:
         raise ValueError(f"candidates must be 'lsh' or 'all', got {candidates!r}")
     return _verify_exact_jaccard(cand, hashed, id_col, threshold)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: str = "lsh",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy JOIN of two relations by exact word-k-gram Jaccard ≥ threshold
+    — record linkage / entity matching, the two-table generalization of
+    ``ngram_jaccard_pairs``. Returns (id_a, id_b, jaccard) with id_a from
+    ``left`` and id_b from ``right``.
+
+    Scale shape: both sides run the SAME MinHash family (hash seeds, band
+    layout), so a left and right row collide in a band bucket with the
+    usual s-curve probability (recall 1-(1-j^r)^b); candidates come from
+    the band equi-join ACROSS the two relations — cost linear in each
+    side plus the truly-similar pairs, never the |L|·|R| cross — and
+    exact Jaccard over the hashed shingle sets verifies candidates only.
+    ``candidates="all"`` is the quadratic ground-truth mode for tests.
+    """
+    lh = _hashed_shingles(left, left_text, left_id, k).select(
+        F.col(left_id).alias("id_a"), F.col("__hx").alias("__hx_a")
+    )
+    rh = _hashed_shingles(right, right_text, right_id, k).select(
+        F.col(right_id).alias("id_b"), F.col("__hx").alias("__hx_b")
+    )
+    if candidates == "lsh":
+        lb = _banded(
+            lh.select("id_a", F.col("__hx_a").alias("__hx")),
+            "id_a", [], num_hashes, num_bands, seed,
+        )
+        rb = _banded(
+            rh.select("id_b", F.col("__hx_b").alias("__hx")),
+            "id_b", [], num_hashes, num_bands, seed,
+        )
+        cand = (
+            lb.join(rb, on=["band_idx", "band_hash"])
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    elif candidates == "all":
+        cand = lh.select("id_a").crossJoin(rh.select("id_b"))
+    else:
+        raise ValueError(f"candidates must be 'lsh' or 'all', got {candidates!r}")
+    inter = F.size(F.array_intersect("__hx_a", "__hx_b")).cast("double")
+    union = F.size(F.array_union("__hx_a", "__hx_b")).cast("double")
+    return (
+        cand.join(lh, "id_a")
+        .join(rh, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def containment_pairs(

@@ -2516,6 +2516,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, block_col="source", k=3, threshold=0.8)
 
 
+@_register(
+    "fuzzy_join_sources",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON length(a.source) = 4 AND length(b.source) = 5
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+)
+def fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy JOIN (record linkage) between two disjoint relations — the
+    single-digit sources (src0-src9) matched against the double-digit
+    sources (src10-src19) on exact word-trigram Jaccard ≥ 0.8
+    (operators.dedup.fuzzy_join). Candidates come from the MinHash band
+    equi-join ACROSS the relations (both sides share one hash family and
+    band layout), never the |L|·|R| cross; exact Jaccard verifies. The
+    DuckDB oracle is the full quadratic join — equality with it is the
+    recall proof at the driver's scale (b=32×r=4 → candidate recall
+    ≥ 1-5e-8 at J=0.8)."""
+    d = _t(spark, sf_dir, "documents")
+    left = filter_rows(d, F.length("source") == 4)
+    right = filter_rows(d, F.length("source") == 5)
+    return dedup.fuzzy_join(left, right, k=3, threshold=0.8)
+
+
 @_register("dedup_minhash", None, headline=True)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (no oracle: xxhash64 family is

@@ -645,3 +645,37 @@ class TestLeakageSafeSplit:
         assert a == b
         c = {r.doc_id: r.split for r in dedup.leakage_safe_split(docs, pairs, w, salt="2").collect()}
         assert c != a  # a new salt is a new independent assignment
+
+
+class TestFuzzyJoin:
+    """Two-relation LSH similarity join (record linkage) — the banded
+    candidate path must reproduce the quadratic ground truth exactly at
+    J=0.8 (b=32×r=4: candidate recall ≥ 1-5e-8)."""
+
+    def test_lsh_equals_all_pairs(self, spark):
+        d = load_table(spark, SF_SMOKE, "documents")
+        left = d.filter(F.length("source") == 4)
+        right = d.filter(F.length("source") == 5)
+        lsh = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.fuzzy_join(left, right, k=3, threshold=0.8).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.fuzzy_join(
+                left, right, k=3, threshold=0.8, candidates="all"
+            ).collect()
+        }
+        assert truth, "fixture should contain cross-relation near-dups"
+        assert lsh == truth
+
+    def test_sides_are_directional(self, spark):
+        """id_a always comes from the left relation, id_b from the right —
+        no self-pairs, no within-side pairs."""
+        d = load_table(spark, SF_SMOKE, "documents")
+        left = d.filter(F.length("source") == 4)
+        right = d.filter(F.length("source") == 5)
+        left_ids = {r.doc_id for r in left.select("doc_id").collect()}
+        right_ids = {r.doc_id for r in right.select("doc_id").collect()}
+        for r in dedup.fuzzy_join(left, right, k=3, threshold=0.8).collect():
+            assert r.id_a in left_ids and r.id_b in right_ids
