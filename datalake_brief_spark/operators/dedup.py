@@ -308,6 +308,89 @@ def fuzzy_join(
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH dedup index for INCREMENTAL near-dup detection:
+    ``{path}/signatures`` holds (id, band_idx, band_hash) MinHash band
+    keys, ``{path}/shingles`` the hashed shingle sets for exact verify.
+    At 100 TB a daily increment must never re-LSH the whole corpus — the
+    index is written once and each increment only reads it (see
+    incremental_dedup)."""
+    import os
+
+    hashed = _hashed_shingles(df, text_col, id_col, k)
+    banded = _banded(hashed, id_col, [], num_hashes, num_bands, seed)
+    banded.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    hashed.select(id_col, "__hx").write.mode("overwrite").parquet(
+        os.path.join(path, "shingles")
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    seed: int = 42,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch — new×index plus new×new —
+    against a build_dedup_index corpus, with exact-Jaccard verification.
+    Pairs are canonicalized (id_a < id_b) so the result is insensitive to
+    which side a document arrived on. Cost: the increment is shingled and
+    banded ONCE; the existing corpus contributes only an equi-join against
+    its materialized band keys — the index is never recomputed. Index
+    maintenance (``update_index=True``) appends the increment's
+    signatures/shingles so the next batch sees today's corpus.
+
+    The index parameters (k, num_hashes, num_bands, seed) must match the
+    ones the index was built with — band keys from different families
+    never collide correctly."""
+    import os
+
+    sig_path = os.path.join(path, "signatures")
+    sh_path = os.path.join(path, "shingles")
+    idx_sig = spark.read.parquet(sig_path)
+    idx_sh = spark.read.parquet(sh_path)
+    new_hashed = _hashed_shingles(new_df, text_col, id_col, k)
+    new_banded = _banded(new_hashed, id_col, [], num_hashes, num_bands, seed)
+    cross = idx_sig.withColumnRenamed(id_col, "id_a").join(
+        new_banded.withColumnRenamed(id_col, "id_b"), on=["band_idx", "band_hash"]
+    )
+    within = new_banded.withColumnRenamed(id_col, "id_a").join(
+        new_banded.withColumnRenamed(id_col, "id_b"), on=["band_idx", "band_hash"]
+    )
+    cand = (
+        cross.select("id_a", "id_b")
+        .union(within.select("id_a", "id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_sh = idx_sh.unionByName(new_hashed.select(id_col, "__hx"))
+    pairs = _verify_exact_jaccard(cand, all_sh, id_col, threshold)
+    if update_index:
+        new_banded.write.mode("append").parquet(sig_path)
+        new_hashed.select(id_col, "__hx").write.mode("append").parquet(sh_path)
+    return pairs
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

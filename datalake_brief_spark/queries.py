@@ -2555,6 +2555,50 @@ def fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_join(left, right, k=3, threshold=0.8)
 
 
+@_register(
+    "dedup_incremental",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+      AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted LSH signature index
+    (operators.dedup build_dedup_index / incremental_dedup): the
+    even-doc_id half is 'yesterday's corpus' (indexed once), the odd half
+    is today's increment — only the increment is shingled and banded; the
+    corpus contributes an equi-join against its materialized band keys,
+    never a recompute. Returns every near-dup pair INVOLVING the
+    increment; the oracle is the full quadratic Jaccard join restricted
+    to pairs touching the increment, so driver-gate equality proves both
+    LSH recall and the index round-trip."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    base = filter_rows(d, F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    inc = filter_rows(d, F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="dbs_dedupidx_")
+    dedup.build_dedup_index(base, path, k=3)
+    return dedup.incremental_dedup(spark, inc, path, k=3, threshold=0.8)
+
+
 @_register("dedup_minhash", None, headline=True)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (no oracle: xxhash64 family is

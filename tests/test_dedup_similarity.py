@@ -679,3 +679,53 @@ class TestFuzzyJoin:
         right_ids = {r.doc_id for r in right.select("doc_id").collect()}
         for r in dedup.fuzzy_join(left, right, k=3, threshold=0.8).collect():
             assert r.id_a in left_ids and r.id_b in right_ids
+
+
+class TestIncrementalDedup:
+    def test_incremental_equals_full_recompute(self, spark, tmp_path):
+        """Index the even half, increment with the odd half: pairs touching
+        the increment must equal the full-corpus LSH result restricted to
+        those pairs (canonical id_a < id_b on both sides)."""
+        d = load_table(spark, SF_SMOKE, "documents")
+        base = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        inc = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        path = str(tmp_path / "idx")
+        dedup.build_dedup_index(base, path, k=3)
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.incremental_dedup(spark, inc, path, k=3, threshold=0.8).collect()
+        }
+        full = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(d, k=3, threshold=0.8).collect()
+            if r.id_a % 2 == 1 or r.id_b % 2 == 1
+        }
+        assert full, "fixture should contain pairs touching the increment"
+        assert got == full
+
+    def test_index_maintenance_across_batches(self, spark, tmp_path):
+        """Batch 2 must see batch 1's documents through the index append:
+        splitting the increment in two and feeding it sequentially yields
+        the same union of pairs as one big increment."""
+        d = load_table(spark, SF_SMOKE, "documents")
+        base = d.filter(F.pmod("doc_id", F.lit(3)) == 0)
+        b1 = d.filter(F.pmod("doc_id", F.lit(3)) == 1)
+        b2 = d.filter(F.pmod("doc_id", F.lit(3)) == 2)
+        path = str(tmp_path / "idx")
+        dedup.build_dedup_index(base, path, k=3)
+        seq = {
+            (r.id_a, r.id_b)
+            for r in dedup.incremental_dedup(spark, b1, path, k=3, threshold=0.8).collect()
+        } | {
+            (r.id_a, r.id_b)
+            for r in dedup.incremental_dedup(spark, b2, path, k=3, threshold=0.8).collect()
+        }
+        path2 = str(tmp_path / "idx2")
+        dedup.build_dedup_index(base, path2, k=3)
+        both = {
+            (r.id_a, r.id_b)
+            for r in dedup.incremental_dedup(
+                spark, b1.unionByName(b2), path2, k=3, threshold=0.8
+            ).collect()
+        }
+        assert seq == both
