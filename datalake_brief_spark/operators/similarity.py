@@ -413,6 +413,30 @@ def ivf_index_write(
     write_partitioned(assigned, path, ["cell"])
 
 
+def ivf_index_append(
+    new: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a materialized IVF index WITHOUT
+    re-clustering: each vector is assigned to its nearest EXISTING
+    centroid and appended into that cell's partition directory — the
+    standard IVF maintenance path (re-clustering a 100 TB index per
+    increment is a non-starter; periodic re-training handles centroid
+    drift). Probes see appended vectors immediately: ivf_topk_indexed
+    reads whole cell directories, and identical centroids mean an
+    append-then-search equals a search over a full rebuild — pinned in
+    tests/test_dedup_similarity.py."""
+    from datalake_brief_spark.sources.io import write_partitioned
+
+    assigned = ivf_assign(
+        new.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cell", 1
+    )
+    write_partitioned(assigned, path, ["cell"], mode="append")
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

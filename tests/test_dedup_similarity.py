@@ -729,3 +729,38 @@ class TestIncrementalDedup:
             ).collect()
         }
         assert seq == both
+
+
+class TestIVFIndexAppend:
+    @pytest.fixture()
+    def emb(self, spark):
+        return load_table(spark, SF_SMOKE, "embeddings")
+
+    def test_append_then_search_equals_full_rebuild(self, spark, emb, tmp_path):
+        """Appending an increment into the cell partitions (nearest
+        EXISTING centroid, no re-clustering) must make searches identical
+        to an index rebuilt over the full corpus with the same centroids
+        — assignment is deterministic, so the layouts hold the same rows
+        per cell."""
+        corpus = emb.limit(400)
+        base = corpus.filter(F.pmod("vec_id", F.lit(2)) == 0)
+        inc = corpus.filter(F.pmod("vec_id", F.lit(2)) == 1)
+        cents = similarity.train_ivf_centroids(base, dim=64, n_centroids=8)
+        p_inc = str(tmp_path / "ivf_inc")
+        similarity.ivf_index_write(base, p_inc, cents)
+        similarity.ivf_index_append(inc, p_inc, cents)
+        p_full = str(tmp_path / "ivf_full")
+        similarity.ivf_index_write(corpus, p_full, cents)
+        q = corpus.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.ivf_topk_indexed(spark, p_inc, q, cents, k=5, nprobe=3).collect()
+        }
+        want = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.ivf_topk_indexed(spark, p_full, q, cents, k=5, nprobe=3).collect()
+        }
+        assert got == want
+        assert got, "searches should return results"
