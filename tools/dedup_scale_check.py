@@ -125,6 +125,52 @@ def spans_check(spark, base, scales) -> None:
     )
 
 
+def incremental_check(spark, docs, scales) -> None:
+    """The incremental-dedup claim: a FIXED increment's cost is
+    O(increment), not O(corpus). The index holds the even-doc_id half
+    replicated 1x..Nx with fully-salted vocabulary (replicas share no
+    gram with anything), the increment is always the odd half of the
+    base corpus. Expected: the pair set is EXACTLY invariant as the
+    index grows (salted replicas can't pass exact-Jaccard verify), and
+    wall time grows far slower than the index (only the band equi-join's
+    probe side widens; the increment is shingled/banded once)."""
+    import tempfile
+
+    print("-- incremental_dedup (fixed increment vs growing index)")
+    base = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    inc = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    results = []
+    for s in scales:
+        idx_corpus = replicate_full_salt(base, s)
+        path = tempfile.mkdtemp(prefix="dbs_incidx_")
+        dedup.build_dedup_index(idx_corpus, path, k=3)
+        n_idx = idx_corpus.count()
+        # warm + min-of-2 of the pure increment query (no index append)
+        dedup.incremental_dedup(spark, inc, path, k=3, threshold=0.8, update_index=False).count()
+        best, pairs = 1e18, None
+        for _ in range(2):
+            t0 = time.monotonic()
+            rows = sorted(
+                (r.id_a, r.id_b)
+                for r in dedup.incremental_dedup(
+                    spark, inc, path, k=3, threshold=0.8, update_index=False
+                ).collect()
+            )
+            best = min(best, time.monotonic() - t0)
+            pairs = rows
+        results.append((s, n_idx, pairs, best))
+        print(f"scale={s} index_rows={n_idx} pairs={len(pairs)} wall_sec={best:.2f}", flush=True)
+    first = results[0]
+    for s, n_idx, pairs, _ in results[1:]:
+        assert pairs == first[2], f"pair set changed at scale {s}"
+    t_ratio = results[-1][3] / first[3]
+    n_ratio = results[-1][1] / first[1]
+    print(
+        f"increment invariance held; index x{n_ratio:.0f} -> increment "
+        f"wall x{t_ratio:.2f} (O(corpus) would be ~x{n_ratio:.0f})"
+    )
+
+
 def main() -> None:
     spark = get_spark("dedup_scale_check")
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -153,6 +199,7 @@ def main() -> None:
         f"time x{t_ratio:.1f} (quadratic would be x{n_ratio**2:.0f})"
     )
     spans_check(spark, base, SCALES)
+    incremental_check(spark, base, SCALES)
 
 
 if __name__ == "__main__":
