@@ -384,7 +384,13 @@ def incremental_dedup(
         .dropDuplicates(["id_a", "id_b"])
     )
     all_sh = idx_sh.unionByName(new_hashed.select(id_col, "__hx"))
-    pairs = _verify_exact_jaccard(cand, all_sh, id_col, threshold)
+    # dropDuplicates: under at-least-once replay (streaming sink) a
+    # replayed batch's signatures are in the index twice; duplicate
+    # shingle rows would fan the verify join out into duplicate pair
+    # rows. Pairs are small post-verify, so the dedup is cheap.
+    pairs = _verify_exact_jaccard(cand, all_sh, id_col, threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
     if update_index:
         new_banded.write.mode("append").parquet(sig_path)
         new_hashed.select(id_col, "__hx").write.mode("append").parquet(sh_path)

@@ -5235,7 +5235,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # semantics, mergeSchema rewrites, temporal/decimal stats): the queries
     # above cover them directly. Entries past the 50-entry window are
     # ordering-only — all carry green rows from earlier rounds and are
-    # unchanged.
+    # unchanged, EXCEPT the session-4 late additions (events_rolling_stats,
+    # events_trailing_hour, events_ewma, fuzzy_join_sources,
+    # dedup_incremental — parity-sweep green, no driver row yet): rotate
+    # THOSE into the r5 window first.
     "q1_pricing_summary",
     "events_resample_fill",
     "asof_join",

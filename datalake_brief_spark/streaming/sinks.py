@@ -140,3 +140,53 @@ def merge_stream_to_txlog(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_stream_to_index(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    txn_app_id: str = "neardup_stream",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate detection: each micro-batch of documents
+    runs operators.dedup.incremental_dedup against the persisted LSH
+    signature index (build_dedup_index), so a batch is checked against
+    the ENTIRE corpus seen so far — earlier batches included — while only
+    the batch itself is shingled and banded.
+
+    Per batch: (1) pairs involving the batch land in ``pairs_path`` as a
+    txlog APPEND tagged with the epoch — replays are detected from the
+    commit log and skipped, so pair emission is exactly-once; (2) the
+    batch's signatures append to the index (plain parquet, at-least-once
+    — harmless: incremental_dedup canonicalizes and dedups pairs, so
+    duplicate signatures from a replayed epoch change candidate count,
+    never the verified pair set)."""
+    from datalake_brief_spark.operators.dedup import incremental_dedup
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = incremental_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            threshold=threshold,
+            update_index=True,
+        )
+        apply_append_batch(pairs, pairs_path, txn_app_id, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

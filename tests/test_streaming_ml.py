@@ -433,3 +433,44 @@ class TestMLPipeline:
         assert res.coefficients[1] == pytest.approx(500.0, abs=1e-4)
         assert res.intercept == pytest.approx(100.0, abs=1e-3)
         assert res.mae == pytest.approx(0.0, abs=1e-5)
+
+
+class TestStreamingNearDup:
+    def test_stream_equals_one_shot_increment(self, spark, tmp_path):
+        """Documents streamed through neardup_stream_to_index in two
+        micro-batches must yield the same pair set as one batch-mode
+        incremental_dedup over the whole increment — batch 2 sees batch 1
+        through the index append, and the txlog pairs table is the
+        exactly-once record."""
+        from datalake_brief_spark.operators import dedup
+        from datalake_brief_spark.sources import txlog
+        from datalake_brief_spark.streaming.sinks import neardup_stream_to_index
+
+        d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        base = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        inc = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        idx = str(tmp_path / "idx")
+        dedup.build_dedup_index(base, idx, k=3)
+        inc_dir = str(tmp_path / "inc_stream")
+        inc.repartition(2).write.parquet(inc_dir)
+        stream = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inc_dir)
+        )
+        pairs_path = str(tmp_path / "pairs")
+        q = neardup_stream_to_index(
+            stream, idx, pairs_path, str(tmp_path / "ckpt"), k=3, threshold=0.8
+        )
+        q.awaitTermination()
+        got = {(r.id_a, r.id_b) for r in txlog.read(spark, pairs_path).collect()}
+        idx2 = str(tmp_path / "idx2")
+        dedup.build_dedup_index(base, idx2, k=3)
+        want = {
+            (r.id_a, r.id_b)
+            for r in dedup.incremental_dedup(
+                spark, inc, idx2, k=3, threshold=0.8, update_index=False
+            ).collect()
+        }
+        assert want, "fixture should contain pairs touching the increment"
+        assert got == want
