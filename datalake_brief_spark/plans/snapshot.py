@@ -125,11 +125,16 @@ COMMENT = {
     "q21_waiting_suppliers": (
         "EXISTS → LeftSemi on (orderkey, suppkey≠) and NOT EXISTS → "
         "LeftAnti over the same late relation — never distinct+inner. "
-        "The late relation (lineitem⋈F-orders, 60-day residual) is "
-        "consumed twice; source-side not-null filters keep both branches' "
-        "shuffle subtrees canonical so AQE reuses the l⋈o exchanges "
-        "(without alignment the join recomputed: 7.4 s → 0.95 s at "
-        "sf0.1). Top-20 is TakeOrderedAndProject with a unique tiebreak."
+        "Both self-join sides carry explicit merge hints: they are "
+        "scale-proportional (full lineitem / the late quarter), and "
+        "un-hinted the static planner broadcast them from compressed-"
+        "file-size estimates — 22.9× wall at 8× data in "
+        "tools/tpch_scale_check.py; hinted, the 8× point is ~linear at "
+        "unchanged sf0.1 cost. The late relation is consumed twice; "
+        "source-side not-null filters keep both branches' shuffle "
+        "subtrees canonical so AQE reuses the l⋈o exchanges (without "
+        "alignment the join recomputed: 7.4 s → 0.95 s at sf0.1). "
+        "Top-20 is TakeOrderedAndProject with a unique tiebreak."
     ),
     "dsir_weights": (
         "One token-keyed aggregation builds BOTH corpus histograms in a "
