@@ -345,3 +345,77 @@ def dq_report(df: DataFrame, rules: dict[str, Column | str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")
+
+
+def fk_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relationship: str,
+) -> DataFrame:
+    """Referential-integrity profile of one FK edge, as one row:
+    ``(relationship, n_child, n_null_fk, n_orphans, orphan_rate,
+    n_parent, n_referenced, parent_coverage)``.
+
+    SQL FK semantics: a NULL foreign key is legal (counted separately,
+    never an orphan); an orphan is a non-null FK with no parent. Scale
+    shape: both sides pre-aggregate to their key sets (map-side combine
+    on the child), then ONE full-outer join of two key-sized relations
+    and a 1-row final aggregate — the fact table is never joined
+    row-by-row against the parent."""
+    ck = child.groupBy(F.col(fk_col).alias("__k")).agg(F.count(F.lit(1)).alias("__cnt"))
+    pk = parent.select(F.col(pk_col).alias("__k")).distinct().withColumn("__p", F.lit(1))
+    j = ck.join(pk, "__k", "full_outer")
+    orphan = F.col("__p").isNull() & F.col("__k").isNotNull() & F.col("__cnt").isNotNull()
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).cast("long").alias("n_child"),
+        F.sum(F.when(F.col("__k").isNull(), F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_null_fk"),
+        F.sum(F.when(orphan, F.col("__cnt")).otherwise(0)).cast("long").alias("n_orphans"),
+        F.count(F.when(F.col("__p") == 1, 1)).cast("long").alias("n_parent"),
+        F.count(F.when((F.col("__p") == 1) & F.col("__cnt").isNotNull(), 1))
+        .cast("long")
+        .alias("n_referenced"),
+    )
+    return agg.select(
+        F.lit(relationship).alias("relationship"),
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.greatest(F.col("n_child"), F.lit(1)), 6).alias(
+            "orphan_rate"
+        ),
+        "n_parent",
+        "n_referenced",
+        F.round(
+            F.col("n_referenced") / F.greatest(F.col("n_parent"), F.lit(1)), 6
+        ).alias("parent_coverage"),
+    )
+
+
+def join_key_skew(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Skew profile of a prospective join/groupBy key: the ``top_k``
+    heaviest keys as ``(key, n_rows, share, skew_factor)`` where
+    skew_factor = the key's row count over the mean rows-per-key — the
+    number that decides between a plain shuffle join and salting (see
+    joins.salted_join) or AQE skew-split tuning. One partial+final count
+    per key, a 1-row broadcast of the global stats, TakeOrdered for the
+    top-k (key value as tiebreak; key rendered as string so the profile
+    has one schema for any key type)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    enriched = counts.crossJoin(F.broadcast(stats)).select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        F.round(F.col("n_rows") * F.col("__nkeys") / F.col("__total"), 6).alias(
+            "skew_factor"
+        ),
+    )
+    return enriched.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_k)

@@ -824,6 +824,91 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_fk_integrity",
+    """
+    WITH edge1 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+             CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT) AS n_null_fk,
+             CAST((SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+             CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS n_parent,
+             CAST((SELECT count(DISTINCT o_orderkey) FROM orders o
+                   WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT) AS n_referenced
+    ), edge2 AS (
+      SELECT 'orders.o_custkey->customer' AS relationship,
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+             CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT),
+             CAST((SELECT count(DISTINCT c_custkey) FROM customer c
+                   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+    ), u AS (
+      SELECT * FROM edge1 UNION ALL SELECT * FROM edge2
+    )
+    SELECT relationship, n_child, n_null_fk, n_orphans,
+           round(n_orphans * 1.0 / greatest(n_child, 1), 6) AS orphan_rate,
+           n_parent, n_referenced,
+           round(n_referenced * 1.0 / greatest(n_parent, 1), 6) AS parent_coverage
+    FROM u
+    """,
+)
+def dq_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile of the star schema's two core FK
+    edges (operators.relational.fk_integrity). Both sides pre-aggregate
+    to key sets before ONE full-outer join per edge — the fact table is
+    never probed row-by-row. TESTDATA is consistent, so orphan counts
+    are 0 — but the totals and coverage ratios (e.g. not every customer
+    has orders at every SF) are non-trivial hash-checked values."""
+    from datalake_brief_spark.operators.relational import fk_integrity
+
+    e1 = fk_integrity(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        "lineitem.l_orderkey->orders",
+    )
+    e2 = fk_integrity(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        "orders.o_custkey->customer",
+    )
+    return e1.unionByName(e2)
+
+
+@_register(
+    "profile_join_skew",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT sum(n_rows) AS total, count(*) AS nkeys FROM counts
+    )
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows * 1.0 / total, 6) AS share,
+           round(n_rows * nkeys * 1.0 / total, 6) AS skew_factor
+    FROM counts, stats
+    ORDER BY n_rows DESC, key LIMIT 5
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for events.user_id (operators.relational
+    join_key_skew): the 5 heaviest keys with their share and skew factor
+    (count over mean-per-key) — the number that decides between a plain
+    shuffle join, salting (joins.salted_join), and AQE skew-split
+    tuning. One partial+final count per key, a 1-row stats broadcast,
+    TakeOrdered top-5 with the key as tiebreak."""
+    from datalake_brief_spark.operators.relational import join_key_skew
+
+    return join_key_skew(_t(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
+@_register(
     "leakage_safe_split",
     """
     WITH RECURSIVE tok AS (

@@ -459,3 +459,32 @@ class TestTrailingFeatures:
             for r in trailing_range_count(df, ["k"], "ts", 3600).collect()
         }
         assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+class TestOperationalProfiling:
+    def test_fk_integrity_counts_orphans_and_nulls(self, spark):
+        """NULL FKs are legal (counted separately, never orphans); an
+        orphan is a non-null FK with no parent; unreferenced parents
+        lower coverage."""
+        from datalake_brief_spark.operators.relational import fk_integrity
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)], "id long, fk long"
+        )
+        parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+        r = fk_integrity(child, parent, "fk", "pk", "c->p").collect()[0]
+        assert (r.n_child, r.n_null_fk, r.n_orphans) == (5, 1, 1)
+        assert r.orphan_rate == 0.2
+        assert (r.n_parent, r.n_referenced) == (3, 2)
+        assert r.parent_coverage == round(2 / 3, 6)
+
+    def test_join_key_skew_flags_heavy_key(self, spark):
+        from datalake_brief_spark.operators.relational import join_key_skew
+
+        rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+        df = spark.createDataFrame(rows, "k string")
+        got = join_key_skew(df, "k", top_k=2).collect()
+        assert got[0].key == "hot" and got[0].n_rows == 8
+        # 12 rows over 5 keys -> mean 2.4; hot = 8/2.4
+        assert got[0].skew_factor == round(8 / 2.4, 6)
+        assert got[1].n_rows == 1 and got[1].key == "a"  # tiebreak by key
