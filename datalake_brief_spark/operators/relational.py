@@ -419,3 +419,88 @@ def join_key_skew(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         ),
     )
     return enriched.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_k)
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution drift between two snapshots, as one row per column:
+    ``(column, psi, n_ref, n_cur)``. PSI (population stability index) over
+    a fixed-width histogram whose edges come from the REFERENCE's min/max
+    (industry convention: the monitored window is scored against the
+    baseline's binning; rule of thumb: <0.1 stable, 0.1-0.25 drifting,
+    >0.25 shifted). Proportions are epsilon-smoothed (1e-6) so empty
+    buckets never produce ±inf.
+
+    Scale shape: one aggregate for the reference edges (1-row broadcast),
+    then ONE scan per side — each row explodes to (column, bucket) pairs
+    and a partial+final count aggregates them — and a bucket-grid join of
+    two (n_columns × n_buckets)-sized relations. The snapshots are never
+    joined row-to-row. All bucket arithmetic is identical IEEE double
+    expressions on both engines, so the DuckDB oracle matches bit-for-bit.
+    """
+    eps = 1e-6
+    edges = ref.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(columns)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(columns)],
+    )
+
+    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.least(
+                        F.greatest(
+                            F.floor(
+                                (F.col(c).cast("double") - F.col(f"__mn_{i}"))
+                                * n_buckets
+                                / (F.col(f"__mx_{i}") - F.col(f"__mn_{i}"))
+                            ),
+                            F.lit(0),
+                        ),
+                        F.lit(n_buckets - 1),
+                    )
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for i, c in enumerate(columns)
+            ]
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(F.explode(cells).alias("c"))
+            .select("c.*")
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    rb = bucketed_counts(ref, "ref")
+    cb = bucketed_counts(cur, "cur")
+    j = rb.join(cb, ["column", "bucket"], "full_outer").select(
+        "column",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.groupBy("column").agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p_cur = F.col("n_cur") / F.col("__tc") + eps
+    p_ref = F.col("n_ref") / F.col("__tr") + eps
+    terms = j.join(tot, "column").select(
+        "column",
+        "__tr",
+        "__tc",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("__t"),
+    )
+    return (
+        terms.groupBy("column")
+        .agg(
+            F.round(F.sum(F.col("__t")), 6).alias("psi"),
+            F.max("__tr").cast("long").alias("n_ref"),
+            F.max("__tc").cast("long").alias("n_cur"),
+        )
+    )

@@ -488,3 +488,17 @@ class TestOperationalProfiling:
         # 12 rows over 5 keys -> mean 2.4; hot = 8/2.4
         assert got[0].skew_factor == round(8 / 2.4, 6)
         assert got[1].n_rows == 1 and got[1].key == "a"  # tiebreak by key
+
+    def test_distribution_drift_psi_semantics(self, spark):
+        """PSI ≈ 0 for an identical distribution; large for a planted
+        shift; epsilon smoothing keeps empty buckets finite."""
+        from datalake_brief_spark.operators.relational import distribution_drift
+
+        ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "x double")
+        same = {r.column: r.psi for r in distribution_drift(ref, ref, ["x"]).collect()}
+        assert abs(same["x"]) < 1e-9
+        # shift the whole mass into the top reference bucket
+        shifted = spark.createDataFrame([(99.0,) for _ in range(1000)], "x double")
+        drift = {r.column: r.psi for r in distribution_drift(ref, shifted, ["x"]).collect()}
+        import math
+        assert drift["x"] > 1.0 and math.isfinite(drift["x"])
