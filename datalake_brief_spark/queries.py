@@ -5387,7 +5387,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # ordering-only — all carry green rows from earlier rounds and are
     # unchanged, EXCEPT the session-4 late additions (events_rolling_stats,
     # events_trailing_hour, events_ewma, fuzzy_join_sources,
-    # dedup_incremental — parity-sweep green, no driver row yet): rotate
+    # dedup_incremental, dq_fk_integrity, profile_join_skew,
+    # profile_drift — parity-sweep green, no driver row yet): rotate
     # THOSE into the r5 window first.
     "q1_pricing_summary",
     "events_resample_fill",

@@ -1555,3 +1555,34 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
             if not dirs and not files and root != data_root:
                 shutil.rmtree(root, ignore_errors=True)
     return sorted(deleted)
+
+
+def needs_optimize(
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_small_files: int = 8,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """Compaction advisor — the maintenance-schedule complement of
+    :func:`optimize`. METADATA-ONLY: the snapshot's file list comes from
+    the log and sizes from file stats; no data page is read, so the check
+    costs O(n_files) stat calls at any table size.
+
+    Returns ``{'n_files', 'n_small', 'small_bytes', 'recommended'}``;
+    ``recommended`` is True when at least ``min_small_files`` undersized
+    files exist (below ``small_file_bytes``, default half the target) —
+    the point where per-file open/footer overhead starts to dominate
+    scans and an OPTIMIZE pays for itself. Streaming sinks commit one
+    file set per micro-batch, so this trips naturally after sustained
+    ingestion; run ``optimize(...)`` when it does."""
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    files = visible_files(path, current_version(path)) if current_version(path) else []
+    sizes = [os.path.getsize(p) for p in files]
+    small = [s for s in sizes if s < small_file_bytes]
+    return {
+        "n_files": len(files),
+        "n_small": len(small),
+        "small_bytes": int(sum(small)),
+        "recommended": len(small) >= min_small_files,
+    }

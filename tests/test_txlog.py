@@ -1452,3 +1452,21 @@ class TestCheckConstraints:
         # history records both metadata commits
         ops = [h["op"] for h in txlog.history(path)]
         assert "add_constraint" in ops and "drop_constraint" in ops
+
+
+class TestNeedsOptimize:
+    def test_advisor_trips_on_small_files_and_clears_after_optimize(self, spark, tmp_path):
+        """Metadata-only compaction advisor: many small append commits trip
+        the recommendation; one OPTIMIZE clears it."""
+        path = str(tmp_path / "t")
+        df = spark.range(100).withColumnRenamed("id", "k")
+        for _ in range(9):
+            txlog.append(df.coalesce(1), path)
+        before = txlog.needs_optimize(path, target_file_bytes=1 << 30, min_small_files=8)
+        assert before["recommended"] and before["n_small"] >= 9
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        after = txlog.needs_optimize(path, target_file_bytes=1 << 30, min_small_files=8)
+        assert not after["recommended"]
+        assert after["n_files"] < before["n_files"]
+        # content unchanged
+        assert txlog.read(spark, path).count() == 900
