@@ -50,9 +50,11 @@ OFFSET = 1 << 33  # far above any real orderkey at bench scales
 CHECK = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
+    "q4_order_priority",
     "q8_market_share",
     "q12_late_lines",
     "q13_customer_distribution",
+    "q15_top_supplier",
     "q16_supplier_cnt",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
@@ -113,6 +115,15 @@ def main() -> None:
                 elif q == "q12_late_lines":
                     exp = sorted((r[0], r[1] * f, r[2] * f) for r in base_rows[q])
                     assert rows == exp, (rows, exp)
+                elif q == "q4_order_priority":
+                    exp = sorted((r[0], r[1] * f) for r in base_rows[q])
+                    assert rows == exp, (rows, exp)
+                elif q == "q15_top_supplier":
+                    # revenue scales xN but is rounded; the WINNER SET is
+                    # the scale-invariant part
+                    assert sorted(r[0] for r in rows) == sorted(
+                        r[0] for r in base_rows[q]
+                    ), (rows, base_rows[q])
                 elif q == "q13_customer_distribution":
                     exp = sorted((r[0] * f, r[1]) for r in base_rows[q])
                     assert rows == exp, (rows[:3], exp[:3])
