@@ -190,16 +190,18 @@ def _verify_exact_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only: re-join the hashed shingle
     sets and filter. Precision is exact by construction; recall is the
-    candidate generator's."""
+    candidate generator's. The threshold applies to the UNROUNDED ratio
+    (matching the SQL oracles' WHERE-on-raw / SELECT-rounded convention);
+    rounding is an output-projection concern only."""
     hx = hashed.select(F.col(id_col), F.col("__hx"))
     inter = F.size(F.array_intersect("__hx", "__hx_b")).cast("double")
     union = F.size(F.array_union("__hx", "__hx_b")).cast("double")
     return (
         candidates.join(hx.withColumnRenamed(id_col, "id_a"), "id_a")
         .join(hx.withColumnRenamed(id_col, "id_b").withColumnRenamed("__hx", "__hx_b"), "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j_raw", inter / union)
+        .filter(F.col("__j_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__j_raw", 6).alias("jaccard"))
     )
 
 
@@ -302,9 +304,9 @@ def fuzzy_join(
     return (
         cand.join(lh, "id_a")
         .join(rh, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("__j_raw", inter / union)
+        .filter(F.col("__j_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__j_raw", 6).alias("jaccard"))
     )
 
 
@@ -447,11 +449,9 @@ def containment_pairs(
     return (
         shared.join(na, "id_a")
         .join(nb, "id_b")
-        .withColumn(
-            "containment", F.round(F.col("__shared") / F.least("__na", "__nb"), 6)
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+        .withColumn("__c_raw", F.col("__shared") / F.least("__na", "__nb"))
+        .filter(F.col("__c_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__c_raw", 6).alias("containment"))
     )
 
 

@@ -365,7 +365,14 @@ def fk_integrity(
     and a 1-row final aggregate — the fact table is never joined
     row-by-row against the parent."""
     ck = child.groupBy(F.col(fk_col).alias("__k")).agg(F.count(F.lit(1)).alias("__cnt"))
-    pk = parent.select(F.col(pk_col).alias("__k")).distinct().withColumn("__p", F.lit(1))
+    # A NULL primary key is not a parent: SQL count(DISTINCT pk) excludes
+    # NULL, so n_parent/parent_coverage must too.
+    pk = (
+        parent.select(F.col(pk_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
     j = ck.join(pk, "__k", "full_outer")
     orphan = F.col("__p").isNull() & F.col("__k").isNotNull() & F.col("__cnt").isNotNull()
     agg = j.agg(
@@ -449,20 +456,29 @@ def distribution_drift(
     )
 
     def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        # Degenerate reference (mx == mn: constant, single-valued, or
+        # all-null column) maps every value to bucket 0 instead of
+        # dividing by zero into NaN buckets / NaN PSI.
         cells = F.array(
             *[
                 F.struct(
                     F.lit(c).alias("column"),
-                    F.least(
-                        F.greatest(
-                            F.floor(
-                                (F.col(c).cast("double") - F.col(f"__mn_{i}"))
-                                * n_buckets
-                                / (F.col(f"__mx_{i}") - F.col(f"__mn_{i}"))
+                    F.when(F.col(c).isNull(), F.lit(None))
+                    .when(
+                        F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0)
+                    )
+                    .otherwise(
+                        F.least(
+                            F.greatest(
+                                F.floor(
+                                    (F.col(c).cast("double") - F.col(f"__mn_{i}"))
+                                    * n_buckets
+                                    / (F.col(f"__mx_{i}") - F.col(f"__mn_{i}"))
+                                ),
+                                F.lit(0),
                             ),
-                            F.lit(0),
-                        ),
-                        F.lit(n_buckets - 1),
+                            F.lit(n_buckets - 1),
+                        )
                     )
                     .cast("long")
                     .alias("bucket"),

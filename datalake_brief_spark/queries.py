@@ -928,13 +928,17 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (SELECT col, min(x) AS mn, max(x) AS mx FROM refl GROUP BY col),
     rb AS (
       SELECT r.col,
-             CAST(least(greatest(floor((x - mn) * 10 / (mx - mn)), 0), 9) AS BIGINT) AS bucket,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(greatest(floor((x - mn) * 10 / (mx - mn)), 0), 9)
+                  END AS BIGINT) AS bucket,
              count(*) AS n_ref
       FROM refl r JOIN edges e ON r.col = e.col GROUP BY 1, 2
     ),
     cb AS (
       SELECT c.col,
-             CAST(least(greatest(floor((x - mn) * 10 / (mx - mn)), 0), 9) AS BIGINT) AS bucket,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(greatest(floor((x - mn) * 10 / (mx - mn)), 0), 9)
+                  END AS BIGINT) AS bucket,
              count(*) AS n_cur
       FROM curl c JOIN edges e ON c.col = e.col GROUP BY 1, 2
     ),
@@ -1844,15 +1848,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier counts per part attribute bucket,
-    excluding blacklisted suppliers. NOT IN over a non-nullable key is a
-    LEFT ANTI join (never a distinct+filter); count(DISTINCT) expands to
-    the two-phase partial-distinct aggregate. The brand/type/size filters
-    push to the part scan."""
+    excluding blacklisted suppliers. NOT IN becomes LEFT ANTI only with an
+    explicit ``l_suppkey IS NOT NULL`` alignment filter (SQL NOT IN drops
+    NULL probes, an anti join keeps them — same not-null alignment as
+    q21); count(DISTINCT) expands to the two-phase partial-distinct
+    aggregate. The brand/type/size filters push to the part scan."""
     bad = filter_rows(
         _t(spark, sf_dir, "supplier"), F.col("s_acctbal") < 0.0
     ).select("s_suppkey")
     l = anti_join(
-        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull()),
         bad,
         on=F.col("l_suppkey") == F.col("s_suppkey"),
     )

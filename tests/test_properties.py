@@ -398,8 +398,9 @@ class TestTrailingFeatures:
         events_ewma registry entry."""
         from datalake_brief_spark.catalog import load_table
         from datalake_brief_spark.operators.timeseries import ewma
+        from tests.conftest import SF_SMOKE
 
-        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        ev = load_table(spark, SF_SMOKE, "events").filter(
             "event_type = 'click'"
         ).select("event_id", "user_id", "ts", "value")
         got = {
@@ -478,6 +479,20 @@ class TestOperationalProfiling:
         assert (r.n_parent, r.n_referenced) == (3, 2)
         assert r.parent_coverage == round(2 / 3, 6)
 
+    def test_fk_integrity_null_parent_key_is_not_a_parent(self, spark):
+        """count(DISTINCT pk) excludes NULL: a nullable parent key must
+        not inflate n_parent or deflate parent_coverage."""
+        from datalake_brief_spark.operators.relational import fk_integrity
+
+        child = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+        parent = spark.createDataFrame(
+            [(10,), (20,), (None,)], "pk long"
+        )
+        r = fk_integrity(child, parent, "fk", "pk", "c->p").collect()[0]
+        assert (r.n_parent, r.n_referenced) == (2, 2)
+        assert r.parent_coverage == 1.0
+        assert r.n_orphans == 0
+
     def test_join_key_skew_flags_heavy_key(self, spark):
         from datalake_brief_spark.operators.relational import join_key_skew
 
@@ -502,3 +517,21 @@ class TestOperationalProfiling:
         drift = {r.column: r.psi for r in distribution_drift(ref, shifted, ["x"]).collect()}
         import math
         assert drift["x"] > 1.0 and math.isfinite(drift["x"])
+
+    def test_distribution_drift_constant_reference_column(self, spark):
+        """mx == mn (constant reference column) maps everything to bucket
+        0 instead of dividing by zero into NaN PSI: identical constant
+        current -> PSI 0; moved constant still lands in bucket 0 under
+        the reference's degenerate binning -> PSI 0 (documented rule),
+        and the value is finite either way."""
+        import math
+        from datalake_brief_spark.operators.relational import distribution_drift
+
+        ref = spark.createDataFrame([(5.0,)] * 100, "x double")
+        cur_same = spark.createDataFrame([(5.0,)] * 50, "x double")
+        cur_moved = spark.createDataFrame([(9.0,)] * 50, "x double")
+        same = distribution_drift(ref, cur_same, ["x"]).collect()[0]
+        moved = distribution_drift(ref, cur_moved, ["x"]).collect()[0]
+        assert math.isfinite(same.psi) and abs(same.psi) < 1e-9
+        assert math.isfinite(moved.psi) and abs(moved.psi) < 1e-9
+        assert (same.n_ref, same.n_cur) == (100, 50)
