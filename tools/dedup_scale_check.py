@@ -97,6 +97,79 @@ def replicate_full_salt(docs, factor: int):
     return out
 
 
+def simhash_check(spark, base, scales) -> None:
+    """SimHash candidate linearity (VERDICT r4 #2): with Manku multi-block
+    keys (≥32 matched bits per candidate) the candidate-pair count must
+    grow ~×N at ×N docs; the old 16-bit pigeonhole chunks grew ~n²/2^16.
+    FULLY-salted replicas (disjoint vocabulary) make cross-replica
+    signatures independent — half-salting would leave replicas ~50%
+    token-similar, which SimHash keys legitimately bucket together and
+    which would mask the collision term being measured. With disjoint
+    replicas, candidates = ×factor within-replica structure + the random
+    n²/2^32 collision term; ~linear growth proves the latter is
+    negligible."""
+    from datalake_brief_spark.operators.dedup import (  # noqa: PLC2701
+        _simhash_band_keys,
+        with_simhash,
+    )
+
+    print("-- simhash (multi-block keys: candidates ~linear expected)")
+    blocks, combos = _simhash_band_keys(3)
+    results = []
+    for s in scales:
+        corpus = replicate_full_salt(base, s)
+        n = corpus.count()
+        sh = with_simhash(corpus.select("doc_id", "text"), "text").select(
+            "doc_id", "simhash"
+        )
+
+        def combo_key(c):
+            key, shift = F.lit(0), 0
+            for i in c:
+                off, width = blocks[i]
+                key = key.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        ),
+                        shift,
+                    )
+                )
+                shift += width
+            return key
+
+        keys = sh.select(
+            F.col("doc_id"),
+            F.posexplode(F.array(*[combo_key(c) for c in combos])).alias(
+                "combo_idx", "combo_key"
+            ),
+        )
+        lhs = keys.select(F.col("doc_id").alias("id_a"), "combo_idx", "combo_key")
+        rhs = keys.select(F.col("doc_id").alias("id_b"), "combo_idx", "combo_key")
+        t0 = time.monotonic()
+        cands = (
+            lhs.join(rhs, on=["combo_idx", "combo_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .count()
+        )
+        pairs = dedup.simhash_pairs(corpus, max_hamming=3).count()
+        dt = time.monotonic() - t0
+        results.append((s, n, cands, pairs, dt))
+        print(
+            f"scale={s} rows={n} simhash_candidates={cands} dup_pairs={pairs} "
+            f"wall_sec={dt:.2f}",
+            flush=True,
+        )
+    s1, s_top = results[0], results[-1]
+    n_ratio = s_top[1] / s1[1]
+    c_ratio = s_top[2] / max(s1[2], 1)
+    print(
+        f"simhash linearity: n x{n_ratio:.1f} -> candidates x{c_ratio:.1f} "
+        f"(quadratic would be x{n_ratio**2:.0f})"
+    )
+
+
 def spans_check(spark, base, scales) -> None:
     """Repeated-spans (ExactSubstr) linearity: span count must track the
     replica factor exactly (disjoint-vocabulary replicas), wall time
@@ -198,6 +271,7 @@ def main() -> None:
         f"linearity: n x{n_ratio:.1f} -> candidates x{c_ratio:.1f}, "
         f"time x{t_ratio:.1f} (quadratic would be x{n_ratio**2:.0f})"
     )
+    simhash_check(spark, base, SCALES)
     spans_check(spark, base, SCALES)
     incremental_check(spark, base, SCALES)
 
