@@ -1,18 +1,25 @@
 """Multimodal column handling (SURVEY §2.14): image/audio/video as opaque
 ``binary`` columns plus typed metadata structs.
 
-The container has no image/audio libraries, so the *decode* step is stubbed
-(clearly marked) while the Spark-side plumbing — schema, partition-friendly
-batching, Arrow UDF signatures — is real and tested:
-
 - ``attach_media_metadata``  — typed struct (modality, byte size, content
                                hash) from pure expressions.
 - ``extract_features``       — mapInPandas over Arrow batches; per batch one
                                vectorized pass produces fixed-width feature
                                vectors. The real decoder plugs in behind
                                ``decoder=``; the default is a deterministic
-                               byte-statistics fake so pipelines are testable.
-- ``decode_image``           — the honest stub: raises NotImplementedError.
+                               byte-statistics baseline.
+- ``decode_image``           — REAL pure-numpy decode for the uncompressed
+                               formats (24-bit BI_RGB BMP, binary P6 PPM);
+                               compressed formats (JPEG/PNG/...) still raise
+                               NotImplementedError with a clear message —
+                               they need a codec library this container
+                               doesn't ship, and a deployment injects one
+                               via ``extract_features(decoder=...)``.
+- ``decode_wav``             — REAL pure-numpy RIFF/WAVE PCM decode (8/16
+                               bit, any channel count), chunk-walking the
+                               container the way a real reader must.
+- ``image_statistics``       — decode → per-image typed stats, the Arrow
+                               batch shape a GPU featurizer needs.
 
 At 100 TB the binary payloads dominate IO: keep them in their own parquet
 column chunk (they compress independently), filter on metadata columns
@@ -53,13 +60,174 @@ def attach_media_metadata(
     )
 
 
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array (row 0 = top) as a 24-bit
+    uncompressed BI_RGB .bmp file: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    BGR byte order, bottom-up scanlines, rows padded to 4 bytes — the
+    canonical layout every BMP reader must handle."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8 RGB, got shape {a.shape}")
+    h, w = a.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = a[::-1, :, ::-1]  # bottom-up scanlines, BGR within each pixel
+    rows = []
+    zeros = b"\x00" * pad
+    for r in range(h):
+        rows.append(bgr[r].tobytes() + zeros)
+    pixel_data = b"".join(rows)
+    offset = 14 + 40
+    file_size = offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode a 24-bit uncompressed BI_RGB .bmp to (H, W, 3) uint8 RGB with
+    row 0 = top: parses both headers, honors the pixel-data offset, the
+    4-byte scanline padding, BGR→RGB order, and both bottom-up (positive
+    height) and top-down (negative height) layouts."""
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    (
+        hdr_size,
+        width,
+        height,
+        _planes,
+        bit_count,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bit_count != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BI_RGB BMP is supported "
+            f"(got bit_count={bit_count}, compression={compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = offset + stride * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, have {len(buf)}")
+    data = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary P6 PPM."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Decode binary P6 PPM (whitespace/comment-tolerant header) to
+    (H, W, 3) uint8 RGB."""
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Header: magic, width, height, maxval — separated by whitespace,
+    # '#' comments run to end-of-line.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    data = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — real image decode needs PIL/opencv, not in this container.
-    A deployment injects a decoder into ``extract_features(decoder=...)``."""
+    """Decode an image payload to (H, W, 3) uint8 RGB. Pure-numpy decoders
+    cover the uncompressed formats (24-bit BMP, binary P6 PPM); compressed
+    formats need a codec library this container doesn't ship — inject one
+    via ``extract_features(decoder=...)``."""
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
     raise NotImplementedError(
-        "image decoding requires an imaging library (PIL/opencv); "
-        "inject a real decoder via extract_features(decoder=...)"
+        "unrecognized/compressed image format (supported here: 24-bit BMP, "
+        "P6 PPM); inject a codec-backed decoder via "
+        "extract_features(decoder=...)"
     )
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples — shape (n,) mono or (n, ch) — as a
+    RIFF/WAVE file (fmt + data chunks)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode a RIFF/WAVE PCM payload to ((n_samples, n_channels) int16,
+    sample_rate). Walks the chunk list (fmt/data can be preceded by LIST,
+    fact, ... chunks; chunks are word-aligned), supports 8-bit (rescaled
+    to int16) and 16-bit PCM."""
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    audio_format, ch, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAVE supported (format {audio_format})")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:  # unsigned 8-bit convention
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise NotImplementedError(f"unsupported PCM bit depth {bits}")
+    n = len(s) // ch
+    return s[: n * ch].reshape(n, ch).copy(), sample_rate
 
 
 def _fake_byte_features(payloads: pd.Series, n_features: int) -> np.ndarray:
@@ -101,6 +269,92 @@ def extract_features(
         for pdf in batches:
             feats = fn(pdf[binary_col], n_features)
             yield pd.DataFrame({id_col: pdf[id_col], "features": list(feats)})
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
+
+
+def image_statistics(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL decode → per-image typed statistics over Arrow batches: each
+    payload is decoded (``decode_image``: BMP/PPM) and reduced to
+    ``(id, width, height, mean_r, mean_g, mean_b, row0_mean)`` — the exact
+    batch shape a GPU featurizer slots into. Channel means are sensitive
+    to the BGR→RGB swap and row0_mean to the bottom-up flip, so the
+    driver-gate oracle catches a decoder that parses bytes but gets the
+    layout wrong. Stats are float64 over exact integer sums (order-
+    independent), rounded at the projection."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("row0_mean", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                img = decode_image(p).astype(np.float64)
+                rows.append(
+                    (
+                        i,
+                        img.shape[1],
+                        img.shape[0],
+                        round(float(img[:, :, 0].mean()), 6),
+                        round(float(img[:, :, 1].mean()), 6),
+                        round(float(img[:, :, 2].mean()), 6),
+                        round(float(img[0].mean()), 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_statistics(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL decode → per-clip typed statistics: each payload is decoded
+    (``decode_wav``: RIFF chunk walk, PCM) and reduced to
+    ``(id, n_samples, sample_rate, mean_sample, rms)``. Sums of int16
+    values/squares are exactly representable doubles, so the statistics
+    are order-independent and oracle-matchable."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mean_sample", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                s, rate = decode_wav(p)
+                x = s.astype(np.float64)
+                rows.append(
+                    (
+                        i,
+                        s.shape[0],
+                        rate,
+                        round(float(x.mean()), 6),
+                        round(float(np.sqrt((x**2).mean())), 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
 

@@ -3817,15 +3817,101 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_features", None)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (deterministic
-    byte-histogram stand-in decoder; no oracle — Arrow UDF plumbing check)."""
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
+@_register(
+    "multimodal_features",
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(t.i AS INT) AS i,
+             CASE WHEN t.i <= length(text)
+                  THEN ord(substr(text, CAST(t.i AS INT), 1)) ELSE 0 END AS v
+      FROM documents, range(1, 91) t(i)
     )
-    feats = multimodal.extract_features(d, "payload", "doc_id", n_features=16)
-    return feats.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+    SELECT doc_id,
+           6 AS width, 5 AS height,
+           round(avg(CASE WHEN (i-1)%3=0 THEN v END), 6) AS mean_r,
+           round(avg(CASE WHEN (i-1)%3=1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN (i-1)%3=2 THEN v END), 6) AS mean_b,
+           round(avg(CASE WHEN i<=18 THEN v END), 6) AS row0_mean
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the full binary-column pipeline: each
+    document's first 90 bytes (zero-padded) become a 6×5 RGB image encoded
+    as an actual 24-bit BI_RGB .bmp file (BGR, bottom-up scanlines, 2-byte
+    row padding at width 6), carried as a binary column, then decoded by
+    the pure-numpy BMP parser (multimodal.decode_image) and reduced to
+    typed per-image statistics. The oracle recomputes the statistics
+    straight from the text char codes, so a decoder that mishandles the
+    BGR swap (mean_r/mean_b flip), the bottom-up flip (row0_mean), or the
+    scanline padding hash-mismatches at the driver gate. Both mapInPandas
+    stages are Arrow-batched; payload bytes never cross as Python rows."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import numpy as np
+
+        from datalake_brief_spark.operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")[:90]
+                arr = np.zeros(90, dtype=np.uint8)
+                arr[: len(b)] = np.frombuffer(b, np.uint8)
+                payloads.append(encode_bmp(arr.reshape(5, 6, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    bmp = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.image_statistics(bmp, "payload", "doc_id")
+
+
+@_register(
+    "multimodal_audio",
+    """
+    WITH s AS (
+      SELECT doc_id, length(text) AS n,
+             unnest([(ord(substr(text, i, 1)) - 128) * 256
+                     for i in range(1, length(text)+1)]) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           16000 AS sample_rate,
+           round(avg(v), 6) AS mean_sample,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the binary-column pipeline: document
+    bytes become centered int16 PCM samples encoded as an actual
+    RIFF/WAVE file (fmt + data chunks), carried as a binary column, then
+    decoded by the chunk-walking WAV parser (multimodal.decode_wav) and
+    reduced to (n_samples, sample_rate, mean, rms). Sums of int16 values
+    and squares are exactly representable doubles → order-independent,
+    oracle-matchable statistics."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import numpy as np
+
+        from datalake_brief_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), np.uint8)
+                samples = (b.astype(np.int16) - 128) * 256
+                payloads.append(encode_wav(samples, sample_rate=16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.audio_statistics(wav, "payload", "doc_id")
 
 
 # --------------------------------------------------------------------------

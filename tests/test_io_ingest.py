@@ -353,9 +353,105 @@ class TestMultimodal:
         b = sorted(multimodal.extract_features(payloads, "payload", "doc_id").collect())
         assert a == b
 
-    def test_decode_image_is_honest_stub(self):
+    def test_decode_image_rejects_compressed_formats(self):
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG")
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+    def test_bmp_roundtrip_with_padding_and_flip(self):
+        """Width 6 -> 18-byte rows padded to 20: the decode must undo the
+        bottom-up scanline order, the BGR byte order, AND the padding."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        payload = multimodal.encode_bmp(img)
+        assert payload[:2] == b"BM"
+        # row stride 20 != row bytes 18 -> padding genuinely present
+        assert len(payload) == 54 + 20 * 5
+        out = multimodal.decode_image(payload)
+        assert out.dtype == np.uint8 and out.shape == (5, 6, 3)
+        assert (out == img).all()
+
+    def test_bmp_top_down_negative_height(self):
+        """A top-down BMP (negative biHeight) decodes without the flip."""
+        import struct
+
+        import numpy as np
+
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        payload = bytearray(multimodal.encode_bmp(img))
+        # flip stored scanlines back to top-down and negate the height
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        h, stride = 4, 12  # width 4 -> 12-byte rows, already 4-aligned
+        rows = [bytes(payload[offset + i * stride : offset + (i + 1) * stride]) for i in range(h)]
+        payload[offset:] = b"".join(reversed(rows))
+        struct.pack_into("<i", payload, 22, -h)
+        out = multimodal.decode_bmp(bytes(payload))
+        assert (out == img).all()
+
+    def test_ppm_roundtrip_and_comment_tolerance(self):
+        import numpy as np
+
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        payload = multimodal.encode_ppm(img)
+        assert (multimodal.decode_image(payload) == img).all()
+        commented = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+        assert (multimodal.decode_ppm(commented) == img).all()
+
+    def test_wav_roundtrip_stereo_and_chunk_walk(self):
+        """Decode must walk past non-data chunks (word-aligned) and
+        de-interleave channels."""
+        import struct
+
+        import numpy as np
+
+        s = np.array([[100, -200], [300, -400], [32767, -32768]], dtype=np.int16)
+        payload = multimodal.encode_wav(s, sample_rate=8000)
+        out, rate = multimodal.decode_wav(payload)
+        assert rate == 8000 and (out == s).all()
+        # splice an odd-sized LIST chunk before fmt: decoder must skip it
+        body = payload[12:]
+        spliced = payload[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + body
+        out2, rate2 = multimodal.decode_wav(spliced)
+        assert rate2 == 8000 and (out2 == s).all()
+
+    def test_wav_8bit_rescales_to_int16(self):
+        import struct
+
+        payload = bytearray(multimodal.encode_wav([[0]], sample_rate=8000))
+        # rewrite as 8-bit: patch fmt bits + data chunk to two uint8 samples
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        raw = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 2) + b"WAVE"
+        raw += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        raw += b"data" + struct.pack("<I", 2) + bytes([128, 255])
+        out, _ = multimodal.decode_wav(raw)
+        assert out[:, 0].tolist() == [0, 127 * 256]
+
+    def test_image_and_audio_statistics_end_to_end(self, spark):
+        """Binary column -> real decode -> typed stats, on a hand-checked
+        2x2 image and a 4-sample clip."""
+        import numpy as np
+
+        img = np.array(
+            [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+            dtype=np.uint8,
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(multimodal.encode_bmp(img)))], "doc_id long, payload binary"
+        )
+        r = multimodal.image_statistics(df, "payload", "doc_id").collect()[0]
+        assert (r.width, r.height) == (2, 2)
+        assert r.mean_r == np.mean([10, 40, 70, 100])
+        assert r.mean_b == np.mean([30, 60, 90, 120])
+        assert r.row0_mean == np.mean([10, 20, 30, 40, 50, 60])
+        clip = np.array([3, -3, 4, -4], dtype=np.int16)
+        adf = spark.createDataFrame(
+            [(1, bytearray(multimodal.encode_wav(clip, 16000)))],
+            "doc_id long, payload binary",
+        )
+        a = multimodal.audio_statistics(adf, "payload", "doc_id").collect()[0]
+        assert (a.n_samples, a.sample_rate, a.mean_sample) == (4, 16000, 0.0)
+        assert a.rms == round(float(np.sqrt(np.mean(clip.astype(float) ** 2))), 6)
 
     def test_frame_sampling_plumbing(self, payloads):
         frames = multimodal.sample_frames(payloads, "payload", "doc_id", every_n_bytes=64)
