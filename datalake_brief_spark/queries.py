@@ -127,6 +127,44 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Source band (SURVEY §2.2, S1/S2): CSV landing + schema inference, at the
+# driver gate — the reference's single most-used op (pyspark-1.ipynb:68).
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "csv_infer_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def csv_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 at the driver gate: land the orders table as a real CSV file
+    set (header on), read it back with ``read_csv(infer=True)`` — the
+    reference's `header`+`inferSchema` idiom — and hash-match the parquet
+    truth. Inference divergences are normalized per SURVEY §7.4.3 by
+    casting each inferred column to the parquet schema (e.g. int32 vs
+    int64 widths, timestamp text parsed back): the VALUES must round-trip
+    exactly, the inferred physical types are allowed to differ in width
+    only. Exercises the CSV writer's quoting, the inference extra scan,
+    and the reader's type coercion end-to-end."""
+    import tempfile
+
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dbs_csv_")
+    dio.write_csv(src, path)
+    got = dio.read_csv(spark, path, infer=True)
+    assert set(got.columns) == set(src.columns), "CSV header round-trip lost columns"
+    return got.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in src.schema.fields]
+    )
+
+
+# --------------------------------------------------------------------------
 # Projection band (SURVEY §2.3, P1-P7)
 # --------------------------------------------------------------------------
 
@@ -4569,16 +4607,10 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sketch_set_overlap", None)
-def sketch_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch set algebra — the capability HLL lacks: besides union,
-    Theta sketches estimate INTERSECTION (Dasgupta et al., the Datasketches
-    theta framework), so "how many parts appear in BOTH returnflag A and R
-    lineitems" resolves from two kilobyte sketches instead of a
-    distinct-distinct join. The audience-overlap pattern: store per-segment
-    sketches, answer any pairwise overlap later, no rescan. No oracle
-    (sketch binaries are engine-specific); pytest bounds both estimates
-    against exact counts."""
+def _theta_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of Theta-sketch estimates: distinct parts in returnflag A∪R
+    and A∩R lineitems, from two kilobyte sketches (Dasgupta et al., the
+    Datasketches theta framework) instead of a distinct-distinct join."""
     l = _t(spark, sf_dir, "lineitem")
     sk = aggregate(
         l.filter(F.col("l_returnflag").isin("A", "R")),
@@ -4595,16 +4627,63 @@ def sketch_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sketch_merge_quantiles", None)
-def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketches (Datasketches KLL) — the quantile twin of
-    sketch_merge_distinct: per-(returnflag, linestatus) KLL sketches over
-    extendedprice are stored partials; merging them up to returnflag gives
-    p50/p95 WITHOUT rescanning history. At 100 TB this is how per-day price
-    distributions roll into monthly ones: merge kilobyte sketches, not
-    terabyte facts. No oracle (sketch binaries are engine-specific); pytest
-    bounds the merged quantiles against exact percentile_approx within KLL's
-    published rank-error bound."""
+@_register(
+    "sketch_set_overlap",
+    """
+    WITH fs AS (
+      SELECT l_partkey, count(DISTINCT l_returnflag) AS nf
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS exact_union,
+           CAST(count(CASE WHEN nf = 2 THEN 1 END) AS BIGINT) AS exact_overlap,
+           TRUE AS union_in_bound,
+           TRUE AS overlap_in_bound
+    FROM fs
+    """,
+)
+def sketch_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — the capability HLL lacks: besides union,
+    Theta sketches estimate INTERSECTION, so "how many parts appear in
+    BOTH returnflag A and R lineitems" resolves from two kilobyte sketches.
+    The audience-overlap pattern: store per-segment sketches, answer any
+    pairwise overlap later, no rescan.
+
+    Driver-gate form: sketch binaries are engine-specific, so the entry
+    emits the EXACT set sizes plus deterministic bounds-check booleans —
+    |union est − exact| ≤ max(5% · union, 2) and |overlap est − exact| ≤
+    max(10% · union, 2) (intersection error compounds relative to the
+    union's sampling threshold, not the intersection size). The oracle
+    recomputes the exact sizes and pins both booleans TRUE: a broken
+    sketch flips a boolean and hash-mismatches. Same bounds as the pytest
+    pin (tests/test_sketches.py)."""
+    l = _t(spark, sf_dir, "lineitem")
+    est = _theta_overlap_estimates(spark, sf_dir)
+    exact = (
+        l.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_returnflag").alias("nf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.count(F.when(F.col("nf") == 2, 1)).cast("long").alias("exact_overlap"),
+        )
+    )
+    tol_u = F.greatest(F.col("exact_union") * 0.05, F.lit(2.0))
+    tol_o = F.greatest(F.col("exact_union") * 0.10, F.lit(2.0))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_union",
+        "exact_overlap",
+        (F.abs(F.col("n_union") - F.col("exact_union")) <= tol_u).alias("union_in_bound"),
+        (F.abs(F.col("n_overlap") - F.col("exact_overlap")) <= tol_o).alias(
+            "overlap_in_bound"
+        ),
+    )
+
+
+def _kll_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95 of extendedprice via mergeable KLL sketches:
+    per-(returnflag, linestatus) partials merged up to returnflag — the
+    roll-up that never rescans history."""
     l = _t(spark, sf_dir, "lineitem")
     partials = aggregate(
         l,
@@ -4620,6 +4699,57 @@ def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.kll_sketch_get_quantile_double("mk", F.lit(0.5)), 2).alias("p50"),
         F.round(F.kll_sketch_get_quantile_double("mk", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
+@_register(
+    "sketch_merge_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL) — the quantile twin
+    of sketch_merge_distinct: per-(returnflag, linestatus) KLL partials
+    over extendedprice merge up to returnflag for p50/p95 WITHOUT
+    rescanning history. At 100 TB this is how per-day price distributions
+    roll into monthly ones: merge kilobyte sketches, not terabyte facts.
+
+    Driver-gate form: sketch binaries are engine-specific, so the entry
+    verifies each merged quantile's RANK against the full data — the
+    number of rows ≤ the estimate must sit within KLL's normalized rank
+    error of q·n (default k=200 → ~1.65% single-sided; bound 2× =
+    max(3.3% · n, 2), same as the pytest pin) — and emits (flag, n,
+    p50_in_bound, p95_in_bound). The oracle pins the counts and TRUE
+    booleans; a broken sketch or merge flips a boolean and
+    hash-mismatches. The rank check is one broadcast join of the 3-row
+    estimate table against the fact scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    est = _kll_merged_quantiles(spark, sf_dir)
+    ranks = (
+        l.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("p50"), 1).otherwise(0)
+            ).alias("r50"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("p95"), 1).otherwise(0)
+            ).alias("r95"),
+        )
+    )
+    tol = F.greatest(F.col("n") * 0.033, F.lit(2.0))
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol).alias("p50_in_bound"),
+        (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol).alias("p95_in_bound"),
     )
 
 

@@ -99,6 +99,15 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(**options).orc(path)
 
 
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, **options
+) -> None:
+    """CSV sink (K-band) — interchange with the reference's landing format.
+    Header on by default to round-trip through ``read_csv``; keep parquet
+    for anything this engine re-reads."""
+    df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
     """K1-K3: canonical sink. ``mode='overwrite'`` mirrors the reference's
     ``overwrite=True`` blob upload (ingestion-datalake.py:135-158)."""

@@ -809,10 +809,28 @@ def read(
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        v = current_version(path) if version is None else version
+        raise FileNotFoundError(
+            f"version {v} of table at {path!r} references vacuumed data "
+            f"file(s), e.g. {os.path.relpath(missing[0], path)!r}; earliest "
+            f"fully-readable version is {earliest_readable_version(path)}"
+        )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
+
+
+def earliest_readable_version(path: str) -> int:
+    """Oldest version whose full file set still exists on disk — the time
+    travel horizon after vacuums. Error-path/diagnostic helper: O(versions)
+    log replays, no data pages."""
+    for v in _versions(path):
+        if all(os.path.exists(f) for f in visible_files(path, v)):
+            return v
+    raise FileNotFoundError(f"no fully-readable version at {path!r}")
 
 
 def visible_stats(path: str, version: int | None = None) -> dict[str, dict[str, list]]:
@@ -1398,6 +1416,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "constraints": latest_meta(path, "constraints", version) or {},
         "stats_cols": stat_cols,
         "bloom_cols": bloom_cols,
+        "vacuum_retention_floor": vacuum_retention_floor(path),
     }
 
 
@@ -1529,14 +1548,44 @@ def optimize_zorder(
     return read_v + 1
 
 
+def vacuum_retention_floor(path: str) -> int:
+    """Minimum ``retain_versions`` that :func:`vacuum` will honor — the
+    reader-race guard. Readers resolve their snapshot starting from the
+    newest checkpoint and replay the tail; a vacuum that reclaims files
+    referenced by any version at or after that checkpoint can delete data
+    out from under a reader that resolved its file list moments earlier.
+    Floor = number of versions at or after the newest checkpoint — the
+    replay window of every checkpoint-started resolution, bounded by the
+    checkpoint cadence (``_CHECKPOINT_EVERY`` commits). A young
+    checkpoint-less table has no checkpoint-derived window: floor 1 (the
+    current version only — an explicit vacuum there is the operator's
+    call, exactly as before checkpoints existed). Reported by
+    ``describe_detail`` as ``vacuum_retention_floor``."""
+    vs = _versions(path)
+    if not vs:
+        return 0
+    cps = _checkpoint_versions(path)
+    if not cps:
+        return 1
+    newest_cp = max(cps)
+    return sum(1 for v in vs if v >= newest_cp)
+
+
 def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[str]:
     """Delete data files unreferenced by the ``retain_versions`` most recent
     versions (older time travel — and ``restore``/``table_changes`` into
     the vacuumed window — stops working, as documented for any vacuum).
+    ``retain_versions`` is clamped up to :func:`vacuum_retention_floor`
+    (versions at/after the newest checkpoint) so a concurrent reader that
+    resolved its snapshot from that checkpoint never loses files mid-scan;
+    reads pinned below the vacuumed horizon fail deterministically with a
+    clear error naming the earliest readable version (see :func:`read`).
     Returns the deleted table-relative paths; ``dry_run=True`` returns the
     would-delete list without removing anything (the Delta ``VACUUM ...
     DRY RUN`` surface — audit the blast radius before reclaiming)."""
     vs = _versions(path)
+    if retain_versions > 0:
+        retain_versions = max(retain_versions, vacuum_retention_floor(path))
     keep: set[str] = set()
     for v in vs[-retain_versions:] if retain_versions > 0 else []:
         keep.update(os.path.relpath(p, path) for p in visible_files(path, v))

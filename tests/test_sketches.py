@@ -70,15 +70,17 @@ def test_hll_sketch_merge_matches_exact(spark):
 
 
 def test_kll_sketch_merge_quantiles_within_rank_error(spark):
-    """sketch_merge_quantiles: per-(flag,status) KLL partials merged up to
-    flag must place p50/p95 within KLL's normalized rank error of the true
-    rank (default k=200 → ~1.65% single-sided; assert 2x). The quantile
-    twin of the HLL mergeability contract."""
-    from datalake_brief_spark.queries import QUERIES
+    """KLL estimates (independent of the registry's own bound exprs):
+    per-(flag,status) partials merged up to flag must place p50/p95 within
+    KLL's normalized rank error of the true rank (default k=200 → ~1.65%
+    single-sided; assert 2x). The quantile twin of the HLL mergeability
+    contract. The registry entry re-expresses this bound as driver-gate
+    booleans; assert those too."""
+    from datalake_brief_spark.queries import QUERIES, _kll_merged_quantiles
 
     got = {
         r.l_returnflag: (r.p50, r.p95)
-        for r in QUERIES["sketch_merge_quantiles"].fn(spark, SF_SMOKE).collect()
+        for r in _kll_merged_quantiles(spark, SF_SMOKE).collect()
     }
     l = load_table(spark, SF_SMOKE, "lineitem")
     for flag, (p50, p95) in got.items():
@@ -87,16 +89,20 @@ def test_kll_sketch_merge_quantiles_within_rank_error(spark):
         for q, est in [(0.5, p50), (0.95, p95)]:
             rank = vals.filter(F.col("l_extendedprice") <= est).count()
             assert abs(rank - q * n) <= max(0.033 * n, 2), (flag, q, est, rank, n)
+    for r in QUERIES["sketch_merge_quantiles"].fn(spark, SF_SMOKE).collect():
+        assert r.p50_in_bound and r.p95_in_bound, r
 
 
 def test_theta_sketch_intersection_within_error(spark):
-    """sketch_set_overlap: theta union AND intersection estimates must land
-    near the exact set sizes. Intersection error compounds (relative to the
-    union's sampling threshold, not the intersection size) — assert a
-    conservative 10% of the UNION as the absolute bound."""
-    from datalake_brief_spark.queries import QUERIES
+    """Theta estimates (independent of the registry's own bound exprs):
+    union AND intersection must land near the exact set sizes.
+    Intersection error compounds (relative to the union's sampling
+    threshold, not the intersection size) — assert a conservative 10% of
+    the UNION as the absolute bound. The registry entry re-expresses this
+    as driver-gate booleans; assert those too."""
+    from datalake_brief_spark.queries import QUERIES, _theta_overlap_estimates
 
-    row = QUERIES["sketch_set_overlap"].fn(spark, SF_SMOKE).collect()[0]
+    row = _theta_overlap_estimates(spark, SF_SMOKE).collect()[0]
     l = load_table(spark, SF_SMOKE, "lineitem")
     parts = lambda flag: {
         r.l_partkey
@@ -109,3 +115,6 @@ def test_theta_sketch_intersection_within_error(spark):
     exact_union, exact_overlap = len(a | r_), len(a & r_)
     assert abs(row.n_union - exact_union) <= max(0.05 * exact_union, 2)
     assert abs(row.n_overlap - exact_overlap) <= max(0.10 * exact_union, 2)
+    gate = QUERIES["sketch_set_overlap"].fn(spark, SF_SMOKE).collect()[0]
+    assert (gate.exact_union, gate.exact_overlap) == (exact_union, exact_overlap)
+    assert gate.union_in_bound and gate.overlap_in_bound

@@ -769,6 +769,32 @@ class TestSmallSurface:
         assert {r.id for r in txlog.read(spark, path, version=1).collect()} == {1}
         assert txlog.vacuum(path, retain_versions=1) == would
 
+    def test_vacuum_reader_race_protection(self, spark, tmp_path):
+        """The reader-race guard (checkpoint-age retention floor): a
+        version-pinned read resolved inside the newest checkpoint's window
+        SURVIVES a concurrent vacuum(retain_versions=1) — the floor clamps
+        retention to every version at/after the checkpoint — while a read
+        pinned below the vacuumed horizon fails deterministically with a
+        clear error naming the earliest readable version."""
+        path = str(tmp_path / "t")
+        for i in range(12):  # checkpoint lands at v10
+            txlog.overwrite(_df(spark, [(i, "a", i)]), path)
+        assert txlog.current_version(path) == 12
+        floor = txlog.vacuum_retention_floor(path)
+        assert floor == 3  # versions 10, 11, 12
+        assert txlog.describe_detail(path)["vacuum_retention_floor"] == 3
+        # reader resolves its plan at the checkpoint version BEFORE the vacuum
+        pinned = txlog.read(spark, path, version=10)
+        deleted = txlog.vacuum(path, retain_versions=1)
+        assert deleted, "pre-checkpoint overwrites should be reclaimed"
+        # the pinned read survives: its files sit inside the floor window
+        assert {r.id for r in pinned.collect()} == {9}
+        assert {r.id for r in txlog.read(spark, path, version=11).collect()} == {10}
+        # below the horizon: deterministic, descriptive failure
+        with pytest.raises(FileNotFoundError, match="vacuumed.*earliest fully-readable version is 10"):
+            txlog.read(spark, path, version=5)
+        assert txlog.earliest_readable_version(path) == 10
+
     def test_append_clustered_carries_blooms(self, spark, tmp_path):
         path = str(tmp_path / "t")
         df = spark.createDataFrame(
