@@ -5054,9 +5054,13 @@ def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned lake layout with PHYSICAL partition pruning: events
     land once as ``partitionBy(event_date)`` parquet (the standard
     date-partitioned fact layout), and a single-day query prunes to that
-    day's directory at plan build — `PartitionFilters` in the scan, other
-    days never listed into the plan (asserted in tests/test_plans.py). The
-    oracle filters the raw table by the same derived date."""
+    day's directory. The day bound is a SCALAR SUBQUERY (min event date
+    over partition metadata), not a collected literal, so the whole query
+    is ONE lazy plan — no job runs before the plan exists — and the scan's
+    `PartitionFilters` carries ``event_date = Subquery ...``: Spark
+    evaluates the subquery at execution start and lists only the matching
+    day directory (asserted in tests/test_plans.py). The oracle filters
+    the raw table by the same derived date."""
     def build(path: str) -> None:
         e = _t(spark, sf_dir, "events")
         e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
@@ -5064,17 +5068,16 @@ def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(path)
 
     part = spark.read.parquet(_lakehouse_table("events_part", sf_dir, build))
-    # bounded single-value collect: the target day (min event date, resolved
-    # from partition-column metadata only) — the oracle's scalar subquery
-    min_day = part.agg(F.min("event_date")).collect()[0][0]
-    day = part.filter(F.col("event_date") == F.lit(min_day))
-    return aggregate(
-        day,
-        ["event_type"],
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
+    view = f"events_part_{abs(hash(sf_dir)) % 10**8}"
+    part.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM {view}
+        WHERE event_date = (SELECT min(event_date) FROM {view})
+        GROUP BY event_type
+        """
     )
 
 
@@ -5534,11 +5537,41 @@ def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 4: the two registry entries never driver-checked in any round
+    # -- round 5 rotation (VERDICT r4 ask #1): the 8 entries never seen by
+    # any driver CORRECTNESS window — incremental dedup, record linkage,
+    # trailing windows, operational profiling — go first. Green in the
+    # local sf0.01+sf0.1 parity sweeps every round since they landed.
+    "dedup_incremental",
+    "fuzzy_join_sources",
+    "events_ewma",
+    "events_rolling_stats",
+    "events_trailing_hour",
+    "dq_fk_integrity",
+    "profile_join_skew",
+    "profile_drift",
+    # -- round 5: new or behavior-changed entries, all oracle-backed now —
+    # CSV inference parity (VERDICT ask #4), real multimodal decode
+    # (ask #3), sketch bounds-check gates (ask #6), literal-free partition
+    # pruning (ask #7), q16's NOT-IN null alignment (ADVICE).
+    "csv_infer_roundtrip",
+    "multimodal_features",
+    "multimodal_audio",
     "sketch_set_overlap",
     "sketch_merge_quantiles",
-    # -- round 4: lakehouse band, new — txlog/incremental/streaming through
-    # the oracle gate for the first time (VERDICT r3 "What's missing" #1)
+    "events_partition_pruned",
+    "q16_supplier_cnt",
+    # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
+    # touched every exact-Jaccard verify path — re-verify each consumer.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "leakage_safe_split",
+    "pipeline_curation",
+    "pipeline_curation_v2",
+    "emb_near_dup_srp45",
+    "emb_near_dup_exact",
+    # -- lakehouse band: r4-green, unchanged — keep the freshest rows warm
     "txlog_snapshot_read",
     "txlog_time_travel",
     "txlog_cdf",
@@ -5547,73 +5580,49 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_merge_upsert",
     "txlog_update",
     "txlog_restore",
-    "events_partition_pruned",
-    "incremental_mv",
-    "streaming_merge_replay",
-    # -- round 4, session 2: replaceWhere backfill + the standard curation
-    # trio (Gopher rules, mix composition, budgeted sampling) — all new,
-    # all oracle-backed, all inside the window
     "txlog_replace_where",
     "txlog_fast_count",
     "txlog_null_skip",
     "txlog_schema_evolution",
+    "incremental_mv",
+    "streaming_merge_replay",
+    # -- curation + sub-document dedup: r4-green, unchanged
     "text_gopher_rules",
     "source_mix_stats",
     "sample_token_budget",
     "dsir_weights",
-    "dedup_keep_best",
-    # -- round 4, session 3: ExactSubstr-style sub-document dedup (detect /
-    # strip / keep-one), TPC-H Q6+Q18 plan shapes, one-pass profiling
-    # (histogram, correlation matrix), leakage-safe cluster split, and the
-    # data-quality report — all new, all oracle-backed, inside the window
     "dedup_repeated_spans",
     "dedup_strip_spans",
     "dedup_strip_spans_keep_first",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "profile_histogram",
-    "profile_correlations",
-    "leakage_safe_split",
-    "dq_report",
-    # -- round 4: non-vacuous SRP near-dup evidence (exact-SQL oracle) +
-    # the exact relation it must be a subset of — both inside the window
-    "emb_near_dup_srp45",
-    "emb_near_dup_exact",
-    # -- round 4, session 4: the 12 remaining TPC-H shapes (full 22-query
-    # coverage) — all new, all oracle-backed, inside the window. q13 sits
-    # at position 50 (the window boundary observed in r3 was 49 entries);
-    # it is the lowest-novelty shape of the twelve if the window cuts it.
+    # -- TPC-H warm set (headliners + the r4 window's last verified)
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q3_shipping_priority",
+    "q21_waiting_suppliers",
     "q2_min_cost_supplier",
     "q8_market_share",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    # ~position 50: the window boundary observed in r3/r4 is ~50 entries;
+    # everything below is ordering-only — all carry green driver rows from
+    # earlier rounds and are unchanged this round.
+    "q4_order_priority",
+    "q7_volume_shipping",
     "q9_product_profit",
+    "q10_returned_items",
     "q11_important_parts",
     "q12_late_lines",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
     "q13_customer_distribution",
-    # -- emb_near_dup: rows-only and truthfully EMPTY at θ=0.9 on TESTDATA
-    # (vacuous as driver evidence — srp45 above is the non-vacuous row);
-    # parked just past the window.
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_predicates",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    "profile_histogram",
+    "profile_correlations",
+    "dq_report",
     "emb_near_dup",
-    # -- txlog.delete_where/optimize/merge changed this round (NULL DELETE
-    # semantics, mergeSchema rewrites, temporal/decimal stats): the queries
-    # above cover them directly. Entries past the 50-entry window are
-    # ordering-only — all carry green rows from earlier rounds and are
-    # unchanged, EXCEPT the session-4 late additions (events_rolling_stats,
-    # events_trailing_hour, events_ewma, fuzzy_join_sources,
-    # dedup_incremental, dq_fk_integrity, profile_join_skew,
-    # profile_drift — parity-sweep green, no driver row yet): rotate
-    # THOSE into the r5 window first.
-    "q1_pricing_summary",
     "events_resample_fill",
     "asof_join",
     "range_join_bands",
@@ -5633,7 +5642,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # multimodal band (§2.14)
     "multimodal_meta",
     "multimodal_frames",
-    "multimodal_features",
     # similarity band (§2.14)
     "knn_bruteforce",
     "knn_batch",
@@ -5642,14 +5650,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_lsh",
     "knn_ivf",
     "semantic_dedup",
-    # dedup band + composed pipelines + ML
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_clusters",
-    "pipeline_curation",
-    "pipeline_curation_v2",
     "ml_lr_predict",
-    # relational extensions (§2.9) — green r3, keep the freshest rows warm
+    # relational extensions (§2.9)
     "rollup_daily",
     "cube_status_priority",
     "grouping_sets_custom",
