@@ -433,6 +433,85 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+C4_BAD_WORDS = ["casino", "viagra", "xxx"]  # stand-in for the blocklist file
+
+
+def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4 cleaning-rule suite (Raffel et al. 2020 §2.2, the "Colossal Clean
+    Crawled Corpus" heuristics), document-level signals:
+
+    - ``n_sentences``      terminal-punctuation count ([.!?]) — C4 drops
+                           pages with fewer than 3 sentences
+    - ``ends_terminal``    document ends in . ! ? or closing quote
+    - ``has_lorem``        contains "lorem ipsum" (template residue)
+    - ``has_brace``        contains "{" (code residue)
+    - ``has_javascript``   contains the word "javascript" (boilerplate)
+    - ``bad_word_hits``    occurrences from the blocklist (stand-in list;
+                           deployments swap in the real "List of Dirty,
+                           Naughty …" file)
+    - ``passes``           composite: ≥3 sentences, no lorem/brace/
+                           javascript/bad-word hits
+
+    Same execution posture as gopher_rules: pure column expressions,
+    scan-stage only, zero shuffles, zero Python at any scale. The two
+    suites compose — C4 catches markup/boilerplate residue, Gopher
+    catches statistical degeneracy."""
+    low = F.lower(F.col(text_col))
+    n_sent = F.regexp_count(low, F.lit(r"[.!?]")).cast("long")
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = low.contains("{")
+    has_js = low.rlike(r"\bjavascript\b")
+    bad_hits = marker_hits(low, C4_BAD_WORDS).cast("long")
+    ends_term = low.rlike(r"""[.!?]["']?\s*$""")
+    passes = (
+        (n_sent >= 3) & ~has_lorem & ~has_brace & ~has_js & (bad_hits == 0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        ends_term.alias("ends_terminal"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+        bad_hits.alias("bad_word_hits"),
+        passes.alias("passes"),
+    )
+
+
+def seeded_shuffle(
+    df: DataFrame, seed: int, id_col: str = "doc_id", out: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the epoch-reshuffle every
+    pre-training run needs: rank rows by ``md5(seed || '|' || id)`` so the
+    permutation is (a) uniform-ish, (b) reproducible across engines and
+    runs, (c) different per seed. One global sort; Spark executes it as a
+    sampled range partition + per-partition sort, so at 100 TB it is the
+    same shape as any distributed sort — no single-reducer rank. md5 (not
+    xxhash64) so an external system — or the DuckDB oracle — derives the
+    identical order from the same key."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn(out, F.row_number().over(w).cast("long"))
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data output files:
+    ``shard = first 8 hex digits of md5(seed|id) mod n_shards`` — stable
+    across runs/engines (same md5 contract as seeded_shuffle), uniform in
+    expectation, and purely scan-stage (the actual write then
+    ``repartition(out)`` + partitioned sink). Avoids both round-robin
+    (order-dependent) and Spark-internal hash (engine-specific)."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    return df.withColumn(out, shard)
+
+
 def budget_sample(
     df: DataFrame,
     budget: int,

@@ -194,3 +194,60 @@ class TestDsirWeights:
             ).collect()
         }
         assert hashed == exact
+
+
+class TestC4Rules:
+    def test_rules_catch_each_residue_class(self, spark):
+        """One crafted row per C4 rule: code braces, lorem ipsum,
+        javascript boilerplate, blocklist hits, too-few sentences —
+        plus one clean passer."""
+        rows = [
+            (1, "Good first sentence. A second one! And a third?"),
+            (2, "function() { return 1; }. Two. Three."),
+            (3, "Lorem ipsum dolor sit amet. Two. Three."),
+            (4, "Enable javascript to view this page. Two. Three."),
+            (5, "Win at the casino today. Two. Three."),
+            (6, "Only two sentences here. Really just two."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.c4_rules(df).collect()}
+        assert got[1].passes and got[1].ends_terminal and got[1].n_sentences == 3
+        assert got[2].has_brace and not got[2].passes
+        assert got[3].has_lorem and not got[3].passes
+        assert got[4].has_javascript and not got[4].passes
+        assert got[5].bad_word_hits == 1 and not got[5].passes
+        assert got[6].n_sentences == 2 and not got[6].passes
+
+    def test_javascript_is_word_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "He loves javascripting daily. Two. Three.")],
+            "doc_id long, text string",
+        )
+        r = text.c4_rules(df).collect()[0]
+        assert not r.has_javascript and r.passes
+
+
+class TestSeededShuffleAndSharding:
+    def test_shuffle_is_a_seeded_permutation(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        a = {r.doc_id: r.shuffle_rank for r in text.seeded_shuffle(df, seed=1).collect()}
+        b = {r.doc_id: r.shuffle_rank for r in text.seeded_shuffle(df, seed=1).collect()}
+        c = {r.doc_id: r.shuffle_rank for r in text.seeded_shuffle(df, seed=2).collect()}
+        assert a == b, "same seed must reproduce the permutation"
+        assert sorted(a.values()) == list(range(1, 201)), "must be a permutation"
+        assert a != c, "different seeds must differ"
+        # not order-preserving (an identity 'shuffle' would be useless)
+        assert [a[i] for i in range(200)] != sorted(a.values())
+
+    def test_shard_assignment_is_stable_and_balanced(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+        out = text.shard_assignment(df, n_shards=8, seed=0)
+        a = {r.doc_id: r.shard for r in out.collect()}
+        b = {r.doc_id: r.shard for r in text.shard_assignment(df, n_shards=8, seed=0).collect()}
+        assert a == b
+        sizes = {}
+        for s in a.values():
+            sizes[s] = sizes.get(s, 0) + 1
+        assert set(sizes) == set(range(8))
+        # uniform in expectation: no shard more than 2x the ideal 100
+        assert max(sizes.values()) < 200 and min(sizes.values()) > 40
