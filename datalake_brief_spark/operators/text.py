@@ -483,15 +483,40 @@ def seeded_shuffle(
 ) -> DataFrame:
     """Deterministic global corpus shuffle — the epoch-reshuffle every
     pre-training run needs: rank rows by ``md5(seed || '|' || id)`` so the
-    permutation is (a) uniform-ish, (b) reproducible across engines and
-    runs, (c) different per seed. One global sort; Spark executes it as a
-    sampled range partition + per-partition sort, so at 100 TB it is the
-    same shape as any distributed sort — no single-reducer rank. md5 (not
-    xxhash64) so an external system — or the DuckDB oracle — derives the
-    identical order from the same key."""
+    permutation is (a) uniform, (b) reproducible across engines and runs
+    (md5, not engine-local xxhash64 — the DuckDB oracle derives the
+    IDENTICAL permutation), (c) different per seed.
+
+    Distributed two-phase rank — a naive ``row_number() OVER (ORDER BY
+    key)`` plans an Exchange SinglePartition (one reducer ranks the whole
+    corpus; dead at 100 TB). Instead: the first 2 hex chars of the key bin
+    rows 256 ways (md5-uniform, and the bin is a PREFIX of the sort key so
+    per-bin order concatenates to the global order); one hash shuffle
+    computes per-bin local ranks in parallel; bin row-counts (a map-side-
+    combined 256-row aggregate) cumsum into bin offsets (256-row driver-
+    scale window) and broadcast-join back. global = offset + local,
+    exactly row_number by (key, id)."""
     key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn(out, F.row_number().over(w).cast("long"))
+    b = df.withColumn("__k", key).withColumn("__bin", F.substring("__k", 1, 2))
+    local = F.row_number().over(
+        Window.partitionBy("__bin").orderBy("__k", F.col(id_col))
+    )
+    counts = b.groupBy("__bin").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    offs = counts.select(
+        "__bin",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        b.withColumn("__local", local.cast("long"))
+        .join(F.broadcast(offs), "__bin")
+        .withColumn(out, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__k", "__bin", "__local", "__off")
+    )
 
 
 def shard_assignment(

@@ -321,6 +321,22 @@ def test_events_partition_pruned_scans_one_day_directory(spark):
     assert touched == {f"event_date={min_day}"}, touched
 
 
+def test_seeded_shuffle_rank_is_distributed(spark):
+    """The global epoch-shuffle rank must NOT be a single-reducer
+    row_number: the data-scale exchange hash-partitions on the md5-prefix
+    bin (256-way parallel local ranks); the only SinglePartition exchange
+    allowed is the 256-row bin-offset cumsum."""
+    df = QUERIES["corpus_seeded_shuffle"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(__bin" in plan, plan
+    # the data rows (doc_id et al.) never cross a SinglePartition exchange
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\nInput(?: \[\d+\])?: \[([^\]]*)\]\nArguments: SinglePartition", plan):
+        cols = m.group(1)
+        assert "doc_id" not in cols, f"data-scale SinglePartition exchange: {cols}"
+
+
 def test_gopher_rules_is_scan_stage_only(spark):
     """The full rule suite must evaluate inside the scan stage: no
     exchange, no generator blow-up, no Python — per-row expressions over
