@@ -3872,6 +3872,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CASE WHEN i<=18 THEN v END), 6) AS row0_mean
     FROM b GROUP BY doc_id
     """,
+    headline=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the full binary-column pipeline: each
@@ -5296,6 +5297,7 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS BIGINT) AS shuffle_rank
     FROM documents
     """,
+    headline=True,
 )
 def corpus_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch reshuffle (text.seeded_shuffle): global rank by
