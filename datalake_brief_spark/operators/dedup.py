@@ -685,6 +685,39 @@ def _simhash_band_keys(max_hamming: int) -> tuple[list[tuple[int, int]], list[tu
     return blocks, combos
 
 
+def simhash_candidate_keys(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Explode a (id, simhash) relation into its Manku multi-block join
+    keys: one row per (combo_idx, combo_key) per doc, where combo_key
+    packs the combo's block values into one long (≥32 matched bits at
+    d=3). The single key builder behind ``simhash_pairs`` — the scale
+    tooling reuses it so linearity evidence always measures the shipped
+    generator, never a re-derivation."""
+    blocks, combos = _simhash_band_keys(max_hamming)
+
+    def block_val(i: int):
+        off, width = blocks[i]
+        return F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    def combo_key(combo: tuple[int, ...]):
+        key, shift = F.lit(0), 0
+        for i in combo:
+            key = key.bitwiseOR(F.shiftleft(block_val(i), shift))
+            shift += blocks[i][1]
+        return key
+
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[combo_key(c) for c in combos])).alias(
+            "combo_idx", "combo_key"
+        ),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -701,29 +734,8 @@ def simhash_pairs(
     keys would go quadratic. C(d+3, 3) keys per doc (20 for d=3) is the
     constant-factor price, paid in the scan stage; the join itself is a
     bucketed equi-join, never all-pairs."""
-    blocks, combos = _simhash_band_keys(max_hamming)
     sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
-
-    def block_val(i: int):
-        off, width = blocks[i]
-        return F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-
-    def combo_key(combo: tuple[int, ...]):
-        key, shift = F.lit(0), 0
-        for i in combo:
-            key = key.bitwiseOR(F.shiftleft(block_val(i), shift))
-            shift += blocks[i][1]
-        return key
-
-    keys = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(F.array(*[combo_key(c) for c in combos])).alias(
-            "combo_idx", "combo_key"
-        ),
-    )
+    keys = simhash_candidate_keys(sh, id_col, max_hamming)
     lhs = keys.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "combo_idx", "combo_key"
     )

@@ -456,15 +456,17 @@ def distribution_drift(
     )
 
     def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
-        # Degenerate reference (mx == mn: constant, single-valued, or
-        # all-null column) maps every value to bucket 0 instead of
-        # dividing by zero into NaN buckets / NaN PSI.
+        # Degenerate reference (mx == mn: constant or single-valued column)
+        # maps every value to bucket 0 instead of dividing by zero into
+        # NaN buckets / NaN PSI. NULL values (and the all-null-reference
+        # case, where mx/mn are NULL so both branches yield NULL) also
+        # land in bucket 0 via greatest(NULL, 0) = 0 — Spark and DuckDB
+        # agree on null-skipping greatest, so the oracle matches.
         cells = F.array(
             *[
                 F.struct(
                     F.lit(c).alias("column"),
-                    F.when(F.col(c).isNull(), F.lit(None))
-                    .when(
+                    F.when(
                         F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0)
                     )
                     .otherwise(

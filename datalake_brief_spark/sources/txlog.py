@@ -1584,8 +1584,9 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
     would-delete list without removing anything (the Delta ``VACUUM ...
     DRY RUN`` surface — audit the blast radius before reclaiming)."""
     vs = _versions(path)
-    if retain_versions > 0:
-        retain_versions = max(retain_versions, vacuum_retention_floor(path))
+    # The floor applies unconditionally — vacuum(path, 0) must not delete
+    # the checkpoint-window versions the guard exists to protect.
+    retain_versions = max(retain_versions, vacuum_retention_floor(path))
     keep: set[str] = set()
     for v in vs[-retain_versions:] if retain_versions > 0 else []:
         keep.update(os.path.relpath(p, path) for p in visible_files(path, v))

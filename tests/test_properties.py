@@ -535,3 +535,21 @@ class TestOperationalProfiling:
         assert math.isfinite(same.psi) and abs(same.psi) < 1e-9
         assert math.isfinite(moved.psi) and abs(moved.psi) < 1e-9
         assert (same.n_ref, same.n_cur) == (100, 50)
+
+    def test_distribution_drift_null_values_land_in_bucket_zero(self, spark):
+        """NULLs bucket to 0 on BOTH sides (greatest(NULL,0)=0 — the
+        Spark/DuckDB-shared convention): identical half-null
+        distributions must read PSI 0, not a null-bucket blowup; an
+        all-null reference must stay finite."""
+        import math
+        from datalake_brief_spark.operators.relational import distribution_drift
+
+        rows = [(float(i % 10),) for i in range(100)] + [(None,)] * 100
+        ref = spark.createDataFrame(rows, "x double")
+        cur = spark.createDataFrame(rows, "x double")
+        r = distribution_drift(ref, cur, ["x"]).collect()[0]
+        assert math.isfinite(r.psi) and abs(r.psi) < 1e-9
+        assert (r.n_ref, r.n_cur) == (200, 200)
+        allnull = spark.createDataFrame([(None,)] * 20, "x double")
+        r2 = distribution_drift(allnull, cur, ["x"]).collect()[0]
+        assert math.isfinite(r2.psi)

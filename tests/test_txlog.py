@@ -794,6 +794,10 @@ class TestSmallSurface:
         with pytest.raises(FileNotFoundError, match="vacuumed.*earliest fully-readable version is 10"):
             txlog.read(spark, path, version=5)
         assert txlog.earliest_readable_version(path) == 10
+        # the floor applies even to retain_versions=0: the current version
+        # (and the whole checkpoint window) must survive
+        assert txlog.vacuum(path, retain_versions=0) == []
+        assert {r.id for r in txlog.read(spark, path).collect()} == {11}
 
     def test_append_clustered_carries_blooms(self, spark, tmp_path):
         path = str(tmp_path / "t")

@@ -108,42 +108,22 @@ def simhash_check(spark, base, scales) -> None:
     replicas, candidates = ×factor within-replica structure + the random
     n²/2^32 collision term; ~linear growth proves the latter is
     negligible."""
-    from datalake_brief_spark.operators.dedup import (  # noqa: PLC2701
-        _simhash_band_keys,
+    from datalake_brief_spark.operators.dedup import (
+        simhash_candidate_keys,
         with_simhash,
     )
 
     print("-- simhash (multi-block keys: candidates ~linear expected)")
-    blocks, combos = _simhash_band_keys(3)
     results = []
     for s in scales:
         corpus = replicate_full_salt(base, s)
         n = corpus.count()
+        # the SHIPPED key generator (shared with simhash_pairs), so the
+        # linearity evidence can never drift from the production layout
         sh = with_simhash(corpus.select("doc_id", "text"), "text").select(
             "doc_id", "simhash"
         )
-
-        def combo_key(c):
-            key, shift = F.lit(0), 0
-            for i in c:
-                off, width = blocks[i]
-                key = key.bitwiseOR(
-                    F.shiftleft(
-                        F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                            F.lit((1 << width) - 1)
-                        ),
-                        shift,
-                    )
-                )
-                shift += width
-            return key
-
-        keys = sh.select(
-            F.col("doc_id"),
-            F.posexplode(F.array(*[combo_key(c) for c in combos])).alias(
-                "combo_idx", "combo_key"
-            ),
-        )
+        keys = simhash_candidate_keys(sh, "doc_id", max_hamming=3)
         lhs = keys.select(F.col("doc_id").alias("id_a"), "combo_idx", "combo_key")
         rhs = keys.select(F.col("doc_id").alias("id_b"), "combo_idx", "combo_key")
         t0 = time.monotonic()
@@ -153,8 +133,8 @@ def simhash_check(spark, base, scales) -> None:
             .dropDuplicates(["id_a", "id_b"])
             .count()
         )
+        dt = time.monotonic() - t0  # candidate-generation pipeline only
         pairs = dedup.simhash_pairs(corpus, max_hamming=3).count()
-        dt = time.monotonic() - t0
         results.append((s, n, cands, pairs, dt))
         print(
             f"scale={s} rows={n} simhash_candidates={cands} dup_pairs={pairs} "
