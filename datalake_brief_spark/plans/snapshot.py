@@ -57,8 +57,27 @@ COMMENT = {
     ),
     "dedup_simhash": (
         "Token hashing is JVM xxhash64 in the scan stage; the 64-bit bit-vote "
-        "is one Arrow pass; pigeonhole chunk equi-join proposes candidates, "
+        "is one Arrow pass; Manku multi-block keys (C(6,3)=20 combos, ≥32 "
+        "matched bits per key) propose candidates via a bucketed equi-join — "
+        "random collisions n²/2^32, measured ~linear at 8× corpus — and "
         "hamming64 verifies."
+    ),
+    "multimodal_features": (
+        "Two chained MapInPandas nodes directly over the scan — encode real "
+        ".bmp payloads, decode + reduce to typed stats — ZERO exchanges: the "
+        "binary payloads never shuffle, Python sees whole Arrow batches, and "
+        "the output is one row per doc. At 100 TB this is the shape a "
+        "GPU/codec stage needs: per-partition batch processing with no "
+        "payload movement."
+    ),
+    "corpus_seeded_shuffle": (
+        "Distributed two-phase global rank: md5-prefix bins the corpus 256 "
+        "ways (hashpartitioning(__bin), the only data-scale exchange), "
+        "per-bin row_number ranks in parallel, and the 256-row bin-count "
+        "cumsum (the sole SinglePartition exchange — metadata-sized) "
+        "broadcast-joins offsets back. A naive global row_number would be "
+        "one reducer over the whole corpus; plan-asserted against that "
+        "regression in test_plans.py."
     ),
     "text_pii_redact": "Pure scan-stage regexp detection/redaction, zero shuffles.",
     "knn_batch": (
