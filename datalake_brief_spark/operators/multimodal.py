@@ -277,6 +277,7 @@ def image_statistics(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "doc_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """REAL decode → per-image typed statistics over Arrow batches: each
     payload is decoded (``decode_image``: BMP/PPM) and reduced to
@@ -285,7 +286,14 @@ def image_statistics(
     to the BGR→RGB swap and row0_mean to the bottom-up flip, so the
     driver-gate oracle catches a decoder that parses bytes but gets the
     layout wrong. Stats are float64 over exact integer sums (order-
-    independent), rounded at the projection."""
+    independent), rounded at the projection.
+
+    ``on_error``: at 100 TB one corrupt payload must not kill the job —
+    ``'fail'`` raises (default: correctness gates want loud failures),
+    ``'null'`` emits the id with NULL stats (quarantine with
+    ``WHERE width IS NULL``), ``'skip'`` drops the row."""
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -302,7 +310,14 @@ def image_statistics(
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
-                img = decode_image(p).astype(np.float64)
+                try:
+                    img = decode_image(p).astype(np.float64)
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append((i, None, None, None, None, None, None))
+                    continue
                 rows.append(
                     (
                         i,
@@ -323,12 +338,16 @@ def audio_statistics(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "doc_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """REAL decode → per-clip typed statistics: each payload is decoded
     (``decode_wav``: RIFF chunk walk, PCM) and reduced to
     ``(id, n_samples, sample_rate, mean_sample, rms)``. Sums of int16
     values/squares are exactly representable doubles, so the statistics
-    are order-independent and oracle-matchable."""
+    are order-independent and oracle-matchable. ``on_error`` as in
+    :func:`image_statistics` (fail | null | skip)."""
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -343,7 +362,14 @@ def audio_statistics(
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
-                s, rate = decode_wav(p)
+                try:
+                    s, rate = decode_wav(p)
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append((i, None, None, None, None))
+                    continue
                 x = s.astype(np.float64)
                 rows.append(
                     (

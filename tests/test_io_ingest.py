@@ -453,6 +453,33 @@ class TestMultimodal:
         assert (a.n_samples, a.sample_rate, a.mean_sample) == (4, 16000, 0.0)
         assert a.rms == round(float(np.sqrt(np.mean(clip.astype(float) ** 2))), 6)
 
+    def test_statistics_on_error_modes(self, spark):
+        """Corrupt payloads: 'fail' raises loudly, 'null' quarantines the
+        id with NULL stats, 'skip' drops the row — a corrupt blob must
+        never kill a 100 TB pipeline unless asked to."""
+        import numpy as np
+
+        good = multimodal.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"\x89PNG garbage"))],
+            "doc_id long, payload binary",
+        )
+        with pytest.raises(Exception):
+            multimodal.image_statistics(df, "payload", "doc_id").collect()
+        nulled = {r.doc_id: r.width for r in multimodal.image_statistics(
+            df, "payload", "doc_id", on_error="null").collect()}
+        assert nulled == {1: 2, 2: None}
+        skipped = multimodal.image_statistics(
+            df, "payload", "doc_id", on_error="skip").collect()
+        assert [r.doc_id for r in skipped] == [1]
+        wdf = spark.createDataFrame(
+            [(1, bytearray(multimodal.encode_wav([[0]], 8000))), (2, bytearray(b"nope"))],
+            "doc_id long, payload binary",
+        )
+        anull = {r.doc_id: r.n_samples for r in multimodal.audio_statistics(
+            wdf, "payload", "doc_id", on_error="null").collect()}
+        assert anull == {1: 1, 2: None}
+
     def test_frame_sampling_plumbing(self, payloads):
         frames = multimodal.sample_frames(payloads, "payload", "doc_id", every_n_bytes=64)
         r = frames.groupBy("doc_id").count().collect()
