@@ -553,3 +553,56 @@ class TestOperationalProfiling:
         allnull = spark.createDataFrame([(None,)] * 20, "x double")
         r2 = distribution_drift(allnull, cur, ["x"]).collect()[0]
         assert math.isfinite(r2.psi)
+
+
+class TestMediaCodecProperties:
+    """Hypothesis round-trips for the pure-numpy codecs: any image shape
+    (incl. widths whose scanlines need padding) and any PCM layout must
+    survive encode → decode bit-exactly — these are parsers, and parsers
+    earn property tests."""
+
+    @given(
+        st.integers(min_value=1, max_value=7),
+        st.integers(min_value=1, max_value=7),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_bmp_roundtrip_any_shape(self, h, w, seed):
+        import numpy as np
+
+        from datalake_brief_spark.operators import multimodal
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_bmp(multimodal.encode_bmp(img)) == img).all()
+
+    @given(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_ppm_roundtrip_any_shape(self, h, w, seed):
+        import numpy as np
+
+        from datalake_brief_spark.operators import multimodal
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+
+    @given(
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_wav_roundtrip_any_layout(self, n, ch, seed):
+        import numpy as np
+
+        from datalake_brief_spark.operators import multimodal
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        out, rate = multimodal.decode_wav(multimodal.encode_wav(s, 22050))
+        assert rate == 22050 and (out == s).all()
