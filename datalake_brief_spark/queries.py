@@ -82,6 +82,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Shared oracle for the two HLL distinct-count gates (builtin HLL++ and the
+# mergeable Datasketches path): exact counts + a pinned-TRUE bound boolean.
+_EXACT_PARTS_PER_FLAG_SQL = """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1-shaped pricing summary (SURVEY §2.5 aggregation band).
 # --------------------------------------------------------------------------
@@ -3688,15 +3698,55 @@ def knn_doc_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_register("knn_lsh", None)
-def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (no oracle: approximate by design; pytest
-    measures recall against the brute-force baseline)."""
+def _ann_recall_gate(
+    spark: SparkSession, sf_dir: str, approx_fn, floor: float, k: int = 10
+) -> DataFrame:
+    """Aggregate recall@k of an approximate top-k against the exact
+    brute-force relation, as one row ``(n_queries, recall_ok)``: join the
+    two (query_id, vec_id) relations, count hits over k·|queries|, compare
+    to the pinned floor. Both sides are lazy plans — the exact side is the
+    same broadcast-query corpus stream as knn_bruteforce — and the hit
+    join is bounded by k·|queries| rows."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8)
+    exact = similarity.cosine_topk(emb, q, k=k).select("query_id", "vec_id")
+    approx = approx_fn(emb, q).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    nq = q.agg(F.countDistinct("query_id").cast("long").alias("n_queries"))
+    return nq.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        (F.col("__hits") >= F.lit(floor) * F.lit(k) * F.col("n_queries")).alias(
+            "recall_ok"
+        ),
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """
+
+
+@_register("knn_lsh", _ANN_RECALL_ORACLE)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k, driver-gate form: approximate results
+    are hash-family-specific, so the entry emits the aggregate recall@10
+    against the exact brute-force relation as a pinned boolean
+    (floor 0.5 — measured 0.62 at the driver's sf0.01 with this exact
+    parameterization; the raw neighbor lists stay available via
+    similarity.srp_lsh_topk and their recall floors in pytest). The
+    oracle pins (n_queries, TRUE): degraded recall flips the boolean and
+    hash-mismatches at the driver gate."""
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.srp_lsh_topk(emb, q, dim=64, k=10, num_planes=8),
+        floor=0.5,
+    )
 
 
 @_register(
@@ -3742,18 +3792,22 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@_register("knn_ivf", None)
+@_register("knn_ivf", _ANN_RECALL_ORACLE)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file / coarse-quantization) approximate top-k: seeded
     k-means cells, queries probe their nprobe nearest cells — the scan
-    fraction per query batch is nprobe/n_cells instead of 1. No oracle
-    (approximate by design; pytest pins recall vs brute force on clustered
-    data)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    fraction per query batch is nprobe/n_cells instead of 1. Driver-gate
+    form as knn_lsh: aggregate recall@10 vs brute force as a pinned
+    boolean (floor 0.4 — measured 0.52 at sf0.01 with this
+    parameterization)."""
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.ivf_topk(
+            emb, q, dim=64, k=10, n_centroids=16, nprobe=4
+        ),
+        floor=0.4,
     )
-    return similarity.ivf_topk(emb, q, dim=64, k=10, n_centroids=16, nprobe=4)
 
 
 @_register("emb_near_dup", None)
@@ -3985,14 +4039,28 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_distinct", None)
+@_register("approx_distinct", _EXACT_PARTS_PER_FLAG_SQL)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (no oracle: sketch internals are
-    engine-specific; pytest bounds the relative error vs exact)."""
-    return aggregate(
+    """HyperLogLog++ distinct estimate (``approx_count_distinct``,
+    rsd=0.02), driver-gate form: one aggregate computes the estimate AND
+    the exact count per flag; the entry emits the exact count plus an
+    in-bound boolean — |estimate − exact| ≤ max(10% · exact, 2), the
+    5-sigma band the pytest pin uses — and the oracle pins TRUE. Gates
+    the builtin HLL++ path; sketch_merge_distinct gates the mergeable
+    Datasketches path."""
+    agg = aggregate(
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag"],
-        [F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")],
+        [
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__apx"),
+        ],
+    )
+    tol = F.greatest(F.col("exact_parts") * 0.10, F.lit(2.0))
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("__apx") - F.col("exact_parts")) <= tol).alias("in_bound"),
     )
 
 
@@ -4591,15 +4659,11 @@ def join_semi_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sketch_merge_distinct", None)
-def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct counting — the 100 TB pattern where
-    per-partition/per-day HLL sketches are stored and UNIONED later without
-    rescanning the data. Stage 1 builds a Datasketches HLL per
-    (returnflag, linestatus) subgroup; stage 2 unions the partial sketches
-    up to returnflag and estimates. No oracle (sketch binaries are
-    engine-specific); pytest pins the merged estimate against the exact
-    distinct count within the sketch's error bound."""
+def _hll_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distinct-part estimates via mergeable Datasketches
+    HLL: per-(returnflag, linestatus) partials unioned up to returnflag —
+    the 100 TB pattern where daily sketches are stored and unioned later
+    without rescanning the data."""
     l = _t(spark, sf_dir, "lineitem")
     partials = aggregate(
         l,
@@ -4610,6 +4674,32 @@ def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials,
         ["l_returnflag"],
         [F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_parts_merged")],
+    )
+
+
+@_register("sketch_merge_distinct", _EXACT_PARTS_PER_FLAG_SQL)
+def sketch_merge_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Datasketches HLL partials
+    unioned up to returnflag, ``_hll_merged_distinct``), driver-gate form:
+    sketch binaries are engine-specific, so the entry emits the EXACT
+    distinct counts plus an in-bound boolean — |estimate − exact| ≤
+    max(5% · exact, 2), the same 3×rsd band the pytest pin asserts — and
+    the oracle pins TRUE. A broken sketch/merge flips the boolean and
+    hash-mismatches."""
+    l = _t(spark, sf_dir, "lineitem")
+    est = _hll_merged_distinct(spark, sf_dir)
+    exact = aggregate(
+        l,
+        ["l_returnflag"],
+        [F.countDistinct("l_partkey").cast("long").alias("exact_parts")],
+    )
+    tol = F.greatest(F.col("exact_parts") * 0.05, F.lit(2.0))
+    return exact.join(F.broadcast(est), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("n_parts_merged") - F.col("exact_parts")) <= tol).alias(
+            "in_bound"
+        ),
     )
 
 
@@ -5645,6 +5735,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_c4_rules",
     "corpus_seeded_shuffle",
     "corpus_shard_assignment",
+    # -- round 5, session 2: four more rows-only entries converted to
+    # oracle-backed gates (HLL exact+bound booleans; ANN recall floors)
+    "sketch_merge_distinct",
+    "approx_distinct",
+    "knn_lsh",
+    "knn_ivf",
     # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
     # touched every exact-Jaccard verify path — re-verify each consumer.
     "dedup_ngram_jaccard",
@@ -5712,8 +5808,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_join",
     "range_join_bands",
     "window_lag_delta",
-    "sketch_merge_distinct",
-    "approx_distinct",
     # text band (§2.14)
     "text_quality",
     "text_langid",
@@ -5732,8 +5826,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_batch",
     "knn_doc_hybrid",
     "knn_filtered",
-    "knn_lsh",
-    "knn_ivf",
     "semantic_dedup",
     "ml_lr_predict",
     # relational extensions (§2.9)

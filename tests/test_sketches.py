@@ -50,11 +50,11 @@ def test_hll_sketch_merge_matches_exact(spark):
     the sketch's error (default lgK=12 → rsd ≈1.6%; assert 3x that).
     This is the mergeability contract that lets 100 TB pipelines store
     daily sketches and union them instead of rescanning."""
-    from datalake_brief_spark.queries import QUERIES
+    from datalake_brief_spark.queries import QUERIES, _hll_merged_distinct
 
     merged = {
         r.l_returnflag: r.n_parts_merged
-        for r in QUERIES["sketch_merge_distinct"].fn(spark, SF_SMOKE).collect()
+        for r in _hll_merged_distinct(spark, SF_SMOKE).collect()
     }
     l = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
@@ -67,6 +67,8 @@ def test_hll_sketch_merge_matches_exact(spark):
     for flag, est in merged.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
         assert rel_err <= 0.05, (flag, exact[flag], est, rel_err)
+    for r in QUERIES["sketch_merge_distinct"].fn(spark, SF_SMOKE).collect():
+        assert r.in_bound and r.exact_parts == exact[r.l_returnflag], r
 
 
 def test_kll_sketch_merge_quantiles_within_rank_error(spark):
