@@ -3231,15 +3231,49 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
 
 
-@_register("text_pack_chunks", None)
+@_register(
+    "text_pack_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    )
+    SELECT CAST(sum(CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS BIGINT) + 1)
+                AS BIGINT) AS n_chunks,
+           TRUE AS packs_within_budget,
+           TRUE AS chunks_unique
+    FROM tok
+    """,
+)
 def text_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk → pack pipeline: 64-token chunks greedily packed into ≤256-token
-    packs, sequential-within-shard / parallel-across-shards (no oracle:
-    greedy packing is stateful-sequential, not SQL-expressible; the
-    budget/coverage invariants are pytest-pinned)."""
+    """Chunk → pack pipeline: 64-token chunks greedily packed into
+    ≤256-token packs, sequential-within-shard / parallel-across-shards.
+    Driver-gate form: pack ids are engine-local (greedy packing is
+    stateful-sequential, not SQL-expressible), so the entry emits the
+    packing INVARIANTS as one row — total chunk count (the oracle
+    recomputes it from the chunking formula), every multi-chunk pack's
+    token total ≤ budget, and no chunk assigned twice — with the oracle
+    pinning TRUE. An overfilling or chunk-dropping packer flips a boolean
+    and hash-mismatches; the per-pack layout details stay pytest-pinned."""
     chunks = text.chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=64, stride=48)
     packed = text.pack_chunks(chunks, budget=256, n_shards=64)
-    return packed.select("doc_id", "chunk_idx", "n_chunk_tokens", "pack_id")
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("__n_members"),
+        F.sum("n_chunk_tokens").alias("__tok"),
+    )
+    pack_ok = per_pack.agg(
+        F.count(
+            F.when((F.col("__n_members") > 1) & (F.col("__tok") > 256), 1)
+        ).alias("__overfull")
+    )
+    stats = packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id", "chunk_idx").alias("__uniq"),
+    )
+    return stats.crossJoin(F.broadcast(pack_ok)).select(
+        "n_chunks",
+        (F.col("__overfull") == 0).alias("packs_within_budget"),
+        (F.col("__uniq") == F.col("n_chunks")).alias("chunks_unique"),
+    )
 
 
 @_register(
@@ -3893,19 +3927,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_frames", None)
+@_register(
+    "multimodal_frames",
+    """
+    WITH n AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             least(greatest(CAST(octet_length(encode(text)) // 64 AS BIGINT), 1), 4)
+               AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           nf AS n_frames,
+           CAST(least(nf * 64, len) AS BIGINT) AS total_frame_bytes
+    FROM n
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads (no oracle: DuckDB has
-    no BLOB substring — slicing semantics are pytest-pinned instead). Emits
-    one row per sampled frame with a content hash."""
+    """Frame-sampling plumbing over binary payloads, driver-gate form: the
+    per-frame bytes are BLOB slices DuckDB cannot reproduce (no binary
+    substring), so the entry emits the slicing ARITHMETIC — per-doc frame
+    count and total sampled bytes, both derivable from octet_length alone
+    (UTF-8 on both sides, so non-ASCII is safe) — and the oracle
+    recomputes them from the payload length. Off-by-one stride/offset
+    bugs change total_frame_bytes and hash-mismatch; exact slice CONTENT
+    stays pytest-pinned (frame 0 prefix, ≤64-byte frames)."""
     d = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     frames = multimodal.sample_frames(d, "payload", "doc_id", every_n_bytes=64, max_frames=4)
-    return frames.select(
-        "doc_id",
-        F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).cast("long").alias("total_frame_bytes"),
     )
 
 
@@ -5741,6 +5793,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "approx_distinct",
     "knn_lsh",
     "knn_ivf",
+    "text_pack_chunks",
+    "multimodal_frames",
     # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
     # touched every exact-Jaccard verify path — re-verify each consumer.
     "dedup_ngram_jaccard",
@@ -5815,12 +5869,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_chunking",
     "text_fingerprint",
     "text_pii_redact",
-    "text_pack_chunks",
     "text_repetition",
     "decontaminate_ngrams",
     # multimodal band (§2.14)
     "multimodal_meta",
-    "multimodal_frames",
     # similarity band (§2.14)
     "knn_bruteforce",
     "knn_batch",
