@@ -146,11 +146,17 @@ def ewma(
     applyInPandas invokes Python once PER GROUP, so millions of tiny
     per-entity groups pay millions of interpreter round-trips (measured
     6.7 s vs 0.9 s at sf0.1 for ~10k user groups). One call per shard
-    amortizes that; inside the shard, pandas' cython grouped
-    ``groupby(...).ewm(...)`` runs the per-key recurrence. Contract: a
-    SHARD (≈ n_keys/n_shards series) must fit in one task's memory —
-    raise ``n_shards`` with corpus size; keys never split across
-    shards, so results are shard-count-invariant."""
+    amortizes that. The recurrence itself runs as the EXPLICIT
+    ``y = α·x + (1−α)·y`` float64 scalar loop — not pandas'
+    ``.ewm()`` cython kernel, whose adjust=False path divides by the
+    accumulated weight ``(1−α)+α`` (≠ 1.0 in floats) and drifts a ulp
+    from the definitional recurrence; the explicit form is the exact
+    IEEE operation sequence an oracle (or any other engine) replays,
+    making full value hash-matches possible. Contract: a SHARD
+    (≈ n_keys/n_shards series) must fit in one task's memory — raise
+    ``n_shards`` with corpus size; keys never split across shards, so
+    results are shard-count-invariant."""
+    import numpy as np
     from pyspark.sql import types as T
 
     src = df.withColumn(
@@ -158,17 +164,19 @@ def ewma(
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_shards)),
     )
     out_schema = T.StructType(src.schema.fields + [T.StructField(out_col, T.DoubleType())])
+    a, b = float(alpha), 1.0 - float(alpha)
 
     def per_shard(pdf):
         pdf = pdf.sort_values([*key_cols, *order_cols]).reset_index(drop=True)
-        g = (
-            pdf.groupby(list(key_cols), sort=False)[value_col]
-            .ewm(alpha=alpha, adjust=False)
-            .mean()
-        )
-        pdf[out_col] = g.reset_index(
-            level=list(range(len(key_cols))), drop=True
-        ).sort_index()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        new_key = (pdf[key_cols] != pdf[key_cols].shift()).any(axis=1).to_numpy()
+        out = np.empty(len(vals), dtype=np.float64)
+        y = 0.0
+        for i in range(len(vals)):
+            x = float(vals[i])
+            y = x if new_key[i] else a * x + b * y
+            out[i] = y
+        pdf[out_col] = out
         return pdf
 
     return src.groupBy("__shard").applyInPandas(per_shard, out_schema).drop("__shard")

@@ -2606,14 +2606,43 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("events_ewma", None)
+@_register(
+    "events_ewma",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type = 'click'
+    ),
+    ord AS (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM e
+    ),
+    lists AS (
+      SELECT user_id, list(v ORDER BY ts, event_id) AS vs FROM e GROUP BY user_id
+    )
+    SELECT o.event_id, o.user_id,
+           CAST(round(CAST(CAST(list_reduce(l.vs[1:CAST(o.rn AS INT)],
+                                            (acc, x) -> 0.3*x + 0.7*acc)
+                            AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ewma
+    FROM ord o JOIN lists l USING (user_id)
+    """,
+)
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA of each user's click values (α=0.3, adjust=False) — the
     recursive trailing feature no window frame can express, so it runs as
-    one Arrow applyInPandas pass per user (operators.timeseries.ewma).
-    No oracle: the recurrence isn't SQL-expressible in DuckDB without a
-    per-key recursive CTE; exact ground truth (driver-side pandas on the
-    same data) is pinned in tests/test_properties.py instead."""
+    one Arrow applyInPandas pass per hash shard (operators.timeseries.ewma).
+    The oracle replays the recurrence as a per-prefix left fold
+    (``list_reduce``, init = first element = y₀): the kernel is the
+    definitional ``y = α·x + (1−α)·y`` scalar sequence on both engines
+    (1.0−0.3 is bit-equal to the 0.7 literal), so raw doubles match
+    bit-for-bit, and the oracle's final round replicates Spark's
+    shortest-decimal-repr HALF_UP (VARCHAR→DECIMAL→round — DuckDB's
+    plain round() rounds the binary value and flips 6dp-boundary cases
+    like 65.6890105). Full value hash-match, not a bound; the
+    definitional recurrence is additionally pinned driver-side in
+    tests/test_properties.py. The oracle's prefix fold is O(n²) per
+    key — gate-scale only; the Spark side stays O(n)."""
     ev = filter_rows(_t(spark, sf_dir, "events"), F.col("event_type") == "click")
     out = timeseries.ewma(
         ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, out_col="ewma"

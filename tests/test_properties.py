@@ -390,12 +390,16 @@ class TestRepeatedSpanProperties:
 
 
 class TestTrailingFeatures:
-    def test_ewma_matches_driver_side_pandas_exactly(self, spark):
-        """The distributed EWMA (Arrow applyInPandas per key) must equal
-        the same pandas recurrence computed driver-side on collected data
-        — identical library, identical per-key order, so equality is
-        EXACT, not approximate. This is the oracle for the oracle-free
-        events_ewma registry entry."""
+    def test_ewma_matches_driver_side_model_exactly(self, spark):
+        """The distributed EWMA (Arrow applyInPandas per shard) must equal
+        the DEFINITIONAL recurrence y₀=x₀; yₜ=α·xₜ+(1−α)·yₜ₋₁ computed
+        driver-side — identical IEEE operation sequence, so equality is
+        EXACT, not approximate. (Deliberately NOT pandas ``.ewm()``, whose
+        adjust=False kernel divides by the accumulated float weight and
+        drifts a ulp; cross-engine hash-matching — the events_ewma oracle
+        replays the same fold in DuckDB — needs the definitional form.)
+        pandas ewm must still agree within float noise, guarding against
+        a semantic (not ulp-level) divergence."""
         from datalake_brief_spark.catalog import load_table
         from datalake_brief_spark.operators.timeseries import ewma
         from tests.conftest import SF_SMOKE
@@ -410,12 +414,20 @@ class TestTrailingFeatures:
             .collect()
         }
         pdf = ev.toPandas()
-        expected = {}
+        a, b = 0.3, 1.0 - 0.3
+        expected, pandas_ref = {}, {}
         for _, g in pdf.groupby("user_id"):
             g = g.sort_values(["ts", "event_id"])
+            y = None
+            for eid, x in zip(g["event_id"], g["value"]):
+                x = float(x)
+                y = x if y is None else a * x + b * y
+                expected[eid] = y
             e = g["value"].ewm(alpha=0.3, adjust=False).mean()
-            expected.update(dict(zip(g["event_id"], e)))
+            pandas_ref.update(dict(zip(g["event_id"], e)))
         assert got == expected
+        for eid, v in got.items():
+            assert abs(v - pandas_ref[eid]) <= 1e-9 * max(1.0, abs(v))
 
     def test_rolling_stats_window_edges(self, spark):
         """First rows of each key aggregate over fewer than N rows (the
