@@ -3855,6 +3855,46 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register("knn_ivf_indexed", _ANN_RECALL_ORACLE)
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SCALE path at the driver gate: a MATERIALIZED
+    cell-partitioned index (built once per process via the shared
+    memoizer; probes read only matched ``cell=`` directories —
+    PartitionFilters, plan-asserted in tests/test_plans.py) searched with
+    the same recall-gate form as knn_ivf: aggregate recall@10 vs brute
+    force as a pinned boolean (same parameterization + floor 0.4 as the
+    logical-skip twin; the physical layout must never cost recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir)
+
+    def build(path: str) -> None:
+        similarity.ivf_index_write(emb, path, centroids)
+
+    path = _lakehouse_table("ivf_index", sf_dir, build)
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda _emb, q: similarity.ivf_topk_indexed(
+            spark, path, q, centroids, k=10, nprobe=4
+        ),
+        floor=0.4,
+    )
+
+
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = similarity.train_ivf_centroids(
+            _t(spark, sf_dir, "embeddings"), dim=64, n_centroids=16
+        )
+    return _IVF_CENTROIDS[key]
+
+
 @_register("knn_ivf", _ANN_RECALL_ORACLE)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file / coarse-quantization) approximate top-k: seeded
@@ -5822,6 +5862,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "approx_distinct",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_indexed",
     "text_pack_chunks",
     "multimodal_frames",
     # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
