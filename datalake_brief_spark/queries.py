@@ -174,6 +174,43 @@ def csv_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "csv_quoted_roundtrip",
+    """
+    SELECT doc_id,
+           substr(text, 1, 20) || ', "' || source || '"' || chr(10) || lang
+             AS tricky
+    FROM documents
+    """,
+)
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hard CSV cases at the driver gate: a derived column packed with
+    embedded commas, double quotes, AND a newline is landed as CSV (the
+    writer must quote the field and escape the inner quotes) and read
+    back with ``multiLine=true`` (without it, Spark's CSV reader splits
+    records at the embedded newline). The oracle recomputes the derived
+    value from the parquet truth, so any quoting/escaping/record-split
+    defect in the round-trip hash-mismatches. This is the reference's
+    actual landing regime — scraped CSVs with free-text columns."""
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit(', "'),
+            F.col("source"),
+            F.lit('"\n'),
+            F.col("lang"),
+        ).alias("tricky"),
+    )
+    path = _lakehouse_table(
+        "docs_csv_quoted", sf_dir, lambda p: dio.write_csv(src, p)
+    )
+    got = dio.read_csv(spark, path, infer=True, multiLine="true")
+    return got.select(F.col("doc_id").cast("long"), F.col("tricky").cast("string"))
+
+
 # --------------------------------------------------------------------------
 # Projection band (SURVEY §2.3, P1-P7)
 # --------------------------------------------------------------------------
@@ -5847,6 +5884,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (ask #3), sketch bounds-check gates (ask #6), literal-free partition
     # pruning (ask #7), q16's NOT-IN null alignment (ADVICE).
     "csv_infer_roundtrip",
+    "csv_quoted_roundtrip",
     "multimodal_features",
     "multimodal_audio",
     "sketch_set_overlap",
