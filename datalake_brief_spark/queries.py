@@ -2859,14 +2859,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a recompute. Returns every near-dup pair INVOLVING the
     increment; the oracle is the full quadratic Jaccard join restricted
     to pairs touching the increment, so driver-gate equality proves both
-    LSH recall and the index round-trip."""
-    import tempfile
-
+    LSH recall and the index round-trip. The index is built once per
+    (process, sf_dir) via the shared memoizer — repeated invocations
+    probe the SAME persisted index, which is also the semantics under
+    test."""
     d = _t(spark, sf_dir, "documents")
     base = filter_rows(d, F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     inc = filter_rows(d, F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-    path = tempfile.mkdtemp(prefix="dbs_dedupidx_")
-    dedup.build_dedup_index(base, path, k=3)
+    path = _lakehouse_table(
+        "dedupidx", sf_dir, lambda p: dedup.build_dedup_index(base, p, k=3)
+    )
     return dedup.incremental_dedup(spark, inc, path, k=3, threshold=0.8)
 
 
