@@ -211,6 +211,8 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated WAVE fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -218,6 +220,8 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
     audio_format, ch, sample_rate, _br, _ba, bits = fmt
+    if ch == 0:
+        raise ValueError("WAVE declares 0 channels")
     if audio_format != 1:
         raise NotImplementedError(f"only PCM WAVE supported (format {audio_format})")
     if bits == 16:
@@ -310,16 +314,13 @@ def image_statistics(
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
+                # The WHOLE per-payload computation is governed: corrupt
+                # payloads surface as struct.error / IndexError (zero-
+                # dimension images) / ZeroDivisionError as readily as
+                # ValueError, and all of them must honor on_error.
                 try:
                     img = decode_image(p).astype(np.float64)
-                except (ValueError, NotImplementedError):
-                    if on_error == "fail":
-                        raise
-                    if on_error == "null":
-                        rows.append((i, None, None, None, None, None, None))
-                    continue
-                rows.append(
-                    (
+                    row = (
                         i,
                         img.shape[1],
                         img.shape[0],
@@ -328,7 +329,13 @@ def image_statistics(
                         round(float(img[:, :, 2].mean()), 6),
                         round(float(img[0].mean()), 6),
                     )
-                )
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append((i, None, None, None, None, None, None))
+                    continue
+                rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
@@ -364,22 +371,21 @@ def audio_statistics(
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 try:
                     s, rate = decode_wav(p)
-                except (ValueError, NotImplementedError):
-                    if on_error == "fail":
-                        raise
-                    if on_error == "null":
-                        rows.append((i, None, None, None, None))
-                    continue
-                x = s.astype(np.float64)
-                rows.append(
-                    (
+                    x = s.astype(np.float64)
+                    row = (
                         i,
                         s.shape[0],
                         rate,
                         round(float(x.mean()), 6),
                         round(float(np.sqrt((x**2).mean())), 6),
                     )
-                )
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append((i, None, None, None, None))
+                    continue
+                rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)

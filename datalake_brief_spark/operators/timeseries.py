@@ -138,9 +138,10 @@ def ewma(
     n_shards: int = 256,
 ) -> DataFrame:
     """Exponentially weighted moving average per key — the recursive
-    trailing feature (y_0 = x_0; y_t = (1-alpha)*y_{t-1} + alpha*x_t,
-    pandas ``ewm(alpha=..., adjust=False)`` semantics) that window frames
-    cannot express.
+    trailing feature (y_0 = x_0; y_t = (1-alpha)*y_{t-1} + alpha*x_t)
+    that window frames cannot express. Null values emit null and carry
+    the state forward unchanged (a single null must not poison the rest
+    of the entity's series); the first non-null value of a key seeds y.
 
     Grouping is by hash SHARD of the key, not by the key itself:
     applyInPandas invokes Python once PER GROUP, so millions of tiny
@@ -157,6 +158,7 @@ def ewma(
     ``n_shards`` with corpus size; keys never split across shards, so
     results are shard-count-invariant."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     src = df.withColumn(
@@ -169,12 +171,29 @@ def ewma(
     def per_shard(pdf):
         pdf = pdf.sort_values([*key_cols, *order_cols]).reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        new_key = (pdf[key_cols] != pdf[key_cols].shift()).any(axis=1).to_numpy()
-        out = np.empty(len(vals), dtype=np.float64)
-        y = 0.0
-        for i in range(len(vals)):
+        # Key boundaries via same-dtype array compare — NOT DataFrame
+        # .shift(), which casts int64 keys to float64 and silently merges
+        # ids that collide above 2^53.
+        n = len(pdf)
+        new_key = np.zeros(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            for c in key_cols:
+                arr = pdf[c].to_numpy()
+                new_key[1:] |= arr[1:] != arr[:-1]
+        nulls = pd.isna(pdf[value_col]).to_numpy()
+        out = np.empty(n, dtype=np.float64)
+        y = np.nan
+        for i in range(n):
+            if new_key[i]:
+                y = np.nan
+            if nulls[i]:
+                # null value: emit null, carry state (don't poison the
+                # remainder of the series)
+                out[i] = np.nan
+                continue
             x = float(vals[i])
-            y = x if new_key[i] else a * x + b * y
+            y = x if np.isnan(y) else a * x + b * y
             out[i] = y
         pdf[out_col] = out
         return pdf

@@ -2703,8 +2703,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate check — src0 must be kept EXACTLY whole (fraction 1.0 is not a
     coin flip), src1 within ±5σ of the binomial expectation — and the
     oracle pins the totals and TRUE. A wrong-fraction or wrong-stratum
-    bug flips a boolean or adds a row; exact-set determinism stays
-    pytest-pinned."""
+    bug flips a boolean or adds a row (the join is FULL OUTER, so rows
+    leaking from unlisted strata surface as extra rows, never vanish);
+    exact-set determinism stays pytest-pinned."""
     d = _t(spark, sf_dir, "documents")
     out = sample_stratified(d, "source", {"src0": 1.0, "src1": 0.5}, seed=42)
     sampled = out.groupBy("source").agg(F.count(F.lit(1)).alias("__n_sampled"))
@@ -2717,7 +2718,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = F.when(F.col("source") == "src0", F.col("__n_sampled") == F.col("n_stratum")).otherwise(
         F.abs(F.col("__n_sampled") - 0.5 * F.col("n_stratum")) <= tol
     )
-    return totals.join(sampled, "source", "left").select(
+    return totals.join(sampled, "source", "full_outer").select(
         "source", "n_stratum", ok.alias("rate_ok")
     )
 
@@ -2892,7 +2893,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _lakehouse_table(
         "dedupidx", sf_dir, lambda p: dedup.build_dedup_index(base, p, k=3)
     )
-    return dedup.incremental_dedup(spark, inc, path, k=3, threshold=0.8)
+    # update_index=False: repeated invocations (driver gate, bench warm+
+    # timed runs) must PROBE the memoized index, not append the increment
+    # into it again — appending each run would fan the verify join out
+    # quadratically across invocations.
+    return dedup.incremental_dedup(
+        spark, inc, path, k=3, threshold=0.8, update_index=False
+    )
 
 
 @_register("dedup_minhash", None, headline=True)
@@ -3922,7 +3929,8 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF SCALE path at the driver gate: a MATERIALIZED
     cell-partitioned index (built once per process via the shared
     memoizer; probes read only matched ``cell=`` directories —
-    PartitionFilters, plan-asserted in tests/test_plans.py) searched with
+    PartitionFilters, plan-asserted in tests/test_dedup_similarity.py::
+    test_ivf_indexed_prunes_partitions_and_matches_logical) searched with
     the same recall-gate form as knn_ivf: aggregate recall@10 vs brute
     force as a pinned boolean (same parameterization + floor 0.4 as the
     logical-skip twin; the physical layout must never cost recall)."""

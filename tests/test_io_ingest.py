@@ -480,6 +480,39 @@ class TestMultimodal:
             wdf, "payload", "doc_id", on_error="null").collect()}
         assert anull == {1: 1, 2: None}
 
+    def test_on_error_covers_nonvalue_exceptions(self, spark):
+        """Corrupt payloads whose failures are NOT ValueError — truncated
+        fmt chunk (struct.error without the explicit guard), zero-channel
+        WAVE (ZeroDivisionError), zero-height PPM (IndexError at
+        img[0]) — must still honor on_error instead of killing the job."""
+        import struct
+
+        fmt_short = struct.pack("<HH", 1, 1)  # 4-byte fmt chunk
+        trunc = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_short)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_short)) + fmt_short
+        )
+        fmt_zero = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+        zero_ch = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_zero) + 8 + 2) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_zero)) + fmt_zero
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+        )
+        wdf = spark.createDataFrame(
+            [(1, bytearray(trunc)), (2, bytearray(zero_ch))],
+            "doc_id long, payload binary",
+        )
+        got = {r.doc_id: r.n_samples for r in multimodal.audio_statistics(
+            wdf, "payload", "doc_id", on_error="null").collect()}
+        assert got == {1: None, 2: None}
+        zero_h = b"P6\n4 0\n255\n"
+        idf = spark.createDataFrame(
+            [(1, bytearray(zero_h))], "doc_id long, payload binary"
+        )
+        rows = multimodal.image_statistics(
+            idf, "payload", "doc_id", on_error="skip").collect()
+        assert rows == []
+
     def test_frame_sampling_plumbing(self, payloads):
         frames = multimodal.sample_frames(payloads, "payload", "doc_id", every_n_bytes=64)
         r = frames.groupBy("doc_id").count().collect()
