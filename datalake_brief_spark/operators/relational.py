@@ -402,6 +402,30 @@ def fk_integrity(
     )
 
 
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
+    """EXACT heavy hitters (values with frequency ≥ ``support`` of the
+    rows) via the two-phase sketch shape that scales: phase 1 is
+    ``freqItems`` (Karp/Demaine-style one-pass sketch, bounded ~1/support
+    state per partition, merged on the driver) whose result is a
+    SUPERSET of every true heavy hitter; phase 2 exactly counts ONLY the
+    candidate values (broadcast IN-filter → one partial+final aggregate)
+    plus a 1-row total. The full distinct domain is never aggregated —
+    at 100 TB that's the difference between ~1/support counters and a
+    shuffle keyed on billions of distinct values. The sketch runs at
+    0.9·support so boundary-frequency values can't fall out of the
+    candidate set; the exact filter applies ``support`` itself.
+    Returns ``(value, n_occurrences)``."""
+    vals = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull())
+    candidates = vals.freqItems(["value"], support=support * 0.9).collect()[0][0]
+    total = vals.count()
+    return (
+        vals.filter(F.col("value").isin(list(candidates)))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(support) * F.lit(float(total)))
+    )
+
+
 def join_key_skew(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     """Skew profile of a prospective join/groupBy key: the ``top_k``
     heaviest keys as ``(key, n_rows, share, skew_factor)`` where

@@ -3275,6 +3275,40 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS value FROM documents
+    ),
+    nz AS (SELECT value FROM tok WHERE value <> ''),
+    tot AS (SELECT count(*) AS n FROM nz)
+    SELECT value, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM nz, tot
+    GROUP BY value, tot.n
+    HAVING count(*) >= 0.02 * tot.n
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens at ≥2% frequency) through the
+    two-phase sketch shape (operators.relational.heavy_hitters): a
+    one-pass bounded-state freqItems sketch proposes a guaranteed
+    superset, then exact counting touches ONLY candidates — the full
+    token domain is never shuffled. The oracle computes the exact heavy
+    set directly, so a sketch that drops a true heavy hitter loses a row
+    and hash-mismatches: the superset guarantee itself is driver-gated."""
+    from datalake_brief_spark.operators.relational import heavy_hitters
+
+    from datalake_brief_spark.functions import tokens as _tokens
+
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(tok, "token", support=0.02)
+
+
+@_register(
     "text_tfidf_top_terms",
     f"""
     WITH tok AS (
@@ -5970,6 +6004,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_frames",
     "sample_stratified",
     "ml_lr_predict",
+    "heavy_hitter_tokens",
     # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
     # touched every exact-Jaccard verify path — re-verify each consumer.
     "dedup_ngram_jaccard",

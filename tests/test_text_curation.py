@@ -251,3 +251,29 @@ class TestSeededShuffleAndSharding:
         assert set(sizes) == set(range(8))
         # uniform in expectation: no shard more than 2x the ideal 100
         assert max(sizes.values()) < 200 and min(sizes.values()) > 40
+
+
+class TestHeavyHitters:
+    def test_two_phase_equals_exact_on_skewed_data(self, spark):
+        """The sketch-then-count pipeline must return EXACTLY the values
+        at >= support frequency — planted: one dominant value, one at the
+        boundary's edge, a long uniform tail below support."""
+        from pyspark.sql import functions as F
+
+        from datalake_brief_spark.operators.relational import heavy_hitters
+
+        rows = (
+            [("hot",)] * 500
+            + [("warm",)] * 60
+            + [(f"tail{i}",) for i in range(440)]
+        )  # n=1000: hot 50%, warm 6%, tail 0.1% each
+        df = spark.createDataFrame(rows, "v string")
+        got = {r.value: r.n_occurrences for r in heavy_hitters(df, "v", support=0.05).collect()}
+        assert got == {"hot": 500, "warm": 60}
+
+    def test_null_values_ignored(self, spark):
+        from datalake_brief_spark.operators.relational import heavy_hitters
+
+        df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "v string")
+        got = {r.value: r.n_occurrences for r in heavy_hitters(df, "v", support=0.4).collect()}
+        assert got == {"a": 2}
