@@ -530,8 +530,11 @@ def distribution_drift(
     tot = j.groupBy("column").agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
-    p_cur = F.col("n_cur") / F.col("__tc") + eps
-    p_ref = F.col("n_ref") / F.col("__tr") + eps
+    # greatest(total, 1): an EMPTY side (cold-start snapshot, all-filtered
+    # day) must yield zero proportions, not an ANSI divide-by-zero — the
+    # eps smoothing then produces a finite "everything drifted" PSI.
+    p_cur = F.col("n_cur") / F.greatest(F.col("__tc"), F.lit(1)) + eps
+    p_ref = F.col("n_ref") / F.greatest(F.col("__tr"), F.lit(1)) + eps
     terms = j.join(tot, "column").select(
         "column",
         "__tr",

@@ -1035,8 +1035,9 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT col, sum(n_ref) AS tr, sum(n_cur) AS tc FROM j GROUP BY col)
     SELECT j.col AS "column",
-           round(sum((n_cur / tc + 1e-6 - (n_ref / tr + 1e-6))
-                     * ln((n_cur / tc + 1e-6) / (n_ref / tr + 1e-6))), 6) AS psi,
+           round(sum((n_cur / greatest(tc, 1) + 1e-6 - (n_ref / greatest(tr, 1) + 1e-6))
+                     * ln((n_cur / greatest(tc, 1) + 1e-6)
+                          / (n_ref / greatest(tr, 1) + 1e-6))), 6) AS psi,
            CAST(max(tr) AS BIGINT) AS n_ref,
            CAST(max(tc) AS BIGINT) AS n_cur
     FROM j JOIN tot ON j.col = tot.col

@@ -618,3 +618,55 @@ class TestMediaCodecProperties:
         s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
         out, rate = multimodal.decode_wav(multimodal.encode_wav(s, 22050))
         assert rate == 22050 and (out == s).all()
+
+
+class TestEmptyInputRobustness:
+    """Every operator must degrade to an empty (or well-defined) result on
+    an empty input, never crash — at 100 TB an empty partition, an
+    all-filtered day, or a cold-start table is routine, not exceptional."""
+
+    def test_text_and_dedup_ops_on_empty_corpus(self, spark):
+        from datalake_brief_spark.operators import dedup, text
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert text.with_quality(empty).count() == 0
+        assert text.gopher_rules(empty).count() == 0
+        assert text.c4_rules(empty).count() == 0
+        assert text.seeded_shuffle(empty, seed=1).count() == 0
+        assert text.shard_assignment(empty, n_shards=4).count() == 0
+        assert dedup.exact_dedup(empty).count() == 0
+        assert dedup.ngram_jaccard_pairs(empty, threshold=0.8).count() == 0
+        assert dedup.simhash_pairs(empty).count() == 0
+        assert dedup.repeated_spans(empty).count() == 0
+
+    def test_relational_and_timeseries_ops_on_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from datalake_brief_spark.operators.relational import (
+            distribution_drift,
+            fk_integrity,
+            heavy_hitters,
+        )
+        from datalake_brief_spark.operators.timeseries import ewma
+
+        empty = spark.createDataFrame([], "k long, v double")
+        some = spark.createDataFrame([(1, 2.0)], "k long, v double")
+        # empty child: zero counts, not a crash
+        r = fk_integrity(empty, some, "k", "k", "e->s").collect()[0]
+        assert (r.n_child, r.n_orphans) == (0, 0)
+        # empty current snapshot: finite PSI (every ref bucket vs eps)
+        import math
+        d = distribution_drift(some, empty, ["v"]).collect()[0]
+        assert math.isfinite(d.psi) and d.n_cur == 0
+        assert heavy_hitters(empty, "v", support=0.5).count() == 0
+        assert ewma(empty, ["k"], ["v"], "v", alpha=0.3).count() == 0
+
+    def test_similarity_ops_on_empty_corpus(self, spark):
+        from datalake_brief_spark.operators import similarity
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        q = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "query_id long, embedding array<float>"
+        )
+        assert similarity.cosine_topk(empty, q, k=3).count() == 0
+        assert similarity.cosine_pairs_exact(empty, threshold=0.5).count() == 0
