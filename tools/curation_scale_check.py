@@ -69,9 +69,25 @@ def main() -> None:
             lambda: text.budget_sample(docs, budget=500, group_col="source").count()
         )
         t_gopher = timed(lambda: text.gopher_rules(docs).count())
+        t_c4 = timed(lambda: text.c4_rules(docs).count())
+        t_shuffle = timed(lambda: text.seeded_shuffle(docs, seed=7).count())
+        t_shard = timed(lambda: text.shard_assignment(docs, n_shards=64).count())
+
+        def _hh():
+            from datalake_brief_spark.functions import tokens as _toks
+            from datalake_brief_spark.operators.relational import heavy_hitters
+
+            tok = docs.select(F.explode(_toks("text")).alias("t")).filter(
+                F.col("t") != ""
+            )
+            heavy_hitters(tok, "t", support=0.02).count()
+
+        t_hh = timed(_hh)
         print(
             f"scale {k}: rows={n} dsir={t_dsir:.2f}s "
-            f"budget={t_budget:.2f}s gopher={t_gopher:.2f}s",
+            f"budget={t_budget:.2f}s gopher={t_gopher:.2f}s c4={t_c4:.2f}s "
+            f"shuffle={t_shuffle:.2f}s shard={t_shard:.2f}s "
+            f"heavy_hitters={t_hh:.2f}s",
             flush=True,
         )
     spark.stop()
