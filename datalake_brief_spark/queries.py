@@ -6108,6 +6108,8 @@ _DRIVER_WINDOW_PRIORITY = [
 def _reorder_registry() -> None:
     missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     assert not missing, f"priority list references unknown queries: {missing}"
+    dupes = {n for n in _DRIVER_WINDOW_PRIORITY if _DRIVER_WINDOW_PRIORITY.count(n) > 1}
+    assert not dupes, f"priority list has duplicates (silent window waste): {dupes}"
     ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_PRIORITY}
     for n, q in QUERIES.items():
         ordered.setdefault(n, q)
