@@ -320,6 +320,10 @@ def image_statistics(
                 # ValueError, and all of them must honor on_error.
                 try:
                     img = decode_image(p).astype(np.float64)
+                    if img.size == 0:
+                        # a zero-pixel image is corrupt, not a statistic:
+                        # route through on_error instead of emitting NaNs
+                        raise ValueError("zero-pixel image")
                     row = (
                         i,
                         img.shape[1],
@@ -371,14 +375,19 @@ def audio_statistics(
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 try:
                     s, rate = decode_wav(p)
-                    x = s.astype(np.float64)
-                    row = (
-                        i,
-                        s.shape[0],
-                        rate,
-                        round(float(x.mean()), 6),
-                        round(float(np.sqrt((x**2).mean())), 6),
-                    )
+                    if s.shape[0] == 0:
+                        # legitimate zero-length clip: typed NULL stats,
+                        # never a NaN (NULL is oracle-comparable, NaN isn't)
+                        row = (i, 0, rate, None, None)
+                    else:
+                        x = s.astype(np.float64)
+                        row = (
+                            i,
+                            s.shape[0],
+                            rate,
+                            round(float(x.mean()), 6),
+                            round(float(np.sqrt((x**2).mean())), 6),
+                        )
                 except Exception:
                     if on_error == "fail":
                         raise

@@ -530,11 +530,15 @@ def distribution_drift(
     tot = j.groupBy("column").agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
-    # greatest(total, 1): an EMPTY side (cold-start snapshot, all-filtered
-    # day) must yield zero proportions, not an ANSI divide-by-zero — the
-    # eps smoothing then produces a finite "everything drifted" PSI.
+    # greatest(total, 1): an EMPTY CURRENT side (cold-start snapshot,
+    # all-filtered day) must yield zero proportions, not an ANSI
+    # divide-by-zero — the eps smoothing then produces a finite
+    # "everything drifted" PSI. An EMPTY REFERENCE has no baseline at
+    # all: the column is OMITTED from the report (same contract as the
+    # SQL oracles, whose edges CTE has no group to join).
     p_cur = F.col("n_cur") / F.greatest(F.col("__tc"), F.lit(1)) + eps
     p_ref = F.col("n_ref") / F.greatest(F.col("__tr"), F.lit(1)) + eps
+    tot = tot.filter(F.col("__tr") > 0)
     terms = j.join(tot, "column").select(
         "column",
         "__tr",

@@ -2652,17 +2652,22 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click'
     ),
     ord AS (
-      SELECT event_id, user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      SELECT event_id, user_id, v,
+             count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS k
       FROM e
     ),
     lists AS (
-      SELECT user_id, list(v ORDER BY ts, event_id) AS vs FROM e GROUP BY user_id
+      SELECT user_id,
+             list(v ORDER BY ts, event_id) FILTER (WHERE v IS NOT NULL) AS vs
+      FROM e GROUP BY user_id
     )
     SELECT o.event_id, o.user_id,
-           CAST(round(CAST(CAST(list_reduce(l.vs[1:CAST(o.rn AS INT)],
-                                            (acc, x) -> 0.3*x + 0.7*acc)
-                            AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS ewma
+           CASE WHEN o.v IS NULL THEN NULL
+                ELSE CAST(round(CAST(CAST(list_reduce(l.vs[1:CAST(o.k AS INT)],
+                                                      (acc, x) -> 0.3*x + 0.7*acc)
+                                 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
+           END AS ewma
     FROM ord o JOIN lists l USING (user_id)
     """,
 )
@@ -2679,8 +2684,12 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain round() rounds the binary value and flips 6dp-boundary cases
     like 65.6890105). Full value hash-match, not a bound; the
     definitional recurrence is additionally pinned driver-side in
-    tests/test_properties.py. The oracle's prefix fold is O(n²) per
-    key — gate-scale only; the Spark side stays O(n)."""
+    tests/test_properties.py. Null values: the operator emits null and
+    carries state, and the oracle mirrors it — ``count(v)`` (null-
+    skipping) indexes a null-filtered fold list, with a NULL literal for
+    the null rows themselves (pinned against the oracle SQL on planted
+    nulls in pytest). The oracle's prefix fold is O(n²) per key —
+    gate-scale only; the Spark side stays O(n)."""
     ev = filter_rows(_t(spark, sf_dir, "events"), F.col("event_type") == "click")
     out = timeseries.ewma(
         ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, out_col="ewma"
@@ -4007,12 +4016,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction per query batch is nprobe/n_cells instead of 1. Driver-gate
     form as knn_lsh: aggregate recall@10 vs brute force as a pinned
     boolean (floor 0.4 — measured 0.52 at sf0.01 with this
-    parameterization)."""
+    parameterization). Centroids come from the per-process memoizer
+    shared with knn_ivf_indexed — the 10-iteration KMeans fit runs once,
+    not per invocation, and both IVF entries probe identical cells."""
     return _ann_recall_gate(
         spark,
         sf_dir,
         lambda emb, q: similarity.ivf_topk(
-            emb, q, dim=64, k=10, n_centroids=16, nprobe=4
+            emb,
+            q,
+            dim=64,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            centroids=_ivf_centroids(spark, sf_dir),
         ),
         floor=0.4,
     )
@@ -4194,17 +4211,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio",
     """
     WITH s AS (
-      SELECT doc_id, length(text) AS n,
+      SELECT doc_id,
              unnest([(ord(substr(text, i, 1)) % 256 - 128) * 256
                      for i in range(1, length(text)+1)]) AS v
       FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             round(avg(v), 6) AS m,
+             round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS r
+      FROM s GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(max(n) AS BIGINT) AS n_samples,
+    SELECT d.doc_id,
+           coalesce(a.n, 0) AS n_samples,
            16000 AS sample_rate,
-           round(avg(v), 6) AS mean_sample,
-           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
-    FROM s GROUP BY doc_id
+           a.m AS mean_sample,
+           a.r AS rms
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:

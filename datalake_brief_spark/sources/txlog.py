@@ -809,18 +809,26 @@ def read(
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
-        v = current_version(path) if version is None else version
-        raise FileNotFoundError(
-            f"version {v} of table at {path!r} references vacuumed data "
-            f"file(s), e.g. {os.path.relpath(missing[0], path)!r}; earliest "
-            f"fully-readable version is {earliest_readable_version(path)}"
-        )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    try:
+        # Happy path stays metadata-only: Spark reads footers at plan
+        # creation and raises PATH_NOT_FOUND itself if a file is gone —
+        # only THEN do we pay the per-file existence sweep to diagnose a
+        # vacuumed snapshot (never O(n_files) stat calls on every read).
+        return reader.parquet(*files)
+    except Exception as e:
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            v = current_version(path) if version is None else version
+            raise FileNotFoundError(
+                f"version {v} of table at {path!r} references vacuumed data "
+                f"file(s), e.g. {os.path.relpath(missing[0], path)!r}; "
+                f"earliest fully-readable version is "
+                f"{earliest_readable_version(path)}"
+            ) from e
+        raise
 
 
 def earliest_readable_version(path: str) -> int:

@@ -658,6 +658,9 @@ class TestEmptyInputRobustness:
         import math
         d = distribution_drift(some, empty, ["v"]).collect()[0]
         assert math.isfinite(d.psi) and d.n_cur == 0
+        # empty REFERENCE: no baseline -> the column is omitted (the SQL
+        # oracles' inner edges-join contract), never a NaN row
+        assert distribution_drift(empty, some, ["v"]).count() == 0
         assert heavy_hitters(empty, "v", support=0.5).count() == 0
         assert ewma(empty, ["k"], ["v"], "v", alpha=0.3).count() == 0
 
@@ -670,3 +673,45 @@ class TestEmptyInputRobustness:
         )
         assert similarity.cosine_topk(empty, q, k=3).count() == 0
         assert similarity.cosine_pairs_exact(empty, threshold=0.5).count() == 0
+
+
+class TestEwmaNullOracleContract:
+    def test_planted_nulls_match_oracle_sql(self, spark):
+        """The null contract (emit null, carry state) must hold on BOTH
+        engines: run the registry's actual oracle SQL over a planted-null
+        events table in DuckDB and compare to the operator."""
+        import duckdb
+        import pandas as pd
+
+        from datalake_brief_spark.queries import QUERIES
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 7, "click", 10.0),
+            (2, "2024-01-01 00:01:00", 7, "click", None),
+            (3, "2024-01-01 00:02:00", 7, "click", 20.0),
+            (4, "2024-01-01 00:03:00", 8, "click", None),
+            (5, "2024-01-01 00:04:00", 8, "click", 5.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        con = duckdb.connect()
+        con.register("events", pdf)
+        oracle = {r[0]: r[2] for r in con.sql(QUERIES["events_ewma"].oracle).fetchall()}
+
+        from pyspark.sql import functions as F
+
+        from datalake_brief_spark.operators.timeseries import ewma
+
+        sdf = spark.createDataFrame(pdf)
+        got = {
+            r.event_id: r.ewma
+            for r in ewma(sdf, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+            .select("event_id", F.round("ewma", 6).alias("ewma"))
+            .collect()
+        }
+        import math
+        norm = lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+        assert {k: norm(v) for k, v in got.items()} == {k: norm(v) for k, v in oracle.items()}
+        # the carry contract itself: value after the null continues from 10
+        assert got[3] == round(0.3 * 20.0 + 0.7 * 10.0, 6)
+        assert norm(got[2]) is None and norm(got[4]) is None and got[5] == 5.0
