@@ -502,7 +502,15 @@ def _try_commit(
     meta: dict | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
-    commit = {"version": version, "adds": adds, "removes": removes}
+    commit = {
+        "version": version,
+        "adds": adds,
+        "removes": removes,
+        # Commit wall-clock (UTC ISO) — the timestampAsOf resolution key.
+        # Older commits without one fall back to the commit file's mtime,
+        # the same source of truth Delta uses.
+        "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+    }
     if adds:
         # every commit records its added files' exact row counts (one footer
         # read each — the files were just written, their pages are hot), so
@@ -829,6 +837,57 @@ def read(
                 f"{earliest_readable_version(path)}"
             ) from e
         raise
+
+
+def _commit_ts(path: str, version: int) -> "_dt.datetime":
+    """Commit wall-clock: the ``ts`` recorded in the commit JSON, else the
+    commit file's mtime (Delta's fallback for the same situation)."""
+    p = _commit_path(path, version)
+    with open(p) as f:
+        ts = json.load(f).get("ts")
+    if ts is not None:
+        return _dt.datetime.fromisoformat(ts)
+    return _dt.datetime.fromtimestamp(os.path.getmtime(p), _dt.timezone.utc)
+
+
+def version_at_timestamp(path: str, ts: "_dt.datetime | str") -> int:
+    """Resolve ``timestampAsOf`` semantics: the newest version whose commit
+    wall-clock is ≤ ``ts`` (Delta's contract — you read the table as a
+    reader at that instant would have). Naive datetimes/strings are taken
+    as UTC. Raises if ``ts`` predates the first commit; a future ``ts``
+    resolves to the current version. O(versions) metadata reads."""
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    chosen = None
+    for v in vs:
+        if _commit_ts(path, v) <= ts:
+            chosen = v
+        else:
+            break
+    if chosen is None:
+        first = _commit_ts(path, vs[0]).isoformat()
+        raise ValueError(
+            f"timestamp {ts.isoformat()} predates the table's first commit "
+            f"({first}); earliest readable timestamp is {first}"
+        )
+    return chosen
+
+
+def read_at_timestamp(
+    spark: SparkSession,
+    path: str,
+    ts: "_dt.datetime | str",
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Snapshot read as of a wall-clock instant (the Delta
+    ``timestampAsOf`` surface): resolves the version via
+    :func:`version_at_timestamp`, then reads that snapshot."""
+    return read(spark, path, version=version_at_timestamp(path, ts), merge_schema=merge_schema)
 
 
 def earliest_readable_version(path: str) -> int:
@@ -1386,6 +1445,7 @@ def history(path: str) -> list[dict]:
         out.append(
             {
                 "version": v,
+                "ts": commit.get("ts"),
                 "op": meta.get("op", "write"),
                 "n_added": len(commit.get("adds", [])),
                 "n_removed": len(commit.get("removes", [])),

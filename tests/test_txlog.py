@@ -1500,3 +1500,52 @@ class TestNeedsOptimize:
         assert after["n_files"] < before["n_files"]
         # content unchanged
         assert txlog.read(spark, path).count() == 900
+
+
+class TestTimestampTimeTravel:
+    def test_timestamp_as_of_resolves_between_commits(self, spark, tmp_path):
+        """timestampAsOf contract: a reader at instant T sees the newest
+        commit at or before T; before the first commit is a clear error;
+        the future resolves to the tip. Mid-commit instants are derived
+        from the recorded commit timestamps, no sleeps."""
+        import datetime as dt
+
+        path = str(tmp_path / "t")
+        txlog.overwrite(_df(spark, [(1, "a", 1)]), path)
+        txlog.overwrite(_df(spark, [(2, "b", 2)]), path)
+        txlog.overwrite(_df(spark, [(3, "c", 3)]), path)
+        hist = {h["version"]: dt.datetime.fromisoformat(h["ts"]) for h in txlog.history(path)}
+        assert set(hist) == {1, 2, 3} and all(hist.values())
+        # exactly at v2's commit instant -> v2
+        assert txlog.version_at_timestamp(path, hist[2]) == 2
+        # a hair before v1 -> error naming the earliest readable instant
+        with pytest.raises(ValueError, match="predates the table's first commit"):
+            txlog.version_at_timestamp(path, hist[1] - dt.timedelta(microseconds=1))
+        # far future -> tip
+        assert txlog.version_at_timestamp(path, hist[3] + dt.timedelta(days=1)) == 3
+        got = {r.id for r in txlog.read_at_timestamp(spark, path, hist[2]).collect()}
+        assert got == {2}
+        # ISO-string input, naive = UTC
+        iso = hist[3].replace(tzinfo=None).isoformat()
+        assert txlog.version_at_timestamp(path, iso) == 3
+
+    def test_pre_timestamp_commits_fall_back_to_mtime(self, spark, tmp_path):
+        """A log written before commit timestamps existed still resolves:
+        strip the ts field from a commit and the file mtime takes over."""
+        import datetime as dt
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        txlog.overwrite(_df(spark, [(1, "a", 1)]), path)
+        cpath = txlog._commit_path(path, 1)  # noqa: SLF001
+        with open(cpath) as f:
+            c = _json.load(f)
+        del c["ts"]
+        with open(cpath, "w") as f:
+            _json.dump(c, f)
+        now = dt.datetime.now(dt.timezone.utc)
+        assert txlog.version_at_timestamp(path, now + dt.timedelta(days=1)) == 1
+        mtime = dt.datetime.fromtimestamp(_os.path.getmtime(cpath), dt.timezone.utc)
+        with pytest.raises(ValueError):
+            txlog.version_at_timestamp(path, mtime - dt.timedelta(seconds=1))
