@@ -1616,6 +1616,53 @@ def optimize_zorder(
     return read_v + 1
 
 
+def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+    surface): a new table whose first commit REFERENCES the source
+    snapshot's data files — zero bytes copied, metadata-only, any table
+    size. The clone evolves independently afterwards: its commits land in
+    its own log, its ``vacuum`` walks only its own data directory (cloned
+    references live under the SOURCE root and are never deleted by the
+    clone), and source commits after the clone point are invisible to it.
+    The source's stats/blooms/row counts ride along, so data skipping and
+    fast_count work on the clone immediately. Caveat (same as Delta):
+    vacuuming the SOURCE can reclaim files the clone references — retain
+    accordingly, or deep-copy via ``overwrite(read(...), dst)``.
+    Returns the clone's first version."""
+    live = _replay(src_path, version)
+    if not live:
+        raise FileNotFoundError(f"no table at {src_path!r} (empty log)")
+    if _versions(dst_path):
+        raise FileExistsError(f"clone target {dst_path!r} already has a log")
+    os.makedirs(dst_path, exist_ok=True)
+    # re-key every entry to a dst-relative path that resolves to the
+    # source's physical file (os.path.join(dst, rel) == src file)
+    rel_map = {
+        os.path.relpath(os.path.join(src_path, rel), dst_path): e
+        for rel, e in live.items()
+    }
+    meta = {"op": "clone", "source": os.path.abspath(src_path)}
+    for key in ("schema", "constraints"):
+        m = latest_meta(src_path, key, version)
+        if m is not None:
+            meta[key] = m
+    commit = {
+        "version": 1,
+        "adds": sorted(rel_map),
+        "removes": [],
+        "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "rows": {rel: e.get("rows") for rel, e in rel_map.items()},
+        "stats": {rel: e["stats"] for rel, e in rel_map.items() if e.get("stats")},
+        "blooms": {rel: e["blooms"] for rel, e in rel_map.items() if e.get("blooms")},
+        "meta": meta,
+    }
+    os.makedirs(_log_dir(dst_path), exist_ok=True)
+    fd = os.open(_commit_path(dst_path, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        json.dump(commit, f)
+    return 1
+
+
 def vacuum_retention_floor(path: str) -> int:
     """Minimum ``retain_versions`` that :func:`vacuum` will honor — the
     reader-race guard. Readers resolve their snapshot starting from the

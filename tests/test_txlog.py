@@ -1549,3 +1549,50 @@ class TestTimestampTimeTravel:
         mtime = dt.datetime.fromtimestamp(_os.path.getmtime(cpath), dt.timezone.utc)
         with pytest.raises(ValueError):
             txlog.version_at_timestamp(path, mtime - dt.timedelta(seconds=1))
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_independent(self, spark, tmp_path):
+        """A shallow clone reads the source snapshot without copying a
+        byte; afterwards the two tables evolve independently, and the
+        clone's vacuum never touches source files."""
+        import os as _os
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), src)
+        assert txlog.clone(src, dst) == 1
+        # zero copy: the clone's own data dir holds nothing
+        assert not _os.path.isdir(_os.path.join(dst, "data")) or not any(
+            files for _, _, files in _os.walk(_os.path.join(dst, "data"))
+        )
+        assert {r.id for r in txlog.read(spark, dst).collect()} == {1, 2}
+        assert txlog.fast_count(dst) == 2
+        # independence: source append invisible to clone; clone append
+        # invisible to source
+        txlog.append(_df(spark, [(3, "c", 2)]), src)
+        txlog.append(_df(spark, [(9, "z", 2)]), dst)
+        assert {r.id for r in txlog.read(spark, dst).collect()} == {1, 2, 9}
+        assert {r.id for r in txlog.read(spark, src).collect()} == {1, 2, 3}
+        # the clone's vacuum reclaims only CLONE-local files
+        src_files = set(txlog.visible_files(src))
+        txlog.overwrite(_df(spark, [(7, "q", 3)]), dst)
+        deleted = txlog.vacuum(dst, retain_versions=1)
+        assert deleted, "the clone's superseded local files should go"
+        for f in src_files:
+            assert _os.path.exists(f), "clone vacuum must never touch source files"
+        assert {r.id for r in txlog.read(spark, src).collect()} == {1, 2, 3}
+
+    def test_clone_carries_stats_and_refuses_existing_target(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        df = spark.range(0, 100).selectExpr("id", "cast(id as double) AS v")
+        txlog.append(df.filter("id < 50").coalesce(1), src, stats_cols=["id"])
+        txlog.append(df.filter("id >= 50").coalesce(1), src, stats_cols=["id"])
+        txlog.clone(src, dst)
+        assert len(txlog.visible_stats(dst)) == 2, "clone must carry stats"
+        pruned = txlog.read_pruned(spark, dst, "id", 10, 20)
+        assert len(pruned.inputFiles()) == 1, "clone must inherit skipping stats"
+        assert {r.id for r in pruned.collect()} == set(range(10, 21))
+        with pytest.raises(FileExistsError):
+            txlog.clone(src, dst)
