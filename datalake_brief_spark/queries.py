@@ -5215,6 +5215,38 @@ def txlog_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_agg(txlog.read(spark, _snapshot_table(spark, sf_dir)))
 
 
+@_register(
+    "txlog_clone_read",
+    _TXLOG_AGG_SQL.format(
+        where="WHERE NOT (l_quantity < 5) AND l_orderkey % 2 = 0"
+    ),
+)
+def txlog_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE correctness through the gate: clone the lifecycle
+    table (zero-copy — the clone's first commit references the source's
+    physical files), then DELETE the odd-orderkey half ON THE CLONE ONLY
+    and read it. The oracle is the raw table minus the source's deleted
+    band minus the clone-only deletion; the SOURCE-side entries
+    (txlog_snapshot_read et al.) run in the same process against the same
+    source and must stay green — cross-contamination in either direction
+    hash-mismatches somewhere. The clone build is memoized like every
+    lakehouse fixture."""
+    src = _snapshot_table(spark, sf_dir)
+
+    def build(path: str) -> None:
+        import os
+        import shutil
+
+        # txlog.clone requires a fresh root; _lakehouse_table pre-creates
+        # nothing, but keep the contract explicit
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        txlog.clone(src, path)
+        txlog.delete_where(spark, path, F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+
+    return _txlog_agg(txlog.read(spark, _lakehouse_table("clone", sf_dir, build)))
+
+
 @_register("txlog_time_travel", _TXLOG_AGG_SQL.format(where=""))
 def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel read of version 2 (pre-DELETE, both halves appended):
@@ -6042,6 +6074,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_near_dup_exact",
     # -- lakehouse band: r4-green, unchanged — keep the freshest rows warm
     "txlog_snapshot_read",
+    "txlog_clone_read",
     "txlog_time_travel",
     "txlog_cdf",
     "txlog_pruned_read",
