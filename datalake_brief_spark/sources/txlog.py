@@ -890,6 +890,22 @@ def read_at_timestamp(
     return read(spark, path, version=version_at_timestamp(path, ts), merge_schema=merge_schema)
 
 
+def table_changes_between_timestamps(
+    spark: SparkSession,
+    path: str,
+    from_ts: "_dt.datetime | str",
+    to_ts: "_dt.datetime | str | None" = None,
+) -> DataFrame:
+    """Change data feed between two wall-clock instants — the timestamp
+    twin of :func:`table_changes`: each endpoint resolves through
+    :func:`version_at_timestamp` (newest commit at or before the
+    instant), so "what changed since last night's run" needs no version
+    bookkeeping on the caller's side."""
+    from_v = version_at_timestamp(path, from_ts)
+    to_v = None if to_ts is None else version_at_timestamp(path, to_ts)
+    return table_changes(spark, path, from_v, to_v)
+
+
 def earliest_readable_version(path: str) -> int:
     """Oldest version whose full file set still exists on disk — the time
     travel horizon after vacuums. Error-path/diagnostic helper: O(versions)

@@ -1550,6 +1550,18 @@ class TestTimestampTimeTravel:
         with pytest.raises(ValueError):
             txlog.version_at_timestamp(path, mtime - dt.timedelta(seconds=1))
 
+    def test_cdf_between_timestamps(self, spark, tmp_path):
+        """table_changes by wall-clock: changes since v1's instant are
+        exactly v2's delta, no version bookkeeping caller-side."""
+        import datetime as dt
+
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.append(_df(spark, [(2, "b", 2)]), path)
+        hist = {h["version"]: dt.datetime.fromisoformat(h["ts"]) for h in txlog.history(path)}
+        got = txlog.table_changes_between_timestamps(spark, path, hist[1]).collect()
+        assert [(r.id, r._change_type) for r in got] == [(2, "insert")]
+
 
 class TestShallowClone:
     def test_clone_is_zero_copy_and_independent(self, spark, tmp_path):
