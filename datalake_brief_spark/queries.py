@@ -5247,6 +5247,25 @@ def txlog_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_agg(txlog.read(spark, _lakehouse_table("clone", sf_dir, build)))
 
 
+@_register(
+    "txlog_timestamp_travel",
+    _TXLOG_AGG_SQL.format(where="WHERE NOT (l_quantity < 5)"),
+)
+def txlog_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampAsOf through the gate: a far-future instant must resolve
+    to the CURRENT snapshot (the Delta contract — a reader at that
+    instant sees the tip), exercising commit-wall-clock recording,
+    version resolution, and the snapshot read end-to-end; the oracle is
+    the same post-DELETE relational equivalent as txlog_snapshot_read.
+    (Between-commit resolution needs controlled clocks and is pinned in
+    tests/test_txlog.py instead.)"""
+    return _txlog_agg(
+        txlog.read_at_timestamp(
+            spark, _snapshot_table(spark, sf_dir), "9999-01-01T00:00:00+00:00"
+        )
+    )
+
+
 @_register("txlog_time_travel", _TXLOG_AGG_SQL.format(where=""))
 def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel read of version 2 (pre-DELETE, both halves appended):
@@ -6075,6 +6094,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- lakehouse band: r4-green, unchanged — keep the freshest rows warm
     "txlog_snapshot_read",
     "txlog_clone_read",
+    "txlog_timestamp_travel",
     "txlog_time_travel",
     "txlog_cdf",
     "txlog_pruned_read",
