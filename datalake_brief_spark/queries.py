@@ -5967,6 +5967,53 @@ def txlog_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_history",
+    """
+    SELECT CAST(version AS BIGINT) AS version, op
+    FROM (VALUES (4, 'optimize'), (3, 'delete'), (2, 'append'), (1, 'append'))
+      AS t(version, op)
+    """,
+)
+def txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY at the driver gate: the shared snapshot table's
+    commit log must read back as exactly the four lifecycle operations in
+    version order, newest first — append, append, row-level DELETE,
+    OPTIMIZE — straight from the per-commit meta (O(versions), no data
+    pages touched; the Spark side runs no job). File counts are
+    deliberately projected out: they are an execution detail that varies
+    with scan parallelism, while the (version, op) ledger is the durable
+    audit contract."""
+    h = txlog.history(_snapshot_table(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(d["version"]), d["op"]) for d in h], "version long, op string"
+    )
+
+
+@_register(
+    "txlog_detail",
+    """
+    SELECT CAST(4 AS BIGINT)         AS version,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           TRUE                      AS qty_stats
+    FROM lineitem WHERE NOT (l_quantity < 5)
+    """,
+)
+def txlog_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL at the driver gate: current version, metadata-exact
+    row count, and whether the live files still carry the l_quantity
+    skipping stats after the full append→DELETE→OPTIMIZE lifecycle (a
+    compaction that dropped the stats channel would silently disable
+    pruning on every later read — that regression hash-mismatches here).
+    The oracle recomputes the surviving-row count by scanning, so a
+    lifecycle that loses or double-counts rows also lands here."""
+    d = txlog.describe_detail(_snapshot_table(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(d["version"]), int(d["num_rows"]), "l_quantity" in d["stats_cols"])],
+        "version long, n_rows long, qty_stats boolean",
+    )
+
+
+@_register(
     "txlog_null_skip",
     _NULLED_SQL
     + """
@@ -6216,6 +6263,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_restore",
     "txlog_replace_where",
     "txlog_fast_count",
+    "txlog_history",
+    "txlog_detail",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
