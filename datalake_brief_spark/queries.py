@@ -6014,6 +6014,64 @@ def txlog_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_vacuum_read",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           TRUE                     AS vacuum_reclaimed,
+           TRUE                     AS old_read_fails,
+           CAST(3 AS BIGINT)        AS earliest_readable
+    FROM customer
+    """,
+)
+def txlog_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM at the driver gate: customer lands as two appends + an
+    OPTIMIZE rewrite, then ``vacuum(retain_versions=1)`` reclaims the
+    pre-compaction files (the 3-commit table has no checkpoint, so the
+    reader-race retention floor is 1 and an explicit vacuum is the
+    operator's call). The gate pins all three sides of the contract:
+    the CURRENT snapshot still reads complete (count + balance sum vs the
+    scanning oracle — a vacuum that deleted a live file mismatches here),
+    the vacuumed v1 files are verifiably gone from disk, and a read pinned
+    at v1 fails deterministically with the vacuumed-data error naming
+    version 3 as the earliest readable — never a partial result."""
+    import os as _os
+
+    def build(path: str) -> None:
+        c = _t(spark, sf_dir, "customer")
+        half = F.pmod(F.col("c_custkey"), F.lit(2))
+        txlog.append(c.filter(half == 0), path, stats_cols=["c_acctbal"])
+        txlog.append(c.filter(half == 1), path, stats_cols=["c_acctbal"])
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        txlog.vacuum(path, retain_versions=1)
+
+    path = _lakehouse_table("vacuumed", sf_dir, build)
+    reclaimed = any(
+        not _os.path.exists(f) for f in txlog.visible_files(path, 1)
+    )
+    try:
+        txlog.read(spark, path, version=1)
+        old_fails, earliest = False, -1
+    except FileNotFoundError as e:
+        old_fails = "vacuumed" in str(e)
+        earliest = txlog.earliest_readable_version(path)
+    return aggregate(
+        txlog.read(spark, path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+    ).select(
+        "n_rows",
+        "sum_bal",
+        F.lit(reclaimed).alias("vacuum_reclaimed"),
+        F.lit(old_fails).alias("old_read_fails"),
+        F.lit(earliest).cast("long").alias("earliest_readable"),
+    )
+
+
+@_register(
     "txlog_null_skip",
     _NULLED_SQL
     + """
@@ -6265,6 +6323,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_fast_count",
     "txlog_history",
     "txlog_detail",
+    "txlog_vacuum_read",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
