@@ -6072,6 +6072,93 @@ def txlog_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_optimize_advisor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE                     AS was_fragmented,
+           FALSE                    AS needs_optimize_after,
+           TRUE                     AS compacted_to_one
+    FROM customer
+    """,
+)
+def txlog_optimize_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction advisor at the driver gate: customer lands as 12
+    deliberately-undersized files (the shape sustained micro-batch
+    ingestion produces), which v1's file list must show at or above the
+    advisor's min_small_files trip point; after OPTIMIZE the metadata-only
+    advisor must stand down (recommended=False, one live file). The row
+    count reads through the compacted snapshot against a scanning oracle,
+    so a compaction that drops or duplicates rows also lands here. The
+    advisor itself is O(n_files) stat calls — at 100 TB it's the cheap
+    scheduled check that decides when the expensive rewrite pays."""
+    def build(path: str) -> None:
+        c = _t(spark, sf_dir, "customer").repartition(12)
+        txlog.append(c, path, stats_cols=["c_acctbal"])
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+
+    path = _lakehouse_table("fragmented", sf_dir, build)
+    was_fragmented = len(txlog.visible_files(path, 1)) >= 8
+    after = txlog.needs_optimize(path)
+    return aggregate(
+        txlog.read(spark, path), [], [F.count(F.lit(1)).alias("n_rows")]
+    ).select(
+        "n_rows",
+        F.lit(was_fragmented).alias("was_fragmented"),
+        F.lit(bool(after["recommended"])).alias("needs_optimize_after"),
+        F.lit(after["n_files"] == 1).alias("compacted_to_one"),
+    )
+
+
+@_register(
+    "txlog_zorder_pruned",
+    """
+    SELECT CAST(count(*) AS BIGINT)       AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           TRUE                           AS pruned
+    FROM lineitem WHERE l_quantity <= 10 AND l_extendedprice <= 20000
+    """,
+)
+def txlog_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER at the driver gate: lineitem lands unclustered,
+    ``optimize_zorder`` rewrites the snapshot range-partitioned on the
+    Morton interleave of (l_quantity, l_extendedprice), and a
+    two-dimension range read must (a) return exactly the scanning oracle's
+    rows — clustering is execution-only — and (b) verifiably skip files:
+    the plan's input files are a strict subset of the snapshot, asserted
+    from the log-resolved lists, no data pages touched. Single-column
+    sorting can only prune one of these dimensions; the interleave keeps
+    BOTH per-file ranges narrow — at 100 TB this is the difference between
+    scanning a selectivity-proportional slice and scanning everything for
+    any predicate off the sort key."""
+    def build(path: str) -> None:
+        txlog.append(
+            _t(spark, sf_dir, "lineitem"), path,
+            stats_cols=["l_quantity", "l_extendedprice"],
+        )
+        txlog.optimize_zorder(
+            spark, path, ["l_quantity", "l_extendedprice"], n_files=8
+        )
+
+    path = _lakehouse_table("zordered", sf_dir, build)
+    df = txlog.read_pruned_multi(
+        spark, path,
+        {"l_quantity": (None, 10), "l_extendedprice": (None, 20000)},
+    )
+    n_total = len(txlog.visible_files(path))
+    n_scanned = len(df.inputFiles())
+    return aggregate(
+        df,
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        ],
+    ).select(
+        "n_rows", "sum_price", F.lit(n_scanned < n_total).alias("pruned")
+    )
+
+
+@_register(
     "txlog_null_skip",
     _NULLED_SQL
     + """
@@ -6324,6 +6411,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_history",
     "txlog_detail",
     "txlog_vacuum_read",
+    "txlog_optimize_advisor",
+    "txlog_zorder_pruned",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
