@@ -6159,6 +6159,66 @@ def txlog_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_constraint_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bal,
+           round(sum(CASE WHEN c_acctbal >= 0 THEN c_acctbal END), 2)
+             AS sum_bal,
+           TRUE AS write_rejected,
+           TRUE AS rejection_atomic
+    FROM customer
+    """,
+)
+def txlog_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD CONSTRAINT CHECK at the driver gate, pinning both
+    halves of SQL CHECK semantics. The table lands with the non-negative
+    customer balances, gains ``CHECK (c_acctbal >= 0)``, then (a) a batch
+    of NULL-balance rows MUST commit — NULL passes a CHECK in every SQL
+    engine — and (b) a batch with genuinely negative balances MUST be
+    rejected at the door with the constraint named, leaving the version
+    untouched (atomic rejection: no partial commit, re-attempted on every
+    entry invocation). The surviving relation is recomputed by the oracle
+    from raw customer, so enforcement that silently drops or lets through
+    rows hash-mismatches."""
+    def build(path: str) -> None:
+        c = _t(spark, sf_dir, "customer")
+        txlog.append(c.filter(F.col("c_acctbal") >= 0), path)
+        txlog.add_constraint(spark, path, "bal_nonneg", "c_acctbal >= 0")
+        nulled = c.filter(F.col("c_acctbal") < 0).withColumn(
+            "c_acctbal", F.lit(None).cast("double")
+        )
+        txlog.append(nulled, path)
+
+    path = _lakehouse_table("constrained", sf_dir, build)
+    v_before = txlog.current_version(path)
+    try:
+        txlog.append(
+            _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0), path
+        )
+        rejected = False
+    except ValueError as e:
+        rejected = "CHECK constraint" in str(e) and "bal_nonneg" in str(e)
+    atomic = txlog.current_version(path) == v_before
+    return aggregate(
+        txlog.read(spark, path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").isNull().cast("long")).alias("n_null_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+    ).select(
+        "n_rows",
+        "n_null_bal",
+        "sum_bal",
+        F.lit(rejected).alias("write_rejected"),
+        F.lit(atomic).alias("rejection_atomic"),
+    )
+
+
+@_register(
     "txlog_null_skip",
     _NULLED_SQL
     + """
@@ -6413,6 +6473,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_vacuum_read",
     "txlog_optimize_advisor",
     "txlog_zorder_pruned",
+    "txlog_constraint_gate",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
