@@ -211,6 +211,51 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(F.col("doc_id").cast("long"), F.col("tricky").cast("string"))
 
 
+@_register(
+    "jsonl_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (the raw-corpus landing format) at the driver gate: orders
+    lands as JSON-Lines — timestamps serialize to ISO text, doubles to
+    shortest-repr decimal — and reads back under the explicit catalog
+    schema (the production contract; inference on JSON is a second full
+    text scan). Every value must round-trip exactly against the parquet
+    truth: a writer that loses timestamp precision or a reader that
+    mis-parses a double mismatches here. Landing built once per
+    (process, sf_dir) via the shared memoizer."""
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "orders")
+    path = _lakehouse_table("orders_jsonl", sf_dir, lambda p: dio.write_jsonl(src, p))
+    return dio.read_jsonl(spark, path, schema=src.schema).select(*src.columns)
+
+
+@_register(
+    "orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC (the Hive/Trino interchange edge) at the driver gate: orders
+    lands as ORC and reads back under the catalog schema — the columnar
+    cousin must preserve exactly what parquet holds, including timestamp
+    semantics across the two formats' different epoch handling. Same
+    memoized-landing regime as the CSV/JSONL gates."""
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "orders")
+    path = _lakehouse_table("orders_orc", sf_dir, lambda p: dio.write_orc(src, p))
+    return dio.read_orc(spark, path, schema=src.schema).select(*src.columns)
+
+
 # --------------------------------------------------------------------------
 # Projection band (SURVEY §2.3, P1-P7)
 # --------------------------------------------------------------------------
@@ -6421,6 +6466,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # pruning (ask #7), q16's NOT-IN null alignment (ADVICE).
     "csv_infer_roundtrip",
     "csv_quoted_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
     "multimodal_features",
     "multimodal_audio",
     "sketch_set_overlap",
