@@ -6264,6 +6264,146 @@ def txlog_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pq_compact_read",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           TRUE AS was_fragmented,
+           TRUE AS compacted
+    FROM customer
+    """,
+)
+def pq_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-parquet small-file compaction at the driver gate (the
+    maintenance op for directories with NO commit log — landing zones,
+    foreign tables). customer lands as 12 undersized part files,
+    ``compact_parquet`` coalesces each leaf dir's small files (coalesce,
+    not shuffle — merging files is IO-bound concatenation), and the gate
+    pins: the directory really was fragmented, the file count really
+    dropped, and the post-compaction content scans identical to the raw
+    truth — a compaction that drops or duplicates rows mismatches."""
+    from datalake_brief_spark.sources import io as dio
+
+    def build(path: str) -> None:
+        _t(spark, sf_dir, "customer").repartition(12).write.parquet(path)
+        res = dio.compact_parquet(spark, path, target_file_bytes=1 << 30)
+        _COMPACT_RESULTS[path] = res
+
+    path = _lakehouse_table("pq_compact", sf_dir, build)
+    res = _COMPACT_RESULTS[path]
+    return aggregate(
+        spark.read.parquet(path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+    ).select(
+        "n_rows",
+        "sum_bal",
+        F.lit(res["files_before"] >= 8).alias("was_fragmented"),
+        F.lit(res["files_after"] < res["files_before"]).alias("compacted"),
+    )
+
+
+_COMPACT_RESULTS: dict[str, dict] = {}
+
+
+@_register(
+    "txlog_schema_enforce",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           TRUE AS type_change_rejected,
+           TRUE AS silent_add_rejected,
+           TRUE AS rejection_atomic
+    FROM orders
+    """,
+)
+def txlog_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side schema enforcement at the driver gate (the schema-in-log
+    contract): against the landed orders table, (a) an append that retypes
+    o_totalprice to string MUST be rejected before any data file lands,
+    (b) an append carrying a column the table does not have MUST be
+    rejected unless merge_schema=True opts into additive evolution (the
+    evolution path itself is gated by ``txlog_schema_evolution``), and
+    (c) both rejections leave the version untouched. Content parity with
+    the scanning oracle proves the rejections protected, not corrupted,
+    the table. Re-attempted on every invocation — idempotent by design."""
+    def build(path: str) -> None:
+        txlog.append(_t(spark, sf_dir, "orders"), path)
+
+    path = _lakehouse_table("enforced", sf_dir, build)
+    o = _t(spark, sf_dir, "orders")
+    v_before = txlog.current_version(path)
+    try:
+        txlog.append(o.withColumn("o_totalprice", F.col("o_totalprice").cast("string")), path)
+        type_rejected = False
+    except TypeError as e:
+        type_rejected = "conflicts" in str(e)
+    try:
+        txlog.append(o.withColumn("extra", F.lit(1)), path)
+        add_rejected = False
+    except ValueError as e:
+        add_rejected = "merge_schema" in str(e)
+    atomic = txlog.current_version(path) == v_before
+    return aggregate(
+        txlog.read(spark, path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(type_rejected).alias("type_change_rejected"),
+        F.lit(add_rejected).alias("silent_add_rejected"),
+        F.lit(atomic).alias("rejection_atomic"),
+    )
+
+
+@_register(
+    "txlog_checkpoint_read",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           TRUE AS checkpoint_active
+    FROM customer
+    """,
+)
+def txlog_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpoints at the driver gate: customer lands as 11 disjoint
+    micro-batch appends (the sustained-ingestion shape), so the 10th
+    commit consolidates the live state into a checkpoint and snapshot
+    resolution replays only the post-checkpoint tail — O(tail), not
+    O(versions), which is what keeps a year of 5-minute micro-batches
+    readable at 100 TB. Observable through the public surface: the
+    vacuum retention floor equals the checkpoint replay window (versions
+    at/after the newest checkpoint = v10, v11 → floor 2), and the
+    checkpoint-resolved read must still reassemble EXACTLY the union of
+    all 11 batches against the scanning oracle — a checkpoint that lost
+    or duplicated a file entry mismatches."""
+    def build(path: str) -> None:
+        c = _t(spark, sf_dir, "customer")
+        for i in range(11):
+            txlog.append(c.filter(F.pmod(F.col("c_custkey"), F.lit(11)) == i), path)
+
+    path = _lakehouse_table("checkpointed", sf_dir, build)
+    floor_is_tail = txlog.vacuum_retention_floor(path) == 2
+    return aggregate(
+        txlog.read(spark, path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+    ).select(
+        "n_rows", "sum_bal", F.lit(floor_is_tail).alias("checkpoint_active")
+    )
+
+
+@_register(
     "txlog_null_skip",
     _NULLED_SQL
     + """
@@ -6521,6 +6661,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_optimize_advisor",
     "txlog_zorder_pruned",
     "txlog_constraint_gate",
+    "txlog_schema_enforce",
+    "txlog_checkpoint_read",
+    "pq_compact_read",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
