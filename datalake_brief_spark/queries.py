@@ -6621,6 +6621,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # oracle-backed gates (HLL exact+bound booleans; ANN recall floors)
     "join_bucketed_colocated",
     "agg_bucketed_local",
+    # -- round 5, final session: nine NEW lakehouse/maintenance gates with
+    # no driver history — they outrank the r4-green warm band below (which
+    # already carries green driver rows and is unchanged).
+    "txlog_history",
+    "txlog_detail",
+    "txlog_vacuum_read",
+    "txlog_optimize_advisor",
+    "txlog_zorder_pruned",
+    "txlog_constraint_gate",
+    "txlog_schema_enforce",
+    "txlog_checkpoint_read",
+    "pq_compact_read",
     "sketch_merge_distinct",
     "approx_distinct",
     "knn_lsh",
@@ -6655,15 +6667,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_restore",
     "txlog_replace_where",
     "txlog_fast_count",
-    "txlog_history",
-    "txlog_detail",
-    "txlog_vacuum_read",
-    "txlog_optimize_advisor",
-    "txlog_zorder_pruned",
-    "txlog_constraint_gate",
-    "txlog_schema_enforce",
-    "txlog_checkpoint_read",
-    "pq_compact_read",
     "txlog_null_skip",
     "txlog_schema_evolution",
     "incremental_mv",
