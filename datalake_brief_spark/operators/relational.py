@@ -553,3 +553,69 @@ def distribution_drift(
             F.max("__tc").cast("long").alias("n_cur"),
         )
     )
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed symmetric diff of two relations — the migration/replication
+    audit operator ("did the copy land intact, and what changed?").
+
+    Returns the CHANGED rows only, keyed, with a ``change_type`` column:
+    ``insert`` (key only in ``right``), ``delete`` (key only in ``left``),
+    ``update`` (key in both, any compared column differs — NULL-safe, so
+    NULL→value and value→NULL both count as changes and NULL==NULL does
+    not). Unchanged rows never leave the join, so downstream cost tracks
+    the DIFF, not the tables.
+
+    Shape (and why it scales): ONE full outer shuffle join on the key —
+    the minimum any exact diff pays — with the per-column comparison
+    evaluated JVM-side in the same stage (no second pass, no row
+    materialization beyond the compared columns). At 100 TB run it over
+    bucketed copies of both sides (write_bucketed on the key) and even
+    that shuffle disappears. Assumes ``keys`` are unique per relation
+    (pre-aggregate if not — a diff on a non-key is not well defined).
+    """
+    compare_cols = compare_cols or [
+        c for c in left.columns if c not in keys and c in right.columns
+    ]
+    l = left.select(*keys, *compare_cols)
+    r = right.select(*keys, *compare_cols)
+    lp = l.select(
+        *[F.col(k).alias(f"__lk_{k}") for k in keys],
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_l"),
+    )
+    rp = r.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_r"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__lk_{k}") == F.col(f"__rk_{k}")
+        cond = c if cond is None else cond & c
+    j = lp.join(rp, cond, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+        differs = d if differs is None else differs | d
+    change = (
+        F.when(F.col("__in_l").isNull(), F.lit("insert"))
+        .when(F.col("__in_r").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__lk_{k}"), F.col(f"__rk_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
+    )

@@ -4946,6 +4946,48 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "table_diff_audit",
+    """
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT 'insert' AS change_type FROM customer WHERE c_custkey % 101 = 7
+      UNION ALL
+      SELECT 'delete' FROM customer WHERE c_custkey % 97 = 3
+      UNION ALL
+      SELECT 'update' FROM customer
+      WHERE c_custkey % 100 = 0 AND c_custkey % 97 <> 3
+    ) GROUP BY change_type
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (relational.snapshot_diff) — the replication /
+    migration audit: against a derived copy of customer with injected
+    deletes (key % 97 = 3), balance updates (key % 100 = 0, applied after
+    the deletes, NULL-safe comparison), and inserts (key % 101 = 7 cloned
+    above the keyspace), the diff must classify every changed key exactly
+    and emit NOTHING for untouched rows. One full-outer shuffle on the key
+    — the minimum an exact diff pays; over bucketed copies even that
+    disappears. The oracle recomputes the three injection predicates
+    directly, so a misclassified or leaked row mismatches."""
+    from datalake_brief_spark.operators.relational import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")
+    kept = filter_rows(c, F.pmod(F.col("c_custkey"), F.lit(97)) != 3)
+    updated = kept.withColumn(
+        "c_acctbal",
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(100)) == 0,
+            F.col("c_acctbal") + 10,
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserted = filter_rows(c, F.pmod(F.col("c_custkey"), F.lit(101)) == 7).withColumn(
+        "c_custkey", F.col("c_custkey") + 10000000
+    )
+    right = updated.unionByName(inserted)
+    diff = snapshot_diff(c, right, ["c_custkey"])
+    return aggregate(diff, ["change_type"], [F.count(F.lit(1)).alias("n")])
+
+
+@_register(
     "join_semi_reduced",
     """
     SELECT o_orderpriority,
@@ -6633,6 +6675,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_schema_enforce",
     "txlog_checkpoint_read",
     "pq_compact_read",
+    "table_diff_audit",
     "sketch_merge_distinct",
     "approx_distinct",
     "knn_lsh",

@@ -715,3 +715,39 @@ class TestEwmaNullOracleContract:
         # the carry contract itself: value after the null continues from 10
         assert got[3] == round(0.3 * 20.0 + 0.7 * 10.0, 6)
         assert norm(got[2]) is None and norm(got[4]) is None and got[5] == 5.0
+
+
+class TestSnapshotDiff:
+    """snapshot_diff (relational.py): the keyed symmetric-diff audit op."""
+
+    def test_null_safe_classification(self, spark):
+        """NULL→value and value→NULL are updates; NULL==NULL is unchanged;
+        untouched keys never appear; insert/delete classified by side."""
+        from datalake_brief_spark.operators.relational import snapshot_diff
+
+        left = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "keep"), (5, "gone")],
+            "id long, v string",
+        )
+        right = spark.createDataFrame(
+            [(1, None), (2, "b"), (3, None), (4, "keep"), (6, "new")],
+            "id long, v string",
+        )
+        got = {
+            r.id: r.change_type
+            for r in snapshot_diff(left, right, ["id"]).collect()
+        }
+        assert got == {
+            1: "update",   # value -> NULL
+            2: "update",   # NULL -> value
+            5: "delete",
+            6: "insert",
+        }  # 3 (NULL==NULL) and 4 (equal) must not appear
+
+    def test_identical_relations_diff_empty(self, spark):
+        from datalake_brief_spark.operators.relational import snapshot_diff
+        from datalake_brief_spark.catalog import load_table
+        from tests.conftest import SF_SMOKE
+
+        c = load_table(spark, SF_SMOKE, "customer")
+        assert snapshot_diff(c, c, ["c_custkey"]).count() == 0
