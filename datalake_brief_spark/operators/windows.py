@@ -84,3 +84,86 @@ def dedup_sorted(df: DataFrame, keys: Iterable[str], order_by: Iterable[Column])
     oracle-stable. One shuffle on the keys."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, step k counts only if an
+    event of that type occurred STRICTLY AFTER the user's completion time
+    of step k-1 (the earliest qualifying time, so a user can't satisfy a
+    later step with an event that preceded the earlier one). Returns one
+    row per step: (step, step_order, n_users).
+
+    Shape (and why it scales): one keyed aggregation per step, each
+    shuffling on the SAME user key — the exchange partitioning is reused
+    across stages, and every intermediate is one row per surviving user
+    (monotonically shrinking). The per-step count is a global agg of that
+    tiny keyed relation. No windows over the full event stream, no
+    per-user event collection — at 100 TB the cost is |steps| keyed aggs
+    over progressively smaller survivor sets."""
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    stages = [(steps[0], 0, cur)]
+    for i, s in enumerate(steps[1:], start=1):
+        cur = (
+            events.filter(F.col(type_col) == s)
+            .join(cur.select(user_col, "__t"), user_col)
+            .filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        stages.append((s, i, cur))
+    out = None
+    for s, i, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(s).alias("step"),
+            F.lit(i).cast("long").alias("step_order"),
+            F.col("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly retention cohorts: users are grouped by the week of their
+    FIRST event (cohort), and each (cohort_week, week_offset) cell counts
+    the distinct users of that cohort active ``week_offset`` weeks later
+    (offset 0 = the cohort week itself). Returns
+    (cohort_week, week_offset, n_active).
+
+    Shape: one keyed agg for first-seen (shuffle on user), one join back
+    on the same key (partitioning reused), then a count-distinct keyed by
+    the small (cohort, offset) grid — the classic two-shuffle cohort plan;
+    nothing is proportional to users × weeks except the final grid."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("__cohort")
+    )
+    j = events.select(user_col, ts_col).join(first, user_col)
+    offset = (
+        F.datediff(F.date_trunc("week", F.col(ts_col)), F.col("__cohort")) / 7
+    ).cast("long")
+    grid = (
+        j.select(
+            F.col("__cohort").cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+    if max_offset_weeks is not None:
+        grid = grid.filter(F.col("week_offset") <= max_offset_weeks)
+    return grid

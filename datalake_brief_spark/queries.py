@@ -2546,6 +2546,68 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_funnel",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts > s0.t
+                GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t
+                GROUP BY e.user_id)
+    SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_order,
+           (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+    UNION ALL SELECT 'click', CAST(1 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    UNION ALL SELECT 'purchase', CAST(2 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase (operators.windows.
+    funnel): step k counts a user only if the event came STRICTLY AFTER
+    their completion of step k-1 (earliest-qualifying-time semantics, so
+    out-of-order events can't fake a conversion). One keyed agg per step,
+    all shuffling on the same user key with monotonically shrinking
+    survivor sets — no full-stream windows, no per-user event collection.
+    The oracle replays the same sequential-min recurrence in SQL."""
+    from datalake_brief_spark.operators.windows import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_register(
+    "events_retention",
+    """
+    WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                   FROM events GROUP BY user_id)
+    SELECT CAST(first.cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', first.cohort, date_trunc('week', e.ts)) / 7
+                AS BIGINT)                          AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first ON e.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators.windows.retention_cohorts):
+    users cohorted by first-event week, each (cohort, offset) cell
+    counting distinct users active that many weeks later. Two shuffles on
+    the user key (first-seen agg + join back, partitioning reused), then a
+    count-distinct over the small cohort×offset grid. Week truncation is
+    Monday-start in both engines; offsets are exact multiples of 7 days
+    by construction so the /7 is lossless."""
+    from datalake_brief_spark.operators.windows import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -6676,6 +6738,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_checkpoint_read",
     "pq_compact_read",
     "table_diff_audit",
+    "events_funnel",
+    "events_retention",
     "sketch_merge_distinct",
     "approx_distinct",
     "knn_lsh",

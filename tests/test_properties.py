@@ -751,3 +751,65 @@ class TestSnapshotDiff:
 
         c = load_table(spark, SF_SMOKE, "customer")
         assert snapshot_diff(c, c, ["c_custkey"]).count() == 0
+
+
+class TestFunnelRetention:
+    """funnel / retention_cohorts (windows.py): ordering + cohort math."""
+
+    def test_funnel_strict_order_semantics(self, spark):
+        """A later-step event BEFORE the earlier step's completion must not
+        count; the earliest QUALIFYING time (not the global min) gates the
+        next step."""
+        from datalake_brief_spark.operators.windows import funnel
+
+        rows = [
+            # u1 converts fully in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 11:00:00", "click"),
+            (1, "2024-01-01 12:00:00", "purchase"),
+            # u2: click BEFORE view -> click must not count
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:30:00", "purchase"),  # no qualifying click -> no purchase
+            # u3: purchase between view and click -> purchase must not count
+            (3, "2024-01-01 10:00:00", "view"),
+            (3, "2024-01-01 10:15:00", "purchase"),
+            (3, "2024-01-01 11:00:00", "click"),
+            # u4: view only
+            (4, "2024-01-01 10:00:00", "view"),
+        ]
+        ev = spark.createDataFrame(
+            [(u, t, y) for u, t, y in rows], "user_id long, ts string, event_type string"
+        ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+        got = {
+            r.step: r.n_users
+            for r in funnel(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {"view": 4, "click": 2, "purchase": 1}
+
+    def test_retention_offsets(self, spark):
+        """Users cohorted by first-event week; offsets count from the
+        cohort's Monday; distinct users per cell."""
+        from datalake_brief_spark.operators.windows import retention_cohorts
+
+        rows = [
+            (1, "2024-01-01 08:00:00"),  # Monday wk0 cohort 2024-01-01
+            (1, "2024-01-10 08:00:00"),  # wk1
+            (1, "2024-01-10 09:00:00"),  # wk1 again (distinct-user: 1)
+            (2, "2024-01-03 08:00:00"),  # same cohort week
+            (2, "2024-01-17 08:00:00"),  # wk2
+            (3, "2024-01-09 08:00:00"),  # cohort 2024-01-08
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+        )
+        got = {
+            (str(r.cohort_week), r.week_offset): r.n_active
+            for r in retention_cohorts(ev).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
