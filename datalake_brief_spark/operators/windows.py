@@ -100,16 +100,22 @@ def funnel(
     row per step: (step, step_order, n_users).
 
     Shape (and why it scales): one keyed aggregation per step, each
-    shuffling on the SAME user key — the exchange partitioning is reused
-    across stages, and every intermediate is one row per surviving user
-    (monotonically shrinking). The per-step count is a global agg of that
-    tiny keyed relation. No windows over the full event stream, no
-    per-user event collection — at 100 TB the cost is |steps| keyed aggs
-    over progressively smaller survivor sets."""
+    shuffling on the SAME user key, and every intermediate is one row per
+    surviving user (monotonically shrinking). Each stage's survivor set is
+    lazily localCheckpoint-ed: stage k's subtree executes ONCE and both
+    consumers (stage k+1's join and stage k's count) read the
+    materialized rows — without this, Spark's DAG recomputes every prior
+    stage per branch and the event scan count grows O(steps²). Each
+    step's scan pushes its own event_type filter to the source. No
+    windows over the full event stream, no per-user event collection —
+    at 100 TB the cost is |steps| filtered scans + |steps| keyed aggs
+    over tiny survivor sets (the same lineage-truncation pattern as the
+    connected-components loop in operators/dedup.py)."""
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
+        .localCheckpoint(eager=False)
     )
     stages = [(steps[0], 0, cur)]
     for i, s in enumerate(steps[1:], start=1):
@@ -119,6 +125,7 @@ def funnel(
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
+            .localCheckpoint(eager=False)
         )
         stages.append((s, i, cur))
     out = None
