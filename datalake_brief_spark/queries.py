@@ -2608,6 +2608,52 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "graph_pagerank_copurchase",
+    """
+    SELECT CAST(count(DISTINCT p) AS BIGINT) AS n_nodes,
+           TRUE AS mass_conserved,
+           TRUE AS all_positive
+    FROM (SELECT l1.l_partkey AS p FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey)
+    """,
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators.graph.pagerank) over the part co-purchase graph
+    (parts sharing an order, symmetric by construction so no dangling
+    nodes). Per-rank values are iterative float and not cross-engine
+    hashable, so the gate pins what IS exact: the node set must equal the
+    SQL count of parts with at least one co-purchase partner, total rank
+    mass must be conserved at n_nodes (the no-dangling invariant of the
+    rank-mass formulation — a lost or double-shipped contribution breaks
+    it), and every rank must be strictly positive. The rank VALUES are
+    pinned against a driver-side power-iteration model in pytest. Ten
+    fixed rounds, three same-key shuffles per round, per-round
+    localCheckpoint — the plan is O(1) in iteration count."""
+    from datalake_brief_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    r = l.withColumnRenamed("l_partkey", "dst_part")
+    edges = (
+        l.join(r, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("dst_part"))
+        .select(F.col("l_partkey").alias("src"), F.col("dst_part").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=10)
+    return ranks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("rank").alias("__s"),
+        F.min("rank").alias("__m"),
+    ).select(
+        F.col("__n").alias("n_nodes"),
+        (F.abs(F.col("__s") - F.col("__n")) / F.col("__n") < 1e-6).alias(
+            "mass_conserved"
+        ),
+        (F.col("__m") > 0).alias("all_positive"),
+    )
+
+
+@_register(
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
@@ -6740,6 +6786,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "table_diff_audit",
     "events_funnel",
     "events_retention",
+    "graph_pagerank_copurchase",
     "sketch_merge_distinct",
     "approx_distinct",
     "knn_lsh",

@@ -813,3 +813,40 @@ class TestFunnelRetention:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+class TestPageRank:
+    """pagerank (graph.py): values vs a driver-side power-iteration model."""
+
+    def _model(self, edges, iterations=15, d=0.85):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+        rank = {n: 1.0 for n in nodes}
+        for _ in range(iterations):
+            contrib = {n: 0.0 for n in nodes}
+            for a, b in edges:
+                contrib[b] += rank[a] / deg[a]
+            rank = {n: (1 - d) + d * contrib[n] for n in nodes}
+        return rank
+
+    def test_matches_power_iteration_model(self, spark):
+        """Asymmetric 4-node graph (no dangling): every rank equals the
+        model's power iteration to 1e-9 after the same fixed rounds."""
+        from datalake_brief_spark.operators.graph import pagerank
+
+        edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 4), (4, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(df, iterations=15).collect()}
+        want = self._model(edges)
+        assert set(got) == set(want)
+        assert all(abs(got[n] - want[n]) < 1e-9 for n in want)
+        # mass conservation: no dangling nodes -> sum == n exactly
+        assert abs(sum(got.values()) - len(want)) < 1e-9
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        """A↔B: perfectly symmetric, so both ranks stay exactly 1.0."""
+        from datalake_brief_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(df, iterations=5).collect()}
+        assert got == {1: 1.0, 2: 1.0}
