@@ -579,9 +579,12 @@ def snapshot_diff(
     that shuffle disappears. Assumes ``keys`` are unique per relation
     (pre-aggregate if not — a diff on a non-key is not well defined).
     """
-    compare_cols = compare_cols or [
-        c for c in left.columns if c not in keys and c in right.columns
-    ]
+    # None -> default to all shared non-key columns; an EXPLICIT [] means
+    # a key-only diff (insert/delete only), not "use the default".
+    if compare_cols is None:
+        compare_cols = [
+            c for c in left.columns if c not in keys and c in right.columns
+        ]
     l = left.select(*keys, *compare_cols)
     r = right.select(*keys, *compare_cols)
     lp = l.select(
@@ -599,10 +602,13 @@ def snapshot_diff(
         c = F.col(f"__lk_{k}") == F.col(f"__rk_{k}")
         cond = c if cond is None else cond & c
     j = lp.join(rp, cond, "full_outer")
-    differs = None
+    # Key-only diff (every shared column is a key, or compare_cols=[]):
+    # insert/delete classification is still well defined, there is just
+    # nothing that can register as an update.
+    differs = F.lit(False)
     for c in compare_cols:
         d = ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
-        differs = d if differs is None else differs | d
+        differs = differs | d
     change = (
         F.when(F.col("__in_l").isNull(), F.lit("insert"))
         .when(F.col("__in_r").isNull(), F.lit("delete"))

@@ -180,7 +180,17 @@ def ewma(
             new_key[0] = True
             for c in key_cols:
                 arr = pdf[c].to_numpy()
-                new_key[1:] |= arr[1:] != arr[:-1]
+                # Null-aware boundaries: raw != is inconsistent on null
+                # keys (object-dtype None != None -> False merges null
+                # rows into the adjacent key's series; float NaN != NaN
+                # -> True splits every null row into its own series).
+                # Contract instead: null keys form ONE group of their
+                # own — boundary when na-ness flips, or when both sides
+                # are non-null and the values differ.
+                na = pd.isna(arr)
+                new_key[1:] |= (na[1:] != na[:-1]) | (
+                    ~na[1:] & ~na[:-1] & (arr[1:] != arr[:-1])
+                )
         nulls = pd.isna(pdf[value_col]).to_numpy()
         out = np.empty(n, dtype=np.float64)
         y = np.nan

@@ -864,8 +864,17 @@ def version_at_timestamp(path: str, ts: "_dt.datetime | str") -> int:
     if not vs:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     chosen = None
+    # Commit timestamps are clamped monotonic non-decreasing during the
+    # scan (ts_v = max(ts_v, ts_prev)), exactly as Delta does: the mtime
+    # fallback for pre-``ts`` commits, or writer clock skew, can make the
+    # raw sequence dip, and an unclamped early-exit scan would then
+    # mis-resolve a valid instant to an older version (or raise) even
+    # though a later commit qualifies.
+    clamped = None
     for v in vs:
-        if _commit_ts(path, v) <= ts:
+        raw = _commit_ts(path, v)
+        clamped = raw if clamped is None else max(clamped, raw)
+        if clamped <= ts:
             chosen = v
         else:
             break

@@ -716,6 +716,37 @@ class TestEwmaNullOracleContract:
         assert got[3] == round(0.3 * 20.0 + 0.7 * 10.0, 6)
         assert norm(got[2]) is None and norm(got[4]) is None and got[5] == 5.0
 
+    def test_null_keys_form_one_group(self, spark):
+        """Null keys are one series of their own — neither merged into an
+        adjacent key (object-dtype None != None -> False) nor split one
+        row per series (float NaN != NaN -> True). Both dtypes must agree."""
+        import math
+
+        from datalake_brief_spark.operators.timeseries import ewma
+
+        # string (object-dtype) null keys
+        s = spark.createDataFrame(
+            [(1, "a", 10.0), (2, None, 100.0), (3, None, 200.0), (4, "a", 20.0)],
+            "ord long, k string, v double",
+        )
+        got = {
+            r.ord: r.ewma
+            for r in ewma(s, ["k"], ["ord"], "v", alpha=0.5).collect()
+        }
+        # the null group chains 100 -> 150, independent of key "a"
+        assert got[2] == 100.0 and got[3] == 0.5 * 200.0 + 0.5 * 100.0
+        assert got[1] == 10.0 and got[4] == 0.5 * 20.0 + 0.5 * 10.0
+        # float (NaN) null keys: identical grouping
+        f = spark.createDataFrame(
+            [(1, 1.0, 10.0), (2, None, 100.0), (3, None, 200.0), (4, 1.0, 20.0)],
+            "ord long, k double, v double",
+        )
+        gotf = {
+            r.ord: r.ewma
+            for r in ewma(f, ["k"], ["ord"], "v", alpha=0.5).collect()
+        }
+        assert gotf == got
+
 
 class TestSnapshotDiff:
     """snapshot_diff (relational.py): the keyed symmetric-diff audit op."""
@@ -751,6 +782,25 @@ class TestSnapshotDiff:
 
         c = load_table(spark, SF_SMOKE, "customer")
         assert snapshot_diff(c, c, ["c_custkey"]).count() == 0
+
+    def test_key_only_diff(self, spark):
+        """Every shared column is a key (or compare_cols=[]): updates are
+        impossible but insert/delete classification still works — must not
+        crash on the empty compare-column set."""
+        from datalake_brief_spark.operators.relational import snapshot_diff
+
+        left = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        right = spark.createDataFrame([(2,), (3,), (4,)], "id long")
+        got = {r.id: r.change_type for r in snapshot_diff(left, right, ["id"]).collect()}
+        assert got == {1: "delete", 4: "insert"}
+        # explicit empty compare_cols on wider relations: same contract
+        l2 = spark.createDataFrame([(1, "a"), (5, "x")], "id long, v string")
+        r2 = spark.createDataFrame([(1, "CHANGED"), (6, "y")], "id long, v string")
+        got2 = {
+            r.id: r.change_type
+            for r in snapshot_diff(l2, r2, ["id"], compare_cols=[]).collect()
+        }
+        assert got2 == {5: "delete", 6: "insert"}
 
 
 class TestFunnelRetention:

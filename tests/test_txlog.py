@@ -1550,6 +1550,39 @@ class TestTimestampTimeTravel:
         with pytest.raises(ValueError):
             txlog.version_at_timestamp(path, mtime - dt.timedelta(seconds=1))
 
+    def test_skewed_commit_clock_resolves_monotonic(self, spark, tmp_path):
+        """Writer clock skew (or the mtime fallback) can make raw commit
+        timestamps dip below an earlier commit's. Resolution must follow
+        the Delta-clamped monotonic clock: a dipped commit is treated as
+        happening at the running max, so the instant→version mapping is
+        non-decreasing and never surfaces v_{n+1} data at an instant
+        before v_n's commit."""
+        import datetime as dt
+        import json as _json
+
+        path = str(tmp_path / "t")
+        txlog.overwrite(_df(spark, [(1, "a", 1)]), path)
+        txlog.overwrite(_df(spark, [(2, "b", 2)]), path)
+        txlog.overwrite(_df(spark, [(3, "c", 3)]), path)
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        # v1 at T, v2 at T+10s, v3 skewed BACK to T+2s
+        for v, off in [(1, 0), (2, 10), (3, 2)]:
+            cpath = txlog._commit_path(path, v)  # noqa: SLF001
+            with open(cpath) as f:
+                c = _json.load(f)
+            c["ts"] = (base + dt.timedelta(seconds=off)).isoformat()
+            with open(cpath, "w") as f:
+                _json.dump(c, f)
+        # At T+2s the monotonic clock says only v1 exists (v3 clamps to
+        # v2's T+10s) — returning v3 here would expose post-v2 data at a
+        # pre-v2 instant.
+        assert txlog.version_at_timestamp(path, base + dt.timedelta(seconds=2)) == 1
+        assert txlog.version_at_timestamp(path, base + dt.timedelta(seconds=9)) == 1
+        # At T+10s both v2 and clamped-v3 qualify -> newest wins
+        assert txlog.version_at_timestamp(path, base + dt.timedelta(seconds=10)) == 3
+        got = {r.id for r in txlog.read_at_timestamp(spark, path, base + dt.timedelta(seconds=10)).collect()}
+        assert got == {3}
+
     def test_cdf_between_timestamps(self, spark, tmp_path):
         """table_changes by wall-clock: changes since v1's instant are
         exactly v2's delta, no version bookkeeping caller-side."""
