@@ -6738,80 +6738,116 @@ def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 5 rotation (VERDICT r4 ask #1): the 8 entries never seen by
-    # any driver CORRECTNESS window — incremental dedup, record linkage,
-    # trailing windows, operational profiling — go first. Green in the
-    # local sf0.01+sf0.1 parity sweeps every round since they landed.
-    "dedup_incremental",
-    "fuzzy_join_sources",
-    "events_ewma",
-    "events_rolling_stats",
-    "events_trailing_hour",
-    "dq_fk_integrity",
-    "profile_join_skew",
-    "profile_drift",
-    # -- round 5: new or behavior-changed entries, all oracle-backed now —
-    # CSV inference parity (VERDICT ask #4), real multimodal decode
-    # (ask #3), sketch bounds-check gates (ask #6), literal-free partition
-    # pruning (ask #7), q16's NOT-IN null alignment (ADVICE).
-    "csv_infer_roundtrip",
-    "csv_quoted_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "multimodal_features",
-    "multimodal_audio",
-    "sketch_set_overlap",
-    "sketch_merge_quantiles",
-    "events_partition_pruned",
-    "q16_supplier_cnt",
-    "text_c4_rules",
-    "corpus_seeded_shuffle",
-    "corpus_shard_assignment",
-    # -- round 5, session 2: four more rows-only entries converted to
-    # oracle-backed gates (HLL exact+bound booleans; ANN recall floors)
-    "join_bucketed_colocated",
-    "agg_bucketed_local",
-    # -- round 5, final session: nine NEW lakehouse/maintenance gates with
-    # no driver history — they outrank the r4-green warm band below (which
-    # already carries green driver rows and is unchanged).
-    "txlog_history",
-    "txlog_detail",
-    "txlog_vacuum_read",
-    "txlog_optimize_advisor",
-    "txlog_zorder_pruned",
-    "txlog_constraint_gate",
-    "txlog_schema_enforce",
-    "txlog_checkpoint_read",
-    "pq_compact_read",
-    "table_diff_audit",
-    "events_funnel",
-    "events_retention",
-    "graph_pagerank_copurchase",
-    "sketch_merge_distinct",
-    "approx_distinct",
-    "knn_lsh",
-    "knn_ivf",
-    "knn_ivf_indexed",
-    "text_pack_chunks",
-    "multimodal_frames",
-    "sample_stratified",
-    "ml_lr_predict",
-    "heavy_hitter_tokens",
-    # -- round 5: the raw-ratio threshold convention change (ADVICE #1)
-    # touched every exact-Jaccard verify path — re-verify each consumer.
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_keep_best",
+    # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
+    # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
+    "txlog_clone_read",
+    "txlog_timestamp_travel",
+    # -- r6 band B: behavior changed in r5 (raw-ratio threshold convention),
+    # newest driver row r3/r4 (VERDICT r5 ask #1).
     "leakage_safe_split",
     "pipeline_curation",
     "pipeline_curation_v2",
     "emb_near_dup_srp45",
     "emb_near_dup_exact",
-    # -- lakehouse band: r4-green, unchanged — keep the freshest rows warm
+    # -- r6 band C: behavior changed THIS round (null-aware ewma key
+    # boundaries; snapshot_diff key-only guard) -> re-attest.
+    "events_ewma",
+    "table_diff_audit",
+    # -- r6 band D: new entries added this round go HERE, above the
+    # rotation bands (tests/test_plans.py enforces the window rule).
+    # -- oldest-attested rotation: newest driver row r1 (43 entries);
+    # the ~50-entry window cuts into the r1 band — remainder rotates in r7.
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q3_shipping_priority",
+    "proj_select",
+    "proj_derive",
+    "proj_rename_drop",
+    "filter_sql_string",
+    "filter_column_expr",
+    "filter_conjunction",
+    "filter_negation",
+    "filter_contains",
+    "filter_project_pipeline",
+    "agg_groupby_sum",
+    "agg_groupby_mean",
+    "agg_groupby_count",
+    "agg_global",
+    "summary_stats",
+    "count_alert",
+    "na_drop_any",
+    "na_drop_thresh",
+    "na_drop_subset",
+    "na_fill",
+    "impute_mean",
+    "impute_median",
+    "null_profile",
+    "impute_mode",
+    "join_fact_revenue",
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    "join_full_outer",
+    "agg_statistics",
+    "window_rank_suite",
+    "topk_global",
+    "topk_per_group",
+    "window_running",
+    "sessionize",
+    "setop_union",
+    "setop_except",
+    "events_sliding",
+    "events_hourly",
+    "dedup_exact",
+    "text_tokens",
+    # -- rotation: newest driver row r2 (7 entries)
+    "join_dim_chain",
+    "dedup_minhash",
+    "dedup_simhash",
+    "explode_tokens",
+    "udtf_ngrams",
+    "join_salted_skew",
+    "join_semi_reduced",
+    # -- rotation: newest driver row r3 (37 entries)
+    "emb_near_dup",
+    "events_resample_fill",
+    "asof_join",
+    "range_join_bands",
+    "window_lag_delta",
+    "text_quality",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "text_chunking",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "multimodal_meta",
+    "knn_bruteforce",
+    "knn_batch",
+    "knn_doc_hybrid",
+    "knn_filtered",
+    "semantic_dedup",
+    "rollup_daily",
+    "cube_status_priority",
+    "grouping_sets_custom",
+    "pivot_status",
+    "unpivot_part",
+    "having_avg",
+    "percentiles",
+    "sql_frontend",
+    "setop_intersect",
+    "array_agg_segments",
+    "describe_table",
+    "na_drop_all",
+    "distinct_count",
+    "math_funcs",
+    "string_funcs",
+    "date_funcs",
+    "json_extract",
+    "case_buckets",
+    # -- rotation: newest driver row r4 (42 entries)
     "txlog_snapshot_read",
-    "txlog_clone_read",
-    "txlog_timestamp_travel",
     "txlog_time_travel",
     "txlog_cdf",
     "txlog_pruned_read",
@@ -6825,7 +6861,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_schema_evolution",
     "incremental_mv",
     "streaming_merge_replay",
-    # -- curation + sub-document dedup: r4-green, unchanged
     "text_gopher_rules",
     "source_mix_stats",
     "sample_token_budget",
@@ -6833,18 +6868,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_repeated_spans",
     "dedup_strip_spans",
     "dedup_strip_spans_keep_first",
-    # -- TPC-H warm set (headliners + the r4 window's last verified)
-    "q1_pricing_summary",
-    "q5_nation_revenue",
-    "q3_shipping_priority",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q6_forecast_revenue",
     "q18_large_orders",
-    # ~position 50: the window boundary observed in r3/r4 is ~50 entries;
-    # everything below is ordering-only — all carry green driver rows from
-    # earlier rounds and are unchanged this round.
     "q4_order_priority",
     "q7_volume_shipping",
     "q9_product_profit",
@@ -6861,40 +6889,55 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_histogram",
     "profile_correlations",
     "dq_report",
-    "emb_near_dup",
-    "events_resample_fill",
-    "asof_join",
-    "range_join_bands",
-    "window_lag_delta",
-    # text band (§2.14)
-    "text_quality",
-    "text_langid",
-    "text_tfidf_top_terms",
-    "text_chunking",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
-    "decontaminate_ngrams",
-    # multimodal band (§2.14)
-    "multimodal_meta",
-    # similarity band (§2.14)
-    "knn_bruteforce",
-    "knn_batch",
-    "knn_doc_hybrid",
-    "knn_filtered",
-    "semantic_dedup",
-    # relational extensions (§2.9)
-    "rollup_daily",
-    "cube_status_priority",
-    "grouping_sets_custom",
-    "pivot_status",
-    "unpivot_part",
-    "having_avg",
-    "percentiles",
-    "sql_frontend",
-    "setop_intersect",
-    "array_agg_segments",
-    "describe_table",
+    # -- rotation: newest driver row r5 (48 entries)
+    "dedup_incremental",
+    "fuzzy_join_sources",
+    "events_rolling_stats",
+    "events_trailing_hour",
+    "dq_fk_integrity",
+    "profile_join_skew",
+    "profile_drift",
+    "csv_infer_roundtrip",
+    "csv_quoted_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "multimodal_features",
+    "multimodal_audio",
+    "sketch_set_overlap",
+    "sketch_merge_quantiles",
+    "events_partition_pruned",
+    "q16_supplier_cnt",
+    "text_c4_rules",
+    "corpus_seeded_shuffle",
+    "corpus_shard_assignment",
+    "join_bucketed_colocated",
+    "agg_bucketed_local",
+    "txlog_history",
+    "txlog_detail",
+    "txlog_vacuum_read",
+    "txlog_optimize_advisor",
+    "txlog_zorder_pruned",
+    "txlog_constraint_gate",
+    "txlog_schema_enforce",
+    "txlog_checkpoint_read",
+    "pq_compact_read",
+    "events_funnel",
+    "events_retention",
+    "graph_pagerank_copurchase",
+    "sketch_merge_distinct",
+    "approx_distinct",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_indexed",
+    "text_pack_chunks",
+    "multimodal_frames",
+    "sample_stratified",
+    "ml_lr_predict",
+    "heavy_hitter_tokens",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_keep_best",
 ]
 
 

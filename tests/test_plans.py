@@ -237,6 +237,33 @@ def test_no_query_produces_cartesian_or_row_python(spark):
         assert "BatchEvalPython" not in formatted_plan(df), name
 
 
+def test_driver_window_covers_unattested_entries():
+    """The driver's CORRECTNESS gate checks only the first ~50 registry
+    entries. Hand-maintained ordering let two r5-new entries sit below the
+    window with zero driver history (VERDICT r5). Rule, automated: every
+    registry entry absent from ALL committed CORRECTNESS_r*.json files must
+    appear in the first 50 slots of _DRIVER_WINDOW_PRIORITY."""
+    import glob
+    import json
+    import os
+
+    from datalake_brief_spark.queries import _DRIVER_WINDOW_PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        attested.update(json.load(open(f)))
+    window = set(_DRIVER_WINDOW_PRIORITY[:50])
+    never = [n for n in QUERIES if n not in attested and n not in window]
+    assert not never, (
+        f"registry entries with no driver CORRECTNESS row in any round must "
+        f"sit in the top-50 driver window: {never}"
+    )
+    # the priority list itself must stay a complete, duplicate-free ordering
+    assert len(_DRIVER_WINDOW_PRIORITY) == len(set(_DRIVER_WINDOW_PRIORITY))
+    assert set(_DRIVER_WINDOW_PRIORITY) == set(QUERIES)
+
+
 def test_repetition_ngrams_do_not_retokenize_per_position(spark):
     """Regression guard for the O(tokens^2) shape: building bigrams via
     transform(sequence(...), i -> slice(split(...), i, n)) re-runs the
