@@ -8,13 +8,15 @@
                                vectors. The real decoder plugs in behind
                                ``decoder=``; the default is a deterministic
                                byte-statistics baseline.
-- ``decode_image``           — REAL pure-numpy decode for the uncompressed
-                               formats (24-bit BI_RGB BMP, binary P6 PPM);
-                               compressed formats (JPEG/PNG/...) still raise
+- ``decode_image``           — REAL pure-numpy decode for 24-bit BI_RGB
+                               BMP, binary P6 PPM, AND 8-bit PNG (actual
+                               zlib inflate + all five scanline unfilters —
+                               stdlib-only, no codec dependency); remaining
+                               codec formats (JPEG/WebP/...) route to an
+                               import-guarded Pillow fallback, else raise
                                NotImplementedError with a clear message —
-                               they need a codec library this container
-                               doesn't ship, and a deployment injects one
-                               via ``extract_features(decoder=...)``.
+                               a deployment can always inject its own via
+                               ``extract_features(decoder=...)``.
 - ``decode_wav``             — REAL pure-numpy RIFF/WAVE PCM decode (8/16
                                bit, any channel count), chunk-walking the
                                container the way a real reader must.
@@ -162,21 +164,191 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return data.reshape(h, w, 3).copy()
 
 
+def _pillow_decode(buf: bytes) -> "np.ndarray":
+    """Import-guarded Pillow fallback for codec formats (JPEG, WebP, ...)
+    the native decoders don't cover. Raises NotImplementedError — not
+    ImportError — when Pillow is absent, so callers see one stable
+    "inject a decoder" contract either way."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image format beyond native support (24-bit BMP, "
+            "P6 PPM, 8-bit PNG) and Pillow is not installed; pip install "
+            "Pillow or inject a decoder via extract_features(decoder=...)"
+        ) from None
+    with Image.open(io.BytesIO(buf)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload to (H, W, 3) uint8 RGB. Pure-numpy decoders
-    cover the uncompressed formats (24-bit BMP, binary P6 PPM); compressed
-    formats need a codec library this container doesn't ship — inject one
-    via ``extract_features(decoder=...)``."""
+    """Decode an image payload to (H, W, 3) uint8 RGB. Native pure-numpy
+    decoders cover 24-bit BMP, binary P6 PPM, and 8-bit PNG (real zlib
+    inflate + unfilter); other codec formats (JPEG, WebP, ...) route to
+    Pillow when installed, else raise NotImplementedError with the
+    inject-a-decoder contract."""
     buf = bytes(payload)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
-    raise NotImplementedError(
-        "unrecognized/compressed image format (supported here: 24-bit BMP, "
-        "P6 PPM); inject a codec-backed decoder via "
-        "extract_features(decoder=...)"
+    if buf[:8] == _PNG_SIG:
+        try:
+            return decode_png(buf)
+        except NotImplementedError:
+            # 16-bit / palette / interlaced PNG: Pillow handles these
+            return _pillow_decode(buf)
+    return _pillow_decode(buf)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: "np.ndarray", filter_mode: str = "cycle") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real zlib-compressed
+    8-bit truecolor PNG (IHDR + IDAT + IEND, CRC-correct).
+
+    ``filter_mode``: ``"none"`` writes every scanline with filter 0;
+    ``"cycle"`` (default) cycles scanline filters 0→4 so a round-trip
+    exercises every unfilter path in :func:`decode_png` — byte-exact
+    output either way, the filter only changes the compressed stream."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w = a.shape[:2]
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = a[y].reshape(-1)
+        f = (y % 5) if filter_mode == "cycle" else 0
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        else:  # 4: Paeth
+            enc = row - _paeth(left, prev, upleft)
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
     )
+
+
+def _paeth(left: "np.ndarray", up: "np.ndarray", upleft: "np.ndarray") -> "np.ndarray":
+    """Vectorized Paeth predictor (PNG filter 4), uint8 in/out."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a non-interlaced 8-bit PNG (grayscale, RGB, or RGBA —
+    color types 0/2/6) to (H, W, 3) uint8 RGB. Real inflate (zlib) +
+    all five scanline unfilters; gray is broadcast to RGB, alpha is
+    dropped. Palette/16-bit/interlaced PNGs need a codec library —
+    inject one via ``extract_features(decoder=...)``."""
+    import struct
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace}); "
+            f"inject a codec-backed decoder via extract_features(decoder=...)"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raw stream is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    zeros = np.zeros(ch, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = row + prev
+        elif f in (1, 3, 4):
+            # left-dependent filters are inherently sequential per pixel
+            cur = row
+            upleft = np.concatenate([zeros, prev[:-ch]])
+            for x in range(0, stride, ch):
+                left = cur[x - ch : x] if x else zeros
+                if f == 1:
+                    cur[x : x + ch] += left
+                elif f == 3:
+                    cur[x : x + ch] += (
+                        (left.astype(np.uint16) + prev[x : x + ch]) // 2
+                    ).astype(np.uint8)
+                else:
+                    cur[x : x + ch] += _paeth(
+                        left, prev[x : x + ch], upleft[x : x + ch]
+                    )
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
 
 
 def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:

@@ -4361,6 +4361,57 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_png",
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(t.i AS INT) AS i,
+             CASE WHEN t.i <= length(text)
+                  THEN ord(substr(text, CAST(t.i AS INT), 1)) % 256 ELSE 0 END AS v
+      FROM documents, range(1, 91) t(i)
+    )
+    SELECT doc_id,
+           6 AS width, 5 AS height,
+           round(avg(CASE WHEN (i-1)%3=0 THEN v END), 6) AS mean_r,
+           round(avg(CASE WHEN (i-1)%3=1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN (i-1)%3=2 THEN v END), 6) AS mean_b,
+           round(avg(CASE WHEN i<=18 THEN v END), 6) AS row0_mean
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED image decode through the binary-column pipeline: the
+    same 6×5 RGB images as `multimodal_features`, but carried as real
+    zlib-compressed 8-bit truecolor PNGs (filter_mode="cycle", so the
+    corpus exercises all five scanline filters) and decoded by the
+    pure-numpy PNG parser (multimodal.decode_png — actual inflate +
+    unfilter, no codec library). The oracle recomputes the statistics
+    from the raw char codes, so any inflate/unfilter/row-order bug
+    hash-mismatches at the driver gate. Identical oracle to the BMP
+    entry by construction: PNG is lossless, so the two encodings must
+    produce byte-identical decoded pixels."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import numpy as np
+
+        from datalake_brief_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                cps = [ord(c) % 256 for c in t[:90]]
+                arr = np.zeros(90, dtype=np.uint8)
+                arr[: len(cps)] = cps
+                payloads.append(encode_png(arr.reshape(5, 6, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    png = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.image_statistics(png, "payload", "doc_id")
+
+
+@_register(
     "multimodal_audio",
     """
     WITH s AS (
@@ -6755,6 +6806,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "table_diff_audit",
     # -- r6 band D: new entries added this round go HERE, above the
     # rotation bands (tests/test_plans.py enforces the window rule).
+    "multimodal_png",
     # -- oldest-attested rotation: newest driver row r1 (43 entries);
     # the ~50-entry window cuts into the r1 band — remainder rotates in r7.
     "q1_pricing_summary",

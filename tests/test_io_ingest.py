@@ -353,9 +353,92 @@ class TestMultimodal:
         b = sorted(multimodal.extract_features(payloads, "payload", "doc_id").collect())
         assert a == b
 
-    def test_decode_image_rejects_compressed_formats(self):
+    def test_decode_image_codec_contracts(self):
+        """Formats beyond native coverage raise the inject-a-decoder
+        NotImplementedError (via the Pillow guard when absent); corrupt
+        payloads of a SUPPORTED format are a ValueError, not a silent
+        wrong image."""
+        import importlib.util
+        import struct
+        import zlib
+
+        has_pillow = importlib.util.find_spec("PIL") is not None
+        if not has_pillow:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG
+        # corrupt PNG (signature but garbage chunks) -> ValueError
+        with pytest.raises(ValueError):
+            multimodal.decode_png(multimodal._PNG_SIG + b"\x00" * 64)
+        # well-formed but unsupported depth (16-bit) -> NotImplementedError
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        deep = (
+            multimodal._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + chunk(b"IEND", b"")
+        )
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+            multimodal.decode_png(deep)
+
+    def test_png_roundtrip_all_filters(self):
+        """encode_png(filter_mode='cycle') writes scanlines with filters
+        0..4, so one round-trip exercises every unfilter path (None, Sub,
+        Up, Average, Paeth) against real zlib streams."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for h, w in [(1, 1), (5, 6), (13, 17)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for mode in ("none", "cycle"):
+                payload = multimodal.encode_png(img, filter_mode=mode)
+                assert payload[:8] == multimodal._PNG_SIG
+                out = multimodal.decode_image(payload)
+                assert out.dtype == np.uint8 and (out == img).all(), (h, w, mode)
+
+    def test_png_gray_and_rgba_normalize_to_rgb(self):
+        """Color types 0 (gray -> broadcast) and 6 (RGBA -> alpha dropped)
+        land as (H, W, 3) like every other decoder output."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        def png(w, h, color, rows):
+            raw = b"".join(b"\x00" + r.tobytes() for r in rows)
+            return (
+                multimodal._PNG_SIG
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        g = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+        out = multimodal.decode_png(png(2, 2, 0, g))
+        assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+        rgba = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+        out = multimodal.decode_png(png(4, 3, 6, rgba))
+        assert (out == rgba[:, :, :3]).all()
+
+    @pytest.mark.skipif(
+        __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+        reason="Pillow not installed (the import-guarded fallback path)",
+    )
+    def test_pillow_fallback_decodes_jpeg(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = np.full((8, 8, 3), 127, dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=95)
+        out = multimodal.decode_image(buf.getvalue())
+        assert out.shape == (8, 8, 3) and abs(int(out.mean()) - 127) <= 2
 
     def test_bmp_roundtrip_with_padding_and_flip(self):
         """Width 6 -> 18-byte rows padded to 20: the decode must undo the
