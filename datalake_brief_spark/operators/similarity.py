@@ -258,21 +258,30 @@ def srp_lsh_topk(
         seed,
     ).withColumnRenamed(vec_col, "__qvec")
     if multiprobe:
-        # Hamming-1 probe ring: the exact bucket plus each single-bit flip.
-        # JVM-side explode of a (num_planes+1)-element literal-xor array —
-        # no second UDF pass; posexplode_outer for the same
+        # Multiprobe ring (Lv et al., VLDB 2007): the exact bucket plus
+        # every bucket within Hamming distance ``multiprobe`` of it —
+        # radius 1 adds P single-bit flips, radius 2 adds P(P-1)/2 more
+        # double flips (P=8 → 37 keys/table). JVM-side explode of a
+        # literal-xor array — no second UDF pass, and only the SMALL query
+        # side widens; the corpus/index side is untouched, so the widened
+        # candidate set feeds the same exact-cosine re-rank at a cost
+        # linear in the extra probed buckets. explode_outer for the same
         # InferFiltersFromGenerate reason as srp_bucket_table.
+        flips = [0]
+        flips += [1 << b for b in range(num_planes)]
+        if multiprobe >= 2:
+            flips += [
+                (1 << b1) | (1 << b2)
+                for b1 in range(num_planes)
+                for b2 in range(b1 + 1, num_planes)
+            ]
         q = q.select(
             query_id_col,
             "__qvec",
             "__table",
             F.explode_outer(
                 F.array(
-                    F.col("__bucket"),
-                    *[
-                        F.col("__bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(num_planes)
-                    ],
+                    *[F.col("__bucket").bitwiseXOR(F.lit(m)) for m in flips]
                 )
             ).alias("__bucket"),
         )
