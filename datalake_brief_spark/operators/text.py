@@ -502,6 +502,11 @@ def seeded_shuffle(
         Window.partitionBy("__bin").orderBy("__k", F.col(id_col))
     )
     counts = b.groupBy("__bin").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # This unpartitioned window is what emits Spark's "Moving all data to a
+    # single partition" warning in bench logs — BENIGN here by construction:
+    # it runs over the 256-row bin-count aggregate (one row per 2-hex-char
+    # bin), never over data-scale rows. The data-scale ranking above is the
+    # per-bin partitioned window; plan-asserted in tests/test_plans.py.
     offs = counts.select(
         "__bin",
         F.coalesce(

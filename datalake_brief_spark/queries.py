@@ -6688,7 +6688,7 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dsir_weights",
     headline=True,
-    oracle=f"""
+    oracle=(_DSIR_ORACLE := f"""
     WITH tok AS (
       SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS token
       FROM documents
@@ -6711,7 +6711,7 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(lr), 6)        AS log_iw
     FROM tok t JOIN r USING (token)
     GROUP BY t.doc_id
-    """,
+    """),
 )
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights for every document against the English
@@ -6720,6 +6720,28 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     like" the target; a threshold/top-k downstream is the resample."""
     d = _t(spark, sf_dir, "documents")
     return text.dsir_log_weights(d, target=F.col("lang") == "en")
+
+
+@_register(
+    "dsir_weights_hashed",
+    oracle=_DSIR_ORACLE,
+)
+def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature DSIR — the SCALE path (Xie et al. 2023 proper):
+    token statistics keyed by xxhash64(token) % n_buckets, so the
+    histogram/ratio state is bounded at n_buckets regardless of
+    vocabulary growth (the x100 scale check showed the raw-unigram
+    variant's vocabulary-sized ratio join is its one superlinear edge;
+    this form removes it). Gate parameterization uses a collision-free
+    bucket space (2^60 — expected collisions ~V^2/2B ~= 1e-10 at driver
+    vocab), where hashed == raw-unigram DSIR exactly, so the SAME
+    explicit-unigram SQL oracle attests the hashed plumbing end-to-end.
+    Production uses the default 2^16 buckets for a constant-sized
+    broadcastable ratio table."""
+    d = _t(spark, sf_dir, "documents")
+    return text.dsir_log_weights_hashed(
+        d, target=F.col("lang") == "en", n_buckets=1 << 60
+    )
 
 
 @_register(
@@ -6819,6 +6841,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_indexed",
+    "dsir_weights_hashed",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -40,6 +40,14 @@ from datalake_brief_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 FACTOR = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+# Comma-list of fact tables to replicate at FACTOR; the rest are copied
+# 1:1 from SF_DIR. Lets the x100 scale point (VERDICT r5 ask #8) build
+# only the tables its target queries read instead of 100x everything.
+SCALE_TABLES = set(
+    os.environ.get(
+        "SPARK_GRAFT_SF1_TABLES", "lineitem,orders,documents,embeddings,events"
+    ).split(",")
+)
 OFFSET = 1 << 33
 
 
@@ -56,24 +64,29 @@ def main() -> None:
         return
     os.makedirs(OUT, exist_ok=True)
     spark = get_spark("build-sf1")
-    for name in ["region", "nation", "customer", "supplier", "part"]:
+    facts = ["lineitem", "orders", "documents", "embeddings", "events"]
+    for name in ["region", "nation", "customer", "supplier", "part"] + [
+        t for t in facts if t not in SCALE_TABLES
+    ]:
         shutil.copy(
             os.path.join(SF_DIR, f"{name}.parquet"), os.path.join(OUT, f"{name}.parquet")
         )
 
-    l = load_table(spark, SF_DIR, "lineitem")
-    union_reps(
-        [l.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET)) for i in range(FACTOR)]
-    ).repartition(32).write.mode("overwrite").parquet(os.path.join(OUT, "lineitem.parquet"))
+    if "lineitem" in SCALE_TABLES:
+        l = load_table(spark, SF_DIR, "lineitem")
+        union_reps(
+            [l.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET)) for i in range(FACTOR)]
+        ).repartition(32).write.mode("overwrite").parquet(os.path.join(OUT, "lineitem.parquet"))
 
-    o = load_table(spark, SF_DIR, "orders")
-    union_reps(
-        [o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFFSET)) for i in range(FACTOR)]
-    ).repartition(16).write.mode("overwrite").parquet(os.path.join(OUT, "orders.parquet"))
+    if "orders" in SCALE_TABLES:
+        o = load_table(spark, SF_DIR, "orders")
+        union_reps(
+            [o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OFFSET)) for i in range(FACTOR)]
+        ).repartition(16).write.mode("overwrite").parquet(os.path.join(OUT, "orders.parquet"))
 
-    d = load_table(spark, SF_DIR, "documents")
-    reps = [d]
-    for j in range(1, FACTOR):
+    d = load_table(spark, SF_DIR, "documents") if "documents" in SCALE_TABLES else None
+    reps = [d] if d is not None else []
+    for j in range(1, FACTOR if d is not None else 0):
         reps.append(
             d.select(
                 (F.col("doc_id") + F.lit(j * 10_000_000)).alias("doc_id"),
@@ -86,37 +99,40 @@ def main() -> None:
                 F.lit(None).cast("long").alias("n_chars"),
             )
         )
-    union_reps(reps).withColumn(
-        "n_chars", F.coalesce(F.col("n_chars"), F.length("text").cast("long"))
-    ).repartition(8).write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet"))
+    if reps:
+        union_reps(reps).withColumn(
+            "n_chars", F.coalesce(F.col("n_chars"), F.length("text").cast("long"))
+        ).repartition(8).write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet"))
 
-    e = load_table(spark, SF_DIR, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    ereps = [e]
-    for j in range(1, FACTOR):
-        rot = j % dim or 1
-        ereps.append(
-            e.select(
-                (F.col("vec_id") + F.lit(j * 10_000_000)).alias("vec_id"),
-                F.concat(
-                    F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
-                ).alias("embedding"),
-                "label",
+    e = load_table(spark, SF_DIR, "embeddings") if "embeddings" in SCALE_TABLES else None
+    if e is not None:
+        dim = len(e.select("embedding").first()[0])
+        ereps = [e]
+        for j in range(1, FACTOR):
+            rot = j % dim or 1
+            ereps.append(
+                e.select(
+                    (F.col("vec_id") + F.lit(j * 10_000_000)).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
+                    ).alias("embedding"),
+                    "label",
+                )
             )
+        union_reps(ereps).repartition(8).write.mode("overwrite").parquet(
+            os.path.join(OUT, "embeddings.parquet")
         )
-    union_reps(ereps).repartition(8).write.mode("overwrite").parquet(
-        os.path.join(OUT, "embeddings.parquet")
-    )
 
-    ev = load_table(spark, SF_DIR, "events")
-    union_reps(
-        [
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET)).withColumn(
-                "user_id", F.col("user_id") + F.lit(i * OFFSET)
-            )
-            for i in range(FACTOR)
-        ]
-    ).repartition(16).write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet"))
+    if "events" in SCALE_TABLES:
+        ev = load_table(spark, SF_DIR, "events")
+        union_reps(
+            [
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET)).withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * OFFSET)
+                )
+                for i in range(FACTOR)
+            ]
+        ).repartition(16).write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet"))
 
     for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
         n = spark.read.parquet(os.path.join(OUT, f"{t}.parquet")).count()
