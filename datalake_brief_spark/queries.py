@@ -212,6 +212,66 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "csv_malformed_quarantine",
+    """
+    SELECT CAST(count(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (o_orderkey % 10 = 0)  AS BIGINT) AS n_bad,
+           CAST(count(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT)
+             AS n_price_parsed,
+           CAST(sum(o_orderkey) FILTER (o_orderkey % 10 <> 0) AS BIGINT)
+             AS good_key_sum
+    FROM orders
+    """,
+)
+def csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine at the driver gate: orders lands as CSV
+    with every 10th row deliberately corrupted (uncastable text in the
+    double column), then reads back through ``read_csv_quarantine``
+    (PERMISSIVE + columnNameOfCorruptRecord). The gate pins the exact
+    good/bad split and the key-sum of the surviving rows against the
+    parquet truth — a reader that drops good rows, passes bad ones, or
+    fails the job on the first malformed line mismatches. Integer sums
+    keep the comparison order-independent and float-free. The agg
+    deliberately references the CORRUPTED column (n_price_parsed):
+    Spark's CSV parser prunes unreferenced columns and would otherwise
+    never attempt the failing cast, silently marking nothing corrupt —
+    the exact foot-gun the quarantine docstring warns about, pinned here
+    so it can't regress."""
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "orders")
+
+    def build(path: str) -> None:
+        corrupted = src.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("BROKEN"))
+            .otherwise(F.col("o_totalprice").cast("string"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        dio.write_csv(corrupted, path)
+
+    path = _lakehouse_table("orders_csv_malformed", sf_dir, build)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    got = dio.read_csv_quarantine(spark, path, schema)
+    bad = F.col("_corrupt_record").isNotNull()
+    return got.agg(
+        F.count_if(~bad).cast("long").alias("n_good"),
+        F.count_if(bad).cast("long").alias("n_bad"),
+        F.count(F.when(~bad, F.col("o_totalprice"))).cast("long").alias("n_price_parsed"),
+        F.sum(F.when(~bad, F.col("o_orderkey"))).cast("long").alias("good_key_sum"),
+    )
+
+
+@_register(
     "jsonl_roundtrip",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -6842,6 +6902,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_ivf",
     "knn_ivf_indexed",
     "dsir_weights_hashed",
+    "csv_malformed_quarantine",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

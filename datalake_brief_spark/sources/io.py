@@ -44,6 +44,43 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """PERMISSIVE CSV scan with malformed-row quarantine — the ingestion
+    robustness contract raw landings need: rows that fail the schema
+    (uncastable field, wrong token count) do NOT fail the job and are not
+    silently dropped; they surface with ``corrupt_col`` holding the raw
+    line (non-corrupt rows have it null). Callers split:
+
+        df = read_csv_quarantine(spark, path, schema)
+        good = df.filter(df[corrupt_col].isNull()).drop(corrupt_col)
+        bad  = df.filter(df[corrupt_col].isNotNull())  # -> quarantine sink
+
+    ``mode=DROPMALFORMED`` / ``FAILFAST`` remain available through plain
+    ``read_csv(..., mode=...)`` when dropping or failing is the intent;
+    quarantine is the default posture because at 100 TB a 1e-6 bad-row
+    rate is still thousands of rows you want to see, not lose. Spark only
+    populates the corrupt column for REFERENCED columns (lazy parse), so
+    keep ``corrupt_col`` selected through the pipeline until the split.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.options(header=str(header).lower(), **options)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """S3: columnar scan with pushdown + pruning."""
     reader = spark.read

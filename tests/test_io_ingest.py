@@ -54,6 +54,42 @@ class TestIO:
         assert a.schema == b.schema  # inference matches the pinned contract
         assert a.collect() == b.collect()
 
+    def test_csv_quarantine_splits_good_and_bad(self, spark, tmp_path):
+        """Malformed rows surface in _corrupt_record (raw line preserved
+        for the quarantine sink), good rows parse clean; DROPMALFORMED via
+        plain read_csv silently keeps only the good ones. Also pins the
+        column-pruning foot-gun: the corrupt flag only materializes when
+        the failing column is referenced."""
+        from datalake_brief_spark.sources.io import read_csv_quarantine
+
+        p = str(tmp_path / "t.csv")
+        with open(p, "w") as f:
+            f.write("id,price,status\n1,10.5,ok\n2,NOT_A_NUMBER,ok\n3,30.0,ok\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("price", T.DoubleType()),
+                T.StructField("status", T.StringType()),
+            ]
+        )
+        df = read_csv_quarantine(spark, p, schema)
+        rows = df.select("id", "price", "_corrupt_record").collect()
+        bad = [r for r in rows if r._corrupt_record is not None]
+        good = [r for r in rows if r._corrupt_record is None]
+        assert len(bad) == 1 and len(good) == 2
+        assert bad[0]._corrupt_record == "2,NOT_A_NUMBER,ok"  # raw line kept
+        assert sorted(r.id for r in good) == [1, 3]
+        # DROPMALFORMED: the lossy alternative, via plain read_csv options
+        dropped = read_csv(
+            spark, p, schema=schema, mode="DROPMALFORMED"
+        ).select("id", "price")
+        assert sorted(r.id for r in dropped.collect()) == [1, 3]
+        # pruning foot-gun: without the failing column referenced, nothing
+        # is flagged — this is Spark's documented lazy-parse behavior, and
+        # why the quarantine docstring says keep _corrupt_record selected
+        only_id = df.select("id", "_corrupt_record").collect()
+        assert all(r._corrupt_record is None for r in only_id)
+
     def test_partitioned_write_prunes_partitions(self, spark, tmp_path):
         out = str(tmp_path / "lake" / "orders")
         df = load_table(spark, SF_SMOKE, "orders")
