@@ -583,6 +583,68 @@ def budget_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    total_budget: int,
+    tau: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling — the data-mixing step of
+    multilingual/multi-source training recipes (Conneau & Lample 2019
+    §3.1; mT5, BLOOM): stratum ``g`` receives a share of ``total_budget``
+    proportional to ``n_g^tau``. ``tau=1`` keeps natural proportions,
+    ``tau=0`` is uniform across strata, and the customary ``tau≈0.3-0.7``
+    up-weights small strata (low-resource languages / rare sources)
+    without letting any single stratum dominate. Down-sampling only
+    (budgets clamp at ``n_g``): up-sampling is a training-loader concern
+    (epoch repetition), not a corpus materialization one.
+
+    Selection within a stratum orders by the same Knuth multiplicative
+    hash as :func:`budget_sample` — engine-portable (the DuckDB oracle
+    replays it verbatim) and insert-stable. ``tau=0.5`` computes the
+    weight via sqrt, the one power IEEE 754 requires correctly rounded,
+    so the per-stratum budget floors land identically across engines;
+    other ``tau`` go through ``pow`` (last-ulp engine variance possible
+    exactly at a floor boundary — harmless for mixing, noted for oracle
+    authors).
+
+    Scale shape: one stratum-keyed count (map-side combined, |strata|
+    rows), the budget table broadcast back, ONE window rank per stratum —
+    the same single exchange budget_sample pays. No driver state."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    wcol = (
+        F.sqrt(F.col("__n"))
+        if float(tau) == 0.5
+        else F.pow(F.col("__n"), F.lit(float(tau)))
+    )
+    weights = counts.select(group_col, "__n", wcol.alias("__w"))
+    tot = weights.agg(F.sum("__w").alias("__tw"))
+    budgets = weights.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.col("__n"),
+            F.floor(F.lit(int(total_budget)) * F.col("__w") / F.col("__tw")).cast(
+                "double"
+            ),
+        )
+        .cast("long")
+        .alias("__budget"),
+    )
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    )
+    return (
+        df.withColumn("__r", rank)
+        .join(F.broadcast(budgets), group_col)
+        .filter(F.col("__r") <= F.col("__budget"))
+        .drop("__r", "__budget")
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target: Column,

@@ -6261,6 +6261,49 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "temperature_mix",
+    """
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n, sqrt(n) AS w FROM n
+    ), t AS (
+      SELECT sum(w) AS tw FROM w
+    ), b AS (
+      SELECT source,
+             CAST(least(n, CAST(floor(300 * w / tw) AS DOUBLE)) AS BIGINT)
+               AS budget
+      FROM w, t
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM r JOIN b USING (source) WHERE rnk <= budget
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (tau=0.5, the mT5/XLM-R recipe
+    shape): 300 docs budgeted across sources proportional to sqrt(n_g) —
+    small sources up-weighted relative to natural proportions, none
+    dominating. The oracle replays the whole pipeline (sqrt weights,
+    floor budgets, Knuth-hash per-stratum order), so the gate pins the
+    EXACT selected set, not just counts; sqrt is IEEE-correctly-rounded,
+    making the budget floors engine-identical. One stratum count + one
+    broadcast budget join + one window rank — the scale shape is
+    budget_sample's."""
+    return text.temperature_resample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        total_budget=300,
+        tau=0.5,
+        group_col="source",
+    ).select("doc_id", "source")
+
+
+@_register(
     "txlog_fast_count",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows
@@ -6903,6 +6946,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_ivf_indexed",
     "dsir_weights_hashed",
     "csv_malformed_quarantine",
+    "temperature_mix",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -131,6 +131,65 @@ class TestBudgetSample:
         assert old_survivors, "some original picks must survive the insert"
 
 
+class TestTemperatureResample:
+    def _df(self, spark, sizes):
+        rows = [
+            (s, 1000 * j + i)
+            for j, (s, n) in enumerate(sizes.items())
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["source", "doc_id"])
+
+    def test_tau_endpoints(self, spark):
+        """tau=1 keeps natural proportions; tau=0 splits the budget
+        uniformly across strata regardless of size."""
+        df = self._df(spark, {"big": 90, "small": 10})
+        nat = {
+            s: n
+            for s, n in (
+                text.temperature_resample(df, total_budget=50, tau=1.0)
+                .groupBy("source")
+                .count()
+                .collect()
+            )
+        }
+        assert nat == {"big": 45, "small": 5}
+        uni = {
+            s: n
+            for s, n in (
+                text.temperature_resample(df, total_budget=20, tau=0.0)
+                .groupBy("source")
+                .count()
+                .collect()
+            )
+        }
+        assert uni == {"big": 10, "small": 10}
+
+    def test_tau_half_upweights_small_and_clamps(self, spark):
+        """tau=0.5: sqrt weights lift the small stratum's share above its
+        natural proportion; budgets never exceed stratum size (no
+        up-sampling)."""
+        df = self._df(spark, {"big": 100, "small": 4})
+        out = (
+            text.temperature_resample(df, total_budget=60, tau=0.5)
+            .groupBy("source")
+            .count()
+            .collect()
+        )
+        got = {r.source: r["count"] for r in out}
+        # weights 10 vs 2 -> shares 50 vs 10, small clamps at 4
+        assert got == {"big": 50, "small": 4}
+        # small's share of the SELECTED corpus (4/54) exceeds a natural
+        # tau=1 split's would-be floor(60*4/104)=2
+        assert got["small"] > 2
+
+    def test_selection_is_deterministic(self, spark):
+        df = self._df(spark, {"a": 30, "b": 30})
+        p1 = {r.doc_id for r in text.temperature_resample(df, 20).collect()}
+        p2 = {r.doc_id for r in text.temperature_resample(df, 20).collect()}
+        assert p1 == p2 and len(p1) == 20
+
+
 class TestDsirWeights:
     def test_target_like_docs_score_higher(self, spark):
         from pyspark.sql import functions as F
