@@ -296,6 +296,60 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jsonl_malformed_quarantine",
+    """
+    SELECT CAST(count(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (o_orderkey % 10 = 0)  AS BIGINT) AS n_bad,
+           CAST(sum(o_orderkey) FILTER (o_orderkey % 10 <> 0) AS BIGINT)
+             AS good_key_sum
+    FROM orders
+    """,
+)
+def jsonl_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL twin of csv_malformed_quarantine: orders lands as
+    JSON-Lines with every 10th line made unparseable (a brace-broken
+    prefix), read back under the explicit schema with ``_corrupt_record``
+    in it — Spark's PERMISSIVE JSON default quarantines the raw line.
+    Unlike CSV there is no column-pruning foot-gun: a JSON line that
+    fails tokenization is corrupt no matter which fields are referenced.
+    Same integer good/bad/key-sum pins against parquet truth."""
+    from datalake_brief_spark.sources import io as dio
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+    def build(path: str) -> None:
+        line = F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderstatus"))
+        src.select(
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.concat(F.lit("{BROKEN "), line)
+            )
+            .otherwise(line)
+            .alias("value")
+        ).write.mode("overwrite").text(path)
+
+    path = _lakehouse_table("orders_jsonl_malformed", sf_dir, build)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    got = dio.read_jsonl(spark, path, schema=schema)
+    bad = F.col("_corrupt_record").isNotNull()
+    return got.agg(
+        F.count_if(~bad).cast("long").alias("n_good"),
+        F.count_if(bad).cast("long").alias("n_bad"),
+        F.sum(F.when(~bad, F.col("o_orderkey"))).cast("long").alias("good_key_sum"),
+    )
+
+
+@_register(
     "orc_roundtrip",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -6947,6 +7001,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_weights_hashed",
     "csv_malformed_quarantine",
     "temperature_mix",
+    "jsonl_malformed_quarantine",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);
