@@ -555,6 +555,145 @@ def distribution_drift(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier profile per group: median / MAD (median absolute
+    deviation) and the count of values beyond ``k`` scaled MADs — the
+    monitoring statistic that, unlike mean/stddev z-scores, a few extreme
+    rows cannot drag toward themselves (50% breakdown point). The scale
+    factor 1.4826 makes k·MAD comparable to k·sigma under normality
+    (Hampel's rule; k=3 is the customary cutoff).
+
+    Returns one row per group: ``(group, n, med, mad, n_outliers)``.
+
+    Scale shape: two exact-percentile aggregations on the group key (the
+    minimum any exact median needs) with the per-group scalars broadcast
+    back between them; values are never pairwise-joined. Exact medians
+    sort within groups — at 100 TB swap ``percentile`` for
+    ``approx_percentile(..., accuracy)`` (same plan shape, mergeable
+    KLL-style sketch state) and keep the flagging identical."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    j = df.join(F.broadcast(med), group_col)
+    mad = j.groupBy(group_col).agg(
+        F.first("__med").alias("__med"),
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad"),
+    )
+    j2 = df.join(F.broadcast(mad), group_col)
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    return (
+        j2.groupBy(group_col)
+        .agg(
+            F.count(v).cast("long").alias("n"),
+            F.round(F.first("__med"), 6).alias("med"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.count_if(F.abs(v - F.col("__med")) > thresh)
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per column, on a
+    fixed grid: D = max |ECDF_ref − ECDF_cur| evaluated at ``n_bins``
+    equal-width edges spanning the REFERENCE's range (values outside
+    clamp to the end bins, the PSI convention). Complements PSI: KS reads
+    the worst single point of divergence, PSI the aggregate. Grid
+    evaluation under-reads the exact D by at most the probability mass of
+    one bin — at 1000 bins that is noise against the 0.05-0.1 alerting
+    thresholds monitoring uses, and it is what makes the statistic
+    computable in ONE bounded aggregation instead of a global sort.
+
+    Scale shape: identical to distribution_drift — one 1-row edges
+    broadcast, one binned count per side, then the cumulative ECDF runs
+    over the (n_columns × n_bins)-row bucket relation (driver-scale by
+    construction; the unpartitioned-window warning this emits is the same
+    benign one seeded_shuffle documents). Snapshots are never joined
+    row-to-row. Bucket arithmetic is the same IEEE double expression on
+    both engines."""
+    from pyspark.sql import Window
+
+    counts = _bucket_counts_grid(ref, cur, columns, n_bins)
+    w = (
+        Window.partitionBy("column")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = counts.select(
+        "column",
+        "bucket",
+        (F.sum("n_ref").over(w) / F.sum("n_ref").over(Window.partitionBy("column"))).alias("__fr"),
+        (F.sum("n_cur").over(w) / F.sum("n_cur").over(Window.partitionBy("column"))).alias("__fc"),
+    )
+    return ecdf.groupBy("column").agg(
+        F.round(F.max(F.abs(F.col("__fr") - F.col("__fc"))), 6).alias("ks")
+    )
+
+
+def _bucket_counts_grid(
+    ref: DataFrame, cur: DataFrame, columns: list[str], n_bins: int
+) -> DataFrame:
+    """Shared grid-binned (column, bucket, n_ref, n_cur) relation over the
+    reference's min/max edges — distribution_drift's binning, kept as one
+    helper so KS and PSI variants bin identically."""
+    edges = ref.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(columns)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(columns)],
+    )
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.when(F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0))
+                    .otherwise(
+                        F.least(
+                            F.greatest(
+                                F.floor(
+                                    (F.col(c).cast("double") - F.col(f"__mn_{i}"))
+                                    * n_bins
+                                    / (F.col(f"__mx_{i}") - F.col(f"__mn_{i}"))
+                                ),
+                                F.lit(0),
+                            ),
+                            F.lit(n_bins - 1),
+                        )
+                    )
+                    .cast("long")
+                    .alias("bucket"),
+                )
+                for i, c in enumerate(columns)
+            ]
+        )
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(F.explode(cells).alias("__cell"))
+            .select("__cell.column", "__cell.bucket")
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias(f"n_{name}"))
+        )
+
+    return side(ref, "ref").join(side(cur, "cur"), ["column", "bucket"], "full_outer").select(
+        "column",
+        "bucket",
+        F.coalesce("n_ref", F.lit(0.0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0.0)).alias("n_cur"),
+    )
+
+
 def snapshot_diff(
     left: DataFrame,
     right: DataFrame,

@@ -4483,7 +4483,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_png",
-    """
+    headline=True,
+    oracle="""
     WITH b AS (
       SELECT doc_id, CAST(t.i AS INT) AS i,
              CASE WHEN t.i <= length(text)
@@ -6315,6 +6316,101 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_mad_outliers",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med
+      FROM orders GROUP BY o_orderpriority
+    ), a AS (
+      SELECT o.o_orderpriority, any_value(m.med) AS med,
+             median(abs(o.o_totalprice - m.med)) AS mad
+      FROM orders o JOIN m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(o.o_totalprice) AS BIGINT) AS n,
+           round(any_value(a.med), 6) AS med,
+           round(any_value(a.mad), 6) AS mad,
+           CAST(count(*) FILTER (
+             abs(o.o_totalprice - a.med) > 3.0 * 1.4826 * a.mad
+           ) AS BIGINT) AS n_outliers
+    FROM orders o JOIN a USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling (Hampel k=3 on scaled MAD) of order
+    totals per priority class: median/MAD per group and the count beyond
+    3 scaled MADs — the breakdown-resistant alternative to mean/stddev
+    z-scores for curation and monitoring. Two exact-percentile aggs with
+    broadcast scalar joins between; oracle recomputes median/mad/flags
+    natively in DuckDB."""
+    from datalake_brief_spark.operators import relational
+
+    return relational.mad_outliers(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority", k=3.0
+    )
+
+
+@_register(
+    "dq_ks_drift",
+    """
+    WITH e AS (
+      SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+             max(CAST(o_totalprice AS DOUBLE)) AS mx
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    rb AS (
+      SELECT CAST(least(greatest(floor(
+               (CAST(o_totalprice AS DOUBLE) - e.mn) * 1000 / (e.mx - e.mn)
+             ), 0), 999) AS BIGINT) AS bucket,
+             CAST(count(*) AS DOUBLE) AS n_ref
+      FROM orders, e WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    cb AS (
+      SELECT CAST(least(greatest(floor(
+               (CAST(o_totalprice AS DOUBLE) - e.mn) * 1000 / (e.mx - e.mn)
+             ), 0), 999) AS BIGINT) AS bucket,
+             CAST(count(*) AS DOUBLE) AS n_cur
+      FROM orders, e WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    g AS (
+      SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket
+    ),
+    c AS (
+      SELECT bucket,
+             sum(n_ref) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(n_ref) OVER () AS fr,
+             sum(n_cur) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(n_cur) OVER () AS fc
+      FROM g
+    )
+    SELECT 'o_totalprice' AS column, round(max(abs(fr - fc)), 6) AS ks
+    FROM c
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift between finished and open orders' totals on a
+    1000-edge grid anchored to the reference side — the worst-single-
+    point divergence companion to profile_drift's PSI aggregate. The
+    oracle rebuilds the identical grid, ECDFs, and max-gap in SQL, so
+    any binning/clamping/cumsum defect hash-mismatches."""
+    from datalake_brief_spark.operators import relational
+
+    o = _t(spark, sf_dir, "orders")
+    return relational.ks_drift(
+        o.filter(F.col("o_orderstatus") == "F").select("o_totalprice"),
+        o.filter(F.col("o_orderstatus") == "O").select("o_totalprice"),
+        ["o_totalprice"],
+        n_bins=1000,
+    )
+
+
+@_register(
     "temperature_mix",
     """
     WITH n AS (
@@ -6882,6 +6978,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dsir_weights_hashed",
     oracle=_DSIR_ORACLE,
+    headline=True,
 )
 def dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature DSIR — the SCALE path (Xie et al. 2023 proper):
@@ -7002,6 +7099,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "csv_malformed_quarantine",
     "temperature_mix",
     "jsonl_malformed_quarantine",
+    "dq_mad_outliers",
+    "dq_ks_drift",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

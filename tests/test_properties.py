@@ -748,6 +748,45 @@ class TestEwmaNullOracleContract:
         assert gotf == got
 
 
+class TestMadAndKs:
+    """mad_outliers / ks_drift (relational.py): robust monitoring stats."""
+
+    def test_mad_hand_computed_and_breakdown_resistance(self, spark):
+        """Hand-computed median/MAD; ONE extreme value flags as the only
+        outlier and cannot drag the threshold (the property that breaks
+        mean/stddev z-scores)."""
+        from datalake_brief_spark.operators.relational import mad_outliers
+
+        vals = [10.0, 12.0, 11.0, 13.0, 12.0, 11.0, 1000.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        r = mad_outliers(df, "v", "g", k=3.0).collect()[0]
+        # sorted: 10 11 11 12 12 13 1000 -> med 12; |x-12|: 2 1 1 0 0 1 988 -> mad 1
+        assert (r.n, r.med, r.mad) == (7, 12.0, 1.0)
+        assert r.n_outliers == 1  # only the 1000; threshold 3*1.4826*1 ≈ 4.45
+
+    def test_ks_endpoints(self, spark):
+        """Identical samples -> D=0; disjoint ranges -> D=1; a shifted
+        distribution lands strictly between."""
+        from datalake_brief_spark.operators.relational import ks_drift
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        same = {r.column: r.ks for r in ks_drift(a, a, ["x"]).collect()}
+        assert same["x"] == 0.0
+        lo = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+        hi = spark.createDataFrame([(float(i),) for i in range(200, 250)], "x double")
+        # disjoint ranges: out-of-range cur values clamp into the top bin,
+        # where ref's own max also lives, so grid-D reads 1 - 1/n_ref
+        # (=0.98 here) instead of the exact 1.0 — the documented one-bin
+        # under-read, negligible at monitoring thresholds
+        disj = {r.column: r.ks for r in ks_drift(lo, hi, ["x"]).collect()}
+        assert disj["x"] == 0.98
+        shifted = spark.createDataFrame(
+            [(float(i) + 25,) for i in range(100)], "x double"
+        )
+        mid = {r.column: r.ks for r in ks_drift(a, shifted, ["x"]).collect()}
+        assert 0.2 < mid["x"] < 0.3  # exact D for a 25/100 shift is 0.25
+
+
 class TestSnapshotDiff:
     """snapshot_diff (relational.py): the keyed symmetric-diff audit op."""
 
