@@ -3179,6 +3179,90 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_minhash_recall",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM tok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH quality bound as a DRIVER gate (the raw pair list
+    stays rows-only in `dedup_minhash` because the hash family is
+    engine-local): count the exact global trigram-Jaccard≥0.8 relation,
+    run the LSH pipeline, and pin recall ≥ 0.95 as a boolean (measured
+    1.000 at sf0.01 and sf0.1 — b=16×r=8 has ~1-(1-0.8^8)^16 ≈ 0.94
+    worst-case candidate recall AT the threshold and ≈1 at the planted
+    J≥0.89 pairs). The oracle recomputes n_exact quadratically in SQL and
+    pins TRUE; degraded banding flips the boolean."""
+    d = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        d, block_col=None, k=3, threshold=0.8, candidates="all"
+    ).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(
+        d, k=3, num_hashes=128, num_bands=16, threshold=0.8
+    ).select("id_a", "id_b")
+    hits = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return n.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        (F.col("__hits") >= F.lit(0.95) * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@_register(
+    "semantic_dedup_recall",
+    """
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup quality bound as a DRIVER gate (the raw pair list
+    stays rows-only in `semantic_dedup` because k-means cells are
+    engine-local): soft-assign each vector to its 4 nearest of 16 cells
+    (overlapping clustering recovers boundary pairs — single-assignment
+    measured 0.26-0.57 recall on the near-uniform testdata, n_assign=4
+    measures 0.965-1.000), compare within shared cells, pin recall vs the
+    exact cosine≥0.45 relation at ≥ 0.85. Oracle recomputes n_exact
+    quadratically in SQL and pins TRUE."""
+    e = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_pairs_exact(e, threshold=0.45).select("id_a", "id_b")
+    sem = similarity.semantic_pairs(
+        e, threshold=0.45, n_clusters=16, n_assign=4
+    ).select("id_a", "id_b")
+    hits = sem.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return n.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        (F.col("__hits") >= F.lit(0.85) * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
 @_register("dedup_minhash", None, headline=True)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (no oracle: xxhash64 family is
@@ -7101,6 +7185,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "jsonl_malformed_quarantine",
     "dq_mad_outliers",
     "dq_ks_drift",
+    "dedup_minhash_recall",
+    "semantic_dedup_recall",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);
