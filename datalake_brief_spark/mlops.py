@@ -33,6 +33,68 @@ def impute(
     return model.transform(df)
 
 
+def normalize_features(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "zscore",
+    group_col: str | None = None,
+    suffix: str = "_norm",
+) -> DataFrame:
+    """Feature normalization as pure plan expressions — the data-prep step
+    before assemble_features: ``zscore`` ((x − mean)/stddev_samp, what
+    ml.feature.StandardScaler(withMean=True) computes per column) or
+    ``minmax`` ((x − min)/(max − min), MinMaxScaler's [0,1] default).
+    ``group_col`` normalizes WITHIN groups (per-language token stats,
+    per-source lengths) — something the ml scalers can't express.
+
+    Plan shape: one (optionally keyed) aggregate for the statistics, the
+    scalar row(s) broadcast back, the transform inline in the scan stage —
+    two jobs, no pyspark.ml fit, no Python. Degenerate spreads (constant
+    column: stddev 0 / max==min) yield NULL rather than ±inf, matching
+    SQL division semantics on both engines. Equals StandardScaler /
+    MinMaxScaler outputs exactly (pinned in pytest) while staying
+    oracle-replayable."""
+    from pyspark.sql import functions as F
+
+    keys = [group_col] if group_col else []
+    if method == "zscore":
+        stats = [
+            f
+            for c in cols
+            for f in (
+                F.avg(c).alias(f"__m_{c}"),
+                F.stddev_samp(c).alias(f"__s_{c}"),
+            )
+        ]
+        exprs = {
+            c: (F.col(c) - F.col(f"__m_{c}"))
+            / F.when(F.col(f"__s_{c}") != 0, F.col(f"__s_{c}"))
+            for c in cols
+        }
+    elif method == "minmax":
+        stats = [
+            f
+            for c in cols
+            for f in (F.min(c).alias(f"__m_{c}"), F.max(c).alias(f"__x_{c}"))
+        ]
+        exprs = {
+            c: (F.col(c) - F.col(f"__m_{c}"))
+            / F.when(
+                F.col(f"__x_{c}") != F.col(f"__m_{c}"),
+                F.col(f"__x_{c}") - F.col(f"__m_{c}"),
+            )
+            for c in cols
+        }
+    else:
+        raise ValueError(f"unknown method {method!r} (zscore|minmax)")
+    agg = df.groupBy(*keys).agg(*stats) if keys else df.agg(*stats)
+    j = df.join(F.broadcast(agg), keys) if keys else df.crossJoin(F.broadcast(agg))
+    out = j.select(
+        *df.columns, *[exprs[c].alias(c + suffix) for c in cols]
+    )
+    return out
+
+
 def assemble_features(
     df: DataFrame, input_cols: list[str], output_col: str = "features"
 ) -> DataFrame:

@@ -6400,6 +6400,51 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ml_normalize_minmax",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round((l_extendedprice
+                  - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
+                 / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+                    - min(l_extendedprice) OVER (PARTITION BY l_returnflag)),
+                 6) AS l_extendedprice_norm,
+           round((l_quantity
+                  - min(l_quantity) OVER (PARTITION BY l_returnflag))
+                 / (max(l_quantity) OVER (PARTITION BY l_returnflag)
+                    - min(l_quantity) OVER (PARTITION BY l_returnflag)),
+                 6) AS l_quantity_norm
+    FROM lineitem
+    """,
+)
+def ml_normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature normalization (MinMaxScaler semantics,
+    but grouped — per return-flag [0,1] scaling) as pure plan
+    expressions: one keyed aggregate broadcast back, transform in the
+    scan stage. Min-max is the hash-gateable normalizer: min/max involve
+    no accumulation, so the statistic is bit-identical across engines
+    (z-score's mean/stddev sums are order-sensitive at the last ulp —
+    that variant is pinned against ml.feature.StandardScaler in pytest
+    instead). The oracle replays the same arithmetic with window
+    functions."""
+    from datalake_brief_spark import mlops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mlops.normalize_features(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice", "l_quantity"),
+        ["l_extendedprice", "l_quantity"],
+        method="minmax",
+        group_col="l_returnflag",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice_norm", 6).alias("l_extendedprice_norm"),
+        F.round("l_quantity_norm", 6).alias("l_quantity_norm"),
+    )
+
+
+@_register(
     "dq_mad_outliers",
     """
     WITH m AS (
@@ -7187,6 +7232,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dq_ks_drift",
     "dedup_minhash_recall",
     "semantic_dedup_recall",
+    "ml_normalize_minmax",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -435,6 +435,45 @@ class TestMLPipeline:
         assert res.mae == pytest.approx(0.0, abs=1e-5)
 
 
+class TestNormalizeFeatures:
+    def test_zscore_equals_standard_scaler(self, spark):
+        """normalize_features('zscore') must equal
+        ml.feature.StandardScaler(withMean=True, withStd=True) on the
+        same column — the plan-expression form is a drop-in for the ml
+        fit/transform pair."""
+        from pyspark.ml.feature import StandardScaler
+
+        from datalake_brief_spark.mlops import assemble_features, normalize_features
+
+        rows = [(i, float(v)) for i, v in enumerate([3, 9, 1, 7, 5, 11, 2, 8])]
+        df = spark.createDataFrame(rows, "id long, x double")
+        ours = {
+            r.id: r.x_norm
+            for r in normalize_features(df, ["x"], method="zscore").collect()
+        }
+        feats = assemble_features(df, ["x"], "fv")
+        model = StandardScaler(
+            inputCol="fv", outputCol="sv", withMean=True, withStd=True
+        ).fit(feats)
+        theirs = {r.id: float(r.sv[0]) for r in model.transform(feats).collect()}
+        for k in ours:
+            assert ours[k] == pytest.approx(theirs[k], abs=1e-12)
+
+    def test_grouped_minmax_and_degenerate_spread(self, spark):
+        """Per-group [0,1] scaling; a constant group yields NULL (not
+        ±inf), matching SQL division semantics."""
+        from datalake_brief_spark.mlops import normalize_features
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("a", 15.0), ("b", 7.0), ("b", 7.0)],
+            "g string, x double",
+        )
+        out = normalize_features(df, ["x"], method="minmax", group_col="g").collect()
+        a = sorted(r.x_norm for r in out if r.g == "a")
+        assert a == [0.0, 0.5, 1.0]
+        assert all(r.x_norm is None for r in out if r.g == "b")
+
+
 class TestStreamingNearDup:
     def test_stream_equals_one_shot_increment(self, spark, tmp_path):
         """Documents streamed through neardup_stream_to_index in two
