@@ -59,23 +59,37 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     right_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: "float | None" = None,
 ) -> DataFrame:
-    """As-of (backward) join: for each ``left`` row, attach the values of the
-    most recent ``right`` row with ``right_ts <= left_ts`` for the same key.
+    """As-of join: for each ``left`` row, attach the values of the nearest
+    ``right`` row for the same key — ``direction="backward"`` (default)
+    takes the most recent right row with ``right_ts <= left_ts``,
+    ``"forward"`` the earliest with ``right_ts >= left_ts`` (the pandas
+    merge_asof surface). ``tolerance`` (same units as the timestamp
+    columns' seconds — e.g. 3600 for one hour) nulls the attached values
+    when the matched right row is farther than that from ``left_ts``.
 
     Spark has no native as-of join; this is the scalable union-stream
     formulation: tag both sides, union, and carry the right side's values
-    forward with last(ignorenulls) over one (key, time)-ordered window —
-    a SINGLE shuffle on the key, no per-group Python (contrast
-    pd.merge_asof-in-applyInPandas, which pays Arrow transfer for all rows).
+    across with last/first(ignorenulls) over one (key, time)-ordered
+    window — a SINGLE shuffle on the key, no per-group Python (contrast
+    pd.merge_asof-in-applyInPandas, which pays Arrow transfer for all
+    rows). Tolerance rides the same window: the matched right timestamp
+    is carried as one more value column and compared after the carry —
+    no second pass.
 
-    Ties: a right row at exactly left_ts matches (<=); among right rows with
-    equal timestamps the one with the greatest ``right_tiebreak`` wins
-    (required for deterministic output).
+    Ties: a right row at exactly left_ts matches in both directions;
+    among right rows with equal timestamps the one with the greatest
+    ``right_tiebreak`` wins (required for deterministic output).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     lcols = [c for c in left.columns]
+    carry = list(value_cols) + ["__mt"]
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
@@ -83,6 +97,7 @@ def asof_join(
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast("double").alias("__v___mt"),
     )
     r = right.select(
         F.col(key).alias("__k"),
@@ -91,19 +106,44 @@ def asof_join(
         (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_ts).cast("double").alias("__v___mt"),
     )
-    # right rows sort before left rows at equal timestamps (__side 0 < 1) so
-    # same-instant right rows are visible to the left row; __tb orders equal-
-    # timestamp right rows so "last" is deterministic.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Backward: right rows sort before left rows at equal timestamps
+    # (__side 0 < 1) so same-instant right rows are visible to the left
+    # row looking back; "last" + greatest-__tb picks deterministically.
+    # Forward mirrors it: descending side puts right rows AFTER the left
+    # row at equal timestamps, the frame flips to currentRow..following,
+    # and "first" picks the earliest qualifying right row (descending
+    # __tb keeps the greatest-tiebreak convention for equal timestamps).
+    if back:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__side", "__tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t"), F.col("__side").desc(), F.col("__tb").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    pick = (lambda c: F.last(c, ignorenulls=True).over(w)) if back else (
+        lambda c: F.first(c, ignorenulls=True).over(w)
     )
     unioned = l.unionByName(r)
-    for c in value_cols:
-        unioned = unioned.withColumn(f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
-    return unioned.filter(F.col("__side") == 1).select(
+    for c in carry:
+        unioned = unioned.withColumn(f"__v_{c}", pick(f"__v_{c}"))
+    out = unioned.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = (
+            F.abs(F.col("__t").cast("double") - F.col("__v___mt"))
+            <= F.lit(float(tolerance))
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                f"__v_{c}", F.when(within, F.col(f"__v_{c}"))
+            )
+    return out.select(
         *lcols, *[F.col(f"__v_{c}").alias(c) for c in value_cols]
     )
 

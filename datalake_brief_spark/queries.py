@@ -5195,6 +5195,72 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_join_forward",
+    """
+    WITH unioned AS (
+      SELECT user_id AS k, ts AS t, 0 AS side, event_id AS tb,
+             NULL::BIGINT AS event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    carried AS (
+      SELECT *,
+             first_value(CASE WHEN side = 0 THEN tb END IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side DESC, tb DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_pid,
+             first_value(CASE WHEN side = 0 THEN epoch(t) END IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side DESC, tb DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_t
+      FROM unioned
+    )
+    SELECT event_id, k AS user_id,
+           CASE WHEN abs(epoch(t) - next_t) <= 86400.0
+                THEN next_pid END AS purchase_id
+    FROM carried WHERE side = 1
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (the full pandas merge_asof surface):
+    each click picks up the SAME user's next purchase event at or after
+    the click, nulled when it is more than 24 h out — the attribution-
+    window shape ("which purchase did this click lead to, within the
+    window"). Both the match and the null branch fire at the driver's
+    sf0.01 (events span 30 days, so day-scale gaps exist on both sides
+    of the 24 h cutoff — a boundary that never triggers would be vacuous
+    evidence). Same single-shuffle union-stream plan as the backward
+    entry, with first(ignorenulls) over the mirrored frame; tolerance
+    rides the same window by carrying the matched timestamp as one more
+    value column."""
+    from datalake_brief_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        value_cols=["purchase_id"],
+        right_tiebreak="purchase_id",
+        direction="forward",
+        tolerance=86400.0,
+    )
+    return out.select("event_id", "user_id", "purchase_id")
+
+
+@_register(
     "range_join_bands",
     """
     WITH bands(band, lo, hi) AS (
@@ -7233,6 +7299,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_minhash_recall",
     "semantic_dedup_recall",
     "ml_normalize_minmax",
+    "asof_join_forward",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -748,6 +748,79 @@ class TestEwmaNullOracleContract:
         assert gotf == got
 
 
+class TestAsofJoinDirections:
+    """asof_join (joins.py): the merge_asof surface — backward/forward,
+    ties, tolerance — on a hand-built fixture."""
+
+    def _fixture(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        left = spark.createDataFrame(
+            [(1, "u", t(10)), (2, "u", t(20)), (3, "v", t(5))],
+            "id long, k string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u", t(8), 100),
+                ("u", t(10), 101),  # same-instant: matches both directions
+                ("u", t(10), 102),  # equal-ts tie -> greatest tiebreak wins
+                ("u", t(25), 103),
+                ("v", t(50), 104),
+            ],
+            "k string, rts timestamp, val int",
+        )
+        return left, right
+
+    def test_backward_forward_and_ties(self, spark):
+        from datalake_brief_spark.operators.joins import asof_join
+
+        left, right = self._fixture(spark)
+        back = {
+            r.id: r.val
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["val"], right_tiebreak="val"
+            ).collect()
+        }
+        # id1@10: right rows at 8,10,10 qualify -> tie at 10 -> 102
+        # id2@20: most recent <=20 is 102; id3@5 (v): nothing before -> null
+        assert back == {1: 102, 2: 102, 3: None}
+        fwd = {
+            r.id: r.val
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["val"],
+                right_tiebreak="val", direction="forward",
+            ).collect()
+        }
+        # id1@10: earliest >=10 is the t=10 pair -> greatest tiebreak 102
+        # id2@20 -> 103 at t=25; id3@5 (v) -> 104 at t=50
+        assert fwd == {1: 102, 2: 103, 3: 104}
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        from datalake_brief_spark.operators.joins import asof_join
+
+        left, right = self._fixture(spark)
+        fwd = {
+            r.id: r.val
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["val"],
+                right_tiebreak="val", direction="forward", tolerance=10.0,
+            ).collect()
+        }
+        # id3's nearest forward match (t=50 vs 5) is 45 s out -> nulled;
+        # id1 (0 s) and id2 (5 s) stay matched
+        assert fwd == {1: 102, 2: 103, 3: None}
+        back = {
+            r.id: r.val
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["val"],
+                right_tiebreak="val", tolerance=1.0,
+            ).collect()
+        }
+        # backward with 1 s window: only the same-instant match survives
+        assert back == {1: 102, 2: None, 3: None}
+
+
 class TestMadAndKs:
     """mad_outliers / ks_drift (relational.py): robust monitoring stats."""
 
