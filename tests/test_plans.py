@@ -315,6 +315,31 @@ def test_lsh_band_exchange_is_reused_at_runtime(spark):
         assert "ReusedExchange" in plan, (name, plan)
 
 
+def test_r6_entries_keep_scale_shapes(spark):
+    """Plan pins for the round-6 additions: temperature_mix's budget table
+    joins back as a broadcast (never a shuffle on the stratum count);
+    ks_drift aggregates to the bucket grid BEFORE any window (the ECDF
+    cumsum runs over the n_bins-row relation, not raw rows); the asof
+    forward direction stays a single-exchange union-window plan like its
+    backward twin; mad_outliers' percentile scalars broadcast back."""
+    tm = QUERIES["temperature_mix"].fn(spark, SF_SMOKE)
+    p = formatted_plan(tm)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    ks = QUERIES["dq_ks_drift"].fn(spark, SF_SMOKE)
+    pk = formatted_plan(ks)
+    # window must consume the aggregated grid: a HashAggregate appears
+    # below the Window in the tree (formatted output lists children after)
+    assert "Window" in pk and "HashAggregate" in pk, pk
+    assert pk.index("HashAggregate") < pk.index("Window") or "Sort" in pk
+    fwd = QUERIES["asof_join_forward"].fn(spark, SF_SMOKE)
+    pf = formatted_plan(fwd)
+    assert pf.count("Exchange") <= 3, pf  # union + one window shuffle (+AQE reads)
+    assert "CartesianProduct" not in pf
+    mad = QUERIES["dq_mad_outliers"].fn(spark, SF_SMOKE)
+    pm = formatted_plan(mad)
+    assert "BroadcastExchange" in pm, pm
+
+
 def test_events_partition_pruned_scans_one_day_directory(spark):
     """The date-partitioned events layout must prune physically: the scan
     carries a PartitionFilters entry on event_date, and the files entering
