@@ -95,6 +95,81 @@ def normalize_features(
     return out
 
 
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    seed: int = 0,
+    smoothing: float = 0.0,
+    precision: int = 4,
+) -> DataFrame:
+    """Out-of-fold target encoding — replace a categorical feature with the
+    mean of the target computed on the OTHER folds, the leakage-safe form
+    (a row never sees its own label through its encoding; in-fold means are
+    the classic target-leak that inflates validation scores).
+
+    Folds are deterministic content-addressed buckets, ``md5(seed|id) mod
+    n_folds`` — the split_by_hash contract, so fold membership is stable
+    across runs/engines and the DuckDB oracle replays it. The encoding for
+    (category c, fold f) is ``(sum_c − sum_{c,f}) / (cnt_c − cnt_{c,f})``,
+    optionally smoothed toward the out-of-fold GLOBAL mean with weight
+    ``smoothing`` (Micci-Barreca 2001's m-estimate). Categories whose rows
+    all sit in one fold get the out-of-fold global mean (the unsmoothed
+    ratio is 0/0 there).
+
+    Scale shape: one partial+final aggregate keyed on (category, fold) —
+    map-side combine collapses each partition to |C|·n_folds rows — then
+    driver-scale arithmetic over that tiny frame; the result is the
+    ENCODING TABLE (category × fold), meant to broadcast-join back onto
+    the fact. No window, no per-row Python, no second scan of the data."""
+    from pyspark.sql import functions as F
+
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_folds),
+    )
+    t = F.col(target_col).cast("double")
+    per = (
+        df.withColumn("fold", fold)
+        .groupBy(cat_col, "fold")
+        .agg(F.sum(t).alias("__fs"), F.count(t).alias("__fc"))
+    )
+    tot = per.groupBy(cat_col).agg(
+        F.sum("__fs").alias("__ts"), F.sum("__fc").alias("__tc")
+    )
+    g = per.agg(F.sum("__fs").alias("__gs"), F.sum("__fc").alias("__gc"))
+    oof_cnt = F.col("__tc") - F.col("__fc")
+    oof_sum = F.col("__ts") - F.col("__fs")
+    oof_global = (F.col("__gs") - F.col("__fs")) / (F.col("__gc") - F.col("__fc"))
+    enc_raw = F.when(oof_cnt > 0, oof_sum / oof_cnt).otherwise(oof_global)
+    enc = (
+        (oof_sum + F.lit(smoothing) * oof_global)
+        / (oof_cnt + F.lit(smoothing))
+        if smoothing > 0
+        else enc_raw
+    )
+    return (
+        per.join(F.broadcast(tot), cat_col)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col(cat_col),
+            F.col("fold").cast("long").alias("fold"),
+            F.round(enc, precision).alias("encoding"),
+            F.col("__fc").cast("long").alias("n_in_fold"),
+        )
+    )
+
+
 def assemble_features(
     df: DataFrame, input_cols: list[str], output_col: str = "features"
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 ColumnOrName = "Column | str"
 
@@ -217,6 +218,94 @@ def split_by_hash(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(out, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group — Efraimidis &
+    Spirakis A-ES (Inf. Process. Lett. 97(5), 2006): each row draws
+    ``key = u^(1/w)`` with u ~ U(0,1] and keeps the k largest keys, which
+    is exactly weighted sampling without replacement. The curation use:
+    "pick 100k documents per source, longer/higher-scoring ones
+    proportionally more often, reproducibly."
+
+    u is NOT engine randomness: it derives from ``md5(seed|id)`` (same
+    contract as seeded_shuffle/split_by_hash), so the sample is stable
+    across runs AND engines — the DuckDB oracle replays the identical
+    draw — and adding new rows never resamples existing survivors beyond
+    the boundary (reservoir stability under inserts). Weights must be
+    strictly positive.
+
+    Scale shape: scan-stage key computation, then ONE hash shuffle on the
+    group key for the per-group top-k window — the same shape as
+    top_k_per_group; global top-k (group_col=None) partitions on a
+    constant and is only for driver-scale k."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    # map the 32-bit prefix into (0, 1] — never 0, so ln/pow stay finite
+    u = (F.pmod(h, F.lit(1000000.0)) + 1.0) / 1000001.0
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    part = [group_col] if group_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.desc("__aes_key"), F.col(id_col))
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn(out, F.row_number().over(w).cast("long"))
+        .filter(F.col(out) <= k)
+        .drop("__aes_key")
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    column: str,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+    precision: int = 4,
+) -> DataFrame:
+    """Winsorized summary of a numeric column: exact percentile bounds at
+    ``p_low``/``p_high``, how many rows clip at each tail, and the mean
+    before vs after clipping — the robust-statistics companion to
+    mad_outliers for feature pipelines where a handful of extreme values
+    (sensor glitches, price errors) should saturate, not dominate.
+
+    Two aggregates, no collect: pass 1 computes the exact interpolated
+    percentiles (rank position p·(n−1), the quantile_cont definition Spark
+    ``percentile`` and DuckDB share); the 1-row bound frame broadcast-joins
+    onto the scan for pass 2's clipped re-aggregate. Exact percentile
+    aggregates per-distinct-value counts — scale-safe for bounded-
+    cardinality columns (quantities, ratings, ages); for unbounded doubles
+    at 100 TB swap in approx_percentile and accept the documented error
+    bound (the oracle then pins bounds, not equality)."""
+    c = F.col(column).cast("double")
+    bounds = df.agg(
+        F.expr(f"percentile({column}, {p_low})").alias("__lo"),
+        F.expr(f"percentile({column}, {p_high})").alias("__hi"),
+    )
+    clipped = df.crossJoin(F.broadcast(bounds))
+    return clipped.agg(
+        F.round(F.first("__lo"), precision).alias("p_low_value"),
+        F.round(F.first("__hi"), precision).alias("p_high_value"),
+        F.sum((c < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((c > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+        F.round(F.avg(c), precision).alias("mean_raw"),
+        F.round(
+            F.avg(F.greatest(F.least(c, F.col("__hi")), F.col("__lo"))), precision
+        ).alias("mean_winsorized"),
+    )
 
 
 def mixture_sample(

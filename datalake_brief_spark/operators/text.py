@@ -542,6 +542,37 @@ def shard_assignment(
     return df.withColumn(out, shard)
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    out: str = "domain_rank",
+) -> DataFrame:
+    """Per-domain document cap — the standard crawl-curation guard against
+    a single domain dominating the training mix (RefinedWeb / FineWeb keep
+    at most N pages per registered domain): keep the top ``cap`` documents
+    of each ``domain_col`` group ranked by ``order_col`` descending (a
+    quality proxy — length, model score, ...), deterministic ``id_col``
+    ascending tiebreak.
+
+    Scale shape: ONE hash shuffle on the domain key; each domain ranks
+    inside its window partition (sort spills to disk for pathological
+    mega-domains, and AQE skew-split does not apply to windows — for a
+    known-degenerate domain, pre-filter with an approximate per-domain
+    quality threshold first, then rank the survivors). No driver state,
+    no collect; the rank column is retained so downstream audits can see
+    how close each kept document sat to the cut."""
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn(out, F.row_number().over(w).cast("long"))
+        .filter(F.col(out) <= cap)
+    )
+
+
 def budget_sample(
     df: DataFrame,
     budget: int,

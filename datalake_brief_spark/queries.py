@@ -7255,6 +7255,143 @@ def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_domain_cap",
+    """
+    SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS domain_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 15
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (text.domain_cap) — the RefinedWeb/FineWeb
+    "at most N pages per domain" curation guard: keep each source's top 15
+    documents by length (quality proxy), deterministic doc_id tiebreak.
+    ONE hash shuffle on the domain key; per-domain ranking inside the
+    window partition, rank retained for cut-line audits."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return text.domain_cap(d, cap=15)
+
+
+@_register(
+    "sample_weighted_aes",
+    """
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (
+             PARTITION BY source ORDER BY aes_key DESC, doc_id
+           ) AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             pow(
+               ((CAST(concat('0x', substring(
+                   md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000) + 1) / 1000001.0,
+               1.0 / n_chars
+             ) AS aes_key
+      FROM documents
+    )
+    QUALIFY sample_rank <= 10
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, k=10 per source
+    (relational.weighted_sample) — Efraimidis-Spirakis A-ES keys
+    u^(1/weight) with u derived from md5(seed|doc_id), weight = document
+    length: longer documents proportionally more likely, the draw
+    reproducible across runs AND engines (the oracle replays the identical
+    keys). Scan-stage key + one per-group top-k window shuffle."""
+    from datalake_brief_spark.operators import relational
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return relational.weighted_sample(
+        d, k=10, weight_col="n_chars", group_col="source", seed=11
+    )
+
+
+@_register(
+    "ml_target_encode",
+    """
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(CAST(concat('0x', substring(
+                 md5('3|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 5 AS BIGINT) AS fold,
+             sum(CAST(o_totalprice AS DOUBLE)) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT o_orderpriority, sum(s) AS ts, sum(c) AS tc FROM per GROUP BY 1
+    ), g AS (
+      SELECT sum(s) AS gs, sum(c) AS gc FROM per
+    )
+    SELECT per.o_orderpriority, fold,
+           round(CASE WHEN (tc - c) > 0 THEN (ts - s) / (tc - c)
+                      ELSE (gs - s) / (gc - c) END, 2) AS encoding,
+           c AS n_in_fold
+    FROM per JOIN tot USING (o_orderpriority) CROSS JOIN g
+    """,
+)
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (mlops.target_encode): encode
+    o_orderpriority with the mean o_totalprice of the OTHER md5-bucketed
+    folds — the leakage-safe form (a row never sees its own label through
+    its feature). One (category, fold)-keyed partial+final aggregate over
+    the fact scan, then driver-scale arithmetic on the |C|x5 frame; the
+    output IS the broadcast-joinable encoding table."""
+    from datalake_brief_spark import mlops
+
+    o = _t(spark, sf_dir, "orders")
+    return mlops.target_encode(
+        o,
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        id_col="o_orderkey",
+        n_folds=5,
+        seed=3,
+        precision=2,
+    )
+
+
+@_register(
+    "profile_winsorized",
+    """
+    WITH b AS (
+      SELECT quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS hi
+      FROM lineitem
+    )
+    SELECT round(min(lo), 4) AS p_low_value,
+           round(min(hi), 4) AS p_high_value,
+           CAST(sum(CASE WHEN CAST(l_quantity AS DOUBLE) < lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN CAST(l_quantity AS DOUBLE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean_raw,
+           round(avg(greatest(least(CAST(l_quantity AS DOUBLE), hi), lo)), 4)
+             AS mean_winsorized
+    FROM lineitem, b
+    """,
+)
+def profile_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized column profile (relational.winsorize_stats): exact
+    p05/p95 bounds (rank-interpolated — the quantile_cont definition both
+    engines share), per-tail clip counts, mean before/after saturation.
+    Two aggregates, 1-row bound frame broadcast back onto the scan; exact
+    percentile is scale-safe here because l_quantity has bounded
+    cardinality (per-distinct-value counts), the approx_percentile swap is
+    documented for unbounded doubles."""
+    from datalake_brief_spark.operators import relational
+
+    l = _t(spark, sf_dir, "lineitem")
+    return relational.winsorize_stats(l, "l_quantity", 0.05, 0.95)
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7300,6 +7437,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup_recall",
     "ml_normalize_minmax",
     "asof_join_forward",
+    "corpus_domain_cap",
+    "sample_weighted_aes",
+    "ml_target_encode",
+    "profile_winsorized",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -338,6 +338,22 @@ def test_r6_entries_keep_scale_shapes(spark):
     mad = QUERIES["dq_mad_outliers"].fn(spark, SF_SMOKE)
     pm = formatted_plan(mad)
     assert "BroadcastExchange" in pm, pm
+    # curation-sampling band: cap + A-ES are ONE keyed window exchange each,
+    # and the rank-limit pushes a map-side partial top-k below the shuffle
+    for nm in ("corpus_domain_cap", "sample_weighted_aes"):
+        q = QUERIES[nm].fn(spark, SF_SMOKE)
+        pw = formatted_plan(q)
+        assert "Window" in pw, (nm, pw)
+        assert count_nodes(q, "Exchange") == 1, (nm, pw)
+        assert "WindowGroupLimit" in pw, (nm, pw)
+    # winsorize: percentile bound frame broadcasts back, never a shuffle of
+    # the fact on a constant key
+    pz = formatted_plan(QUERIES["profile_winsorized"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in pz, pz
+    # target encoding: the |C|x5 frame joins back via broadcast only
+    pt = formatted_plan(QUERIES["ml_target_encode"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pt or "BroadcastExchange" in pt, pt
+    assert "SortMergeJoin" not in pt, pt
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

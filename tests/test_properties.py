@@ -1012,3 +1012,93 @@ class TestPageRank:
         df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
         got = {r.id: r.rank for r in pagerank(df, iterations=5).collect()}
         assert got == {1: 1.0, 2: 1.0}
+
+
+class TestCurationSampling:
+    """domain_cap / weighted_sample / target_encode / winsorize_stats —
+    the round-6 curation-sampling band."""
+
+    def test_domain_cap_hand_computed(self, spark):
+        """Cap 2 per domain by length desc, id-asc tiebreak; rank column
+        reflects the within-domain position."""
+        from datalake_brief_spark.operators.text import domain_cap
+
+        rows = [
+            (1, "a", 100), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+            (5, "b", 10),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        got = {
+            r.doc_id: r.domain_rank
+            for r in domain_cap(df, cap=2, domain_col="source").collect()
+        }
+        # domain a: 300(id2) rank1, 300(id3) rank2 beat 100/50; b keeps its one doc
+        assert got == {2: 1, 3: 2, 5: 1}
+
+    def test_weighted_sample_properties(self, spark):
+        """k >= group size keeps everything; the draw is deterministic
+        across invocations; a dominant weight is selected at k=1 for most
+        seeds (A-ES bias property, checked over 20 seeds)."""
+        from datalake_brief_spark.operators.relational import weighted_sample
+
+        rows = [(i, "g", 1 if i else 10_000) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+        all_kept = weighted_sample(df, k=100, weight_col="w", group_col="source")
+        assert all_kept.count() == 8
+        a = sorted(r.doc_id for r in weighted_sample(df, k=3, weight_col="w", group_col="source", seed=7).collect())
+        b = sorted(r.doc_id for r in weighted_sample(df, k=3, weight_col="w", group_col="source", seed=7).collect())
+        assert a == b
+        wins = 0
+        for seed in range(20):
+            top = weighted_sample(df, k=1, weight_col="w", group_col="source", seed=seed).collect()[0]
+            wins += top.doc_id == 0
+        # doc 0 carries 10000/10007 of the mass; P(win) per seed ≈ 0.9993
+        assert wins >= 18
+
+    def test_target_encode_excludes_own_fold(self, spark):
+        """2 categories x 2 folds, hand-computable: each (cat, fold)
+        encoding equals the mean of the OTHER fold's targets; a category
+        entirely inside one fold falls back to the out-of-fold global
+        mean."""
+        from datalake_brief_spark import mlops
+        from pyspark.sql import functions as F
+
+        # pick ids landing in known folds: fold = md5-prefix(seed=0) % 2
+        df = spark.createDataFrame(
+            [(i, "c", 0.0) for i in range(40)], "id long, cat string, y double"
+        )
+        fold_of = {
+            r.id: r.fold
+            for r in mlops.target_encode(
+                df.withColumn("cat", F.col("id").cast("string")),
+                "cat", "y", "id", n_folds=2, seed=0
+            ).select(F.col("cat").cast("long").alias("id"), "fold").collect()
+        }
+        f0 = [i for i in range(40) if fold_of[i] == 0][:2]
+        f1 = [i for i in range(40) if fold_of[i] == 1][:2]
+        rows = [(f0[0], "A", 10.0), (f0[1], "A", 20.0)]  # A fold0: mean 15
+        rows += [(f1[0], "A", 40.0)]                      # A fold1: 40
+        rows += [(f1[1], "B", 100.0)]                     # B only in fold1
+        d = spark.createDataFrame(rows, "id long, cat string, y double")
+        enc = {
+            (r.cat, r.fold): r.encoding
+            for r in mlops.target_encode(d, "cat", "y", "id", n_folds=2, seed=0).collect()
+        }
+        assert enc[("A", 0)] == 40.0            # other fold = {40}
+        assert enc[("A", 1)] == 15.0            # other fold = {10, 20}
+        # B has no other fold -> out-of-fold global mean = mean(10,20,40),
+        # reported at the default precision=4 rounding
+        assert enc[("B", 1)] == round((10 + 20 + 40) / 3, 4)
+
+    def test_winsorize_hand_computed(self, spark):
+        """1..10 at p05/p95: numpy-linear-interp bounds 1.45/9.55, one
+        clip each side, winsorized mean computed by hand."""
+        from datalake_brief_spark.operators.relational import winsorize_stats
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+        r = winsorize_stats(df, "v", 0.05, 0.95).collect()[0]
+        assert (r.p_low_value, r.p_high_value) == (1.45, 9.55)
+        assert (r.n_clipped_low, r.n_clipped_high) == (1, 1)
+        assert r.mean_raw == 5.5
+        # clipped: 1.45,2..9,9.55 -> (1.45 + 44 + 9.55)/10
+        assert r.mean_winsorized == 5.5
