@@ -308,6 +308,91 @@ def winsorize_stats(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    precision: int = 4,
+) -> DataFrame:
+    """Equal-frequency discretization (quantile binning) — the feature-prep
+    step that turns a skewed numeric column into n roughly equal-count
+    ordinal bins (decile features, monotone-binned inputs for linear
+    models): boundaries at the exact i/n percentiles, a row's bin = how
+    many boundaries its value exceeds (boundary values fall into the LOWER
+    bin — deterministic, engine-agnostic tie rule).
+
+    Output is the audit view: per-bin row count and value range. Heavy
+    ties collapse bins (a value spanning several percentile positions
+    yields empty bins — counts then deliberately show the imbalance
+    instead of lying about it).
+
+    Scale shape: one exact-percentile aggregate (per-distinct-value
+    counts — fine for bounded-cardinality columns; swap approx_percentile
+    at 100 TB for unbounded doubles and accept its documented error), the
+    (n−1)-element boundary array broadcast back onto the scan, then one
+    partial+final aggregate keyed on the ≤n bin ids."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(column).cast("double")
+    bounds = df.agg(
+        F.expr(
+            f"percentile({column}, array({', '.join(str(p) for p in ps)}))"
+        ).alias("__bs")
+    )
+    bin_id = F.aggregate(
+        F.col("__bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(x > b, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_id.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(x), precision).alias("lo"),
+            F.round(F.max(x), precision).alias("hi"),
+        )
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    column: str,
+    precision: int = 6,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-numbers screen for financial/measurement columns (naturally
+    occurring multi-magnitude data follows P(d) = log10(1 + 1/d); manual
+    entry and synthetic padding don't): per digit 1-9, observed count and
+    share, the Benford expectation, and the absolute deviation.
+
+    The digit comes from the value's decimal STRING (first nonzero
+    character) — not floor(x / 10^floor(log10 x)), whose float log at
+    power-of-ten inputs rounds to 2.9999… and misclassifies; the string
+    route is exact in any engine that prints doubles plainly. Non-positive
+    and null values are excluded. One scan-stage expression + one ≤9-row
+    partial+final aggregate."""
+    x = F.col(column).cast("double")
+    digit = F.regexp_extract(x.cast("string"), "[1-9]", 0)
+    counted = (
+        df.filter(x > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("__t"))
+    obs = F.col("n") / F.col("__t")
+    expect = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, precision).alias("obs_share"),
+            F.round(expect, precision).alias("benford_share"),
+            F.round(F.abs(obs - expect), precision).alias("abs_dev"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

@@ -542,6 +542,53 @@ def shard_assignment(
     return df.withColumn(out, shard)
 
 
+def token_kl_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    precision: int = 6,
+) -> DataFrame:
+    """Per-group unigram KL divergence vs the whole corpus — the
+    distribution-shift lens on a training mix: KL(source ‖ corpus) ≈ 0
+    means the source reads like the blend; a large value flags a source
+    whose vocabulary the mix under-represents (the quantity DSIR/DoReMi
+    importance weights are built from).
+
+    KL(p‖q) = Σ_t p(t)·ln(p(t)/q(t)) with p the group's unigram
+    distribution and q the corpus's. Every group token is in the corpus by
+    construction, so q(t) > 0 wherever p(t) > 0 and the sum is finite.
+
+    Scale shape: explode → ONE (group, token)-keyed partial+final
+    aggregate (map-side combine collapses each partition to its distinct
+    pairs); everything after runs on the VOCABULARY-sized count relation,
+    never the corpus — global token mass re-aggregates from the pair
+    counts (no second scan), joins back keyed on token, and the final
+    per-group sum is a |G|-row aggregate."""
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("token")
+    )
+    st = tok.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    s = st.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    g = st.groupBy("token").agg(F.sum("__c").alias("__gc"))
+    tot = g.agg(F.sum("__gc").alias("__gn"))
+    p = F.col("__c") / F.col("__n")
+    q = F.col("__gc") / F.col("__gn")
+    return (
+        st.join(F.broadcast(s), group_col)
+        .join(g, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(group_col, "__n")
+        .agg(F.round(F.sum(p * F.log(p / q)), precision).alias("kl_vs_corpus"))
+        .select(
+            F.col(group_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+    )
+
+
 def domain_cap(
     df: DataFrame,
     cap: int,

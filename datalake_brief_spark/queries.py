@@ -7392,6 +7392,88 @@ def profile_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.winsorize_stats(l, "l_quantity", 0.05, 0.95)
 
 
+@_register(
+    "source_token_kl",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS token FROM documents
+    ), st AS (
+      SELECT source, token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+    ), s AS (
+      SELECT source, sum(c) AS n FROM st GROUP BY 1
+    ), g AS (
+      SELECT token, sum(c) AS gc FROM st GROUP BY 1
+    ), tot AS (SELECT sum(gc) AS gn FROM g)
+    SELECT st.source, CAST(min(s.n) AS BIGINT) AS n_tokens,
+           round(sum((c/n) * ln((c/n) / (gc/gn))), 6) AS kl_vs_corpus
+    FROM st JOIN s USING (source) JOIN g USING (token) CROSS JOIN tot
+    GROUP BY st.source
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus blend
+    (text.token_kl_by_group) — the distribution-shift lens DSIR/DoReMi
+    weights build on: one (source, token)-keyed aggregate over the
+    exploded scan, then vocabulary-sized arithmetic only."""
+    return text.token_kl_by_group(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ml_quantile_bins",
+    """
+    WITH b AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(bs, x -> CAST(l_extendedprice AS DOUBLE) > x))
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(CAST(l_extendedprice AS DOUBLE)), 4) AS lo,
+           round(max(CAST(l_extendedprice AS DOUBLE)), 4) AS hi
+    FROM lineitem, b GROUP BY 1
+    """,
+)
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning audit (relational.quantile_bins): octile
+    boundaries at exact percentiles (rank-interpolated, the definition
+    both engines share), boundary array broadcast onto the scan, bin =
+    count of boundaries exceeded, per-bin count + range out."""
+    from datalake_brief_spark.operators import relational
+
+    l = _t(spark, sf_dir, "lineitem")
+    return relational.quantile_bins(l, "l_extendedprice", n_bins=8)
+
+
+@_register(
+    "dq_benford",
+    """
+    WITH c AS (
+      SELECT regexp_extract(CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR),
+                            '[1-9]', 0) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+      GROUP BY 1
+    ), t AS (SELECT sum(n) AS tt FROM c)
+    SELECT CAST(digit AS BIGINT) AS digit, n,
+           round(n / tt, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford_share,
+           round(abs(n / tt - log10(1.0 + 1.0 / CAST(digit AS BIGINT))), 6)
+             AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (relational.benford_profile) on order
+    totals: digit from the value's decimal string (exact — float log10
+    misclassifies powers of ten), one scan-stage expression + a ≤9-row
+    aggregate, observed share vs log10(1 + 1/d) with absolute deviation."""
+    from datalake_brief_spark.operators import relational
+
+    o = _t(spark, sf_dir, "orders")
+    return relational.benford_profile(o, "o_totalprice")
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7441,6 +7523,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_weighted_aes",
     "ml_target_encode",
     "profile_winsorized",
+    "source_token_kl",
+    "ml_quantile_bins",
+    "dq_benford",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

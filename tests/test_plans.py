@@ -354,6 +354,18 @@ def test_r6_entries_keep_scale_shapes(spark):
     pt = formatted_plan(QUERIES["ml_target_encode"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in pt or "BroadcastExchange" in pt, pt
     assert "SortMergeJoin" not in pt, pt
+    # distribution profilers: boundary/total scalar frames broadcast back;
+    # binning aggregates to <=n_bins keys, Benford to <=9
+    for nm in ("ml_quantile_bins", "dq_benford"):
+        pb = formatted_plan(QUERIES[nm].fn(spark, SF_SMOKE))
+        assert "BroadcastExchange" in pb, (nm, pb)
+        assert "CartesianProduct" not in pb, (nm, pb)
+    # token KL: everything after the (group, token) aggregate runs on the
+    # vocabulary-sized relation — the corpus-scale explode feeds exactly one
+    # partial+final HashAggregate pair before any join
+    pkl = formatted_plan(QUERIES["source_token_kl"].fn(spark, SF_SMOKE))
+    assert "Generate" in pkl and "HashAggregate" in pkl, pkl
+    assert "CartesianProduct" not in pkl, pkl
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

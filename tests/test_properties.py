@@ -1102,3 +1102,54 @@ class TestCurationSampling:
         assert r.mean_raw == 5.5
         # clipped: 1.45,2..9,9.55 -> (1.45 + 44 + 9.55)/10
         assert r.mean_winsorized == 5.5
+
+
+class TestDistributionProfilers:
+    """token_kl_by_group / quantile_bins / benford_profile — round-6
+    distribution-profiling band."""
+
+    def test_token_kl_zero_for_identical_mix(self, spark):
+        """Two groups with the SAME token distribution -> KL exactly 0 for
+        both; a group with private vocabulary diverges positively."""
+        from datalake_brief_spark.operators.text import token_kl_by_group
+
+        rows = [("a", "x y"), ("b", "x y")]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {r.source: r.kl_vs_corpus for r in token_kl_by_group(df).collect()}
+        assert got == {"a": 0.0, "b": 0.0}
+        rows = [("a", "x x x x"), ("b", "z z z z")]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {r.source: r.kl_vs_corpus for r in token_kl_by_group(df).collect()}
+        # p(x|a)=1, q(x)=0.5 -> KL = ln 2 for each side
+        import math
+        assert all(abs(v - math.log(2)) < 1e-6 for v in got.values())
+
+    def test_quantile_bins_uniform_and_ties(self, spark):
+        """1..8 into quartiles -> 4 bins x 2 rows with exact ranges; a
+        constant column collapses into one bin (empty bins SHOW the
+        imbalance, the audit contract)."""
+        from datalake_brief_spark.operators.relational import quantile_bins
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+        got = {r.bin: (r.n_rows, r.lo, r.hi) for r in quantile_bins(df, "v", 4).collect()}
+        assert {b: n for b, (n, _, _) in got.items()} == {0: 2, 1: 2, 2: 2, 3: 2}
+        assert got[0] == (2, 1.0, 2.0) and got[3] == (2, 7.0, 8.0)
+        const = spark.createDataFrame([(5.0,)] * 10, "v double")
+        one = quantile_bins(const, "v", 4).collect()
+        assert len(one) == 1 and one[0].n_rows == 10 and one[0].bin == 0
+
+    def test_benford_digit_exact_at_powers_of_ten(self, spark):
+        """1000.0 (the float-log10 trap) classifies as digit 1; negatives
+        and zeros excluded; shares sum to 1 and expectations follow
+        log10(1+1/d)."""
+        from datalake_brief_spark.operators.relational import benford_profile
+        import math
+
+        vals = [1000.0, 1.0, 0.002, 25.0, 90.1, -7.0, 0.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = {r.digit: r for r in benford_profile(df, "v").collect()}
+        # kept: 1000->1, 1->1, 0.002->2, 25->2, 90.1->9  (neg/zero dropped)
+        assert {d: r.n for d, r in rows.items()} == {1: 2, 2: 2, 9: 1}
+        assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-6
+        for d, r in rows.items():
+            assert abs(r.benford_share - round(math.log10(1 + 1 / d), 6)) < 1e-9
