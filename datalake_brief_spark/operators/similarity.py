@@ -30,6 +30,38 @@ from pyspark.sql import types as T
 from datalake_brief_spark.functions import as_double_array, cosine
 
 
+def norm_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    precision: int = 4,
+) -> DataFrame:
+    """Embedding-norm health profile, optionally per group: n, mean/min/max
+    L2 norm — the cheap screen that catches unnormalized mixtures (two
+    encoder versions in one table), collapsed vectors (norm ≈ 0), and
+    fp16 overflow spikes before any ANN index is built on bad geometry.
+
+    The squared norm folds JVM-side (F.aggregate over the array — no
+    Python), each element cast to double BEFORE squaring so accumulation
+    matches any engine that sums doubles; then one partial+final aggregate
+    on the (optional) group key. Scan-stage + one tiny shuffle."""
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    nrm = F.sqrt(sq)
+    keys = [group_col] if group_col else []
+    base = df.select(*keys, nrm.alias("__n2"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__n2"), precision).alias("mean_norm"),
+        F.round(F.min("__n2"), precision).alias("min_norm"),
+        F.round(F.max("__n2"), precision).alias("max_norm"),
+    ]
+    return base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

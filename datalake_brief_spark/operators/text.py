@@ -11,6 +11,8 @@ parallel so they hash-match.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Window
 
 from pyspark.sql import Column, DataFrame
@@ -540,6 +542,60 @@ def shard_assignment(
     key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
     shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
     return df.withColumn(out, shard)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "norm_text",
+    form: str = "NFC",
+    lower: bool = True,
+    strip_accents_out: str | None = None,
+) -> DataFrame:
+    """Unicode canonicalization — the first pass of any multilingual corpus
+    pipeline: bring text to a canonical normalization ``form`` (NFC by
+    default, so visually-identical decomposed/composed sequences compare
+    and hash equal — dedup and fingerprinting are wrong without it),
+    optionally casefold, and optionally emit an accent-stripped column
+    (NFD → drop combining marks, the matching/blocking key for fuzzy
+    joins across diacritic conventions).
+
+    Spark has no built-in UAX#15 normalizer, so this is a genuine
+    Arrow-batch Pandas UDF case (ArrowEvalPython — vectorized batches, not
+    the forbidden row-at-a-time BatchEvalPython): unicodedata implements
+    the same Unicode normalization algorithm DuckDB's nfc_normalize /
+    strip_accents do, which is what the oracle replays. Scan-stage: no
+    shuffle, composes with every downstream filter in the same stage."""
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata  # noqa: PLC0415
+
+        r = s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+        return r.str.lower() if lower else r
+
+    res = df.withColumn(out, _norm(F.col(text_col)))
+    if strip_accents_out:
+
+        @F.pandas_udf("string")
+        def _strip(s: pd.Series) -> pd.Series:
+            import unicodedata  # noqa: PLC0415
+
+            def fold(v):
+                if v is None:
+                    return None
+                return "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", v)
+                    if not unicodedata.combining(c)
+                )
+
+            return s.map(fold)
+
+        res = res.withColumn(strip_accents_out, _strip(F.col(out)))
+    return res
 
 
 def token_kl_by_group(

@@ -7474,6 +7474,105 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.benford_profile(o, "o_totalprice")
 
 
+@_register(
+    "text_normalize_nfc",
+    """
+    SELECT doc_id,
+           lower(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+             AS norm_text,
+           strip_accents(lower(nfc_normalize(replace(text, 'a', 'a' || chr(769)))))
+             AS ascii_fold
+    FROM documents
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (text.normalize_unicode): the corpus is
+    decomposed on the fly (every 'a' → 'a' + combining acute U+0301 — the
+    NFD form a crawler actually emits), then NFC-normalized + casefolded,
+    plus the accent-stripped blocking key. Spark has no UAX#15 builtin, so
+    this is the genuine Arrow-batch Pandas UDF case (ArrowEvalPython,
+    never row-Python); unicodedata and DuckDB's utf8proc implement the
+    same normalization algorithm, which is exactly what the oracle
+    replays. Scan-stage, composes with downstream filters."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "a", "a\u0301").alias("text")
+    )
+    return text.normalize_unicode(d, strip_accents_out="ascii_fold").select(
+        "doc_id", "norm_text", "ascii_fold"
+    )
+
+
+@_register(
+    "emb_norm_profile",
+    """
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(nrm), 4) AS mean_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm health screen (similarity.norm_profile):
+    catches unnormalized encoder mixtures / collapsed vectors before an
+    ANN index is built on bad geometry. Squared norm folds JVM-side
+    (F.aggregate, element cast to double BEFORE squaring so accumulation
+    is engine-identical), one keyed partial+final aggregate after."""
+    from datalake_brief_spark.operators import similarity
+
+    return similarity.norm_profile(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "emb_label_balance",
+    """
+    WITH c AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS tt, CAST(count(*) AS BIGINT) AS k FROM c
+    ), s AS (
+      SELECT label, n, n / tt AS share, k FROM c CROSS JOIN t
+    ), h AS (
+      SELECT -sum(share * ln(share)) / ln(min(k)) AS hh FROM s
+    )
+    SELECT label, n, round(share, 6) AS share,
+           round(hh, 6) AS balance_entropy
+    FROM s CROSS JOIN h
+    """,
+)
+def emb_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report for a labeled training table: per-label count
+    and share plus the normalized label entropy (1.0 = perfectly balanced,
+    → 0 = collapsed onto one class) — the go/no-go gate before training a
+    classifier head. One keyed aggregate to the |labels|-row frame, then
+    driver-scale arithmetic broadcast back; the fact is scanned once."""
+    e = _t(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    shared = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n") / F.col("__t")
+    )
+    ent = shared.agg(
+        (-F.sum(F.col("share") * F.log(F.col("share"))) / F.log(F.first("__k"))).alias(
+            "__h"
+        )
+    )
+    return shared.crossJoin(F.broadcast(ent)).select(
+        "label",
+        "n",
+        F.round("share", 6).alias("share"),
+        F.round("__h", 6).alias("balance_entropy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7526,6 +7625,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_token_kl",
     "ml_quantile_bins",
     "dq_benford",
+    "text_normalize_nfc",
+    "emb_norm_profile",
+    "emb_label_balance",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

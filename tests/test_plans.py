@@ -366,6 +366,13 @@ def test_r6_entries_keep_scale_shapes(spark):
     pkl = formatted_plan(QUERIES["source_token_kl"].fn(spark, SF_SMOKE))
     assert "Generate" in pkl and "HashAggregate" in pkl, pkl
     assert "CartesianProduct" not in pkl, pkl
+    # unicode canonicalization: Arrow-batched Python, never row-at-a-time
+    pn = formatted_plan(QUERIES["text_normalize_nfc"].fn(spark, SF_SMOKE))
+    assert "ArrowEvalPython" in pn, pn
+    # embedding norm profile: the array fold stays a JVM expression — no
+    # Python evaluator of any kind in the plan
+    pe = formatted_plan(QUERIES["emb_norm_profile"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in pe, pe
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

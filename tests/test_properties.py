@@ -1153,3 +1153,35 @@ class TestDistributionProfilers:
         assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-6
         for d, r in rows.items():
             assert abs(r.benford_share - round(math.log10(1 + 1 / d), 6)) < 1e-9
+
+
+class TestUnicodeAndEmbeddingProfile:
+    """normalize_unicode / norm_profile — round-6 canonicalization band."""
+
+    def test_nfc_makes_composed_and_decomposed_equal(self, spark):
+        """'é' composed (U+00E9) and decomposed (e + U+0301) normalize to
+        the SAME string; casefold applies; ø (no decomposition) survives
+        accent-stripping unchanged while é folds to e."""
+        from datalake_brief_spark.operators.text import normalize_unicode
+
+        rows = [(1, "Caf\u00e9 \u00d8re"), (2, "Cafe\u0301 \u00d8re")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.norm_text, r.ascii_fold)
+            for r in normalize_unicode(df, strip_accents_out="ascii_fold").collect()
+        }
+        assert out[1] == out[2]
+        assert out[1][0] == "café øre"
+        assert out[1][1] == "cafe øre"
+
+    def test_norm_profile_hand_computed(self, spark):
+        """3-4-0 and unit vectors: norms 5 and 1, grouped and global."""
+        from datalake_brief_spark.operators.similarity import norm_profile
+
+        rows = [(0, [3.0, 4.0, 0.0]), (0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 2.0])]
+        df = spark.createDataFrame(rows, "label int, embedding array<float>")
+        by = {r.label: r for r in norm_profile(df).collect()}
+        assert (by[0].n, by[0].min_norm, by[0].max_norm, by[0].mean_norm) == (2, 1.0, 5.0, 3.0)
+        assert (by[1].n, by[1].mean_norm) == (1, 2.0)
+        g = norm_profile(df, group_col=None).collect()[0]
+        assert (g.n, g.min_norm, g.max_norm) == (3, 1.0, 5.0)
