@@ -170,6 +170,63 @@ def target_encode(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Mutual information I(X; Y) between each categorical feature and the
+    label — the model-free feature-ranking screen (a feature with MI ≈ 0
+    cannot help any classifier; one with MI near H(Y) is a leak):
+    I = Σ_{x,y} p(x,y) · ln(p(x,y) / (p(x)·p(y))), in nats, with the
+    normalized variant I/H(Y) alongside (1.0 = label fully determined).
+
+    Scale shape, per feature: ONE (feature, label)-keyed partial+final
+    aggregate over the scan (map-side combine → |X|·|Y| rows), marginals
+    re-aggregated from the joint counts (no second scan), all arithmetic
+    on the contingency-sized relation. Features evaluate independently and
+    union — k features = k parallel aggregates of the same cached scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for fc in feature_cols:
+        joint = df.groupBy(
+            F.col(fc).cast("string").alias("__x"),
+            F.col(label_col).cast("string").alias("__y"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        mx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+        my = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+        tot = joint.agg(F.sum("__c").alias("__n"))
+        p_xy = F.col("__c") / F.col("__n")
+        p_x = F.col("__cx") / F.col("__n")
+        p_y = F.col("__cy") / F.col("__n")
+        full = (
+            joint.join(F.broadcast(mx), "__x")
+            .join(F.broadcast(my), "__y")
+            .crossJoin(F.broadcast(tot))
+        )
+        mi = full.agg(F.sum(p_xy * F.log(p_xy / (p_x * p_y))).alias("__mi"))
+        hy = (
+            my.crossJoin(F.broadcast(tot))
+            .agg((-F.sum(p_y * F.log(p_y))).alias("__hy"))
+        )
+        outs.append(
+            mi.crossJoin(F.broadcast(hy)).select(
+                F.lit(fc).alias("feature"),
+                F.round(F.col("__mi"), precision).alias("mi_nats"),
+                F.round(F.col("__hy"), precision).alias("label_entropy"),
+                F.round(
+                    F.when(F.col("__hy") > 0, F.col("__mi") / F.col("__hy")),
+                    precision,
+                ).alias("mi_normalized"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def assemble_features(
     df: DataFrame, input_cols: list[str], output_col: str = "features"
 ) -> DataFrame:

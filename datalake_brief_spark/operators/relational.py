@@ -354,6 +354,35 @@ def quantile_bins(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    precision: int = 4,
+) -> DataFrame:
+    """Per-group exact quantile profile (p25/p50/p75 by default) — the
+    grouped companion to summary_stats: spread and skew per segment in one
+    keyed aggregate, where a global describe() hides per-group outliers.
+
+    ONE partial+final aggregate on the group key; exact interpolated
+    percentiles (the quantile_cont definition) accumulate per-distinct-
+    value counts inside each group — scale-safe for bounded-cardinality
+    measures, with the approx_percentile swap documented for unbounded
+    doubles at 100 TB. Output is wide (one pNN column per requested
+    quantile) for direct dashboarding/joining."""
+    arr = ", ".join(str(p) for p in ps)
+    q = F.expr(f"percentile({column}, array({arr}))")
+    names = [f"p{int(round(p * 100)):02d}" for p in ps]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(q.getItem(i), precision).alias(nm)
+            for i, nm in enumerate(names)
+        ],
+    )
+
+
 def benford_profile(
     df: DataFrame,
     column: str,

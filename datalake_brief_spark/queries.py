@@ -7573,6 +7573,74 @@ def emb_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ml_feature_mi",
+    """
+    WITH j AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+             CAST(o_orderstatus AS VARCHAR) AS y,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM orders GROUP BY 1, 2
+    ), mx AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+    my AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM j),
+    hy AS (
+      SELECT -sum((cy/n) * ln(cy/n)) AS h FROM my CROSS JOIN t
+    ), mi1 AS (
+      SELECT sum((c/n) * ln((c/n) / ((cx/n) * (cy/n)))) AS mi
+      FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+    ), mi2 AS (
+      SELECT -sum((cy/n) * ln(cy/n)) AS mi FROM my CROSS JOIN t
+    )
+    SELECT 'o_orderpriority' AS feature, round(mi, 6) AS mi_nats,
+           round((SELECT h FROM hy), 6) AS label_entropy,
+           round(CASE WHEN (SELECT h FROM hy) > 0
+                      THEN mi / (SELECT h FROM hy) END, 6) AS mi_normalized
+    FROM mi1
+    UNION ALL
+    SELECT 'o_orderstatus', round(mi, 6),
+           round((SELECT h FROM hy), 6),
+           round(CASE WHEN (SELECT h FROM hy) > 0
+                      THEN mi / (SELECT h FROM hy) END, 6)
+    FROM mi2
+    """,
+)
+def ml_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (mlops.mutual_information):
+    I(priority; status) reads near 0 (independent), while scoring the
+    label AGAINST ITSELF pins mi_normalized at exactly 1.0 — the leak
+    detector the op exists for (I(Y;Y) = H(Y)). Per feature: one
+    (x, y)-keyed partial+final aggregate, marginals re-aggregated from
+    the joint counts, contingency-sized arithmetic only."""
+    from datalake_brief_spark import mlops
+
+    o = _t(spark, sf_dir, "orders")
+    return mlops.mutual_information(
+        o, ["o_orderpriority", "o_orderstatus"], "o_orderstatus"
+    )
+
+
+@_register(
+    "profile_group_quantiles",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75
+    FROM lineitem GROUP BY 1
+    """,
+)
+def profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment quartile profile (relational.group_quantiles): exact
+    interpolated p25/p50/p75 of extended price per return flag in ONE
+    keyed partial+final aggregate — the grouped spread/skew view a global
+    describe() hides."""
+    from datalake_brief_spark.operators import relational
+
+    l = _t(spark, sf_dir, "lineitem")
+    return relational.group_quantiles(l, "l_extendedprice", "l_returnflag")
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7628,6 +7696,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_normalize_nfc",
     "emb_norm_profile",
     "emb_label_balance",
+    "ml_feature_mi",
+    "profile_group_quantiles",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -373,6 +373,12 @@ def test_r6_entries_keep_scale_shapes(spark):
     # Python evaluator of any kind in the plan
     pe = formatted_plan(QUERIES["emb_norm_profile"].fn(spark, SF_SMOKE))
     assert "EvalPython" not in pe, pe
+    # MI + grouped quantiles: contingency/group aggregates with broadcast-
+    # only joins back — never a sort-merge of the fact
+    for nm in ("ml_feature_mi", "profile_group_quantiles"):
+        pq = formatted_plan(QUERIES[nm].fn(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in pq, (nm, pq)
+        assert "CartesianProduct" not in pq, (nm, pq)
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

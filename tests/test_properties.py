@@ -1185,3 +1185,35 @@ class TestUnicodeAndEmbeddingProfile:
         assert (by[1].n, by[1].mean_norm) == (1, 2.0)
         g = norm_profile(df, group_col=None).collect()[0]
         assert (g.n, g.min_norm, g.max_norm) == (3, 1.0, 5.0)
+
+
+class TestFeatureRanking:
+    """mutual_information / group_quantiles — round-6 feature-screen band."""
+
+    def test_mi_endpoints(self, spark):
+        """Perfectly dependent feature -> MI == H(Y), normalized 1.0; an
+        independent uniform feature -> MI exactly 0; label vs itself is the
+        leak detector."""
+        import math
+        from datalake_brief_spark import mlops
+
+        # y = x (dependent); z independent of y (all combos equally likely)
+        rows = [(x, z, x) for x in "ab" for z in "cd" for _ in range(3)]
+        df = spark.createDataFrame(rows, "x string, z string, y string")
+        got = {r.feature: r for r in mlops.mutual_information(df, ["x", "z"], "y").collect()}
+        h_y = math.log(2)
+        assert abs(got["x"].mi_nats - round(h_y, 6)) < 1e-6
+        assert got["x"].mi_normalized == 1.0
+        assert got["z"].mi_nats == 0.0
+        assert abs(got["x"].label_entropy - round(h_y, 6)) < 1e-6
+
+    def test_group_quantiles_hand_computed(self, spark):
+        """1..4 per group: quartiles at numpy-linear positions (1.75,
+        2.5, 3.25); group key and count carried."""
+        from datalake_brief_spark.operators.relational import group_quantiles
+
+        rows = [("g", float(i)) for i in range(1, 5)] + [("h", 10.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        got = {r.k: r for r in group_quantiles(df, "v", "k").collect()}
+        assert (got["g"].n, got["g"].p25, got["g"].p50, got["g"].p75) == (4, 1.75, 2.5, 3.25)
+        assert (got["h"].n, got["h"].p25, got["h"].p50, got["h"].p75) == (1, 10.0, 10.0, 10.0)
