@@ -544,6 +544,69 @@ def shard_assignment(
     return df.withColumn(out, shard)
 
 
+def ngram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    k_smooth: float = 0.5,
+    precision: int = 6,
+) -> DataFrame:
+    """Bigram-LM perplexity per document — the CCNet-style quality filter
+    (Wenzek et al. 2020: docs are kept/bucketed by perplexity under a
+    reference-corpus LM): train add-k-smoothed bigram counts on ``ref``
+    (defaults to ``df`` itself), score every document as
+    ``ppl = exp(−mean log P(w_i | w_{i−1}))`` with
+    ``P(w2|w1) = (C(w1,w2)+k) / (C(w1)+k·V)``. Low ppl = reads like the
+    reference; high ppl = boilerplate/garbled/off-domain. Documents with
+    fewer than two tokens have no bigram events and are dropped.
+
+    All relational, no Python: bigram pairs come from arrays_zip over two
+    slices of the token array (args evaluated once — never the
+    re-tokenizing slice-per-position lambda, cf. word_ngram_array);
+    counts are two keyed partial+final aggregates on the vocabulary-sized
+    relations; scoring is a LEFT join of doc bigrams onto the count
+    tables (unseen bigram → k mass; unseen context → uniform 1/V) and one
+    doc-keyed aggregate. Four linear keyed shuffles total, no broadcast
+    of anything vocabulary-sized."""
+    ref = df if ref is None else ref
+
+    def bigrams(frame: DataFrame, *extra):
+        t = tokens(text_col)
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice(t, 1, n1).alias("w1"), F.slice(t, 2, n1).alias("w2")
+        )
+        return frame.select(*extra, F.explode(pairs).alias("__pr")).select(
+            *extra, F.col("__pr.w1").alias("__w1"), F.col("__pr.w2").alias("__w2")
+        )
+
+    b = bigrams(ref).groupBy("__w1", "__w2").agg(
+        F.count(F.lit(1)).cast("double").alias("__cb")
+    )
+    c = b.groupBy("__w1").agg(F.sum("__cb").alias("__cw"))
+    v = (
+        ref.select(F.explode(tokens(text_col)).alias("__tok"))
+        .agg(F.countDistinct("__tok").cast("double").alias("__v"))
+    )
+    d = bigrams(df, id_col)
+    p = (
+        F.coalesce(F.col("__cb"), F.lit(0.0)) + F.lit(float(k_smooth))
+    ) / (
+        F.coalesce(F.col("__cw"), F.lit(0.0)) + F.lit(float(k_smooth)) * F.col("__v")
+    )
+    return (
+        d.join(b, ["__w1", "__w2"], "left")
+        .join(c, "__w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log(p))), precision).alias("ppl"),
+        )
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",

@@ -7641,6 +7641,49 @@ def profile_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.group_quantiles(l, "l_extendedprice", "l_returnflag")
 
 
+@_register(
+    "text_lm_perplexity",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array({_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                     for i in range(1, len(toks))]) AS pr
+      FROM t
+    ),
+    d AS (SELECT doc_id, lang, (pr).w1 AS w1, (pr).w2 AS w2 FROM bi),
+    b AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+      FROM d WHERE lang = 'en' GROUP BY 1, 2
+    ),
+    c AS (SELECT w1, sum(cb) AS cw FROM b GROUP BY 1),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vv
+      FROM (SELECT unnest(toks) AS tok FROM t WHERE lang = 'en')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-avg(ln(
+             (coalesce(cb, 0) + 0.5) / (coalesce(cw, 0) + 0.5 * vv)
+           ))), 6) AS ppl
+    FROM d LEFT JOIN b USING (w1, w2) LEFT JOIN c USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (text.ngram_lm_perplexity): an add-k
+    bigram LM trained on the English subset scores EVERY document —
+    off-domain docs surface as high ppl, the classic keep/bucket signal
+    (Wenzek et al. 2020). Unseen bigrams take the smoothing mass, unseen
+    contexts fall to uniform 1/V, exercising the full back-off path.
+    Four linear keyed shuffles; nothing vocabulary-sized broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    return text.ngram_lm_perplexity(d, ref=d.filter(F.col("lang") == "en"))
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7698,6 +7741,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_label_balance",
     "ml_feature_mi",
     "profile_group_quantiles",
+    "text_lm_perplexity",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -379,6 +379,12 @@ def test_r6_entries_keep_scale_shapes(spark):
         pq = formatted_plan(QUERIES[nm].fn(spark, SF_SMOKE))
         assert "SortMergeJoin" not in pq, (nm, pq)
         assert "CartesianProduct" not in pq, (nm, pq)
+    # LM perplexity: pure relational (no Python evaluator), and the bigram
+    # build must be the zip-of-slices, never a re-tokenizing per-position
+    # lambda (no sequence( feeding the tokenizer)
+    pp = formatted_plan(QUERIES["text_lm_perplexity"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in pp, pp
+    assert "sequence(0," not in pp, pp
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

@@ -1217,3 +1217,35 @@ class TestFeatureRanking:
         got = {r.k: r for r in group_quantiles(df, "v", "k").collect()}
         assert (got["g"].n, got["g"].p25, got["g"].p50, got["g"].p75) == (4, 1.75, 2.5, 3.25)
         assert (got["h"].n, got["h"].p25, got["h"].p50, got["h"].p75) == (1, 10.0, 10.0, 10.0)
+
+
+class TestLmPerplexity:
+    """ngram_lm_perplexity — CCNet-style bigram LM quality scoring."""
+
+    def test_hand_computed_add_k(self, spark):
+        """ref = {a b, a b, a c}: C(a,b)=2, C(a)=3, V=3, k=0.5. Scoring
+        'a b' -> p=2.5/4.5, ppl=1.8; unseen context 'z z' -> p=k/(kV)=1/3,
+        ppl=3; single-token docs drop (no bigram events)."""
+        from datalake_brief_spark.operators.text import ngram_lm_perplexity
+
+        ref = spark.createDataFrame(
+            [(100, "a b"), (101, "a b"), (102, "a c")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [(1, "a b"), (2, "z z"), (3, "a")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in ngram_lm_perplexity(score, ref=ref).collect()}
+        assert set(got) == {1, 2}  # doc 3 has no bigrams
+        assert got[1].n_bigrams == 1 and abs(got[1].ppl - 1.8) < 1e-9
+        assert got[2].n_bigrams == 1 and abs(got[2].ppl - 3.0) < 1e-9
+
+    def test_self_trained_favors_repetitive_docs(self, spark):
+        """Self-scored corpus: a document made of the corpus's dominant
+        bigram scores LOWER ppl than a one-off document — the ordering the
+        filter relies on."""
+        from datalake_brief_spark.operators.text import ngram_lm_perplexity
+
+        rows = [(i, "x y x y x y") for i in range(5)] + [(99, "q r s t u v")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.ppl for r in ngram_lm_perplexity(df).collect()}
+        assert got[0] < got[99]
