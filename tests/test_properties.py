@@ -1249,3 +1249,33 @@ class TestLmPerplexity:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id: r.ppl for r in ngram_lm_perplexity(df).collect()}
         assert got[0] < got[99]
+
+
+class TestRound6EmptyInputs:
+    """Empty-input degradation for the round-6 operator additions."""
+
+    def test_curation_and_profiling_ops_on_empty(self, spark):
+        from datalake_brief_spark import mlops
+        from datalake_brief_spark.operators import relational, similarity, text
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, source string, text string, n_chars long"
+        )
+        nums = spark.createDataFrame([], "k string, v double")
+        assert text.domain_cap(docs, cap=5).count() == 0
+        assert text.token_kl_by_group(docs).count() == 0
+        assert text.ngram_lm_perplexity(docs).count() == 0
+        assert text.normalize_unicode(docs, strip_accents_out="f").count() == 0
+        assert relational.weighted_sample(
+            docs, k=3, weight_col="n_chars", group_col="source"
+        ).count() == 0
+        assert relational.quantile_bins(nums, "v", 4).count() == 0
+        assert relational.benford_profile(nums, "v").count() == 0
+        assert relational.group_quantiles(nums, "v", "k").count() == 0
+        assert mlops.target_encode(nums, "k", "v", "k").count() == 0
+        assert mlops.mutual_information(nums, ["k"], "v").collect()[0].mi_nats is None
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+        assert similarity.norm_profile(emb).count() == 0
+        # winsorize on empty: single row of nulls/zeros, never a crash
+        w = relational.winsorize_stats(nums, "v").collect()
+        assert len(w) <= 1
