@@ -739,6 +739,63 @@ def domain_cap(
     )
 
 
+def quality_top_fraction(
+    df: DataFrame,
+    frac: float,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    threshold_out: str = "cut_threshold",
+) -> DataFrame:
+    """Keep each group's top ``frac`` of rows by a quality score — the
+    percentile twin of domain_cap ("top quartile per source", not "top N
+    per source"): rows at or above their group's exact (1−frac) quantile
+    survive, the applied threshold carried alongside for audits.
+
+    Scale shape: one keyed exact-percentile aggregate to a |G|-row
+    threshold frame, broadcast-joined back onto the scan, filter inline —
+    the fact shuffles ZERO times (same shape as normalize_features).
+    Exact percentile is scale-safe for bounded-cardinality scores; swap
+    approx_percentile for unbounded doubles at 100 TB."""
+    p = 1.0 - frac
+    thr = df.groupBy(group_col).agg(
+        F.expr(f"percentile({order_col}, {p})").alias(threshold_out)
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(order_col).cast("double") >= F.col(threshold_out))
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/Dolma redundancy
+    signal (compressed_bytes / raw_bytes): boilerplate and repeated spans
+    compress far below ~0.4, high-entropy garbage sits near 1.0; both
+    tails are cut in production curation. A DEFLATE pass is genuinely not
+    expressible relationally, so this is an Arrow-batch Pandas UDF
+    (ArrowEvalPython — scan-stage, no shuffle); the level is pinned so the
+    statistic is reproducible run-to-run. Empty/null text → null ratio
+    (no bytes to measure), never a division error."""
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib  # noqa: PLC0415
+
+        def r(v):
+            if not v:
+                return None
+            raw = v.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(r)
+
+    return df.withColumn(out, F.round(_ratio(F.col(text_col)), 6))
+
+
 def budget_sample(
     df: DataFrame,
     budget: int,

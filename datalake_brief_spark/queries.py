@@ -7684,6 +7684,42 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_lm_perplexity(d, ref=d.filter(F.col("lang") == "en"))
 
 
+@_register(
+    "corpus_quality_cut",
+    """
+    WITH thr AS (
+      SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+               AS cut_threshold
+      FROM documents GROUP BY 1
+    )
+    SELECT source, doc_id, n_chars, cut_threshold
+    FROM documents JOIN thr USING (source)
+    WHERE CAST(n_chars AS DOUBLE) >= cut_threshold
+    """,
+)
+def corpus_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-quartile-per-source keep (text.quality_top_fraction): rows at
+    or above their source's exact p75 length survive, threshold carried
+    for audit. |G|-row threshold frame broadcast back; the fact never
+    shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return text.quality_top_fraction(d, frac=0.25).select(
+        "source", "doc_id", "n_chars", "cut_threshold"
+    )
+
+
+@_register("text_compression_ratio", None)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma redundancy signal (text.compression_ratio): zlib
+    DEFLATE ratio per document — repeated spans compress low, high-entropy
+    garbage near 1.0. Genuinely non-relational (rows-only by design, like
+    the hash-family dedup entries); ground truth pinned in pytest, the
+    Arrow-batch plan shape pinned in test_plans. Scan-stage, no
+    shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.compression_ratio(d).select("doc_id", "compression_ratio")
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7742,6 +7778,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ml_feature_mi",
     "profile_group_quantiles",
     "text_lm_perplexity",
+    "corpus_quality_cut",
+    "text_compression_ratio",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -385,6 +385,17 @@ def test_r6_entries_keep_scale_shapes(spark):
     pp = formatted_plan(QUERIES["text_lm_perplexity"].fn(spark, SF_SMOKE))
     assert "EvalPython" not in pp, pp
     assert "sequence(0," not in pp, pp
+    # quality cut: |G|-row threshold frame broadcasts; the fact itself
+    # never shuffles (no hash exchange of data-scale rows)
+    qc = QUERIES["corpus_quality_cut"].fn(spark, SF_SMOKE)
+    pc = formatted_plan(qc)
+    assert "BroadcastHashJoin" in pc, pc
+    assert "SortMergeJoin" not in pc, pc
+    # compression ratio: Arrow-batched Python, scan-stage (zero exchanges)
+    cr = QUERIES["text_compression_ratio"].fn(spark, SF_SMOKE)
+    pr = formatted_plan(cr)
+    assert "ArrowEvalPython" in pr, pr
+    assert count_nodes(cr, "Exchange") == 0, pr
 
 
 def test_events_partition_pruned_scans_one_day_directory(spark):

@@ -1279,3 +1279,39 @@ class TestRound6EmptyInputs:
         # winsorize on empty: single row of nulls/zeros, never a crash
         w = relational.winsorize_stats(nums, "v").collect()
         assert len(w) <= 1
+
+
+class TestQualityCutAndCompression:
+    """quality_top_fraction / compression_ratio — round-6 curation signals."""
+
+    def test_top_fraction_hand_computed(self, spark):
+        """1..8 in one group at frac=0.25: p75 = 6.25, keep {7, 8}; a
+        second group is cut independently."""
+        from datalake_brief_spark.operators.text import quality_top_fraction
+
+        rows = [(i, "a", i) for i in range(1, 9)] + [(100, "b", 5), (101, "b", 50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        kept = {
+            r.doc_id: r.cut_threshold
+            for r in quality_top_fraction(df, frac=0.25).collect()
+        }
+        assert set(kept) == {7, 8, 101}
+        assert kept[7] == 6.25
+        # group b: p75 of {5, 50} = 38.75 -> only 50 survives
+        assert kept[101] == 38.75
+
+    def test_compression_ratio_ordering_and_nulls(self, spark):
+        """Repetitive text compresses strictly below shuffled-unique text;
+        empty string -> null ratio; values reproducible (level pinned)."""
+        from datalake_brief_spark.operators.text import compression_ratio
+
+        rep = "spam " * 200
+        uniq = " ".join(f"w{i}x{i * 7 % 93}" for i in range(200))
+        df = spark.createDataFrame(
+            [(1, rep), (2, uniq), (3, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+        assert got[3] is None
+        assert got[1] < 0.1 < got[2]
+        again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+        assert got == again
