@@ -513,3 +513,93 @@ class TestStreamingNearDup:
         }
         assert want, "fixture should contain pairs touching the increment"
         assert got == want
+
+
+class TestDriftMonitorStream:
+    """streaming/monitor.py: continuous PSI vs a frozen reference — the
+    stream must agree with operators.relational.distribution_drift
+    bit-for-bit on the same data slice."""
+
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        out = str(tmp_path / "events_stream")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(out)
+        yield out
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_stream_psi_matches_batch_op(self, spark, events_dir):
+        """One giant window spanning the whole table: the monitor's PSI for
+        that window equals distribution_drift(ref, cur) exactly (same
+        edges, clamps, eps smoothing, rounding)."""
+        from datalake_brief_spark.operators.relational import distribution_drift
+        from datalake_brief_spark.streaming.monitor import (
+            DriftMonitor,
+            drift_monitor_stream,
+            reference_profile,
+        )
+
+        whole = spark.read.parquet(events_dir)
+        ref = whole.filter(F.col("event_type") == "view").select("value")
+        profile = reference_profile(ref, "value", n_buckets=10)
+        monitor = DriftMonitor(profile, threshold=1e9)  # collect-only
+        stream = stream_events(spark, events_dir)
+        q = drift_monitor_stream(
+            stream, profile, monitor, window="3650 days", watermark="2 hours"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        psis = monitor.window_psi()
+        assert len(psis) == 1
+        got = next(iter(psis.values()))
+        want = distribution_drift(ref, whole.select("value"), ["value"]).collect()[0]
+        assert got == want.psi
+        assert sum(next(iter(monitor.state.values())).values()) == want.n_cur
+
+    def test_alert_fires_on_shifted_window_only(self, spark, tmp_path):
+        """Two event-time windows: one replays the reference distribution
+        (PSI ~ 0, silent), one is shifted far out of range (PSI large,
+        fires). Alert carries the window and its PSI."""
+        import datetime as dt
+
+        from datalake_brief_spark.streaming.monitor import (
+            DriftMonitor,
+            drift_monitor_stream,
+            reference_profile,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        calm = [(i, "u", "view", float(i % 10), base + dt.timedelta(seconds=i)) for i in range(100)]
+        hot = [
+            (1000 + i, "u", "view", 1e6 + i, base + dt.timedelta(hours=2, seconds=i))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            calm + hot, "event_id long, user_id string, event_type string, value double, ts timestamp"
+        )
+        src = str(tmp_path / "drift_src")
+        df.repartition(2).write.parquet(src)
+        ref = spark.createDataFrame(
+            [(float(i % 10),) for i in range(100)], "value double"
+        )
+        profile = reference_profile(ref, "value", n_buckets=10)
+        monitor = DriftMonitor(profile, threshold=0.2)
+        stream = (
+            spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = drift_monitor_stream(stream, profile, monitor, window="1 hour")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        psis = monitor.window_psi()
+        assert len(psis) == 2
+        calm_key = [k for k in psis if k[0].startswith("2024-01-01 00")][0]
+        hot_key = [k for k in psis if k[0].startswith("2024-01-01 02")][0]
+        assert psis[calm_key] < 0.01
+        assert psis[hot_key] > 1.0
+        fired_windows = {a.window_start for a in monitor.alerts}
+        assert hot_key[0] in fired_windows
+        assert calm_key[0] not in fired_windows
+        shutil.rmtree(src, ignore_errors=True)
