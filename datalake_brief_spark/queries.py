@@ -7720,6 +7720,50 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_ratio(d).select("doc_id", "compression_ratio")
 
 
+@_register(
+    "graph_components_chain",
+    """
+    WITH m AS (
+      SELECT o_custkey, CAST(min(o_orderkey) AS BIGINT) AS component,
+             count(*) AS k
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS id, component
+    FROM orders JOIN m USING (o_custkey)
+    WHERE k >= 2
+    """,
+)
+def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (dedup.connected_components — min-label +
+    pointer-jump, the Kiveris-style MapReduce recipe) attested on a graph
+    that actually stresses convergence: each customer's orders linked in
+    a CHAIN (consecutive-order edges via one lead() window), so diameters
+    reach the max orders-per-customer and the O(log d) pointer doubling
+    is what makes the fixed round budget suffice — a plain min-label
+    propagation would need O(d) rounds. Ground truth is closed-form: every
+    chain's component IS its customer's min order key, so the oracle is
+    one GROUP BY — exact labels for 10k+ nodes with no recursive CTE.
+    Isolated nodes (single-order customers) have no edges and are
+    correctly absent."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    nxt = F.lead("o_orderkey").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    )
+    edges = (
+        o.withColumn("__nxt", nxt)
+        .filter(F.col("__nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("src"), F.col("__nxt").alias("dst")
+        )
+    )
+    return dedup.connected_components(edges, "src", "dst").select(
+        F.col("id").cast("long").alias("id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -7780,6 +7824,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_lm_perplexity",
     "corpus_quality_cut",
     "text_compression_ratio",
+    "graph_components_chain",
     # ANN gates re-parameterized this round (Hamming-2 multiprobe,
     # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
     # -- oldest-attested rotation: newest driver row r1 (43 entries);

@@ -1315,3 +1315,17 @@ class TestQualityCutAndCompression:
         assert got[1] < 0.1 < got[2]
         again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
         assert got == again
+
+
+class TestChainComponents:
+    """connected_components on a path graph — pointer jumping must close a
+    100-node diameter well inside the default round budget."""
+
+    def test_long_path_converges_to_min_label(self, spark):
+        from datalake_brief_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], "id_a long, id_b long"
+        )
+        got = {r.id: r.comp for r in connected_components(edges).collect()}
+        assert got == {i: 0 for i in range(101)}
