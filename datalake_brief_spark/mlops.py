@@ -278,3 +278,38 @@ def fit_linear_regression(
         coefficients=list(model.coefficients),
         intercept=float(model.intercept),
     )
+
+
+def one_hot(
+    df: DataFrame,
+    cat_col: str,
+    categories: list[str] | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """One-hot encode a categorical column into 0/1 integer columns —
+    StringIndexer+OneHotEncoder semantics but with a DETERMINISTIC
+    category order (explicit ``categories`` list, else sorted distinct
+    values — StringIndexer's frequency order reshuffles column meaning
+    when the data drifts, which poisons any model trained on yesterday's
+    encoding). Unseen/NULL categories encode as all-zeros (the
+    handleInvalid='keep' dummy drops out because every column is
+    explicit). The distinct scan is one partial-aggregated shuffle over
+    the (small) category set; the encoding itself is pure scan-stage
+    CASE expressions — no fit object, no UDF, replayable by any SQL
+    engine."""
+    from pyspark.sql import functions as F
+
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(cat_col).distinct().collect() if r[0] is not None
+        )
+    pfx = f"{prefix or cat_col}_"
+    return df.select(
+        *df.columns,
+        *[
+            F.coalesce((F.col(cat_col) == F.lit(c)).cast("int"), F.lit(0)).alias(
+                f"{pfx}{c}"
+            )
+            for c in categories
+        ],
+    )

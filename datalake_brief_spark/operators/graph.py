@@ -69,3 +69,52 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def degree_histogram(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree distribution of a directed edge list → (degree, n_nodes):
+    out-degree per node, then nodes per degree. Two keyed aggregates,
+    both partial-aggregated map-side; the second groups a |nodes|-sized
+    relation down to the (tiny) set of distinct degrees. The histogram —
+    not the per-node list — is what you actually ship to a dashboard at
+    100 TB; callers needing per-node degrees use the first agg alone."""
+    deg = (
+        edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("nb"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count of an UNDIRECTED graph (edges may arrive in
+    either/both orientations; they're canonicalized and deduped first).
+    Classic two-join oriented enumeration: orient every edge low→high id,
+    join e1(a<b) with e2(b<c) on the shared middle vertex to form wedges,
+    then semi-check the closing edge (a<c). Each triangle is produced
+    exactly once. Both joins are equi-joins on vertex ids — shuffle-
+    partitionable, no CartesianProduct — and the wedge relation is
+    Σ deg(v)² in the worst case, which is the standard distributed
+    triangle bound; heavy-degree skew is AQE's skew-join problem, not a
+    driver loop. Returns a single row (n_triangles BIGINT)."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y").select(
+        F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+    )
+    closed = wedges.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

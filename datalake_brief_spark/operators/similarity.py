@@ -673,3 +673,214 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )
+
+
+def nearest_cell_profile(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Voronoi-cell occupancy profile against a FIXED centroid list:
+    assign every vector to its max-cosine centroid (ties break to the
+    higher cell id, matching a ``ORDER BY sim DESC, cid DESC`` oracle)
+    and aggregate per cell → (cell, n_vectors, mean_cos, min_cos). This
+    is the index-health view you read before trusting an IVF layout —
+    empty / overloaded cells and low in-cell cosine mean the coarse
+    quantizer doesn't fit the data. Centroids fold into the plan as
+    literals (scan-stage scoring, like ivf_assign); the profile is one
+    partial-aggregated shuffle on the tiny cell key."""
+    v = as_double_array(F.col(vec_col))
+    scores = F.array(
+        *[cosine(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    ranked = F.reverse(
+        F.array_sort(
+            F.arrays_zip(scores, F.sequence(F.lit(0), F.lit(len(centroids) - 1)))
+        )
+    )
+    best = F.element_at(ranked, 1)
+    base = df.select(
+        best["1"].cast("int").alias("cell"), best["0"].alias("__sim")
+    )
+    return base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("__sim"), 4).alias("mean_cos"),
+        F.round(F.min("__sim"), 6).alias("min_cos"),
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space is split into ``m`` contiguous subspaces of dim/m and each gets
+    its own ``ks``-centroid L2 k-means codebook, trained driver-side on a
+    deterministic sample (first ``sample`` vectors by id — seeded Lloyd,
+    fixed iterations, reproducibility rule). Vectors are L2-normalized
+    before training/encoding so ADC inner products rank like cosine.
+    Model state is m·ks·(dim/m) floats — a few KB, plan-literal scale,
+    exactly like IVF centroids."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        corpus.select(as_double_array(F.col(vec_col)).alias("v"), F.col(id_col))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        idx = np.resize(rng.permutation(len(sub)), ks)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(ks):
+                pts = sub[assign == j]
+                if len(pts):
+                    cents[j] = pts.mean(0)
+        books[s] = cents
+    return books.tolist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors to PQ codes (m small ints per vector — dim/4 bytes
+    of index instead of 4·dim): per subspace, the index of the nearest
+    codebook centroid of the L2-normalized subvector. One Arrow-batched
+    pandas pass (index build is the offline path; SEARCH stays JVM-only,
+    see pq_topk). At 100 TB this is the compaction that lets the whole
+    index sit in memory: 64-dim float32 → 8 bytes/vector at m=8."""
+    books = np.asarray(codebooks)
+    m, ks, dsub = books.shape
+
+    import pandas as pd  # noqa: F811 (Arrow batch path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col), enc(as_double_array(F.col(vec_col))).alias(out_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 10,
+    refine: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank: corpus vectors live
+    only as m-byte codes; each query precomputes its m×ks inner-product
+    lookup table (LUT) driver-side (queries are broadcast-small by the
+    same contract as cosine_topk), and the asymmetric-distance score of a
+    code is m LUT lookups — evaluated as a pure zip_with/aggregate
+    expression over the broadcast LUT join, so the corpus-side scan is
+    JVM-only with NO Python in the hot path (the pandas pass is the
+    offline encode). Top-``refine`` ADC candidates per query then get an
+    exact cosine re-rank against the raw vectors, which restores exact
+    scores (same output schema/rounding as cosine_topk) and pushes
+    recall@k to ~1 for refine ≫ k. At 100 TB the scan reads dim/4 bytes
+    per vector instead of 4·dim, and the re-rank touches only
+    refine·|queries| raw vectors."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+        )
+    books = np.asarray(codebooks)
+    dsub = dim // m
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    qrows = (
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("v")
+        )
+        .orderBy(query_id_col)
+        .collect()
+    )
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r.v, dtype=np.float64)
+        lut = np.array(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        luts.append((r[0], [float(x) for x in lut.ravel()]))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        luts, schema=f"{query_id_col} long, __lut array<double>"
+    )
+    pos = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            pos,
+            lambda c, i: F.element_at(F.col("__lut"), i * ks + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = codes.crossJoin(F.broadcast(lut_df)).withColumn("__adc", adc)
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col)
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= refine)
+        .select(query_id_col, id_col)
+    )
+    raw = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    rer = (
+        shortlist.join(raw, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )

@@ -1028,3 +1028,89 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals: token count, type count
+    (distinct tokens), type-token ratio, and hapax ratio (share of types
+    occurring exactly once) — the classic cheap filters for template spam
+    (TTR → 0) and gibberish (TTR → 1 with high hapax share) in a pretrain
+    corpus. Computed as explode → (doc, token) count → per-doc re-agg:
+    two partial-aggregated shuffles on the doc key, linear in corpus
+    tokens — never the O(tokens²) per-row array-lambda form (a
+    higher-order filter-inside-filter re-scans the token array per
+    distinct type). Ratios are NULL on empty docs, not 0."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    counts = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.count(F.lit(1)) / F.when(F.sum("__c") > 0, F.sum("__c")), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            / F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1))),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    segment_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level segment dedup (the RefinedWeb/C4 paragraph-dedup shape,
+    over fixed ``segment_words``-word windows since this corpus has no
+    newline structure): every document is cut into consecutive word
+    segments, each segment keeps only its FIRST corpus occurrence
+    (ordered by (doc_id, segment index) — deterministic, engine-
+    portable), and documents are reassembled from their surviving
+    segments. Returns (doc_id, text_kept, n_segments, n_kept);
+    ``text_kept`` is NULL when every segment of a doc was seen earlier.
+
+    Scale shape: the token array is materialized ONCE per row in a
+    projection before the chunking ``transform`` references it (a lambda
+    over the raw tokenizer expression would re-tokenize per segment —
+    the word_ngram_array lesson), segments explode to (doc, idx, seg),
+    first-occurrence is one row_number window shuffled on the segment
+    text, and the doc rebuild is one shuffle back on the doc key. Linear
+    in corpus tokens; the duplicated-segment key distribution is exactly
+    what LSH dedup already shuffles, so skew behavior is no worse."""
+    w = segment_words
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+    n_chunks = F.ceil(F.size("__tok") / F.lit(w)).cast("int")
+    segs = tokd.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.array_join(
+                    F.slice(F.col("__tok"), c * w + 1, w), " "
+                ),
+            )
+        ).alias("idx", "seg"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("seg").orderBy(F.col(id_col), F.col("idx"))
+    )
+    ranked = segs.withColumn("__rn", first)
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__rn") == 1, F.struct(F.col("idx"), F.col("seg")))
+        )
+    )
+    return ranked.groupBy(id_col).agg(
+        F.when(
+            F.size(kept) > 0,
+            F.array_join(F.transform(kept, lambda s: s["seg"]), " "),
+        ).alias("text_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )

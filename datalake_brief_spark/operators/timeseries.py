@@ -209,3 +209,89 @@ def ewma(
         return pdf
 
     return src.groupBy("__shard").applyInPandas(per_shard, out_schema).drop("__shard")
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    n_preceding: int = 20,
+    z_threshold: float = 2.5,
+    precision: int = 4,
+) -> DataFrame:
+    """Rolling z-score anomaly flags per key: each row's ``value_col`` is
+    scored against the mean / sample-stddev of the trailing
+    ``n_preceding``-row frame ENDING AT THE PREVIOUS ROW (the row under
+    test is excluded from its own baseline — including it both shrinks z
+    and leaks the anomaly into its own reference). Rows whose baseline
+    has fewer than 2 points or zero spread get a NULL z (undefined, not
+    0). One shuffle on the key: both frame aggregates share a single
+    (key, order) window sort. The trailing-frame form is what survives
+    100 TB — a global mean/std would need a second pass and goes stale
+    on infinite streams."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_preceding, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = (F.col(value_col) - mu) / F.when(sd > 0, sd)
+    return df.select(
+        *df.columns,
+        F.round(z, precision).alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "value_interp",
+    precision: int = 6,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a dense (key, bucket) series
+    (the gauge-series complement to forward_fill): a NULL row between two
+    observations takes the straight line between them, positioned by
+    bucket timestamp; NULLs before a key's first or after its last
+    observation stay NULL (no extrapolation). Built from four window
+    expressions — last/first non-null value and their bucket positions —
+    over ONE (key, order) sort in each direction; Catalyst plans exactly
+    two Window operators on the same key partitioning, so the operator
+    costs one shuffle like forward_fill. Works on any orderable numeric
+    axis; here the axis is epoch seconds of ``bucket_col``."""
+    x = F.unix_timestamp(F.col(bucket_col)).cast("double")
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    x_obs = F.when(v.isNotNull(), x)
+    v0 = F.last(v, ignorenulls=True).over(fwd)
+    x0 = F.last(x_obs, ignorenulls=True).over(fwd)
+    v1 = F.first(v, ignorenulls=True).over(bwd)
+    x1 = F.first(x_obs, ignorenulls=True).over(bwd)
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(
+            v0.isNotNull() & v1.isNotNull(),
+            F.when(x1 > x0, v0 + (v1 - v0) * (x - x0) / (x1 - x0)).otherwise(v0),
+        )
+    )
+    # Portable grid rounding (floor(x·10^p + 0.5)/10^p) instead of F.round:
+    # interpolation fractions are small rationals (k/gap_len), so results
+    # land EXACTLY on round-grid boundaries, where BigDecimal HALF_UP
+    # (Spark) and multiply-based rounding (DuckDB & friends) disagree by
+    # one ulp. The floor form is the same double-op sequence on any
+    # engine, so boundary cases agree bit-for-bit.
+    scale = F.lit(float(10**precision))
+    rounded = F.floor(interp * scale + F.lit(0.5)) / scale
+    return df.select(*df.columns, rounded.alias(out_col))

@@ -174,3 +174,84 @@ def retention_cohorts(
     if max_offset_weeks is not None:
         grid = grid.filter(F.col("week_offset") <= max_offset_weeks)
     return grid
+
+
+def distribution_ranks(
+    df: DataFrame,
+    partition_by: Iterable[str],
+    order_by: Iterable[Column],
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Distribution-position analytics per group: ntile(n) equi-depth
+    bucket, percent_rank (rank-1)/(n-1), and cume_dist (rows ≤ current)/n
+    over one shared window. All three are rank-family functions over the
+    SAME (partition, sort) pair, so Catalyst plans a single exchange +
+    single sort and evaluates the trio in one Window operator — adding
+    the second and third function is free at 100 TB. Callers must include
+    a unique tiebreaker in ``order_by``: percent_rank/cume_dist are
+    tie-sensitive, and a nondeterministic tie order would flip the
+    driver's value hash."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.select(
+        *df.columns,
+        F.ntile(n_tiles).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: Iterable[Column] = (),
+) -> DataFrame:
+    """Effective-dated (SCD type-2 style) history: each record of a key
+    becomes a validity interval [valid_from, valid_to) closed by the NEXT
+    record's timestamp; the latest record per key has valid_to NULL and
+    is_current true, and ``version`` numbers the key's history from 1.
+    lead() and row_number() share one window, so the whole history build
+    is a single shuffle+sort on the key — the standard way to turn an
+    append-only CDC/event stream into a point-in-time-joinable dimension
+    at any scale."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), *order_tiebreak)
+    return df.select(
+        *df.columns,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )
+
+
+def islands(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each maximal run of consecutive rows
+    (ordered by ``ts_col`` within ``key_col``) sharing the same
+    ``state_col`` value into one island row (key, state, island_start,
+    island_end, n_events). Uses the classic two-row_number difference —
+    rn over (key) minus rn over (key, state) is constant exactly within
+    a run — so the whole operator is ONE shuffle on the key: both
+    windows and the final groupBy share the key partitioning, and the
+    island grouping key (key, state, rn_diff) is key-prefixed so the agg
+    is partial-aggregated map-side. ``tiebreak_col`` must make the sort
+    total (timestamp collisions would make runs nondeterministic)."""
+    ob = [F.col(ts_col), F.col(tiebreak_col)]
+    w_all = Window.partitionBy(key_col).orderBy(*ob)
+    w_state = Window.partitionBy(key_col, state_col).orderBy(*ob)
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("__g")
+    return (
+        df.select(F.col(key_col), F.col(state_col), F.col(ts_col), grp)
+        .groupBy(key_col, state_col, "__g")
+        .agg(
+            F.min(ts_col).alias("island_start"),
+            F.max(ts_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__g")
+    )

@@ -7765,6 +7765,551 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-7 band: sequence analytics (SCD2 / islands / latest-per-key /
+# distribution ranks), graph profiles (degree histogram, triangles),
+# time-series scoring (rolling z-score, linear interpolation), ML prep
+# (one-hot, stratified hash split), corpus segment dedup + lexical
+# diversity, PQ-compressed ANN, Voronoi cell profile, per-group hash
+# sampling.
+# --------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed distinct part co-purchase edges (parts sharing an order,
+    both orientations — the same substrate as graph_pagerank_copurchase)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    r = l.withColumnRenamed("l_partkey", "dst_part")
+    return (
+        l.join(r, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("dst_part"))
+        .select(F.col("l_partkey").alias("src"), F.col("dst_part").alias("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "window_distribution_suite",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(10) OVER w AS BIGINT) AS tile,
+           round(percent_rank() OVER w, 6)  AS pct_rank,
+           round(cume_dist() OVER w, 6)     AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position trio (operators.windows.distribution_ranks):
+    ntile decile + percent_rank + cume_dist per order priority over one
+    shared (partition, sort) window — a single exchange + sort evaluates
+    all three. The unique o_orderkey tiebreaker makes the tie-sensitive
+    rank family deterministic; the ratios are exact small-int divisions,
+    so they hash identically across engines."""
+    from datalake_brief_spark.operators.windows import distribution_ranks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = distribution_ranks(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        n_tiles=10,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("tile").cast("long").alias("tile"),
+        "pct_rank",
+        "cume_dist",
+    )
+
+
+@_register(
+    "dedup_latest_by_key",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC/current-state view —
+    operators.windows.dedup_sorted with a DESC order): one shuffle on the
+    key, deterministic under timestamp collisions via the event_id
+    tiebreaker — never dropDuplicates, whose survivor is
+    partition-order-dependent."""
+    from datalake_brief_spark.operators.windows import dedup_sorted
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return dedup_sorted(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+
+
+@_register(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type,
+           ts                                              AS valid_from,
+           lead(ts)  OVER w                                AS valid_to,
+           lead(ts)  OVER w IS NULL                        AS is_current,
+           CAST(row_number() OVER w AS BIGINT)             AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated SCD2 history (operators.windows.scd2_intervals):
+    every per-key record becomes a [valid_from, valid_to) interval closed
+    by the next record, latest row open-ended + is_current, version
+    numbering from 1. lead() and row_number() share one window — a
+    single shuffle+sort turns an append-only stream into a
+    point-in-time-joinable dimension."""
+    from datalake_brief_spark.operators.windows import scd2_intervals as scd2
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    out = scd2(e, "user_id", "ts", order_tiebreak=[F.col("event_id")])
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.col("version").cast("long").alias("version"),
+    )
+
+
+@_register(
+    "gaps_islands",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS g
+      FROM events
+    )
+    SELECT user_id, event_type,
+           min(ts)                  AS island_start,
+           max(ts)                  AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, event_type, g
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators.windows.islands): maximal runs of
+    consecutive same-state events per user collapse to one island row via
+    the two-row_number difference — both windows and the final aggregate
+    share the user-key partitioning, so the whole operator is ONE
+    shuffle. The event_id tiebreaker totalizes the sort (timestamp
+    collisions would otherwise make run membership nondeterministic)."""
+    from datalake_brief_spark.operators.windows import islands
+
+    e = _t(spark, sf_dir, "events")
+    out = islands(e, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        "island_start",
+        "island_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@_register(
+    "graph_degree_stats",
+    """
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ),
+    d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (operators.graph.
+    degree_histogram): two partial-aggregated keyed shuffles, |nodes| →
+    |distinct degrees|. The histogram is the shippable artifact at
+    100 TB; per-node degrees stay distributed."""
+    from datalake_brief_spark.operators.graph import degree_histogram
+
+    out = degree_histogram(_copurchase_edges(spark, sf_dir))
+    return out.select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+@_register(
+    "graph_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(l1.l_partkey, l2.l_partkey)    AS a,
+                      greatest(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e ab JOIN e bc ON ab.b = bc.a
+              JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (operators.graph.triangle_count) on the
+    co-purchase graph: canonicalize low→high, oriented wedge join, close
+    with a third equi-join — each triangle counted once, no
+    CartesianProduct, Σdeg² wedge bound; degree skew is AQE skew-join
+    territory, not a driver loop."""
+    from datalake_brief_spark.operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+@_register(
+    "ts_zscore_anomaly",
+    """
+    WITH z AS (
+      SELECT event_id, user_id, value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 4) AS zscore,
+           coalesce(abs((value - mu) / (CASE WHEN sd > 0 THEN sd END)) > 2.5,
+                    FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (operators.timeseries.
+    zscore_anomalies): each value scored against the mean/stddev of the
+    trailing 20-row frame ENDING AT THE PREVIOUS ROW — the row under test
+    never contaminates its own baseline. Undefined baselines ((<2 points
+    or zero spread) yield NULL z / false flag on both engines. One
+    shuffle on the user key; the trailing-frame form is what survives an
+    unbounded stream."""
+    from datalake_brief_spark.operators.timeseries import zscore_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    out = zscore_anomalies(
+        e,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        "value",
+        n_preceding=20,
+        z_threshold=2.5,
+        precision=4,
+    )
+    return out.select("event_id", "user_id", "value", "zscore", "is_anomaly")
+
+
+@_register(
+    "ts_interpolate_linear",
+    """
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+               FROM agg GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    s AS (
+      SELECT spine.user_id, spine.bucket, agg.v,
+             CAST(epoch(spine.bucket) AS DOUBLE) AS x
+      FROM spine LEFT JOIN agg
+        ON spine.user_id = agg.user_id AND spine.bucket = agg.bucket
+    ),
+    f AS (
+      SELECT user_id, bucket, v, x,
+             last_value(v IGNORE NULLS)  OVER wf AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+               OVER wf AS x0,
+             first_value(v IGNORE NULLS) OVER wb AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+               OVER wb AS x1
+      FROM s
+      WINDOW wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+                            CASE WHEN x1 > x0
+                                 THEN v0 + (v1 - v0) * (x - x0) / (x1 - x0)
+                                 ELSE v0 END
+                  END) * 10000 + 0.5) / 10000 AS v_interp
+    FROM f
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a dense per-user hourly spine
+    (timeseries.resample_fill → timeseries.interpolate_linear): NULL
+    buckets between two observations take the straight line positioned
+    by epoch seconds; leading/trailing gaps stay NULL (no extrapolation).
+    Two Window operators over one key partitioning — forward and
+    backward neighbor lookups — so the interpolation costs one shuffle
+    like forward_fill."""
+    from datalake_brief_spark.operators.timeseries import (
+        interpolate_linear,
+        resample_fill,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    dense = resample_fill(
+        e, "ts", ["user_id"], [F.avg("value").alias("v")], step="1 hour"
+    )
+    out = interpolate_linear(
+        dense, ["user_id"], "bucket", "v", out_col="v_interp", precision=4
+    )
+    return out.select("user_id", "bucket", "v_interp")
+
+
+@_register(
+    "ml_one_hot",
+    """
+    SELECT event_id, event_type,
+           CAST(event_type = 'click'    AS INT) AS event_type_click,
+           CAST(event_type = 'error'    AS INT) AS event_type_error,
+           CAST(event_type = 'purchase' AS INT) AS event_type_purchase,
+           CAST(event_type = 'signup'   AS INT) AS event_type_signup,
+           CAST(event_type = 'view'     AS INT) AS event_type_view
+    FROM events
+    """,
+)
+def ml_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-hot encoding (mlops.one_hot): explicit
+    alphabetical category list → pure scan-stage CASE columns —
+    StringIndexer's frequency order would reshuffle column meaning under
+    data drift, which silently poisons retrained models. NULL/unseen
+    categories encode all-zeros."""
+    from datalake_brief_spark import mlops
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return mlops.one_hot(
+        e, "event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+@_register(
+    "ml_split_stratified",
+    """
+    SELECT event_type,
+           CASE WHEN ('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'r7'),
+                      1, 8))::BIGINT % 5 < 4
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ml_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/20 split audit (relational.split_by_hash — the
+    content-addressed md5 assignment, portable to any engine): per-class
+    train/test counts verify the hash split is balanced WITHIN every
+    stratum, the check you run before trusting a split at corpus scale.
+    Scan-stage assignment + one partial-aggregated shuffle on the tiny
+    (class, split) grid."""
+    from datalake_brief_spark.operators.relational import split_by_hash
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    out = split_by_hash(e, "event_id", {"train": 4, "test": 1}, salt="r7")
+    return out.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@_register(
+    "text_ttr",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+             AS hapax_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document (text.lexical_diversity): token
+    count, type count, type-token ratio, hapax share — the cheap screens
+    for template spam (TTR→0) and gibberish (TTR→1, hapax→1). Explode →
+    (doc, token) count → per-doc re-agg: two partial-aggregated shuffles,
+    linear in corpus tokens, never the O(tokens²) array-lambda form."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.lexical_diversity(d)
+
+
+@_register(
+    "dedup_segments_corpus",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx
+      FROM tok
+    ),
+    segs AS (
+      SELECT doc_id, idx,
+             array_to_string(t[idx * 8 + 1 : idx * 8 + 8], ' ') AS seg
+      FROM pos
+    ),
+    ranked AS (
+      SELECT doc_id, idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1)
+             AS text_kept,
+           CAST(count(*) AS BIGINT)                        AS n_segments,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)  AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+    headline=True,
+)
+def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup (text.segment_dedup — the RefinedWeb/C4
+    paragraph-dedup shape over fixed 8-word windows, since this corpus
+    has no newline structure): each segment keeps only its first corpus
+    occurrence (ordered by doc_id, position — engine-portable), documents
+    reassembled from survivors. Token arrays materialize once per row
+    before the chunking transform (the word_ngram_array re-tokenization
+    lesson); first-occurrence is one row_number shuffle on the segment
+    text; doc rebuild one shuffle back on the doc key — linear in corpus
+    tokens."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.segment_dedup(d, segment_words=8)
+
+
+@_register(
+    "emb_assign_cells",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(vv, cv)
+               / (sqrt(list_dot_product(vv, vv))
+                  * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM v CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, cid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid DESC) AS rn
+      FROM scored
+    )
+    SELECT CAST(cid AS BIGINT)       AS cell,
+           CAST(count(*) AS BIGINT)  AS n_vectors,
+           round(avg(sim), 4)        AS mean_cos,
+           round(min(sim), 6)        AS min_cos
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def emb_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi-cell occupancy profile (similarity.nearest_cell_profile)
+    against 16 FIXED centroids (the 16 lowest-vec_id embeddings — data-
+    derived, deterministic, engine-portable): per-cell counts and cosine
+    health, the screen you read before trusting an IVF layout. Centroids
+    fold into the plan as literals — scan-stage scoring plus one tiny
+    keyed aggregate; ties break to the higher cell id on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        list(r.embedding)
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    ]
+    out = similarity.nearest_cell_profile(e, cents)
+    return out.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        "mean_cos",
+        "min_cos",
+    )
+
+
+@_register("knn_pq", _ANN_RECALL_ORACLE)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k at the driver gate (similarity.pq_topk):
+    corpus lives as m=8 byte codes (8× smaller scans than raw float32),
+    per-query LUTs fold into a broadcast join and ADC scoring is a pure
+    zip_with/aggregate expression — JVM-only hot path, the pandas pass is
+    the offline encode. Top-64 ADC candidates re-rank with exact cosine;
+    recall@10 vs brute force pins ≥ 0.9 (m=16 subspaces × 32 centroids
+    measured 0.98 at sf0.001 and 1.00 at sf0.01 — this corpus is
+    near-uniform random, PQ's worst case, so the codebook is sized up
+    from the m=8/ks=16 default which measured 0.88-0.98). Codebooks are
+    engine-local k-means state, so the gate is the recall-boolean form
+    like knn_lsh/knn_ivf."""
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.pq_topk(
+            emb, q, dim=64, m=16, ks=32, k=10, refine=64
+        ),
+        floor=0.9,
+    )
+
+
+@_register(
+    "sample_group_hash",
+    """
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'smp7'), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def sample_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample (top-5 docs per source by salted
+    md5 order — content-addressed, so the sample is stable under corpus
+    growth and replayable by any engine, unlike a seeded reservoir tied
+    to partition iteration order). Composition of existing operators:
+    derive the hash in the scan stage, windows.top_k_per_group on the
+    group key — one shuffle."""
+    from datalake_brief_spark.operators.windows import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = d.withColumn(
+        "__h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("smp7")))
+    )
+    out = top_k_per_group(
+        keyed, ["source"], [F.col("__h"), F.col("doc_id")], 5, rank_col="rk"
+    )
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+# --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
 # similarity/text/multimodal/relational-extension bands unverified by the
@@ -7776,21 +8321,28 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
+    # -- r7 band: NEW this round (no driver row can exist yet) — the
+    # window rule (tests/test_plans.py) requires every never-attested
+    # entry in the first 50 slots.
+    "window_distribution_suite",
+    "dedup_latest_by_key",
+    "scd2_intervals",
+    "gaps_islands",
+    "graph_degree_stats",
+    "graph_triangles",
+    "ts_zscore_anomaly",
+    "ts_interpolate_linear",
+    "ml_one_hot",
+    "ml_split_stratified",
+    "text_ttr",
+    "dedup_segments_corpus",
+    "emb_assign_cells",
+    "knn_pq",
+    "sample_group_hash",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
     "txlog_timestamp_travel",
-    # -- r6 band B: behavior changed in r5 (raw-ratio threshold convention),
-    # newest driver row r3/r4 (VERDICT r5 ask #1).
-    "leakage_safe_split",
-    "pipeline_curation",
-    "pipeline_curation_v2",
-    "emb_near_dup_srp45",
-    "emb_near_dup_exact",
-    # -- r6 band C: behavior changed THIS round (null-aware ewma key
-    # boundaries; snapshot_diff key-only guard) -> re-attest.
-    "events_ewma",
-    "table_diff_audit",
     # -- r6 band D: new entries added this round go HERE, above the
     # rotation bands (tests/test_plans.py enforces the window rule).
     "multimodal_png",
@@ -7825,8 +8377,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_quality_cut",
     "text_compression_ratio",
     "graph_components_chain",
-    # ANN gates re-parameterized this round (Hamming-2 multiprobe,
-    # nprobe 8, floors 0.85/0.75) -> re-attest at the new floors.
+    # -- r6 bands B/C (behavior changed in r5/r6; old driver rows exist,
+    # so the window rule doesn't force them — they re-attest after every
+    # never-attested entry is covered).
+    "leakage_safe_split",
+    "pipeline_curation",
+    "pipeline_curation_v2",
+    "emb_near_dup_srp45",
+    "emb_near_dup_exact",
+    "events_ewma",
+    "table_diff_audit",
     # -- oldest-attested rotation: newest driver row r1 (43 entries);
     # the ~50-entry window cuts into the r1 band — remainder rotates in r7.
     "q1_pricing_summary",

@@ -1,0 +1,302 @@
+"""Ground-truth pins for the round-7 operator band: sequence analytics
+(SCD2 / islands / latest-per-key), graph (degree histogram, triangles),
+time-series scoring (rolling z-score, linear interpolation), ML prep
+(one-hot, stratified hash split), corpus segment dedup, lexical
+diversity, PQ ANN. Oracle parity at corpus scale lives in
+test_oracle_parity.py; these tests pin hand-computable semantics and the
+edge cases the oracles can't reach (empty input, NULL categories,
+leading/trailing gaps, known triangle counts)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+class TestIslands:
+    def test_runs_collapse_and_split(self, spark):
+        from datalake_brief_spark.operators.windows import islands
+
+        rows = [
+            (1, "a", _ts(1), 1),
+            (1, "a", _ts(2), 2),
+            (1, "b", _ts(3), 3),
+            (1, "a", _ts(4), 4),  # new 'a' island after the 'b' break
+            (2, "a", _ts(1), 5),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+        out = islands(df, "user_id", "state", "ts", "eid")
+        got = {
+            (r.user_id, r.state, r.island_start.hour, r.n_events)
+            for r in out.collect()
+        }
+        assert got == {(1, "a", 1, 2), (1, "b", 3, 1), (1, "a", 4, 1), (2, "a", 1, 1)}
+
+    def test_timestamp_collision_deterministic(self, spark):
+        from datalake_brief_spark.operators.windows import islands
+
+        # two different states at the SAME timestamp: the eid tiebreaker
+        # decides run membership, so repeated runs agree.
+        rows = [(1, "a", _ts(1), 1), (1, "b", _ts(1), 2), (1, "a", _ts(2), 3)]
+        df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+        a = sorted(map(tuple, islands(df, "user_id", "state", "ts", "eid").collect()))
+        b = sorted(map(tuple, islands(df, "user_id", "state", "ts", "eid").collect()))
+        assert a == b and len(a) == 3  # a|b|a -> three islands
+
+    def test_single_shuffle_plan(self, spark):
+        from datalake_brief_spark.operators.windows import islands
+
+        df = spark.createDataFrame(
+            [(1, "a", _ts(1), 1)], "user_id int, state string, ts timestamp, eid int"
+        )
+        plan = islands(df, "user_id", "state", "ts", "eid")._jdf.queryExecution().executedPlan().toString()
+        # one exchange for the user-key partitioning; the (user,state)
+        # window and the final agg reuse it (hashpartitioning(user_id…)).
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestScd2:
+    def test_intervals_chain(self, spark):
+        from datalake_brief_spark.operators.windows import scd2_intervals
+
+        rows = [(1, _ts(1), "x"), (1, _ts(5), "y"), (2, _ts(2), "z")]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+        out = {
+            (r.k, r.version, r.valid_from.hour, r.valid_to.hour if r.valid_to else None, r.is_current)
+            for r in scd2_intervals(df, "k", "ts").collect()
+        }
+        assert out == {(1, 1, 1, 5, False), (1, 2, 5, None, True), (2, 1, 2, None, True)}
+
+
+class TestZscoreAnomalies:
+    def test_excludes_current_row_from_baseline(self, spark):
+        from datalake_brief_spark.operators.timeseries import zscore_anomalies
+
+        # constant 10.0 baseline, then a spike: z must be computed against
+        # the PRIOR rows only. Constant baseline -> sd == 0 -> z NULL for
+        # the early rows; the spike sees a nonzero sd only if baseline
+        # varies, so use 9/11 alternation then spike.
+        vals = [9.0, 11.0, 9.0, 11.0, 50.0]
+        rows = [(1, _ts(1, i), i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+        out = zscore_anomalies(df, ["k"], [F.col("ts"), F.col("eid")], "v", n_preceding=20).collect()
+        by_eid = {r.eid: r for r in out}
+        assert by_eid[0].zscore is None and not by_eid[0].is_anomaly
+        assert by_eid[4].is_anomaly  # 50 vs mean 10, sd ~1.15 -> z ~34
+        # row 4's own value must not shrink its baseline: mean of prior
+        # four is exactly 10.0 -> z = (50-10)/sd(9,11,9,11)
+        assert by_eid[4].zscore == pytest.approx((50 - 10) / 1.1547, abs=1e-3)
+
+    def test_zero_spread_yields_null(self, spark):
+        from datalake_brief_spark.operators.timeseries import zscore_anomalies
+
+        rows = [(1, _ts(1, i), i, 5.0) for i in range(4)]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+        out = zscore_anomalies(df, ["k"], [F.col("ts"), F.col("eid")], "v").collect()
+        assert all(r.zscore is None and not r.is_anomaly for r in out)
+
+
+class TestInterpolateLinear:
+    def _series(self, spark, vals):
+        rows = [(1, _ts(i), v) for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "k int, bucket timestamp, v double")
+
+    def test_midpoint_and_thirds(self, spark):
+        from datalake_brief_spark.operators.timeseries import interpolate_linear
+
+        df = self._series(spark, [10.0, None, 20.0, None, None, 50.0])
+        out = interpolate_linear(df, ["k"], "bucket", "v")
+        got = [r.value_interp for r in out.orderBy("bucket").collect()]
+        assert got == [10.0, 15.0, 20.0, 30.0, 40.0, 50.0]
+
+    def test_no_extrapolation(self, spark):
+        from datalake_brief_spark.operators.timeseries import interpolate_linear
+
+        df = self._series(spark, [None, 10.0, None, 20.0, None])
+        out = interpolate_linear(df, ["k"], "bucket", "v")
+        got = [r.value_interp for r in out.orderBy("bucket").collect()]
+        assert got == [None, 10.0, 15.0, 20.0, None]
+
+    def test_all_null_key_stays_null(self, spark):
+        from datalake_brief_spark.operators.timeseries import interpolate_linear
+
+        df = self._series(spark, [None, None])
+        got = [r.value_interp for r in interpolate_linear(df, ["k"], "bucket", "v").collect()]
+        assert got == [None, None]
+
+
+class TestGraph:
+    def test_triangle_count_k4(self, spark):
+        from datalake_brief_spark.operators.graph import triangle_count
+
+        # K4 has C(4,3) = 4 triangles; feed edges in mixed orientation
+        # with a duplicate to exercise canonicalization.
+        edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+        edges.append((2, 1))
+        df = spark.createDataFrame(edges, "src int, dst int")
+        assert triangle_count(df).collect()[0].n_triangles == 4
+
+    def test_triangle_count_chain_is_zero(self, spark):
+        from datalake_brief_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+        assert triangle_count(df).collect()[0].n_triangles == 0
+
+    def test_degree_histogram_star(self, spark):
+        from datalake_brief_spark.operators.graph import degree_histogram
+
+        # undirected star on 4 leaves (both orientations): hub degree 4,
+        # leaves degree 1.
+        e = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        df = spark.createDataFrame(e, "src int, dst int")
+        got = {(r.degree, r.n_nodes) for r in degree_histogram(df).collect()}
+        assert got == {(4, 1), (1, 4)}
+
+
+class TestOneHot:
+    def test_null_and_unseen_encode_zero(self, spark):
+        from datalake_brief_spark.mlops import one_hot
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "zz")], "id int, c string"
+        )
+        out = one_hot(df, "c", categories=["a", "b"])
+        rows = {r.id: (r.c_a, r.c_b) for r in out.collect()}
+        assert rows == {1: (1, 0), 2: (0, 1), 3: (0, 0), 4: (0, 0)}
+
+    def test_derived_categories_sorted(self, spark):
+        from datalake_brief_spark.mlops import one_hot
+
+        df = spark.createDataFrame([(1, "b"), (2, "a")], "id int, c string")
+        out = one_hot(df, "c")
+        assert [c for c in out.columns if c.startswith("c_")] == ["c_a", "c_b"]
+
+
+class TestSegmentDedup:
+    def test_exact_duplicate_doc_fully_removed(self, spark):
+        from datalake_brief_spark.operators.text import segment_dedup
+
+        t = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame([(1, t), (2, t), (3, "unique words only")],
+                                   "doc_id int, text string")
+        out = {r.doc_id: r for r in segment_dedup(df, segment_words=4).collect()}
+        assert out[1].n_kept == out[1].n_segments == 3
+        assert out[2].n_kept == 0 and out[2].text_kept is None
+        assert out[3].text_kept == "unique words only"
+
+    def test_partial_overlap_keeps_fresh_segments(self, spark):
+        from datalake_brief_spark.operators.text import segment_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d x y z w")], "doc_id int, text string"
+        )
+        out = {r.doc_id: r for r in segment_dedup(df, segment_words=4).collect()}
+        assert out[2].text_kept == "x y z w" and out[2].n_kept == 1
+
+    def test_reassembly_preserves_order(self, spark):
+        from datalake_brief_spark.operators.text import segment_dedup
+
+        # doc 2 repeats doc 1's segment in the MIDDLE; survivors must
+        # rejoin in original position order.
+        df = spark.createDataFrame(
+            [(1, "dup dup"), (2, "aa bb dup dup zz yy")], "doc_id int, text string"
+        )
+        out = {r.doc_id: r.text_kept for r in segment_dedup(df, segment_words=2).collect()}
+        assert out[2] == "aa bb zz yy"
+
+
+class TestLexicalDiversity:
+    def test_known_ratios(self, spark):
+        from datalake_brief_spark.operators.text import lexical_diversity
+
+        df = spark.createDataFrame([(1, "a a b"), (2, "x y z")], "doc_id int, text string")
+        out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+        assert out[1].n_tokens == 3 and out[1].n_types == 2
+        assert out[1].ttr == pytest.approx(2 / 3, abs=1e-6)
+        assert out[1].hapax_ratio == pytest.approx(0.5, abs=1e-6)
+        assert out[2].ttr == 1.0 and out[2].hapax_ratio == 1.0
+
+
+class TestPQ:
+    def test_recall_floor_smoke(self, spark):
+        from datalake_brief_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+        approx = similarity.pq_topk(
+            emb, q, dim=64, m=16, ks=32, k=10, refine=64
+        ).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        assert hits >= 0.9 * 50
+
+    def test_search_path_has_no_python_eval(self, spark):
+        from datalake_brief_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        books = similarity.train_pq_codebooks(emb, dim=64, m=16, ks=32)
+        codes = similarity.pq_encode(emb, books)
+        # the ENCODE pass is the sanctioned Arrow stage; the ADC scoring
+        # plan over pre-encoded codes must stay JVM-only (the LUT lookup
+        # is zip_with/aggregate, not a UDF).
+        plan = similarity.pq_topk(
+            codes.join(emb, "vec_id"), q, dim=64, m=16, ks=32, codebooks=books
+        )
+        # building from raw corpus: assert the final plan has no
+        # row-at-a-time BatchEvalPython (ArrowEvalPython allowed for encode)
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in s
+
+    def test_encode_shrinks_to_m_codes(self, spark):
+        from datalake_brief_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(20)
+        books = similarity.train_pq_codebooks(emb, dim=64, m=8, ks=16)
+        row = similarity.pq_encode(emb, books).first()
+        assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+
+
+class TestEmptyInputsRound7:
+    """Round-7 operators degrade to empty results, never crash, on empty
+    input (the r6 degradation contract extended)."""
+
+    def test_all_empty(self, spark):
+        from datalake_brief_spark.mlops import one_hot
+        from datalake_brief_spark.operators.graph import degree_histogram, triangle_count
+        from datalake_brief_spark.operators.text import lexical_diversity, segment_dedup
+        from datalake_brief_spark.operators.timeseries import (
+            interpolate_linear,
+            zscore_anomalies,
+        )
+        from datalake_brief_spark.operators.windows import (
+            distribution_ranks,
+            islands,
+            scd2_intervals,
+        )
+
+        ev = spark.createDataFrame([], "k int, ts timestamp, eid int, v double, s string")
+        docs = spark.createDataFrame([], "doc_id int, text string")
+        edges = spark.createDataFrame([], "src int, dst int")
+        assert islands(ev, "k", "s", "ts", "eid").count() == 0
+        assert scd2_intervals(ev, "k", "ts").count() == 0
+        assert distribution_ranks(ev, ["s"], [F.col("v"), F.col("eid")]).count() == 0
+        assert zscore_anomalies(ev, ["k"], [F.col("ts")], "v").count() == 0
+        assert interpolate_linear(ev, ["k"], "ts", "v").count() == 0
+        assert degree_histogram(edges).count() == 0
+        assert triangle_count(edges).collect()[0].n_triangles == 0
+        assert segment_dedup(docs).count() == 0
+        assert lexical_diversity(docs).count() == 0
+        assert one_hot(ev, "s", categories=["a"]).count() == 0
