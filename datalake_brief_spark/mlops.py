@@ -313,3 +313,44 @@ def one_hot(
             for c in categories
         ],
     )
+
+
+def classification_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Binary-classifier evaluation in ONE partial-aggregated pass:
+    confusion counts (tp/fp/fn/tn) as conditional sums over the scan,
+    then precision/recall/F1/accuracy derived on the single result row —
+    no per-class shuffle, no collect, so it costs one reduction at any
+    corpus size. Degenerate slices (no predicted positives / no actual
+    positives) yield NULL metrics rather than division blow-ups, matching
+    SQL division semantics on any engine. ``pred_col`` and ``label_col``
+    are boolean columns; build them from your model output upstream."""
+    from pyspark.sql import functions as F
+
+    p = F.col(pred_col).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    agg = df.agg(
+        F.sum((p & y).cast("long")).alias("tp"),
+        F.sum((p & ~y).cast("long")).alias("fp"),
+        F.sum((~p & y).cast("long")).alias("fn"),
+        F.sum((~p & ~y).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    prec = tp / F.when((tp + fp) > 0, tp + fp)
+    rec = tp / F.when((tp + fn) > 0, tp + fn)
+    f1 = 2 * prec * rec / F.when((prec + rec) > 0, prec + rec)
+    acc = (tp + tn) / F.when((tp + fp + fn + tn) > 0, tp + fp + fn + tn)
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, precision).alias("precision"),
+        F.round(rec, precision).alias("recall"),
+        F.round(f1, precision).alias("f1"),
+        F.round(acc, precision).alias("accuracy"),
+    )

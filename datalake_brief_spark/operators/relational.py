@@ -692,7 +692,7 @@ def distribution_drift(
         cells = F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("column"),
+                    F.lit(c).alias("col_name"),
                     F.when(
                         F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0)
                     )
@@ -730,7 +730,7 @@ def distribution_drift(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    tot = j.groupBy("column").agg(
+    tot = j.groupBy("col_name").agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
     # greatest(total, 1): an EMPTY CURRENT side (cold-start snapshot,
@@ -749,7 +749,7 @@ def distribution_drift(
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("__t"),
     )
     return (
-        terms.groupBy("column")
+        terms.groupBy("col_name")
         .agg(
             F.round(F.sum(F.col("__t")), 6).alias("psi"),
             F.max("__tr").cast("long").alias("n_ref"),
@@ -840,7 +840,7 @@ def ks_drift(
         (F.sum("n_ref").over(w) / F.sum("n_ref").over(Window.partitionBy("column"))).alias("__fr"),
         (F.sum("n_cur").over(w) / F.sum("n_cur").over(Window.partitionBy("column"))).alias("__fc"),
     )
-    return ecdf.groupBy("column").agg(
+    return ecdf.groupBy("col_name").agg(
         F.round(F.max(F.abs(F.col("__fr") - F.col("__fc"))), 6).alias("ks")
     )
 
@@ -860,7 +860,7 @@ def _bucket_counts_grid(
         cells = F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("column"),
+                    F.lit(c).alias("col_name"),
                     F.when(F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0))
                     .otherwise(
                         F.least(
@@ -967,3 +967,41 @@ def snapshot_diff(
             "change_type",
         )
     )
+
+
+def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (bits) of each column's value distribution →
+    (col_name, n_distinct, entropy) — the screen that catches constant
+    columns (entropy 0), near-keys (entropy ≈ log2 n), and skewed
+    categoricals before they become join/shuffle hot keys. NULL is
+    counted as a regular value (a 99%-NULL column should read as
+    low-entropy). Per column: one partial-aggregated count shuffle over
+    the value domain, then a tiny re-agg of -Σ p·log2(p); the per-column
+    plans union into one job. Linear, never a driver-side histogram."""
+    outs = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        outs.append(
+            counts.select(
+                F.lit(c).alias("col_name"),
+                F.col("__c"),
+                F.sum("__c").over(Window.partitionBy()).alias("__n"),
+            )
+            .groupBy("col_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.round(
+                    -F.sum(
+                        (F.col("__c") / F.col("__n"))
+                        * F.log2(F.col("__c") / F.col("__n"))
+                    ),
+                    6,
+                ).alias("entropy"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

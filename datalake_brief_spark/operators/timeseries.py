@@ -295,3 +295,35 @@ def interpolate_linear(
     scale = F.lit(float(10**precision))
     rounded = F.floor(interp * scale + F.lit(0.5)) / scale
     return df.select(*df.columns, rounded.alias(out_col))
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    n_preceding: int,
+    out_col: str = "rolling_median",
+    precision: int = 4,
+) -> DataFrame:
+    """Rolling median per key over the trailing ``n_preceding``+1-row
+    frame — the robust twin of rolling_stats' mean (one outlier can't
+    drag it). Spark has no frame-aware percentile window, so the frame is
+    gathered with collect_list, array_sort'ed, and the middle element(s)
+    read out — all JVM expressions, no Python; cost is O(w log w) per row
+    for a frame of w, fine for the dashboard-scale frames this is for
+    (w ≤ a few hundred; a giant frame wants the two-heap streaming
+    algorithm instead). Even-count frames average the two middle values
+    (quantile_cont 0.5 semantics); NULL values are skipped (collect_list
+    drops them), all-NULL frames yield NULL."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_preceding, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    med = F.when(n > 0, (lo + hi) / 2.0)
+    return df.withColumn(out_col, F.round(med, precision))

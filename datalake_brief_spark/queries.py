@@ -8309,6 +8309,179 @@ def sample_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
 
 
+@_register(
+    "ts_rolling_median",
+    """
+    SELECT event_id, user_id, value,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW),
+                 4) AS rolling_median
+    FROM events
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median per user over the trailing 11-row frame
+    (timeseries.rolling_median) — the robust central-tendency feature a
+    single outlier can't drag. No frame-aware percentile window exists in
+    Spark, so the frame gathers via collect_list + array_sort + middle
+    element(s), all JVM expressions; even frames average the two middles
+    (quantile_cont 0.5, matching any SQL median). One shuffle on the
+    user key."""
+    from datalake_brief_spark.operators.timeseries import rolling_median
+
+    e = _t(spark, sf_dir, "events")
+    out = rolling_median(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")], "value",
+        n_preceding=10, precision=4,
+    )
+    return out.select("event_id", "user_id", "value", "rolling_median")
+
+
+@_register(
+    "profile_entropy",
+    """
+    WITH et AS (SELECT event_type AS v, count(*) AS c FROM events GROUP BY 1),
+    uid   AS (SELECT user_id    AS v, count(*) AS c FROM events GROUP BY 1),
+    etn   AS (SELECT v, c, sum(c) OVER () AS n FROM et),
+    uidn  AS (SELECT v, c, sum(c) OVER () AS n FROM uid)
+    SELECT 'event_type' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS entropy
+    FROM etn
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+    FROM uidn
+    """,
+)
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of column value distributions (relational.
+    entropy_profile): constant columns read 0 bits, near-keys read
+    ≈log2(n) — the screen for shuffle hot keys and dead features before a
+    100 TB job is planned. NULL counts as a value. Per column one
+    partial-aggregated count shuffle over the value domain + a tiny
+    re-agg; columns union into one job."""
+    from datalake_brief_spark.operators.relational import entropy_profile
+
+    e = _t(spark, sf_dir, "events")
+    return entropy_profile(e, ["event_type", "user_id"])
+
+
+@_register(
+    "join_interval_overlap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM sid GROUP BY 1, 2
+    ),
+    err AS (
+      SELECT user_id, event_id AS err_id,
+             ts - INTERVAL 10 MINUTE AS b_start,
+             ts + INTERVAL 10 MINUTE AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT sess.user_id, session_id, err_id,
+           CAST(epoch_us(least(s_end, b_end))
+                - epoch_us(greatest(s_start, b_start)) AS BIGINT) AS overlap_us
+    FROM sess JOIN err ON sess.user_id = err.user_id
+    WHERE s_start <= b_end AND b_start <= s_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (joins.interval_join): user sessions
+    (30-min-gap sessionization) × ±10-minute windows around that user's
+    error events. A naive non-equi join is BroadcastNestedLoopJoin —
+    quadratic and broadcast-bound; the operator BANDS the time axis
+    instead: intervals explode to the hour buckets they touch, candidates
+    come from a hash-partitionable equi-join on (user, bucket), the exact
+    overlap predicate filters, a distinct collapses multi-bucket meets.
+    The oracle replays the overlap quadratically per user (cheap at gate
+    scale); durations compare in microseconds — unix_timestamp's
+    whole-second floor would make sub-second overlaps ambiguous."""
+    from datalake_brief_spark.operators.joins import interval_join
+    from datalake_brief_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    sess = s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("b_end"),
+    )
+    out = interval_join(
+        sess, err, "s_start", "s_end", "b_start", "b_end",
+        keys=["user_id"], band_seconds=3600,
+    )
+    return out.select("user_id", "session_id", "err_id", "overlap_us")
+
+
+@_register(
+    "ml_eval_metrics",
+    """
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events
+                 WHERE value IS NOT NULL),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN value > m AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN value > m AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN value <= m AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN value <= m AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM events CROSS JOIN med WHERE value IS NOT NULL
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * (tp * 1.0 / nullif(tp + fp, 0)) * (tp * 1.0 / nullif(tp + fn, 0))
+                 / nullif((tp * 1.0 / nullif(tp + fp, 0))
+                          + (tp * 1.0 / nullif(tp + fn, 0)), 0), 6) AS f1,
+           round((tp + tn) * 1.0 / nullif(tp + fp + fn + tn, 0), 6) AS accuracy
+    FROM cells
+    """,
+)
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation (mlops.classification_report) on a
+    DETERMINISTIC rule model (predict 'purchase' when value > the exact
+    global median — exact medians replay on any engine, unlike an
+    iteratively-fit model's weights): confusion counts as conditional
+    sums in ONE partial-aggregated pass, precision/recall/F1/accuracy
+    derived on the single result row. Degenerate slices yield NULL, not
+    division errors. The pattern is how you grade a quality-filter
+    heuristic against labels at corpus scale — no collect, no per-class
+    shuffle."""
+    from datalake_brief_spark import mlops
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.agg(F.expr("percentile(value, 0.5)").alias("__m"))
+    scored = e.crossJoin(F.broadcast(med)).select(
+        (F.col("value") > F.col("__m")).alias("pred"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return mlops.classification_report(scored, "pred", "label")
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8339,6 +8512,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_assign_cells",
     "knn_pq",
     "sample_group_hash",
+    "ts_rolling_median",
+    "profile_entropy",
+    "join_interval_overlap",
+    "ml_eval_metrics",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
@@ -8346,11 +8523,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- r6 band D: new entries added this round go HERE, above the
     # rotation bands (tests/test_plans.py enforces the window rule).
     "multimodal_png",
-    # ANN gates re-parameterized this round (Hamming-2 multiprobe, nprobe
-    # 8/16, floors 0.85/0.75) -> re-attest at the new floors.
-    "knn_lsh",
-    "knn_ivf",
-    "knn_ivf_indexed",
     "dsir_weights_hashed",
     "csv_malformed_quarantine",
     "temperature_mix",
@@ -8377,6 +8549,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_quality_cut",
     "text_compression_ratio",
     "graph_components_chain",
+    # ANN gates re-parameterized in r6 (Hamming-2 multiprobe, nprobe 8/16,
+    # floors 0.85/0.75) -> re-attest at the new floors; they HAVE older
+    # driver rows, so they queue behind the never-attested band.
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_indexed",
     # -- r6 bands B/C (behavior changed in r5/r6; old driver rows exist,
     # so the window rule doesn't force them — they re-attest after every
     # never-attested entry is covered).

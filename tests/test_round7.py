@@ -300,3 +300,105 @@ class TestEmptyInputsRound7:
         assert segment_dedup(docs).count() == 0
         assert lexical_diversity(docs).count() == 0
         assert one_hot(ev, "s", categories=["a"]).count() == 0
+
+
+class TestRollingMedian:
+    def test_known_frames(self, spark):
+        from datalake_brief_spark.operators.timeseries import rolling_median
+
+        vals = [1.0, 9.0, 5.0, 3.0]
+        rows = [(1, _ts(1, i), i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+        out = rolling_median(df, ["k"], [F.col("ts"), F.col("eid")], "v", n_preceding=2)
+        got = [r.rolling_median for r in out.orderBy("eid").collect()]
+        # frames: [1], [1,9], [1,9,5], [9,5,3]
+        assert got == [1.0, 5.0, 5.0, 5.0]
+
+    def test_nulls_skipped_and_all_null_frame(self, spark):
+        from datalake_brief_spark.operators.timeseries import rolling_median
+
+        rows = [(1, _ts(1, 0), 0, None), (1, _ts(1, 1), 1, 4.0)]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+        got = [r.rolling_median for r in rolling_median(
+            df, ["k"], [F.col("eid")], "v", n_preceding=5).orderBy("eid").collect()]
+        assert got == [None, 4.0]
+
+
+class TestEntropyProfile:
+    def test_constant_zero_uniform_log2(self, spark):
+        from datalake_brief_spark.operators.relational import entropy_profile
+
+        df = spark.createDataFrame(
+            [("a", i % 4) for i in range(16)], "c string, u int"
+        )
+        out = {r.col_name: r for r in entropy_profile(df, ["c", "u"]).collect()}
+        assert out["c"].entropy == 0.0 and out["c"].n_distinct == 1
+        assert out["u"].entropy == pytest.approx(2.0, abs=1e-9)
+
+    def test_null_counts_as_value(self, spark):
+        from datalake_brief_spark.operators.relational import entropy_profile
+
+        df = spark.createDataFrame([("x",), (None,)], "c string")
+        r = entropy_profile(df, ["c"]).collect()[0]
+        assert r.n_distinct == 2 and r.entropy == pytest.approx(1.0, abs=1e-9)
+
+
+class TestIntervalJoin:
+    def _dfs(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10, _ts(1, 0), _ts(3, 0)),   # long interval spans 3 buckets
+             (1, 11, _ts(5, 0), _ts(5, 30)),
+             (2, 20, _ts(1, 0), _ts(2, 0))],
+            "k int, aid int, a_start timestamp, a_end timestamp",
+        )
+        b = spark.createDataFrame(
+            [(1, 100, _ts(2, 30), _ts(4, 0)),  # overlaps aid=10 in 2 buckets
+             (1, 101, _ts(6, 0), _ts(7, 0)),   # no overlap
+             (2, 200, _ts(1, 30), _ts(1, 45))],
+            "k int, bid int, b_start timestamp, b_end timestamp",
+        )
+        return a, b
+
+    def test_overlaps_and_multibucket_dedup(self, spark):
+        from datalake_brief_spark.operators.joins import interval_join
+
+        a, b = self._dfs(spark)
+        out = interval_join(a, b, "a_start", "a_end", "b_start", "b_end",
+                            keys=["k"], band_seconds=3600)
+        got = {(r.aid, r.bid): r.overlap_us for r in out.collect()}
+        # aid=10 × bid=100 meets in buckets 2 AND 3 — must appear ONCE
+        assert got == {(10, 100): 30 * 60 * 1_000_000,
+                       (20, 200): 15 * 60 * 1_000_000}
+
+    def test_no_nested_loop_join(self, spark):
+        from datalake_brief_spark.operators.joins import interval_join
+
+        a, b = self._dfs(spark)
+        plan = interval_join(a, b, "a_start", "a_end", "b_start", "b_end",
+                             keys=["k"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestClassificationReport:
+    def test_hand_confusion(self, spark):
+        from datalake_brief_spark.mlops import classification_report
+
+        rows = [(True, True)] * 3 + [(True, False)] * 1 + \
+               [(False, True)] * 2 + [(False, False)] * 4
+        df = spark.createDataFrame(rows, "pred boolean, label boolean")
+        r = classification_report(df, "pred", "label").collect()[0]
+        assert (r.tp, r.fp, r.fn, r.tn) == (3, 1, 2, 4)
+        assert r.precision == pytest.approx(0.75)
+        assert r.recall == pytest.approx(0.6)
+        assert r.f1 == pytest.approx(2 * 0.75 * 0.6 / 1.35, abs=1e-6)
+        assert r.accuracy == pytest.approx(0.7)
+
+    def test_degenerate_no_predicted_positives(self, spark):
+        from datalake_brief_spark.mlops import classification_report
+
+        df = spark.createDataFrame([(False, True), (False, False)],
+                                   "pred boolean, label boolean")
+        r = classification_report(df, "pred", "label").collect()[0]
+        assert r.precision is None and r.f1 is None
+        assert r.recall == 0.0 and r.accuracy == 0.5
