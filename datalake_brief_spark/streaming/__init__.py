@@ -23,6 +23,7 @@ from datalake_brief_spark.streaming.source import (
     TxlogDataSource,
     register_txlog_source,
 )
+from datalake_brief_spark.streaming.anomaly import zscore_alert_stream
 from datalake_brief_spark.streaming.stateful import (
     dedup_stream,
     enrich_stream,
@@ -38,6 +39,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "merge_stream_to_txlog",
+    "zscore_alert_stream",
     "register_txlog_source",
     "running_user_stats",
     "sessionize_stream",

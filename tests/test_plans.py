@@ -603,3 +603,61 @@ def test_q21_self_join_sides_declared_sort_merge(spark):
     plan = formatted_plan(QUERIES["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
     assert "SortMergeJoin LeftSemi" in plan, plan
     assert "SortMergeJoin LeftAnti" in plan, plan
+
+
+def test_r7_entries_keep_scale_shapes(spark):
+    """Plan pins for the round-7 additions: every sequence-analytics entry
+    is a single-exchange window plan (rank-limit entries push a map-side
+    partial top-k below the shuffle); the graph entries join with
+    shuffle-partitionable joins; segment dedup stays pure-JVM; the
+    scan-stage entries plan zero exchanges; cell assignment folds
+    centroids as literals (no join at all)."""
+    one_exchange = {
+        "window_distribution_suite": None,
+        "scd2_intervals": None,
+        "ts_zscore_anomaly": None,
+        "ts_rolling_median": None,
+        "dedup_latest_by_key": "WindowGroupLimit",
+        "sample_group_hash": "WindowGroupLimit",
+    }
+    for nm, extra in one_exchange.items():
+        q = QUERIES[nm].fn(spark, SF_SMOKE)
+        p = formatted_plan(q)
+        assert count_nodes(q, "Exchange") == 1, (nm, p)
+        assert "Window" in p, (nm, p)
+        if extra:
+            assert extra in p, (nm, p)
+    # islands: both windows + the island agg share the user-key
+    # partitioning family — two exchanges max ((user) and (user,state))
+    gi = QUERIES["gaps_islands"].fn(spark, SF_SMOKE)
+    assert count_nodes(gi, "Exchange") <= 2, formatted_plan(gi)
+    # graph: wedge+closure joins must be shuffle-partitionable — never a
+    # nested-loop fallback from a non-equi condition
+    for nm in ("graph_triangles", "graph_degree_stats"):
+        p = formatted_plan(QUERIES[nm].fn(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in p, (nm, p)
+        assert "CartesianProduct" not in p, (nm, p)
+    # segment dedup: pure JVM (one posexplode Generate, no Python eval)
+    sd = QUERIES["dedup_segments_corpus"].fn(spark, SF_SMOKE)
+    ps = formatted_plan(sd)
+    assert "EvalPython" not in ps, ps
+    assert count_nodes(sd, "Generate") == 1, ps
+    # one-hot is scan-stage only: zero exchanges
+    oh = QUERIES["ml_one_hot"].fn(spark, SF_SMOKE)
+    assert count_nodes(oh, "Exchange") == 0, formatted_plan(oh)
+    # stratified split audit: partial+final agg on the tiny grid
+    ss = QUERIES["ml_split_stratified"].fn(spark, SF_SMOKE)
+    assert count_nodes(ss, "HashAggregate") == 2, formatted_plan(ss)
+    # cell assignment: centroids are plan literals — NO join of any kind
+    ac = QUERIES["emb_assign_cells"].fn(spark, SF_SMOKE)
+    assert "Join" not in formatted_plan(ac), formatted_plan(ac)
+    # banded interval join: equi-join on (key, bucket), no nested loop
+    ij = QUERIES["join_interval_overlap"].fn(spark, SF_SMOKE)
+    pj = formatted_plan(ij)
+    assert "BroadcastNestedLoopJoin" not in pj, pj
+    # interpolation: forward+backward windows over ONE key partitioning —
+    # the spine join adds bounded exchanges, never a cartesian calendar
+    il = QUERIES["ts_interpolate_linear"].fn(spark, SF_SMOKE)
+    pl = formatted_plan(il)
+    assert "CartesianProduct" not in pl, pl
+    assert pl.count("Window") >= 2, pl

@@ -603,3 +603,101 @@ class TestDriftMonitorStream:
         assert hot_key[0] in fired_windows
         assert calm_key[0] not in fired_windows
         shutil.rmtree(src, ignore_errors=True)
+
+
+class TestZscoreAlertStream:
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        import shutil as _sh
+
+        out = str(tmp_path / "events_stream_z")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(out)
+        yield out
+        _sh.rmtree(out, ignore_errors=True)
+
+    def test_stream_equals_batch_zscore(self, spark, events_dir):
+        """The continuous rolling z-score must reproduce the batch window
+        operator on the same slice: anomaly flags exactly, z to 1e-6 (the
+        engines' stddev accumulation orders differ at the last ulp; the
+        4-dp rounding absorbs everything beyond)."""
+        from datalake_brief_spark.operators.timeseries import zscore_anomalies
+        from datalake_brief_spark.streaming import zscore_alert_stream
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(events_dir).schema)
+            .parquet(events_dir)
+            .select("user_id", "event_id", "ts", "value")
+        )
+        q = (
+            zscore_alert_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("zalerts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.event_id: (r.zscore, r.is_anomaly)
+                for r in spark.sql("SELECT * FROM zalerts").collect()
+            }
+        finally:
+            q.stop()
+        batch = zscore_anomalies(
+            load_table(spark, SF_SMOKE, "events"),
+            ["user_id"],
+            [F.col("ts"), F.col("event_id")],
+            "value",
+        ).collect()
+        assert len(got) == len(batch) > 0
+        for r in batch:
+            gz, gf = got[r.event_id]
+            assert gf == r.is_anomaly, r.event_id
+            if r.zscore is None:
+                assert gz is None, r.event_id
+            else:
+                assert gz == pytest.approx(r.zscore, abs=1e-6), r.event_id
+
+    def test_state_carries_across_batches(self):
+        """Feeding the same rows in one chunk or two must produce identical
+        output — the trailing-values state is the only cross-batch
+        memory."""
+        import pandas as pd
+
+        from datalake_brief_spark.streaming.anomaly import _make_zscore_fn
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+                self.hasTimedOut = False
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+            def remove(self):
+                self._v = None
+
+        def rows(ids, vals):
+            return pd.DataFrame(
+                {"user_id": 1, "event_id": ids,
+                 "ts": pd.to_datetime(ids, unit="s"), "value": vals}
+            )
+
+        fn = _make_zscore_fn(20, 2.5, 4, None)
+        vals = [9.0, 11.0, 9.0, 11.0, 50.0, 10.0]
+        one = FakeState()
+        out_one = pd.concat(list(fn((1,), [rows(range(6), vals)], one)))
+        two = FakeState()
+        a = pd.concat(list(fn((1,), [rows(range(3), vals[:3])], two)))
+        b = pd.concat(list(fn((1,), [rows(range(3, 6), vals[3:])], two)))
+        out_two = pd.concat([a, b], ignore_index=True)
+        assert out_one.reset_index(drop=True).equals(out_two)
+        assert bool(out_one.is_anomaly[4])  # the 50.0 spike fires
