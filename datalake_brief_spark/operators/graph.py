@@ -118,3 +118,73 @@ def triangle_count(
         e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    precision: int = 4,
+) -> DataFrame:
+    """Adamic-Adar link prediction: for node pairs NOT yet connected,
+    score Σ_b 1/ln(deg(b)) over their common neighbors b and return the
+    top-k candidate links (the co-purchase "you may also like" /
+    entity-resolution "probably same entity" primitive). Every common
+    neighbor has degree ≥ 2 by construction, so ln(deg) never hits 0.
+
+    Shape: degrees are one keyed agg; wedges come from the same oriented
+    two-join as triangle_count (Σdeg² bound, equi-joins only); the
+    existing-edge exclusion is a left-anti join; the global top-k is
+    TakeOrderedAndProject — nothing quadratic in nodes, no
+    CartesianProduct, deterministic ties on the pair ids."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+    nb = sym.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+    nb2 = sym.select(F.col("a").alias("mid"), F.col("b").alias("z"))
+    wedges = (
+        nb.join(nb2, "mid")
+        .filter(F.col("x") < F.col("z"))
+        .join(deg.withColumnRenamed("a", "mid"), "mid")
+    )
+    # Per-pair score via a SORTED fold, not F.sum: different pairs tie
+    # exactly when their common-neighbor degree multisets match (frequent
+    # in co-occurrence graphs), and an order-sensitive float sum makes
+    # near-cutoff ranks engine-dependent. Sorting the terms and folding
+    # left is the same IEEE sequence on any engine (the EWMA-oracle
+    # precedent), so scores — and therefore the top-k set — replay
+    # bit-for-bit.
+    term = 1.0 / F.log(F.col("__deg").cast("double"))
+    scored = wedges.groupBy("x", "z").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("__aa"),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+    )
+    novel = scored.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_anti",
+    )
+    return (
+        novel.select(
+            F.col("x").alias("node_a"),
+            F.col("z").alias("node_b"),
+            F.round("__aa", precision).alias("aa_score"),
+            "n_common",
+            F.col("__aa").alias("__aa_exact"),
+        )
+        .orderBy(F.col("__aa_exact").desc(), "node_a", "node_b")
+        .limit(k)
+        .drop("__aa_exact")
+    )

@@ -8482,6 +8482,115 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlops.classification_report(scored, "pred", "label")
 
 
+@_register(
+    "text_zipf_alpha",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+    freq AS (SELECT source, t, count(*) AS f FROM tok GROUP BY 1, 2),
+    rk AS (
+      SELECT source, f,
+             ln(CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY f DESC, t) AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y
+      FROM freq
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(f) AS BIGINT)   AS n_tokens,
+           round(-((sum(x * y) - sum(x) * sum(y) / count(*))
+                   / nullif(sum(x * x) - sum(x) * sum(x) / count(*), 0)),
+                 4) AS zipf_alpha
+    FROM rk GROUP BY source
+    """,
+)
+def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source (text.zipf_profile): closed-form OLS slope
+    of ln(freq) on ln(rank) over each source's token frequency table,
+    alpha = −slope. Natural text sits near 1; boilerplate flattens, spam
+    steepens — a one-number source-health signal for a pretrain mix. One
+    (source, token) count shuffle, a vocabulary-sized rank window, five
+    OLS sums in a tiny re-agg; rank ties break on the token string so the
+    fit replays on any engine."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return text.zipf_profile(d)
+
+
+@_register(
+    "graph_adamic_adar",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(l1.l_partkey, l2.l_partkey)    AS a,
+                      greatest(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    w AS (
+      SELECT n1.a AS x, n1.b AS mid, n2.b AS z
+      FROM sym n1 JOIN sym n2 ON n1.b = n2.a
+      WHERE n1.a < n2.b
+    ),
+    s AS (
+      SELECT x, z,
+             list_reduce(
+               list_sort(list(1.0 / ln(CAST(d AS DOUBLE)))),
+               (acc, t) -> acc + t) AS aa,
+             count(*) AS nc
+      FROM w JOIN deg ON deg.a = w.mid GROUP BY x, z
+    ),
+    nv AS (
+      SELECT s.x, s.z, s.aa, s.nc FROM s
+      ANTI JOIN e ON s.x = e.a AND s.z = e.b
+    )
+    SELECT x AS node_a, z AS node_b,
+           round(aa, 4) AS aa_score,
+           CAST(nc AS BIGINT) AS n_common
+    FROM nv ORDER BY aa DESC, x, z LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.adamic_adar_topk) on the part
+    co-purchase graph: top-20 NOT-yet-connected pairs by Σ 1/ln(deg) over
+    common neighbors. Wedges from the same oriented equi-joins as
+    triangle counting, existing edges excluded by anti-join, global top-k
+    via TakeOrderedAndProject. Per-pair scores fold SORTED terms (the
+    EWMA-oracle trick) so equal-degree-multiset ties — common here —
+    rank identically on every engine and the cutoff set is stable."""
+    from datalake_brief_spark.operators.graph import adamic_adar_topk
+
+    return adamic_adar_topk(_copurchase_edges(spark, sf_dir), k=20)
+
+
+@_register(
+    "pq_metadata_profile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_meta,
+           TRUE AS metadata_consistent
+    FROM lineitem
+    """,
+)
+def pq_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer health gate (sources.io.parquet_metadata_profile):
+    row counts summed from file FOOTERS only — zero data pages touched,
+    O(files) metadata IO at any table size (the pre-flight before sizing
+    a 100 TB scan: row groups per file drive pruning granularity). The
+    gate pins footer-count == engine count(*) as a boolean: a torn write
+    or a stale footer flips it. File/row-group counts vary per dataset
+    build, so only the invariant columns face the oracle."""
+    from datalake_brief_spark.catalog import table_path
+    from datalake_brief_spark.sources import io as _io
+
+    prof = _io.parquet_metadata_profile(spark, table_path(sf_dir, "lineitem"))
+    actual = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return prof.crossJoin(F.broadcast(actual)).select(
+        "n_rows_meta",
+        (F.col("n_rows_meta") == F.col("__cnt")).alias("metadata_consistent"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8516,6 +8625,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_entropy",
     "join_interval_overlap",
     "ml_eval_metrics",
+    "text_zipf_alpha",
+    "graph_adamic_adar",
+    "pq_metadata_profile",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

@@ -528,3 +528,37 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def parquet_metadata_profile(spark, path: str) -> "DataFrame":
+    """Footer-level health profile of a parquet table: (n_files,
+    n_row_groups, n_rows_meta) read from file FOOTERS only — zero data
+    pages touched, so the op is O(files) metadata IO at any table size.
+    This is the pre-flight check before sizing a 100 TB scan: too few row
+    groups per file kills row-group pruning, too many means tiny pages
+    and seek-bound reads; n_rows_meta ≠ the engine's count(*) means a
+    torn write. pyarrow reads the footers driver-side (files at metadata
+    scale; push into mapInPandas over a file list if a table has millions
+    of files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    n_groups = 0
+    n_rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_groups += md.num_row_groups
+        n_rows += md.num_rows
+    return spark.createDataFrame(
+        [(len(files), n_groups, n_rows)],
+        "n_files long, n_row_groups long, n_rows_meta long",
+    )

@@ -255,10 +255,22 @@ def test_driver_window_covers_unattested_entries():
         attested.update(json.load(open(f)))
     window = set(_DRIVER_WINDOW_PRIORITY[:50])
     never = [n for n in QUERIES if n not in attested and n not in window]
-    assert not never, (
-        f"registry entries with no driver CORRECTNESS row in any round must "
-        f"sit in the top-50 driver window: {never}"
-    )
+    # Saturation clause: when MORE than 50 entries are never-attested (a
+    # round that adds 20+ operators before the driver has run), the window
+    # physically cannot hold them all — overflow is acceptable ONLY if
+    # every top-50 slot is itself never-attested (nothing better could
+    # occupy it) and the overflow queues immediately after the window.
+    if never:
+        assert all(n not in attested for n in _DRIVER_WINDOW_PRIORITY[:50]), (
+            f"never-attested entries sit below the window while attested "
+            f"entries occupy top-50 slots: {never}"
+        )
+        n_unattested = sum(1 for n in QUERIES if n not in attested)
+        head = _DRIVER_WINDOW_PRIORITY[:n_unattested]
+        assert all(n not in attested for n in head), (
+            "the overflow must queue contiguously after the window, ahead "
+            "of every already-attested entry"
+        )
     # the priority list itself must stay a complete, duplicate-free ordering
     assert len(_DRIVER_WINDOW_PRIORITY) == len(set(_DRIVER_WINDOW_PRIORITY))
     assert set(_DRIVER_WINDOW_PRIORITY) == set(QUERIES)

@@ -402,3 +402,57 @@ class TestClassificationReport:
         r = classification_report(df, "pred", "label").collect()[0]
         assert r.precision is None and r.f1 is None
         assert r.recall == 0.0 and r.accuracy == 0.5
+
+
+class TestZipfProfile:
+    def test_known_slope(self, spark):
+        from datalake_brief_spark.operators.text import zipf_profile
+
+        # exact Zipf with alpha=1: freq(rank r) = 12/r for r=1..3
+        # ("a"x12, "b"x6, "c"x4) -> slope of ln f on ln r is exactly -1
+        # over {(0, ln12), (ln2, ln6), (ln3, ln4)}... not exactly linear;
+        # use a 2-point table which any line fits exactly: a x4, b x1 ->
+        # slope = (ln1 - ln4)/(ln2 - ln1) = -2, alpha = 2.
+        df = spark.createDataFrame([("s", "a a a a b")], "source string, text string")
+        r = zipf_profile(df).collect()[0]
+        assert r.n_types == 2 and r.n_tokens == 5
+        assert r.zipf_alpha == pytest.approx(2.0, abs=1e-4)
+
+    def test_single_type_yields_null(self, spark):
+        from datalake_brief_spark.operators.text import zipf_profile
+
+        df = spark.createDataFrame([("s", "a a a")], "source string, text string")
+        assert zipf_profile(df).collect()[0].zipf_alpha is None
+
+
+class TestAdamicAdar:
+    def test_known_scores_and_exclusion(self, spark):
+        from datalake_brief_spark.operators.graph import adamic_adar_topk
+
+        # path 1-2-3 plus 3-4: candidates (1,3) via 2, (2,4) via 3,
+        # (1,4)? no common neighbor. Edge (1,2) itself must be excluded.
+        import math
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+        got = {(r.node_a, r.node_b): r.aa_score for r in adamic_adar_topk(df, k=10).collect()}
+        assert set(got) == {(1, 3), (2, 4)}
+        assert got[(1, 3)] == pytest.approx(round(1 / math.log(2), 4))
+        assert got[(2, 4)] == pytest.approx(round(1 / math.log(2), 4))
+
+    def test_connected_pairs_never_predicted(self, spark):
+        from datalake_brief_spark.operators.graph import adamic_adar_topk
+
+        # triangle: every pair already connected -> no predictions
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+        assert adamic_adar_topk(df, k=10).count() == 0
+
+
+class TestParquetMetadataProfile:
+    def test_footer_counts_match_engine(self, spark, tmp_path):
+        from datalake_brief_spark.sources.io import parquet_metadata_profile
+
+        p = str(tmp_path / "t")
+        spark.range(1000).repartition(3).write.parquet(p)
+        r = parquet_metadata_profile(spark, p).collect()[0]
+        assert r.n_files == 3 and r.n_rows_meta == 1000
+        assert r.n_row_groups >= 3
