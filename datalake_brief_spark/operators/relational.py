@@ -692,7 +692,7 @@ def distribution_drift(
         cells = F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("col_name"),
+                    F.lit(c).alias("column"),
                     F.when(
                         F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0)
                     )
@@ -730,7 +730,7 @@ def distribution_drift(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    tot = j.groupBy("col_name").agg(
+    tot = j.groupBy("column").agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
     # greatest(total, 1): an EMPTY CURRENT side (cold-start snapshot,
@@ -749,7 +749,7 @@ def distribution_drift(
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("__t"),
     )
     return (
-        terms.groupBy("col_name")
+        terms.groupBy("column")
         .agg(
             F.round(F.sum(F.col("__t")), 6).alias("psi"),
             F.max("__tr").cast("long").alias("n_ref"),
@@ -840,7 +840,7 @@ def ks_drift(
         (F.sum("n_ref").over(w) / F.sum("n_ref").over(Window.partitionBy("column"))).alias("__fr"),
         (F.sum("n_cur").over(w) / F.sum("n_cur").over(Window.partitionBy("column"))).alias("__fc"),
     )
-    return ecdf.groupBy("col_name").agg(
+    return ecdf.groupBy("column").agg(
         F.round(F.max(F.abs(F.col("__fr") - F.col("__fc"))), 6).alias("ks")
     )
 
@@ -860,7 +860,7 @@ def _bucket_counts_grid(
         cells = F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("col_name"),
+                    F.lit(c).alias("column"),
                     F.when(F.col(f"__mx_{i}") == F.col(f"__mn_{i}"), F.lit(0))
                     .otherwise(
                         F.least(

@@ -11,6 +11,14 @@ from datalake_brief_spark.plans import formatted_plan
 from datalake_brief_spark.queries import headline_queries
 
 COMMENT = {
+    "dedup_segments_corpus": (
+        "One Generate (posexplode of the chunk transform) over a scan that "
+        "materializes the token array ONCE, a single window exchange on the "
+        "segment text for first-occurrence, one shuffle back on the doc key "
+        "for reassembly — pure JVM end to end (no EvalPython node). At "
+        "100 TB both exchanges key on values the dedup itself defines, so "
+        "skew follows duplicate density exactly like the LSH band joins."
+    ),
     "q1_pricing_summary": (
         "One scan, shipdate filter in PushedFilters, 7-column ReadSchema (of 11), "
         "partial+final HashAggregate around a single exchange."

@@ -301,6 +301,33 @@ class TestEmptyInputsRound7:
         assert lexical_diversity(docs).count() == 0
         assert one_hot(ev, "s", categories=["a"]).count() == 0
 
+    def test_batch23_empty(self, spark):
+        from datalake_brief_spark.mlops import classification_report
+        from datalake_brief_spark.operators.graph import adamic_adar_topk
+        from datalake_brief_spark.operators.joins import interval_join
+        from datalake_brief_spark.operators.relational import entropy_profile
+        from datalake_brief_spark.operators.text import zipf_profile
+        from datalake_brief_spark.operators.timeseries import rolling_median
+
+        ev = spark.createDataFrame([], "k int, ts timestamp, eid int, v double, s string")
+        docs = spark.createDataFrame([], "doc_id int, source string, text string")
+        edges = spark.createDataFrame([], "src int, dst int")
+        iv = spark.createDataFrame([], "k int, a_start timestamp, a_end timestamp")
+        iv2 = spark.createDataFrame([], "k int, b_start timestamp, b_end timestamp")
+        assert rolling_median(ev, ["k"], [F.col("eid")], "v", 5).count() == 0
+        # entropy over an empty relation: the column row exists with
+        # n_distinct 0 would be a lie — the groupBy yields no counts, so
+        # the per-column re-agg emits nothing.
+        assert entropy_profile(ev, ["s"]).count() == 0
+        assert zipf_profile(docs).count() == 0
+        assert adamic_adar_topk(edges).count() == 0
+        assert interval_join(iv, iv2, "a_start", "a_end", "b_start", "b_end",
+                             keys=["k"]).count() == 0
+        r = classification_report(
+            spark.createDataFrame([], "pred boolean, label boolean"),
+            "pred", "label").collect()[0]
+        assert r.tp is None and r.precision is None
+
 
 class TestRollingMedian:
     def test_known_frames(self, spark):
