@@ -1005,3 +1005,61 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def market_basket_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 20,
+    min_pair_orders: int = 2,
+    precision: int = 6,
+) -> DataFrame:
+    """Association rules over (basket, item) pairs: for every item pair
+    co-occurring in ≥ ``min_pair_orders`` baskets, support / confidence /
+    lift — the classic market-basket screen, and at corpus scale the
+    same arithmetic ranks co-occurring tags, hosts, or near-dup cluster
+    features. lift > 1 means the pair co-occurs above independence.
+
+    All statistics are ratios of exact BASKET COUNTS (one distinct
+    (basket, item) projection, one self-join keyed on the basket id, two
+    tiny item-margin aggregates joined back by item id), so every score
+    is a division of the same integers on any engine — no float-sum
+    order anywhere, and the top-k by lift is deterministic with the
+    (item_a, item_b) tiebreak. The self-join is the Σ basket_size² wedge
+    bound, hash-partitioned on the basket id — no cross product."""
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select("__b").distinct().count()
+    item = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    a = bi.withColumnRenamed("__i", "item_a")
+    b = bi.withColumnRenamed("__i", "item_b")
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") >= min_pair_orders)
+    )
+    j = (
+        pairs.join(item.withColumnRenamed("__i", "item_a").withColumnRenamed("__ni", "__na"), "item_a")
+        .join(item.withColumnRenamed("__i", "item_b").withColumnRenamed("__ni", "__nb"), "item_b")
+    )
+    lift = (F.col("__np").cast("double") * F.lit(float(n_baskets))) / (
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    out = j.select(
+        "item_a",
+        "item_b",
+        F.col("__np").cast("long").alias("n_pair"),
+        F.round(F.col("__np") / F.lit(float(n_baskets)), precision).alias("support"),
+        F.round(F.col("__np") / F.col("__na"), precision).alias("confidence_a_b"),
+        F.round(lift, precision).alias("lift"),
+        lift.alias("__lift_exact"),
+    )
+    return (
+        out.orderBy(F.col("__lift_exact").desc(), "item_a", "item_b")
+        .limit(k)
+        .drop("__lift_exact")
+    )

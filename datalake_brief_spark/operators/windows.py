@@ -255,3 +255,66 @@ def islands(
         )
         .drop("__g")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """First-order Markov transition statistics over per-key state
+    sequences: count (prev_state → state) steps across all keys and
+    derive P(next | prev) — the user-journey / crawl-frontier / token-
+    stream model you fit before simulating or compressing sequences. One
+    lag window per key (single shuffle), a partial-aggregated count on
+    the tiny state×state grid, and the row-conditional probabilities
+    derive from exact integer counts — engine-portable. The sort must be
+    total (``tiebreak_col``), or collision rows would make transitions
+    nondeterministic."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    steps = df.select(
+        F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).filter(F.col("prev_state").isNotNull())
+    counts = steps.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), precision).alias("prob"),
+    )
+
+
+def running_distinct(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    out_col: str = "n_distinct_so_far",
+) -> DataFrame:
+    """Cumulative distinct count per key: at each row, how many distinct
+    ``value_col`` values the key has produced up to and including it —
+    the vocabulary-growth / feature-discovery curve. COUNT(DISTINCT) is
+    not a window function anywhere; the standard rewrite marks each
+    value's FIRST occurrence with one row_number window and running-sums
+    the flags with a second — two windows on key-prefixed partitionings,
+    so the (key, value) exchange feeds the (key) window without a third
+    shuffle of the fact."""
+    ob = [F.col(ts_col), F.col(tiebreak_col)]
+    w_first = Window.partitionBy(key_col, value_col).orderBy(*ob)
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flag = (F.row_number().over(w_first) == 1).cast("long")
+    return df.select(
+        *df.columns, F.sum(flag).over(w_run).alias(out_col)
+    )

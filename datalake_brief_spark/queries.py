@@ -8591,6 +8591,103 @@ def pq_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "market_basket_rules",
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+    item AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS item_a, bb.i AS item_b, count(*) AS np
+      FROM bi a JOIN bi bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, CAST(np AS BIGINT) AS n_pair,
+           round(np * 1.0 / nb, 6)              AS support,
+           round(np * 1.0 / ia.ni, 6)           AS confidence_a_b,
+           round(np * 1.0 * nb / (ia.ni * ib.ni), 6) AS lift
+    FROM pairs JOIN item ia ON ia.i = pairs.item_a
+               JOIN item ib ON ib.i = pairs.item_b
+               CROSS JOIN n
+    ORDER BY np * 1.0 * nb / (ia.ni * ib.ni) DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules on order baskets (relational.market_basket_rules):
+    top-20 part pairs by lift among pairs sharing ≥2 orders. Every score
+    is a ratio of exact basket counts — identical integer divisions on
+    any engine, so the lift ordering (and therefore the top-k cutoff) is
+    deterministic with the pair-id tiebreak; no float accumulation
+    anywhere. Pair generation is the basket-keyed self-join
+    (Σ basket_size² bound), margins join back by item id."""
+    from datalake_brief_spark.operators.relational import market_basket_rules as mbr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return mbr(li, "l_orderkey", "l_partkey", k=20, min_pair_orders=2)
+
+
+@_register(
+    "seq_transition_matrix",
+    """
+    WITH s AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state,
+             event_type AS next_state
+      FROM events
+    )
+    SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY prev_state), 6) AS prob
+    FROM s WHERE prev_state IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over user event sequences
+    (windows.transition_matrix): P(next event type | previous) from exact
+    step counts — the user-journey model. One lag window per user key,
+    then a partial-aggregated count on the 5×5 state grid; conditional
+    probabilities are integer-count divisions, engine-portable."""
+    from datalake_brief_spark.operators.windows import transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "event_type", "ts", "event_id")
+
+
+@_register(
+    "window_running_distinct",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_so_far
+    FROM f
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct event types per user (windows.running_distinct):
+    COUNT(DISTINCT) isn't a window function in any engine, so each value's
+    first occurrence is flagged with one row_number window and the flags
+    running-sum with a second — the vocabulary-growth curve. Both windows
+    share the user-key prefix, so the fact shuffles at most twice."""
+    from datalake_brief_spark.operators.windows import running_distinct
+
+    e = _t(spark, sf_dir, "events")
+    out = running_distinct(e, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_distinct_so_far").cast("long").alias("n_distinct_so_far"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8628,6 +8725,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_zipf_alpha",
     "graph_adamic_adar",
     "pq_metadata_profile",
+    "market_basket_rules",
+    "seq_transition_matrix",
+    "window_running_distinct",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

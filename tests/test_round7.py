@@ -483,3 +483,58 @@ class TestParquetMetadataProfile:
         r = parquet_metadata_profile(spark, p).collect()[0]
         assert r.n_files == 3 and r.n_rows_meta == 1000
         assert r.n_row_groups >= 3
+
+
+class TestMarketBasket:
+    def test_known_lift(self, spark):
+        from datalake_brief_spark.operators.relational import market_basket_rules
+
+        # 4 baskets; items x,y together in 2, x alone in 1, y alone in 1.
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "y")]
+        df = spark.createDataFrame(rows, "b int, i string")
+        r = market_basket_rules(df, "b", "i", min_pair_orders=2).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row.item_a, row.item_b, row.n_pair) == ("x", "y", 2)
+        assert row.support == pytest.approx(0.5)
+        assert row.confidence_a_b == pytest.approx(2 / 3, abs=1e-6)
+        assert row.lift == pytest.approx(2 * 4 / (3 * 3), abs=1e-6)
+
+    def test_duplicate_items_in_basket_counted_once(self, spark):
+        from datalake_brief_spark.operators.relational import market_basket_rules
+
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "b int, i string")
+        assert market_basket_rules(df, "b", "i").collect()[0].n_pair == 2
+
+
+class TestTransitionMatrix:
+    def test_known_chain(self, spark):
+        from datalake_brief_spark.operators.windows import transition_matrix
+
+        # user 1: a->b->a ; user 2: a->b  =>  a->b n=2 p=1.0, b->a n=1 p=1.0
+        rows = [(1, "a", _ts(1), 1), (1, "b", _ts(2), 2), (1, "a", _ts(3), 3),
+                (2, "a", _ts(1), 4), (2, "b", _ts(2), 5)]
+        df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp, event_id int")
+        got = {(r.prev_state, r.next_state): (r.n, r.prob)
+               for r in transition_matrix(df, "user_id", "event_type", "ts", "event_id").collect()}
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_no_cross_user_transitions(self, spark):
+        from datalake_brief_spark.operators.windows import transition_matrix
+
+        rows = [(1, "a", _ts(1), 1), (2, "b", _ts(2), 2)]
+        df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp, event_id int")
+        assert transition_matrix(df, "user_id", "event_type", "ts", "event_id").count() == 0
+
+
+class TestRunningDistinct:
+    def test_vocabulary_growth(self, spark):
+        from datalake_brief_spark.operators.windows import running_distinct
+
+        rows = [(1, "a", _ts(1), 1), (1, "a", _ts(2), 2), (1, "b", _ts(3), 3),
+                (1, "a", _ts(4), 4), (1, "c", _ts(5), 5)]
+        df = spark.createDataFrame(rows, "k int, v string, ts timestamp, eid int")
+        out = running_distinct(df, "k", "v", "ts", "eid")
+        got = [r.n_distinct_so_far for r in out.orderBy("eid").collect()]
+        assert got == [1, 1, 2, 2, 3]
