@@ -1152,3 +1152,112 @@ def zipf_profile(
         F.sum("__f").cast("long").alias("n_tokens"),
         F.round(-slope, precision).alias("zipf_alpha"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: list[int],
+    text_col: str = "text",
+    precision: int = 6,
+) -> DataFrame:
+    """Tokenizer-sizing curve: for each candidate vocabulary size V, the
+    fraction of corpus TOKEN OCCURRENCES covered by the V most frequent
+    types (the number you trade against embedding-table memory when
+    sizing a vocab; the complement is the OOV/byte-fallback rate).
+
+    Scale shape — no global rank over the vocabulary: token counts
+    aggregate once (corpus → |vocab| rows), then collapse to the DISTINCT
+    FREQUENCY spectrum (f, types_at_f, tokens_at_f) — Zipf keeps that
+    O(√total) — and one tiny window over the spectrum yields cumulative
+    types/tokens in descending-f order. Coverage at V reads the band
+    where cumulative types crosses V: tokens above the band plus
+    (V − types_above)·f. Within a frequency band every type contributes
+    the same f, so coverage is TIE-INVARIANT — no token ordering enters
+    the result, which is what makes it engine-portable."""
+    tok = df.select(F.explode(tokens(text_col)).alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    spec = freq.groupBy("__f").agg(
+        F.count(F.lit(1)).alias("__types"),
+        (F.count(F.lit(1)) * F.col("__f")).alias("__toks"),
+    )
+    w = Window.orderBy(F.col("__f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = spec.select(
+        "__f",
+        "__types",
+        F.coalesce(F.sum("__types").over(w), F.lit(0)).alias("__types_above"),
+        F.coalesce(F.sum("__toks").over(w), F.lit(0)).alias("__toks_above"),
+    )
+    totals = spec.agg(
+        F.sum("__toks").cast("long").alias("__total"),
+        F.sum("__types").cast("long").alias("n_types"),
+    )
+    rows = []
+    for v in vocab_sizes:
+        band = (
+            cum.filter(
+                (F.col("__types_above") < v)
+                & (F.col("__types_above") + F.col("__types") >= v)
+            )
+            .select(
+                (
+                    F.col("__toks_above")
+                    + (F.lit(v) - F.col("__types_above")) * F.col("__f")
+                ).alias("__cov")
+            )
+        )
+        # V beyond the whole vocabulary: every band has types_above+types
+        # < V, the filter matches nothing -> full coverage.
+        cov = band.agg(F.sum("__cov").alias("__cov"))
+        rows.append(
+            totals.crossJoin(F.broadcast(cov)).select(
+                F.lit(v).cast("long").alias("vocab_size"),
+                "n_types",
+                F.coalesce(F.col("__cov"), F.col("__total"))
+                .cast("long")
+                .alias("n_covered"),
+                F.col("__total").alias("n_tokens"),
+                F.round(
+                    F.coalesce(F.col("__cov"), F.col("__total"))
+                    / F.col("__total"),
+                    precision,
+                ).alias("coverage"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def batch_padding_stats(
+    df: DataFrame,
+    bucket_width: int,
+    text_col: str = "text",
+    precision: int = 6,
+) -> DataFrame:
+    """Length-bucket batching audit: group documents into token-length
+    buckets of ``bucket_width`` and report, per bucket, the padding waste
+    if each bucket batches to its own max length — the number that tells
+    you whether length-bucketed batching is worth the shuffle vs padding
+    everything to global max (sum the buckets' pad_tokens vs the global
+    single-bucket run). Pure scan-stage bucketing + one partial-
+    aggregated shuffle on the tiny bucket key; padding arithmetic is
+    exact integers."""
+    n = token_count(text_col)
+    b = F.floor(n / F.lit(bucket_width)).cast("long")
+    base = df.select(n.alias("__n"), b.alias("bucket"))
+    return base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("__n").cast("long").alias("max_len"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) * F.max("__n") - F.sum("__n"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.round(
+            (F.count(F.lit(1)) * F.max("__n") - F.sum("__n"))
+            / (F.count(F.lit(1)) * F.max("__n")),
+            precision,
+        ).alias("pad_fraction"),
+    )

@@ -8688,6 +8688,63 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+    rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq),
+    tot AS (SELECT sum(f) AS total, count(*) AS nt FROM rk),
+    sizes AS (SELECT unnest([10, 25, 50]) AS vocab_size)
+    SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+           CAST(max(t.nt) AS BIGINT)    AS n_types,
+           CAST(sum(CASE WHEN rk.r <= s.vocab_size THEN rk.f ELSE 0 END)
+                AS BIGINT)              AS n_covered,
+           CAST(max(t.total) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN rk.r <= s.vocab_size THEN rk.f ELSE 0 END)
+                 * 1.0 / max(t.total), 6) AS coverage
+    FROM sizes s CROSS JOIN rk CROSS JOIN tot t
+    GROUP BY s.vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve (text.vocab_coverage): share of corpus token
+    occurrences covered by the V most frequent types, for V = 10/25/50 —
+    the embedding-table-size vs OOV-rate trade. NO global rank over the
+    vocabulary: counts collapse to the distinct-FREQUENCY spectrum (Zipf
+    keeps it O(√total)) and one tiny window yields the cumulative curve;
+    within a frequency band every type contributes equally, so coverage
+    is rank-tie-invariant — the oracle's naive rank form lands on the
+    identical number."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return text.vocab_coverage(d, [10, 25, 50])
+
+
+@_register(
+    "text_batch_padding",
+    f"""
+    WITH n AS (SELECT len({_TOKS}) AS n FROM documents)
+    SELECT CAST(floor(n / 10.0) AS BIGINT)  AS bucket,
+           CAST(count(*) AS BIGINT)         AS n_docs,
+           CAST(max(n) AS BIGINT)           AS max_len,
+           CAST(sum(n) AS BIGINT)           AS n_tokens,
+           CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens,
+           round((count(*) * max(n) - sum(n)) * 1.0
+                 / (count(*) * max(n)), 6)  AS pad_fraction
+    FROM n GROUP BY 1
+    """,
+)
+def text_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket batching audit (text.batch_padding_stats): documents
+    bucketed by token length (width 10), per-bucket padding waste if each
+    bucket batches to its own max — the number that says whether
+    length-bucketed batching beats pad-to-global-max for a training run.
+    Scan-stage bucketing + one partial-aggregated shuffle on the tiny
+    bucket key; all arithmetic exact integers."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return text.batch_padding_stats(d, bucket_width=10)
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8728,6 +8785,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "market_basket_rules",
     "seq_transition_matrix",
     "window_running_distinct",
+    "text_vocab_coverage",
+    "text_batch_padding",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

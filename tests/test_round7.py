@@ -538,3 +538,35 @@ class TestRunningDistinct:
         out = running_distinct(df, "k", "v", "ts", "eid")
         got = [r.n_distinct_so_far for r in out.orderBy("eid").collect()]
         assert got == [1, 1, 2, 2, 3]
+
+
+class TestVocabCoverage:
+    def test_hand_curve_and_beyond_vocab(self, spark):
+        from datalake_brief_spark.operators.text import vocab_coverage
+
+        # freqs: a=4, b=2, c=1, d=1 (total 8, 4 types)
+        df = spark.createDataFrame([(1, "a a a a b b c d")], "id int, text string")
+        got = {r.vocab_size: r for r in vocab_coverage(df, [1, 2, 3, 10]).collect()}
+        assert got[1].n_covered == 4 and got[1].coverage == pytest.approx(0.5)
+        assert got[2].n_covered == 6 and got[2].coverage == pytest.approx(0.75)
+        # V=3 splits the f=1 tie (c,d): either type gives the same tokens
+        assert got[3].n_covered == 7
+        # V beyond vocab: full coverage
+        assert got[10].n_covered == 8 and got[10].coverage == 1.0
+        assert all(r.n_types == 4 for r in got.values())
+
+
+class TestBatchPadding:
+    def test_hand_buckets(self, spark):
+        from datalake_brief_spark.operators.text import batch_padding_stats
+
+        # lengths 3, 4 (bucket 0) and 12 (bucket 1) with width 10
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d"), (3, " ".join("x" * 1 for _ in range(12)))],
+            "id int, text string",
+        )
+        got = {r.bucket: r for r in batch_padding_stats(df, 10).collect()}
+        assert got[0].n_docs == 2 and got[0].max_len == 4
+        assert got[0].pad_tokens == 2 * 4 - 7 == 1
+        assert got[0].pad_fraction == pytest.approx(1 / 8)
+        assert got[1].n_docs == 1 and got[1].pad_tokens == 0
