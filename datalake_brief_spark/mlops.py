@@ -354,3 +354,90 @@ def classification_report(
         F.round(f1, precision).alias("f1"),
         F.round(acc, precision).alias("accuracy"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank statistic:
+    AUC = (Σ midranks of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg),
+    with MIDRANKS for score ties (the standard tie correction — min- or
+    max-ranks bias AUC under heavy ties). Midrank = min_rank +
+    (ties−1)/2 comes from one global sort window plus a per-score-value
+    count, so the whole statistic is exact integer arithmetic over one
+    sort and two aggregates — no sampling, no trapezoid approximation,
+    and any engine replays it bit-for-bit. Degenerate slices (no
+    positives or no negatives) yield NULL. The global sort is the cost —
+    at corpus scale pre-aggregate by distinct score first (the rank only
+    depends on the score value), which this does: ranks derive from the
+    DISTINCT-SCORE spectrum, rows never globally sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("boolean")
+    spec = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(y.cast("long")).alias("__np"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = spec.select(
+        "__n",
+        "__np",
+        (F.coalesce(F.sum("__n").over(w), F.lit(0)) + 1).alias("__min_rank"),
+    )
+    # midrank of every row at this score = min_rank + (n-1)/2; positives
+    # at this score contribute np * midrank to the rank sum.
+    mid = F.col("__min_rank") + (F.col("__n") - 1) / 2.0
+    agg = ranked.agg(
+        F.sum(F.col("__np") * mid).alias("__rank_sum"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        (F.sum("__n") - F.sum("__np")).cast("long").alias("n_neg"),
+    )
+    auc = (
+        F.col("__rank_sum")
+        - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("n_pos").cast("double") * F.col("n_neg"),
+    )
+    return agg.select(
+        "n_pos", "n_neg", F.round(auc, precision).alias("auc")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    precision: int = 6,
+) -> DataFrame:
+    """Reliability-curve bins: scores in [0,1] bucketed into ``n_bins``
+    equal-width bins → per bin (n, mean predicted score, observed
+    positive rate). A calibrated model tracks the diagonal; the gap is
+    what temperature scaling fixes. One partial-aggregated shuffle on
+    the tiny bin key; the bin edge convention (floor(s·n), score 1.0
+    clamped into the last bin) is explicit so any engine replays it.
+    mean_score rounds at ``precision`` (sum order differs across
+    engines at the last ulp); positive_rate is an exact count ratio."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1).cast("long")
+    )
+    y = F.col(label_col).cast("boolean").cast("long")
+    return (
+        df.select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__s"), precision).alias("mean_score"),
+            F.round(F.sum("__y") / F.count(F.lit(1)), precision).alias(
+                "positive_rate"
+            ),
+        )
+    )

@@ -8745,6 +8745,87 @@ def text_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.batch_padding_stats(d, bucket_width=10)
 
 
+@_register(
+    "ml_auc_rank",
+    """
+    WITH spec AS (
+      SELECT value AS s, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    rk AS (
+      SELECT n, np,
+             coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0) + 1
+               AS min_rank
+      FROM spec
+    ),
+    agg AS (
+      SELECT sum(np * (min_rank + (n - 1) / 2.0)) AS rank_sum,
+             sum(np) AS n_pos, sum(n) - sum(np) AS n_neg
+      FROM rk
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (CASE WHEN n_pos > 0 AND n_neg > 0
+                         THEN CAST(n_pos AS DOUBLE) * n_neg END), 6) AS auc
+    FROM agg
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (mlops.auc_score) of the value signal against the
+    'purchase' label via the Mann-Whitney rank statistic with midrank tie
+    correction — no sampling, no trapezoid. Ranks derive from the
+    DISTINCT-SCORE spectrum (rows never globally sort), so the statistic
+    is one aggregate + one spectrum window + one reduction, and the
+    arithmetic replays bit-for-bit on any engine."""
+    from datalake_brief_spark import mlops
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return mlops.auc_score(scored, "score", "label")
+
+
+@_register(
+    "ml_calibration_bins",
+    """
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events
+                WHERE value IS NOT NULL),
+    s AS (
+      SELECT (value - mn) / (mx - mn) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events CROSS JOIN mm WHERE value IS NOT NULL
+    )
+    SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 6)         AS mean_score,
+           round(sum(y) * 1.0 / count(*), 6) AS positive_rate
+    FROM s GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve (mlops.calibration_bins) of the min-max-normalized
+    value signal vs the 'purchase' label: 10 equal-width score bins ×
+    (mean predicted, observed positive rate) — the calibration gap
+    temperature scaling fixes. Min-max scalars broadcast back (exact on
+    both engines, no accumulation), bin edges explicit
+    (floor(s·10), 1.0 clamps to bin 9), positive_rate an exact count
+    ratio; one tiny keyed aggregate."""
+    from datalake_brief_spark import mlops
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mm = e.agg(F.min("value").alias("__mn"), F.max("value").alias("__mx"))
+    scored = e.crossJoin(F.broadcast(mm)).select(
+        ((F.col("value") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return mlops.calibration_bins(scored, "score", "label", n_bins=10)
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8787,6 +8868,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_running_distinct",
     "text_vocab_coverage",
     "text_batch_padding",
+    "ml_auc_rank",
+    "ml_calibration_bins",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

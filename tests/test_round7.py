@@ -570,3 +570,51 @@ class TestBatchPadding:
         assert got[0].pad_tokens == 2 * 4 - 7 == 1
         assert got[0].pad_fraction == pytest.approx(1 / 8)
         assert got[1].n_docs == 1 and got[1].pad_tokens == 0
+
+
+class TestAucScore:
+    def test_perfect_and_random_and_ties(self, spark):
+        from datalake_brief_spark.mlops import auc_score
+
+        # perfect separation
+        rows = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        assert auc_score(df, "score", "label").collect()[0].auc == 1.0
+        # anti-perfect
+        rows = [(0.1, True), (0.9, False)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        assert auc_score(df, "score", "label").collect()[0].auc == 0.0
+        # all-tied scores: midrank correction gives exactly 0.5
+        rows = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        assert auc_score(df, "score", "label").collect()[0].auc == 0.5
+
+    def test_sklearn_equivalence_formula(self, spark):
+        from datalake_brief_spark.mlops import auc_score
+
+        # mixed case with a tie across classes; hand Mann-Whitney:
+        # scores: pos {0.8, 0.5}, neg {0.5, 0.2}
+        # pairs: (0.8>0.5)=1, (0.8>0.2)=1, (0.5==0.5)=0.5, (0.5>0.2)=1
+        # AUC = 3.5/4
+        rows = [(0.8, True), (0.5, True), (0.5, False), (0.2, False)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        assert auc_score(df, "score", "label").collect()[0].auc == pytest.approx(0.875)
+
+    def test_degenerate_single_class(self, spark):
+        from datalake_brief_spark.mlops import auc_score
+
+        df = spark.createDataFrame([(0.5, True), (0.7, True)], "score double, label boolean")
+        r = auc_score(df, "score", "label").collect()[0]
+        assert r.auc is None and r.n_neg == 0
+
+
+class TestCalibrationBins:
+    def test_edges_and_rates(self, spark):
+        from datalake_brief_spark.mlops import calibration_bins
+
+        rows = [(0.05, False), (0.05, True), (0.95, True), (1.0, True)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        got = {r.bin: r for r in calibration_bins(df, "score", "label").collect()}
+        assert got[0].n == 2 and got[0].positive_rate == pytest.approx(0.5)
+        # score 1.0 clamps into the last bin with 0.95
+        assert got[9].n == 2 and got[9].positive_rate == 1.0
