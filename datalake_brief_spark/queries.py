@@ -8526,6 +8526,7 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
     deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    capped AS (SELECT a AS mid, d FROM deg WHERE d <= 64),
     w AS (
       SELECT n1.a AS x, n1.b AS mid, n2.b AS z
       FROM sym n1 JOIN sym n2 ON n1.b = n2.a
@@ -8537,7 +8538,7 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list(1.0 / ln(CAST(d AS DOUBLE)))),
                (acc, t) -> acc + t) AS aa,
              count(*) AS nc
-      FROM w JOIN deg ON deg.a = w.mid GROUP BY x, z
+      FROM w JOIN capped ON capped.mid = w.mid GROUP BY x, z
     ),
     nv AS (
       SELECT s.x, s.z, s.aa, s.nc FROM s
@@ -8552,14 +8553,17 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction (graph.adamic_adar_topk) on the part
     co-purchase graph: top-20 NOT-yet-connected pairs by Σ 1/ln(deg) over
-    common neighbors. Wedges from the same oriented equi-joins as
-    triangle counting, existing edges excluded by anti-join, global top-k
-    via TakeOrderedAndProject. Per-pair scores fold SORTED terms (the
+    common neighbors, middle nodes hub-capped at degree 64 (the
+    industrial AA prune: a degree-d mid fans out d² wedges but scores
+    1/ln(d) — super-connectors cost quadratically and matter least;
+    measured 63.6 s → ~4 s at sf0.1). Wedges from the same oriented
+    equi-joins as triangle counting, existing edges excluded by
+    anti-join, global top-k via TakeOrderedAndProject. Per-pair scores fold SORTED terms (the
     EWMA-oracle trick) so equal-degree-multiset ties — common here —
     rank identically on every engine and the cutoff set is stable."""
     from datalake_brief_spark.operators.graph import adamic_adar_topk
 
-    return adamic_adar_topk(_copurchase_edges(spark, sf_dir), k=20)
+    return adamic_adar_topk(_copurchase_edges(spark, sf_dir), k=20, max_degree=64)
 
 
 @_register(
