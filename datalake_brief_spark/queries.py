@@ -8830,6 +8830,44 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlops.calibration_bins(scored, "score", "label", n_bins=10)
 
 
+@_register(
+    "agg_decimal_exact",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS revenue_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS VARCHAR) AS disc_revenue_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation in DECIMAL(18,2): float sums are
+    order-sensitive at the last ulp (every other aggregate here rounds to
+    absorb it), but finance-grade pipelines need sums that are EXACT and
+    identical on every engine and every partitioning — which is what
+    fixed-point decimal gives. Each FACTOR quantizes to 2dp and the
+    per-line product stays EXACT 4dp decimal with no re-quantization —
+    any per-line rounding convention is a cross-engine trap twice over
+    (double→decimal casts diverge at .xx5 boundaries, and decimal
+    DOWNCASTS round in Spark but truncate in DuckDB); the un-quantized
+    product has one representation everywhere. Sums are integer
+    arithmetic underneath — associative, shuffle-order-proof. Emitted as strings so the driver
+    hash compares exact decimal digits, not a float round-trip."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("revenue_exact"),
+        F.sum(disc).cast("string").alias("disc_revenue_exact"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8874,6 +8912,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_batch_padding",
     "ml_auc_rank",
     "ml_calibration_bins",
+    "agg_decimal_exact",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
