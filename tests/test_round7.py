@@ -618,3 +618,132 @@ class TestCalibrationBins:
         assert got[0].n == 2 and got[0].positive_rate == pytest.approx(0.5)
         # score 1.0 clamps into the last bin with 0.95
         assert got[9].n == 2 and got[9].positive_rate == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) for the round-7 operators: the
+# algebraic facts example tests can't sweep. Spark round-trips dominate the
+# cost, so examples are few but each checks a law, not a value.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_EXAMPLES = 6
+
+# integer lattice: distinct scores stay distinct under any reasonable
+# monotone float transform (subnormal-scale gaps collapse under exp/affine
+# rounding and would falsify the rank-invariance law spuriously)
+_vals = st.lists(
+    st.integers(min_value=-100, max_value=100).map(float),
+    min_size=2,
+    max_size=14,
+)
+_states = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12)
+
+
+class TestIslandsProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(states=_states)
+    def test_islands_partition_the_sequence(self, spark, states):
+        """Island sizes sum to the row count, and consecutive islands of
+        one key never share a state (else they'd be one island)."""
+        from datalake_brief_spark.operators.windows import islands
+
+        rows = [(1, s, _ts(1, i), i) for i, s in enumerate(states)]
+        df = spark.createDataFrame(rows, "k int, s string, ts timestamp, eid int")
+        out = sorted(
+            islands(df, "k", "s", "ts", "eid").collect(),
+            key=lambda r: r.island_start,
+        )
+        assert sum(r.n_events for r in out) == len(states)
+        for a, b in zip(out, out[1:]):
+            assert a.s != b.s
+            assert a.island_end < b.island_start
+
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(states=_states)
+    def test_running_distinct_is_monotone_and_bounded(self, spark, states):
+        from datalake_brief_spark.operators.windows import running_distinct
+
+        rows = [(1, s, _ts(1, i), i) for i, s in enumerate(states)]
+        df = spark.createDataFrame(rows, "k int, v string, ts timestamp, eid int")
+        got = [
+            r.n_distinct_so_far
+            for r in running_distinct(df, "k", "v", "ts", "eid")
+            .orderBy("eid")
+            .collect()
+        ]
+        assert got[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(got, got[1:]))
+        assert got[-1] == len(set(states))
+
+
+class TestAucProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(vals=_vals)
+    def test_auc_invariant_under_monotone_transform(self, spark, vals):
+        """AUC is a rank statistic: any strictly increasing transform of
+        the scores leaves it unchanged, and 1-score flips it to 1-AUC."""
+        from datalake_brief_spark.mlops import auc_score
+
+        rows = [(float(v), i % 2 == 0) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        base = auc_score(df, "score", "label").collect()[0].auc
+        if base is None:
+            return
+        mono = df.select(
+            (F.exp(F.col("score") / 50.0)).alias("score"), "label"
+        )
+        assert auc_score(mono, "score", "label").collect()[0].auc == pytest.approx(
+            base, abs=1e-6
+        )
+        flip = df.select((-F.col("score")).alias("score"), "label")
+        assert auc_score(flip, "score", "label").collect()[0].auc == pytest.approx(
+            1 - base, abs=1e-6
+        )
+
+
+class TestInterpolationProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        lo=st.floats(min_value=-50, max_value=50, allow_nan=False, width=16),
+        hi=st.floats(min_value=-50, max_value=50, allow_nan=False, width=16),
+        gap=st.integers(min_value=1, max_value=6),
+    )
+    def test_interpolation_bounded_by_endpoints(self, spark, lo, hi, gap):
+        from datalake_brief_spark.operators.timeseries import interpolate_linear
+
+        vals = [float(lo)] + [None] * gap + [float(hi)]
+        rows = [(1, _ts(1, i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k int, bucket timestamp, v double")
+        got = [
+            r.value_interp
+            for r in interpolate_linear(df, ["k"], "bucket", "v")
+            .orderBy("bucket")
+            .collect()
+        ]
+        m, M = min(lo, hi), max(lo, hi)
+        assert all(m - 1e-4 <= g <= M + 1e-4 for g in got)
+        # and monotone between the endpoints
+        sign = 1 if hi >= lo else -1
+        assert all(sign * (b - a) >= -1e-4 for a, b in zip(got, got[1:]))
+
+
+class TestSegmentDedupProperties:
+    @settings(max_examples=_EXAMPLES, deadline=None)
+    @given(
+        words=st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=16
+        )
+    )
+    def test_self_dedup_keeps_everything_once(self, spark, words):
+        """A single doc retains all its segments EXCEPT intra-doc repeats;
+        kept count equals distinct segment count."""
+        from datalake_brief_spark.operators.text import segment_dedup
+
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        r = segment_dedup(df, segment_words=3).collect()[0]
+        segs = [" ".join(words[i : i + 3]) for i in range(0, len(words), 3)]
+        assert r.n_segments == len(segs)
+        assert r.n_kept == len(dict.fromkeys(segs))
