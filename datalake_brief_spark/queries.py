@@ -8868,6 +8868,68 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_curation_v3",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx
+      FROM tok
+    ),
+    segs AS (
+      SELECT doc_id, idx,
+             array_to_string(t[idx * 8 + 1 : idx * 8 + 8], ' ') AS seg
+      FROM pos
+    ),
+    ranked AS (
+      SELECT doc_id, idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+      FROM segs
+    ),
+    kept AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)                       AS n_segments,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+      FROM ranked GROUP BY doc_id
+    ),
+    wtok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM wtok GROUP BY 1, 2),
+    div AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             round(count(*) * 1.0 / sum(c), 6) AS ttr
+      FROM wc GROUP BY doc_id
+    )
+    SELECT k.doc_id, k.n_segments, k.n_kept, d.n_tokens, d.ttr
+    FROM kept k JOIN div d ON k.doc_id = d.doc_id
+    WHERE k.n_kept * 2 >= k.n_segments
+      AND d.ttr >= 0.3
+    """,
+)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v3 — the round-7 operators composed into ONE
+    declarative plan (the integration check: each stage is individually
+    attested, this entry proves they chain without materialization):
+    corpus-level segment dedup (text.segment_dedup) gates documents to
+    majority-novel content (n_kept·2 ≥ n_segments — the RefinedWeb "mostly
+    duplicate document" drop), then lexical diversity
+    (text.lexical_diversity) gates TTR ≥ 0.3 (template-spam floor).
+    Catalyst fuses the whole thing: the two token explosions share the
+    scan, each gate is a join on the doc key, nothing collects. Survivor
+    rows carry the full audit trail (segment + diversity numbers), which
+    is what a curation run ships to its manifest."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = text.segment_dedup(d, segment_words=8).select(
+        "doc_id", "n_segments", "n_kept"
+    )
+    div = text.lexical_diversity(d).select("doc_id", "n_tokens", "ttr")
+    out = seg.join(div, "doc_id").filter(
+        (F.col("n_kept") * 2 >= F.col("n_segments")) & (F.col("ttr") >= 0.3)
+    )
+    return out.select("doc_id", "n_segments", "n_kept", "n_tokens", "ttr")
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8913,6 +8975,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ml_auc_rank",
     "ml_calibration_bins",
     "agg_decimal_exact",
+    "pipeline_curation_v3",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
