@@ -8930,6 +8930,66 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_segments", "n_kept", "n_tokens", "ttr")
 
 
+@_register(
+    "dq_date_bounds",
+    """
+    SELECT 'orders.o_orderdate' AS col_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01')
+                AS BIGINT) AS n_before_min,
+           CAST(count(*) FILTER (WHERE o_orderdate > TIMESTAMP '1998-12-31')
+                AS BIGINT) AS n_after_max,
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+             AS n_null,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_seen,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_seen
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_shipdate',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1992-01-01')
+                AS BIGINT),
+           CAST(count(*) FILTER (WHERE l_shipdate > TIMESTAMP '1998-12-31')
+                AS BIGINT),
+           CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+           CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def dq_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-validity screen (the freshness/sanity DQ check every
+    ingestion gate runs): per date column, counts outside the contract
+    window [1992-01-01, 1998-12-31], NULL counts, and the observed
+    min/max — epoch-zero defaults, writer-clock-skew futures, and torn
+    conversions all surface here before they poison retention math. One
+    partial-aggregated pass per column (conditional sums over the scan,
+    no shuffle beyond the final 1-row reduction); bounds are plan
+    literals so the filter folds into the scan stage. min/max emit as
+    strings so the driver hash compares calendar values, not epoch
+    micro-noise."""
+
+    def screen(df, col: str, label: str):
+        lo = F.lit("1992-01-01").cast("timestamp")
+        hi = F.lit("1998-12-31").cast("timestamp")
+        c = F.col(col)
+        return df.agg(
+            F.lit(label).alias("col_name"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((c < lo).cast("long")).cast("long").alias("n_before_min"),
+            F.sum((c > hi).cast("long")).cast("long").alias("n_after_max"),
+            F.sum(c.isNull().cast("long")).cast("long").alias("n_null"),
+            F.min(c).cast("string").alias("min_seen"),
+            F.max(c).cast("string").alias("max_seen"),
+        )
+
+    o = screen(_t(spark, sf_dir, "orders"), "o_orderdate", "orders.o_orderdate")
+    l = screen(
+        _t(spark, sf_dir, "lineitem"), "l_shipdate", "lineitem.l_shipdate"
+    )
+    return o.unionByName(l)
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # in registration order (round 1 stopped at text_tokens, leaving the
@@ -8976,6 +9036,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ml_calibration_bins",
     "agg_decimal_exact",
     "pipeline_curation_v3",
+    "dq_date_bounds",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
