@@ -8992,13 +8992,18 @@ def dq_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
-# in registration order (round 1 stopped at text_tokens, leaving the
-# similarity/text/multimodal/relational-extension bands unverified by the
-# external gate). Rebuild the registry so the window covers every band:
-# first the queries without a green driver row yet, then the flagship
-# headliners; the near-duplicate projection/filter/null variants (all green
-# in round 1) register after the window. Source order above stays grouped by
-# SURVEY band for readability — this list is the only ordering that matters.
+# of this list. Invariant (tests/test_plans.py::
+# test_driver_window_covers_unattested_entries): every entry absent from
+# ALL committed CORRECTNESS_r*.json files sits in the top 50; when more
+# than 50 entries are never-attested (round 6's files never landed, and
+# round 7 added 37 entries), the window must be SATURATED with
+# never-attested entries and the overflow queues contiguously behind it.
+# Round-7 state: 37 r7-new entries first, then r6 band A (txlog pair with
+# zero driver history since r5's VERDICT ask), then the r6-new band — its
+# tail overflows the window and attests next round — then re-attest bands
+# (old rows exist) and the oldest-attested rotation. Source order above
+# stays grouped by SURVEY band for readability — this list is the only
+# ordering that matters.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
