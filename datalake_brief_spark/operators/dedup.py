@@ -903,3 +903,52 @@ def strip_repeated_spans(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs — the complement of the set-similarity
+    family (MinHash/Jaccard catch token swaps; Levenshtein catches typos
+    within tokens): pairs with levenshtein ≤ ``max_dist`` among
+    SHARED-TOKEN candidates. Blocking contract (both the filter and the
+    guarantee): candidates must share ≥1 whitespace token AND differ in
+    length by ≤ ``max_dist`` — the length filter is lossless
+    (lev ≥ |len_a − len_b|); token blocking is the standard record-linkage
+    trade (a pair whose EVERY token changed is not a candidate), stated
+    so oracles replay it. ``max_df`` drops tokens appearing in more than
+    that many records from the index (the hot-shingle cap from
+    containment dedup) — at corpus scale a stop-token would otherwise
+    quadratically dominate candidates. One token equi-join (inverted
+    index), exact JVM levenshtein verify on candidates only."""
+    t = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    tok = t.select("__id", "__t", F.explode(F.split("__t", " ")).alias("__w"))
+    if max_df is not None:
+        hot = tok.groupBy("__w").agg(F.count_distinct("__id").alias("__df"))
+        tok = tok.join(
+            F.broadcast(hot.filter(F.col("__df") <= max_df).select("__w")), "__w"
+        )
+    a = tok.select(
+        F.col("__w"), F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
+    )
+    b = tok.select(
+        F.col("__w"), F.col("__id").alias("id_b"), F.col("__t").alias("__tb")
+    )
+    cand = (
+        a.join(b, "__w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
+        )
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("__ta", "__tb").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -8990,6 +8990,103 @@ def dq_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(l)
 
 
+@_register(
+    "join_null_safe",
+    _NULLED_SQL
+    + """
+    , dim AS (SELECT seg, count(*) AS seg_n FROM nulled GROUP BY seg)
+    SELECT n.seg, CAST(max(d.seg_n) AS BIGINT) AS seg_n,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM nulled n JOIN dim d ON n.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY n.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark eqNullSafe ⟺ SQL IS NOT DISTINCT FROM):
+    enrich the nulled customer view with per-segment counts where the
+    NULL segment is a real group — standard equality silently DROPS every
+    null-keyed row from an enrichment join (NULL = NULL is unknown),
+    which is the classic lost-rows bug in dimension joins over dirty
+    keys. The gate proves n_rows == seg_n for every group INCLUDING the
+    NULL one. Broadcast dim; null-safe equality still hash-partitions
+    (NULL is just a key value), so the plan stays a broadcast hash join —
+    no nested-loop fallback."""
+    n = _nulled_customer(spark, sf_dir)
+    dim = n.groupBy(F.col("seg").alias("__seg")).agg(
+        F.count(F.lit(1)).alias("seg_n")
+    )
+    j = n.join(F.broadcast(dim), n["seg"].eqNullSafe(dim["__seg"]))
+    return j.groupBy("seg").agg(
+        F.max("seg_n").cast("long").alias("seg_n"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@_register(
+    "setop_union_evolved",
+    """
+    SELECT c_custkey AS id, c_acctbal AS bal,
+           CAST(NULL AS BIGINT) AS nationkey, 'cust' AS src
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, CAST(NULL AS DOUBLE), s_nationkey, 'supp'
+    FROM supplier
+    """,
+)
+def setop_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (unionByName(allowMissingColumns=True)):
+    two relations with only partially overlapping columns union by NAME,
+    each side's missing columns null-filled — the operation every
+    multi-source landing zone needs when feeds evolve at different
+    speeds (positional UNION would silently misalign columns instead).
+    Pure plan surgery: no shuffle, the union is a physical concat."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("cust").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supp").alias("src"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "id", "bal", "nationkey", "src"
+    )
+
+
+@_register(
+    "dedup_edit_distance",
+    """
+    WITH t AS (SELECT p_partkey AS id, p_name AS nm FROM part),
+    tok AS (SELECT id, nm, unnest(string_split(nm, ' ')) AS w FROM t),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+      FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+      WHERE abs(length(a.nm) - length(b.nm)) <= 2
+    )
+    SELECT CAST(levenshtein(na, nb) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand WHERE levenshtein(na, nb) <= 2
+    GROUP BY 1
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup profile (dedup.edit_distance_pairs) over
+    part names: pair counts per levenshtein ≤ 2 — the typo-class
+    complement of the set-similarity dedup family (MinHash catches token
+    swaps; Levenshtein catches in-token edits). Blocking contract stated
+    and replayed by the oracle: candidates share ≥1 token and differ ≤2
+    in length (the length filter is lossless, lev ≥ |Δlen|). Inverted-
+    index equi-join candidates, exact JVM levenshtein verify on
+    candidates only — never all-pairs."""
+    p = _t(spark, sf_dir, "part")
+    pairs = dedup.edit_distance_pairs(p, "p_partkey", "p_name", max_dist=2)
+    return pairs.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # of this list. Invariant (tests/test_plans.py::
@@ -9042,6 +9139,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_decimal_exact",
     "pipeline_curation_v3",
     "dq_date_bounds",
+    "join_null_safe",
+    "setop_union_evolved",
+    "dedup_edit_distance",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

@@ -747,3 +747,42 @@ class TestSegmentDedupProperties:
         segs = [" ".join(words[i : i + 3]) for i in range(0, len(words), 3)]
         assert r.n_segments == len(segs)
         assert r.n_kept == len(dict.fromkeys(segs))
+
+
+class TestEditDistancePairs:
+    def test_blocking_and_verify(self, spark):
+        from datalake_brief_spark.operators.dedup import edit_distance_pairs
+
+        rows = [(1, "red bolt"), (2, "rod bolt"), (3, "red bolz"),
+                (4, "completely different words"), (5, "red bolt")]
+        df = spark.createDataFrame(rows, "id int, nm string")
+        got = {(r.id_a, r.id_b): r.dist for r in
+               edit_distance_pairs(df, "id", "nm", max_dist=2).collect()}
+        assert got[(1, 2)] == 1       # red -> rod, shares 'bolt'
+        assert got[(1, 5)] == 0       # exact dup
+        assert got[(2, 5)] == 1
+        assert got[(1, 3)] == 1       # bolt -> bolz, shares 'red'
+        # (2,3) "rod bolt"/"red bolz" is within distance 2 but shares NO
+        # token — the stated blocking contract excludes it
+        assert (2, 3) not in got
+        assert (1, 4) not in got       # no shared token: not a candidate
+
+    def test_max_df_drops_hot_tokens(self, spark):
+        from datalake_brief_spark.operators.dedup import edit_distance_pairs
+
+        # 'the' appears everywhere; with max_df=2 it can't generate
+        # candidates, so the only pair comes from the rare shared token.
+        rows = [(i, f"the item{i}") for i in range(6)] + [(10, "the itemX"), (11, "thx itemX")]
+        df = spark.createDataFrame(rows, "id int, nm string")
+        got = {(r.id_a, r.id_b) for r in
+               edit_distance_pairs(df, "id", "nm", max_dist=2, max_df=2).collect()}
+        assert got == {(10, 11)}
+
+
+class TestNullSafeJoinSemantics:
+    def test_null_group_survives(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "id int, k string")
+        dim = df.groupBy(F.col("k").alias("k2")).count()
+        strict = df.join(dim, df["k"] == dim["k2"]).count()
+        safe = df.join(dim, df["k"].eqNullSafe(dim["k2"])).count()
+        assert strict == 1 and safe == 3
