@@ -29,6 +29,7 @@ from datalake_brief_spark.streaming.stateful import (
     enrich_stream,
     running_user_stats,
     sessionize_stream,
+    transition_stream,
 )
 
 __all__ = [
@@ -39,6 +40,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "merge_stream_to_txlog",
+    "transition_stream",
     "zscore_alert_stream",
     "register_txlog_source",
     "running_user_stats",

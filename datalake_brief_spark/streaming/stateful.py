@@ -161,3 +161,58 @@ def running_user_stats(events: DataFrame, idle_timeout_ms: int | None = None) ->
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_TRANSITION_SCHEMA = "user_id long, prev_state string, next_state string, n long"
+_TRANSITION_STATE = "last string"
+
+
+def _transitions_fn(key, pdfs, state: GroupState):
+    """Per-key step extraction: carry the key's LAST state across
+    micro-batches so the first event of a new batch still forms a step
+    with the previous batch's tail — dropping the boundary step is the
+    classic streaming-sequence bug. Emits per-batch (prev, next) step
+    counts; a downstream (update-mode or batch) aggregate sums them into
+    the global transition matrix."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    (user_id,) = key
+    prev = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    counts: dict[tuple, int] = {}
+    for s in pdf["event_type"]:
+        if prev is not None:
+            counts[(prev, s)] = counts.get((prev, s), 0) + 1
+        prev = s
+    state.update((prev,))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "prev_state": [k[0] for k in counts],
+                "next_state": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Continuous Markov-step extraction (the streaming twin of
+    windows.transition_matrix): state per key is ONE string — the last
+    seen event type — so memory is O(active keys) on an unbounded
+    stream, and batch-boundary steps are never lost. Input needs
+    (user_id, event_id, ts, event_type); output is per-batch per-user
+    step counts, summed downstream. Stream==batch equality over the same
+    slice is pinned in tests/test_streaming_ml.py (single- and
+    multi-batch feeds)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=_TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

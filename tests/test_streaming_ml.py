@@ -701,3 +701,93 @@ class TestZscoreAlertStream:
         out_two = pd.concat([a, b], ignore_index=True)
         assert out_one.reset_index(drop=True).equals(out_two)
         assert bool(out_one.is_anomaly[4])  # the 50.0 spike fires
+
+
+class TestTransitionStream:
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        import shutil as _sh
+
+        out = str(tmp_path / "events_stream_t")
+        load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(out)
+        yield out
+        _sh.rmtree(out, ignore_errors=True)
+
+    def test_stream_equals_batch_transitions(self, spark, events_dir):
+        from datalake_brief_spark.operators.windows import transition_matrix
+        from datalake_brief_spark.streaming import transition_stream
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(events_dir).schema)
+            .parquet(events_dir)
+            .select("user_id", "event_id", "ts", "event_type")
+        )
+        q = (
+            transition_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tsteps")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.prev_state, r.next_state): r.n
+                for r in spark.sql(
+                    "SELECT prev_state, next_state, sum(n) AS n FROM tsteps "
+                    "GROUP BY 1, 2"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        batch = {
+            (r.prev_state, r.next_state): r.n
+            for r in transition_matrix(
+                load_table(spark, SF_SMOKE, "events"),
+                "user_id", "event_type", "ts", "event_id",
+            ).collect()
+        }
+        assert got == batch and len(batch) > 0
+
+    def test_boundary_step_survives_batch_split(self):
+        """The first event of batch 2 must form a step with batch 1's
+        tail — the carried one-string state is exactly that guarantee."""
+        import pandas as pd
+
+        from datalake_brief_spark.streaming.stateful import _transitions_fn
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+                self.hasTimedOut = False
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+            def remove(self):
+                self._v = None
+
+        def rows(ids, types):
+            return pd.DataFrame(
+                {"user_id": 1, "event_id": ids,
+                 "ts": pd.to_datetime(ids, unit="s"), "event_type": types}
+            )
+
+        st = FakeState()
+        a = list(_transitions_fn((1,), [rows([0, 1], ["a", "b"])], st))
+        b = list(_transitions_fn((1,), [rows([2], ["c"])], st))
+        steps = {}
+        for frame in a + b:
+            for _, r in frame.iterrows():
+                steps[(r.prev_state, r.next_state)] = steps.get(
+                    (r.prev_state, r.next_state), 0
+                ) + int(r.n)
+        assert steps == {("a", "b"): 1, ("b", "c"): 1}
