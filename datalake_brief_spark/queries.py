@@ -9087,6 +9087,133 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "emb_dim_stats",
+    """
+    WITH e AS (
+      SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(dim - 1 AS BIGINT) AS dim,
+           round(avg(x), 4)           AS mean,
+           round(stddev_samp(x), 4)   AS std,
+           round(min(x), 4)           AS min_x,
+           round(max(x), 4)           AS max_x
+    FROM e GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health (the complement of the norm
+    profile): mean/std/min/max of each coordinate — dead dimensions
+    (std ≈ 0) waste index bytes and dominant ones distort cosine geometry
+    before any ANN structure is built. posexplode over the vector → one
+    partial-aggregated shuffle on the tiny dim key; at 100 TB this is a
+    single pass with map-side combine into dim-count cells."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(similarity.as_double_array(F.col("embedding"))).alias(
+            "dim", "x"
+        )
+    )
+    return x.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg("x"), 4).alias("mean"),
+        F.round(F.stddev_samp("x"), 4).alias("std"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+    )
+
+
+@_register(
+    "events_pareto",
+    """
+    WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    rk AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, user_id)        AS r,
+             sum(c) OVER (ORDER BY c DESC, user_id
+                          ROWS UNBOUNDED PRECEDING)              AS cum,
+             sum(c) OVER ()                                      AS total,
+             count(*) OVER ()                                    AS n_users
+      FROM uc
+    )
+    SELECT CAST(min(r) AS BIGINT) AS users_for_80pct,
+           CAST(max(n_users) AS BIGINT) AS n_users,
+           round(min(r) * 1.0 / max(n_users), 6) AS user_share,
+           CAST(max(total) AS BIGINT) AS n_events
+    FROM rk WHERE cum * 1.0 / total >= 0.8
+    """,
+)
+def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 screen): the smallest number of
+    top users that generate ≥80% of events, and their share of the user
+    base — the number that says whether per-key state, quotas, or skew
+    salting will matter. One user-keyed count, then windows over the
+    |users|-sized frame (never event rows); the threshold rank is exact
+    integer/count arithmetic, deterministic via the user-id tiebreak."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id"))
+    wall = Window.partitionBy()
+    rk = uc.select(
+        F.col("c"),
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    )
+    hit = rk.filter(F.col("cum") / F.col("total") >= 0.8)
+    return hit.agg(
+        F.min("r").cast("long").alias("users_for_80pct"),
+        F.max("n_users").cast("long").alias("n_users"),
+        F.round(F.min("r") / F.max("n_users"), 6).alias("user_share"),
+        F.max("total").cast("long").alias("n_events"),
+    )
+
+
+@_register(
+    "orders_interarrival",
+    """
+    WITH gaps AS (
+      SELECT date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(floor(gap_days / 30.0) AS BIGINT) AS gap_bucket_30d,
+           CAST(count(*) AS BIGINT)       AS n_gaps,
+           round(avg(gap_days), 4)        AS mean_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order interarrival profile: day gaps between
+    consecutive orders (one lag window on the customer key), bucketed to
+    30-day bands — the purchase-cadence distribution behind churn and
+    replenishment models. The bucket histogram is what ships at scale;
+    raw gaps stay distributed. Integer day arithmetic on both engines
+    (datediff on dates), deterministic via the order-key tiebreak."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.floor(F.col("gap_days") / 30).cast("long").alias("gap_bucket_30d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # of this list. Invariant (tests/test_plans.py::
@@ -9142,6 +9269,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_null_safe",
     "setop_union_evolved",
     "dedup_edit_distance",
+    "emb_dim_stats",
+    "events_pareto",
+    "orders_interarrival",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
