@@ -120,6 +120,7 @@ def _replay(path: str, version: int | None = None) -> dict:
                     "stats": e.get("stats"),
                     "blooms": e.get("blooms"),
                     "rows": e.get("rows"),
+                    "dvs": list(e.get("dvs") or []),
                 }
                 for rel, e in json.load(f)["files"].items()
             }
@@ -138,9 +139,16 @@ def _replay(path: str, version: int | None = None) -> dict:
                 "stats": stats.get(rel),
                 "blooms": blooms.get(rel),
                 "rows": rows.get(rel),
+                "dvs": [],
             }
         for rel in commit.get("removes", []):
             live.pop(rel, None)
+        # merge-on-read deletion vectors: each mapped sidecar ACCUMULATES
+        # onto its file (reads apply the union); a file's removal above
+        # dropped its DV list with it (rewrites start clean).
+        for rel, dv_rel in commit.get("dv_adds", {}).items():
+            if rel in live:
+                live[rel].setdefault("dvs", []).append(dv_rel)
     return live
 
 
@@ -500,6 +508,7 @@ def _try_commit(
     stats: dict[str, dict[str, list]] | None = None,
     blooms: dict[str, dict[str, str]] | None = None,
     meta: dict | None = None,
+    dv_adds: dict[str, str] | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {
@@ -522,6 +531,8 @@ def _try_commit(
         commit["blooms"] = blooms
     if meta:
         commit["meta"] = meta
+    if dv_adds:
+        commit["dv_adds"] = dv_adds
     payload = json.dumps(commit)
     try:
         with open(_commit_path(path, version), "x") as f:
@@ -1274,10 +1285,8 @@ def delete_where(
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     if not matched:
         return read_v
-    keep = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*matched)
-        .filter(~F.coalesce(predicate, F.lit(False)))
+    keep = _read_files_with_dvs(spark, path, read_v, matched).filter(
+        ~F.coalesce(predicate, F.lit(False))
     )
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
@@ -1326,7 +1335,7 @@ def update_where(
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     if not matched:
         return read_v
-    src = spark.read.option("mergeSchema", "true").parquet(*matched)
+    src = _read_files_with_dvs(spark, path, read_v, matched)
     for name, dtype in table_fields.items():
         if name not in src.columns:
             src = src.withColumn(name, F.lit(None).cast(dtype))
@@ -1398,10 +1407,8 @@ def overwrite_where(
     adds = _write_data_files(new_df, path)
     removes = []
     if matched:
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*matched)
-            .filter(~F.coalesce(predicate, F.lit(False)))
+        survivors = _read_files_with_dvs(spark, path, read_v, matched).filter(
+            ~F.coalesce(predicate, F.lit(False))
         )
         adds += _write_data_files(survivors, path)
         removes = [os.path.relpath(p, path) for p in matched]
@@ -1584,9 +1591,7 @@ def optimize(
     # mergeSchema: compacting across additive schema evolution must unify
     # the footers, or the rewrite could pick the narrower schema and lose
     # evolved columns permanently once vacuum reclaims the originals.
-    compacted = (
-        spark.read.option("mergeSchema", "true").parquet(*small).coalesce(n_out)
-    )
+    compacted = _read_files_with_dvs(spark, path, read_v, small).coalesce(n_out)
     adds = _write_data_files(compacted, path)
     removes = [os.path.relpath(p, path) for p in small]
     # Compaction must not silently degrade data skipping: recollect stats
@@ -1621,7 +1626,9 @@ def optimize_zorder(
     read_v = current_version(path)
     if read_v == 0:
         return 0
-    df = read(spark, path, read_v, merge_schema=True)
+    # MOR-aware: a full-snapshot rewrite must apply live deletion vectors
+    # or it would resurrect DV-deleted rows (read_mor == read when no DVs).
+    df = read_mor(spark, path, read_v, merge_schema=True)
     z = zorder_value(df, cluster_cols, bits=bits)
     arranged = (
         z.repartitionByRange(n_files, F.col("__zval"))
@@ -1776,3 +1783,179 @@ def needs_optimize(
         "small_bytes": int(sum(small)),
         "recommended": len(small) >= min_small_files,
     }
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors (the Delta DV / Iceberg positional-delete
+# shape): DELETE writes a row-position sidecar instead of rewriting data
+# files; reads anti-join the union of a file's sidecars on
+# (file, _metadata.row_index). Copy-on-write (delete_where) rewrites
+# matched files — O(matched bytes) per delete, zero read overhead; DV
+# deletes cost O(matched ROWS) metadata per delete and a bounded anti-join
+# at read — the right trade for frequent small deletes (GDPR erasure,
+# late-event retraction) on huge files. A file's DVs vanish when the file
+# is rewritten/removed (CoW mutations, overwrite, compaction), so the two
+# mutation families compose.
+# ---------------------------------------------------------------------------
+
+_DV_DIR = "_dv"
+
+
+def visible_dvs(path: str, version: int | None = None) -> dict[str, list[str]]:
+    """Live deletion-vector sidecars at ``version``: data-file rel path →
+    list of sidecar parquet groups (absolute), in commit order. Resolved
+    by the same checkpoint-accelerated replay as visible_files."""
+    return {
+        rel: [os.path.join(path, d) for d in (e.get("dvs") or [])]
+        for rel, e in _replay(path, version).items()
+        if e.get("dvs")
+    }
+
+
+def _file_name_col():
+    """Basename of the scanned parquet file — data files are uuid-grouped
+    part files, so the basename is unique table-wide and stable under
+    table relocation (absolute URIs are not)."""
+    return F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+
+
+def _read_files_with_dvs(
+    spark: SparkSession, path: str, read_v: int, files: list[str]
+) -> DataFrame:
+    """Read specific live data files with their deletion vectors applied —
+    the ONLY correct input for any rewrite (CoW DELETE/UPDATE,
+    replaceWhere survivors, compaction, Z-order): rewriting raw file
+    bytes would RESURRECT DV-deleted rows, because the rewrite commit
+    drops the file's DVs along with the file. mergeSchema for the usual
+    evolution reason."""
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    dvs = visible_dvs(path, read_v)
+    rels = {os.path.relpath(f, path) for f in files}
+    dv_paths = sorted(
+        {p for rel, ps in dvs.items() if rel in rels for p in ps}
+    )
+    if not dv_paths:
+        return df
+    tagged = df.select(
+        "*",
+        _file_name_col().alias("__dv_fn"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    dv = spark.read.parquet(*dv_paths).select(
+        F.col("file_name").alias("__dv_fn"), F.col("row_index").alias("__dv_ri")
+    )
+    return tagged.join(F.broadcast(dv), ["__dv_fn", "__dv_ri"], "left_anti").drop(
+        "__dv_fn", "__dv_ri"
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> int:
+    """Row-level DELETE without rewriting any data file: matched row
+    POSITIONS land in a parquet sidecar and one atomic commit maps it
+    onto the affected files (``dv_adds``). Same pruning ladder as the
+    copy-on-write twin (stats skip → bloom skip for point predicates),
+    then ONE scan over surviving candidates emits (file, row_index) for
+    predicate-TRUE rows — already-deleted positions are anti-joined out
+    so a repeated delete is a no-op commit-wise, and SQL three-valued
+    semantics hold (NULL-predicate rows are never matched). The sidecar
+    write is distributed (never a driver collect of row ids); the commit
+    is metadata-only. Readers must use :func:`read_mor`; plain
+    :func:`read` (and footer-based fast_count) see pre-delete rows by
+    design — the same contract as Delta readers without DV support.
+
+    Returns the new version (current version when nothing matched)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    all_files = visible_files(path, read_v)
+    candidates = all_files
+    if prune_col is not None:
+        stats = visible_stats(path, read_v)
+        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+        candidates = []
+        for abs_p in all_files:
+            rel = os.path.relpath(abs_p, path)
+            if _range_excludes(stats.get(rel, {}).get(prune_col), c_lo, c_hi):
+                continue
+            b64 = blooms.get(rel, {}).get(prune_col)
+            if b64 is not None and not _bloom_may_contain(b64, lo):
+                continue
+            candidates.append(abs_p)
+    if not candidates:
+        return read_v
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+    hits = scan.filter(predicate).select(
+        _file_name_col().alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    existing = visible_dvs(path, read_v)
+    existing_paths = sorted({p for ps in existing.values() for p in ps})
+    if existing_paths:
+        prior = spark.read.parquet(*existing_paths).select("file_name", "row_index")
+        hits = hits.join(F.broadcast(prior), ["file_name", "row_index"], "left_anti")
+    group = os.path.join(_DV_DIR, uuid.uuid4().hex)
+    target = os.path.join(path, group)
+    hits.write.mode("error").parquet(target)
+    touched = [
+        r.file_name
+        for r in spark.read.parquet(target).select("file_name").distinct().collect()
+    ]
+    if not touched:
+        shutil.rmtree(target, ignore_errors=True)
+        return read_v
+    by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
+    dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={"op": "delete_dv"},
+        dv_adds=dv_adds,
+    )
+    return read_v + 1
+
+
+def read_mor(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Merge-on-read snapshot: the plain snapshot scan anti-joined against
+    the union of the visible deletion-vector sidecars on
+    (file basename, _metadata.row_index). With no live DVs this IS
+    :func:`read` — zero overhead on pure-CoW tables. The anti-join
+    build side is the DELETED-ROW COUNT, not the table size, and it
+    broadcasts; the probe stays the streaming scan, so MOR read cost is
+    scan + a broadcast hash anti-join at any table size. Time travel
+    works unchanged: a version below the delete resolves no DVs."""
+    dvs = visible_dvs(path, version)
+    if not dvs:
+        return read(spark, path, version, merge_schema)
+    files = visible_files(path, version)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*files).select(
+        "*",
+        _file_name_col().alias("__fn"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    dv_paths = sorted({p for ps in dvs.values() for p in ps})
+    dv = spark.read.parquet(*dv_paths).select(
+        F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+    )
+    return df.join(F.broadcast(dv), ["__fn", "__ri"], "left_anti").drop(
+        "__fn", "__ri"
+    )

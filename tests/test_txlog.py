@@ -1641,3 +1641,82 @@ class TestShallowClone:
         assert {r.id for r in pruned.collect()} == set(range(10, 21))
         with pytest.raises(FileExistsError):
             txlog.clone(src, dst)
+
+
+class TestDeletionVectors:
+    """Merge-on-read DELETE: positions in sidecars, no data-file rewrites,
+    full composition with the copy-on-write mutation family."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        t = str(tmp_path / "dv_tbl")
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        txlog.append(df.repartition(3), t)
+        return t
+
+    def test_no_files_rewritten_and_rows_hidden(self, spark, table):
+        before = txlog.visible_files(table)
+        v = txlog.delete_where_dv(spark, table, "k = 3")
+        assert v == 2
+        assert txlog.visible_files(table) == before  # metadata-only commit
+        mor = txlog.read_mor(spark, table)
+        assert mor.filter("k = 3").count() == 0
+        assert mor.count() == 100 - 14
+        # plain read still sees raw bytes — the documented non-DV-reader view
+        assert txlog.read(spark, table).count() == 100
+
+    def test_time_travel_below_delete(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        assert txlog.read_mor(spark, table, version=1).count() == 100
+
+    def test_dvs_accumulate_and_repeat_is_noop(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        v2 = txlog.delete_where_dv(spark, table, "k = 5")
+        assert txlog.read_mor(spark, table).count() == 100 - 14 - 14
+        assert txlog.delete_where_dv(spark, table, "k = 5") == v2  # no-op
+        assert txlog.current_version(table) == v2
+
+    def test_dv_equals_cow_result(self, spark, table, tmp_path):
+        t2 = str(tmp_path / "cow_tbl")
+        txlog.append(txlog.read(spark, table), t2)
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where(spark, t2, "k = 3")
+        a = sorted(r.id for r in txlog.read_mor(spark, table).collect())
+        b = sorted(r.id for r in txlog.read(spark, t2).collect())
+        assert a == b
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        t = str(tmp_path / "dv_null")
+        df = spark.createDataFrame([(1, 1.0), (2, None), (3, 5.0)], "id int, v double")
+        txlog.append(df, t)
+        txlog.delete_where_dv(spark, t, "v > 2")
+        got = sorted(r.id for r in txlog.read_mor(spark, t).collect())
+        assert got == [1, 2]  # NULL-predicate row 2 survives (3-valued logic)
+
+    def test_cow_rewrite_does_not_resurrect_dv_rows(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where(spark, table, "k = 0")  # CoW touches every file
+        mor = txlog.read_mor(spark, table)
+        assert mor.filter("k = 3").count() == 0
+        assert mor.count() == 100 - 14 - 15
+
+    def test_update_and_optimize_respect_dvs(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.update_where(spark, table, "k = 1", {"k": F.lit(99)})
+        mor = txlog.read_mor(spark, table)
+        assert mor.filter("k = 3").count() == 0
+        assert mor.filter("k = 99").count() == 15
+        # optimize materializes the DVs away: plain read == MOR afterwards
+        txlog.optimize(spark, table, target_file_bytes=10**9, small_file_bytes=10**9)
+        assert txlog.read(spark, table).count() == txlog.read_mor(spark, table).count() == 86
+
+    def test_checkpoint_carries_dvs(self, spark, tmp_path):
+        t = str(tmp_path / "dv_ckpt")
+        df = spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("k"))
+        txlog.append(df, t)
+        txlog.delete_where_dv(spark, t, "k = 2")  # v2
+        for _ in range(9):  # push past the every-10 checkpoint
+            txlog.append(spark.range(1).select(F.col("id"), F.lit(0).cast("long").alias("k")), t)
+        assert any(v >= 10 for v in txlog._checkpoint_versions(t))
+        mor = txlog.read_mor(spark, t)
+        assert mor.filter("k = 2").count() == 0  # DV survived checkpoint replay
