@@ -1543,17 +1543,87 @@ def table_changes(
     f_to = set(visible_files(path, to_v))
     added = sorted(f_to - f_from)
     removed = sorted(f_from - f_to)
-    if not added and not removed:
+
+    # Deletion-vector awareness: a DV commit changes no files, so the
+    # file-set diff alone would miss (or double-report) logical deletes.
+    # Three corrections, all position-exact:
+    #   - rows of ADDED files that are already DV-dead at to_v were never
+    #     part of the target snapshot -> drop from the insert side;
+    #   - rows of REMOVED files that were DV-dead at from_version were not
+    #     part of the source snapshot -> drop from the delete side (a CoW
+    #     rewrite after a DV delete must not re-report those rows);
+    #   - files visible in BOTH snapshots whose DV set GREW emit the new
+    #     positions as deletes (DVs only accumulate per file).
+    dvs_from = visible_dvs(path, from_version)
+    dvs_to = visible_dvs(path, to_v)
+
+    def _positions(dv_map, files):
+        rels = {os.path.relpath(f, path) for f in files}
+        paths = sorted({p for rel, ps in dv_map.items() if rel in rels for p in ps})
+        if not paths:
+            return None
+        return spark.read.parquet(*paths).select("file_name", "row_index")
+
+    def _read_minus_dvs(files, dv_map):
+        df = spark.read.parquet(*files).select(
+            "*",
+            _file_name_col().alias("__fn"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        pos = _positions(dv_map, files)
+        if pos is not None:
+            pos = pos.select(
+                F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+            )
+            df = df.join(F.broadcast(pos), ["__fn", "__ri"], "left_anti")
+        return df.drop("__fn", "__ri")
+
+    common = sorted(f_from & f_to)
+    dv_grew = [
+        f
+        for f in common
+        if len(dvs_to.get(os.path.relpath(f, path), []))
+        > len(dvs_from.get(os.path.relpath(f, path), []))
+    ]
+    if not added and not removed and not dv_grew:
         raise ValueError(f"no changes between versions {from_version} and {to_v}")
-    a = spark.read.parquet(*added) if added else None
-    r = spark.read.parquet(*removed) if removed else None
-    if a is None:
+    a = _read_minus_dvs(added, dvs_to) if added else None
+    r = _read_minus_dvs(removed, dvs_from) if removed else None
+    if a is None and r is None:
+        template = spark.read.parquet(*sorted(f_to or f_from)).limit(0)
+        a = r = template
+    elif a is None:
         a = r.limit(0)
-    if r is None:
+    elif r is None:
         r = a.limit(0)
     inserts = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
     deletes = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    out = inserts.unionByName(deletes)
+    if dv_grew:
+        new_pos = _positions(dvs_to, dv_grew)
+        old_pos = _positions(dvs_from, dv_grew)
+        if old_pos is not None:
+            new_pos = new_pos.join(old_pos, ["file_name", "row_index"], "left_anti")
+        rows = spark.read.parquet(*dv_grew).select(
+            "*",
+            _file_name_col().alias("__fn"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        dv_deletes = (
+            rows.join(
+                F.broadcast(
+                    new_pos.select(
+                        F.col("file_name").alias("__fn"),
+                        F.col("row_index").alias("__ri"),
+                    )
+                ),
+                ["__fn", "__ri"],
+            )
+            .drop("__fn", "__ri")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        out = out.unionByName(dv_deletes)
+    return out
 
 
 def optimize(

@@ -1720,3 +1720,31 @@ class TestDeletionVectors:
         assert any(v >= 10 for v in txlog._checkpoint_versions(t))
         mor = txlog.read_mor(spark, t)
         assert mor.filter("k = 2").count() == 0  # DV survived checkpoint replay
+
+    def test_cdf_reports_dv_deletes(self, spark, table):
+        v1 = txlog.current_version(table)
+        txlog.delete_where_dv(spark, table, "k = 3")
+        cdf = txlog.table_changes(spark, table, v1)
+        rows = cdf.collect()
+        assert all(r._change_type == "delete" for r in rows)
+        assert sorted(r.id for r in rows) == [i for i in range(100) if i % 7 == 3]
+
+    def test_cdf_does_not_rereport_dv_dead_rows_on_rewrite(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        v2 = txlog.current_version(table)
+        txlog.delete_where(spark, table, "k = 0")  # CoW rewrites every file
+        cdf = txlog.table_changes(spark, table, v2)
+        deletes = sorted(r.id for r in cdf.filter("_change_type = 'delete'").collect())
+        # only the k=0 rows — the k=3 rows were already logically gone at v2
+        assert deletes == [i for i in range(100) if i % 7 == 0]
+        assert cdf.filter("_change_type = 'insert'").count() == 0
+
+    def test_cdf_window_spanning_dv_and_cow(self, spark, table):
+        v1 = txlog.current_version(table)
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where(spark, table, "k = 0")
+        cdf = txlog.table_changes(spark, table, v1)
+        deletes = sorted(r.id for r in cdf.filter("_change_type = 'delete'").collect())
+        assert deletes == sorted(
+            [i for i in range(100) if i % 7 == 3] + [i for i in range(100) if i % 7 == 0]
+        )
