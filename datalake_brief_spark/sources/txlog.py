@@ -1805,22 +1805,50 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
     # the checkpoint-window versions the guard exists to protect.
     retain_versions = max(retain_versions, vacuum_retention_floor(path))
     keep: set[str] = set()
+    keep_dv_groups: set[str] = set()
     for v in vs[-retain_versions:] if retain_versions > 0 else []:
         keep.update(os.path.relpath(p, path) for p in visible_files(path, v))
-    data_root = os.path.join(path, _DATA_DIR)
+        # deletion-vector sidecars referenced by any retained version stay;
+        # orphaned groups (their file rewritten/removed everywhere in the
+        # window) reclaim with the data files.
+        for dv_paths in visible_dvs(path, v).values():
+            keep_dv_groups.update(
+                os.path.relpath(d, path) for d in dv_paths
+            )
     deleted = []
-    for root, _, files in os.walk(data_root):
-        for f in files:
-            rel = os.path.relpath(os.path.join(root, f), path)
-            if f.endswith(".parquet") and rel not in keep:
-                if not dry_run:
-                    os.remove(os.path.join(path, rel))
-                deleted.append(rel)
-    # drop now-empty group dirs so listings stay clean
-    if not dry_run:
-        for root, dirs, files in list(os.walk(data_root, topdown=False)):
-            if not dirs and not files and root != data_root:
-                shutil.rmtree(root, ignore_errors=True)
+
+    def _sweep(root_dir: str, is_kept) -> None:
+        if not os.path.isdir(root_dir):
+            return
+        for root, _, files in os.walk(root_dir):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), path)
+                if f.endswith(".parquet") and not is_kept(rel):
+                    if not dry_run:
+                        os.remove(os.path.join(path, rel))
+                    deleted.append(rel)
+        if not dry_run:
+            for root, dirs, files in list(os.walk(root_dir, topdown=False)):
+                if not dirs and not files and root != root_dir:
+                    shutil.rmtree(root, ignore_errors=True)
+
+    _sweep(os.path.join(path, _DATA_DIR), lambda rel: rel in keep)
+    # DV sidecars reclaim at GROUP granularity (each delete commit wrote one
+    # _dv/<uuid>/ directory): an orphaned group goes wholesale, including
+    # its _SUCCESS/.crc markers.
+    dv_root = os.path.join(path, _DV_DIR)
+    if os.path.isdir(dv_root):
+        for g in sorted(os.listdir(dv_root)):
+            grel = os.path.join(_DV_DIR, g)
+            gabs = os.path.join(path, grel)
+            if not os.path.isdir(gabs) or grel in keep_dv_groups:
+                continue
+            for root, _, files in os.walk(gabs):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        deleted.append(os.path.relpath(os.path.join(root, f), path))
+            if not dry_run:
+                shutil.rmtree(gabs, ignore_errors=True)
     return sorted(deleted)
 
 

@@ -1748,3 +1748,30 @@ class TestDeletionVectors:
         assert deletes == sorted(
             [i for i in range(100) if i % 7 == 3] + [i for i in range(100) if i % 7 == 0]
         )
+
+    def test_vacuum_reclaims_orphaned_dv_sidecars(self, spark, table):
+        import glob as _glob
+        import os as _os
+
+        txlog.delete_where_dv(spark, table, "k = 3")
+        assert _glob.glob(_os.path.join(table, "_dv", "*", "*.parquet"))
+        # CoW rewrite of every file orphans the DV group; vacuum to the
+        # latest version reclaims it together with the superseded data.
+        txlog.delete_where(spark, table, "k >= 0")  # rewrites all files
+        dry = txlog.vacuum(table, retain_versions=1, dry_run=True)
+        assert any(r.startswith("_dv/") for r in dry)
+        removed = txlog.vacuum(table, retain_versions=1)
+        assert any(r.startswith("_dv/") for r in removed)
+        assert not _glob.glob(_os.path.join(table, "_dv", "*", "*.parquet"))
+        # live table still reads fine (MOR == plain, no DVs left)
+        assert txlog.read_mor(spark, table).count() == txlog.read(spark, table).count()
+
+    def test_vacuum_keeps_referenced_dv_sidecars(self, spark, table):
+        import glob as _glob
+        import os as _os
+
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.vacuum(table, retain_versions=1)
+        # the DV is still referenced by the latest version: must survive
+        assert _glob.glob(_os.path.join(table, "_dv", "*", "*.parquet"))
+        assert txlog.read_mor(spark, table).filter("k = 3").count() == 0
