@@ -9257,6 +9257,174 @@ def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_session_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000
+                  AS BIGINT) AS dur_s
+      FROM sid GROUP BY 1, 2
+    )
+    SELECT CAST(floor(dur_s / 600.0) AS BIGINT) AS dur_bucket_10m,
+           CAST(count(*) AS BIGINT)             AS n_sessions,
+           round(avg(n_events), 4)              AS avg_events,
+           CAST(max(n_events) AS BIGINT)        AS max_events
+    FROM sess GROUP BY 1
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape profile: sessionize (30-min gap), aggregate each
+    session to (duration, size), then histogram by 10-minute duration
+    bucket — the engagement-distribution view behind timeout tuning and
+    bot screening (1-event sessions pile in bucket 0; scrapers ride the
+    long tail). Both windows and both aggregates share the user-key
+    prefix; durations are integer microsecond arithmetic floored to
+    whole seconds on both engines."""
+    from datalake_brief_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("dur_s"),
+    )
+    return sess.groupBy(
+        F.floor(F.col("dur_s") / 600).cast("long").alias("dur_bucket_10m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+    )
+
+
+@_register(
+    "events_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+               / 1000000.0 AS gap_s
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, count(*) AS n_gaps,
+             avg(gap_s) AS mu, stddev_samp(gap_s) AS sd
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round((sd - mu) / nullif(sd + mu, 0), 4) AS burstiness
+    FROM per
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index per user (Goh & Barabási 2008):
+    B = (σ−μ)/(σ+μ) over interarrival gaps — −1 for metronome traffic,
+    0 for Poisson, →1 for extreme bursts; the signal that separates
+    schedulers and bots from humans before any model. One lag window on
+    the user key + one keyed aggregate; gaps are exact microsecond
+    integers scaled to seconds, <2-gap users yield NULL (σ undefined)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+            / F.lit(1000000.0)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("gap_s").alias("__mu"),
+        F.stddev_samp("gap_s").alias("__sd"),
+    )
+    b = (F.col("__sd") - F.col("__mu")) / F.when(
+        (F.col("__sd") + F.col("__mu")) != 0, F.col("__sd") + F.col("__mu")
+    )
+    return per.select("user_id", "n_gaps", F.round(b, 4).alias("burstiness"))
+
+
+@_register(
+    "ml_pr_at_thresholds",
+    """
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events
+                WHERE value IS NOT NULL),
+    s AS (
+      SELECT (value - mn) / (mx - mn) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events CROSS JOIN mm WHERE value IS NOT NULL
+    ),
+    thr AS (SELECT unnest(CAST([0.1, 0.3, 0.5, 0.7, 0.9] AS DOUBLE[])) AS threshold)
+    SELECT threshold,
+           CAST(sum(CASE WHEN s >= threshold THEN y ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+           round(sum(CASE WHEN s >= threshold THEN y ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END), 0), 6)
+             AS precision,
+           round(sum(CASE WHEN s >= threshold THEN y ELSE 0 END) * 1.0
+                 / nullif(sum(y), 0), 6) AS recall
+    FROM s CROSS JOIN thr
+    GROUP BY threshold
+    """,
+)
+def ml_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at fixed operating points (the
+    threshold-picking table a filter heuristic ships with): per threshold
+    over the min-max-normalized score, tp/fp and precision/recall as
+    exact count ratios — the curve complement of the single-point
+    classification_report and the threshold-free AUC. One scan with the
+    threshold list as a broadcast cross (5 rows), one tiny keyed agg;
+    degenerate cells (no predicted positives) yield NULL precision."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mm = e.agg(F.min("value").alias("__mn"), F.max("value").alias("__mx"))
+    scored = e.crossJoin(F.broadcast(mm)).select(
+        ((F.col("value") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))).alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.1, 0.3, 0.5, 0.7, 0.9)], "threshold double"
+    )
+    j = scored.crossJoin(F.broadcast(thr))
+    hit = (F.col("s") >= F.col("threshold")).cast("int")
+    return j.groupBy("threshold").agg(
+        F.sum(hit * F.col("y")).cast("long").alias("tp"),
+        F.sum(hit * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.round(
+            F.sum(hit * F.col("y"))
+            / F.when(F.sum(hit) > 0, F.sum(hit)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum(hit * F.col("y"))
+            / F.when(F.sum("y") > 0, F.sum("y")),
+            6,
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # of this list. Invariant (tests/test_plans.py::
@@ -9316,6 +9484,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_pareto",
     "orders_interarrival",
     "txlog_delete_dv",
+    "events_session_stats",
+    "events_burstiness",
+    "ml_pr_at_thresholds",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",
