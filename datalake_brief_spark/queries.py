@@ -9425,6 +9425,108 @@ def ml_pr_at_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "customer_rfm",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS d FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT d FROM mx)) AS rec,
+             count(*) AS freq,
+             sum(o_totalprice) AS mon
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY rec, o_custkey)      AS r,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY mon DESC, o_custkey)  AS m
+      FROM per
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM cube): per customer recency
+    (days since last order, vs the corpus max date), frequency (order
+    count), monetary (total spend), each cut into quintiles — 1 = best —
+    and the (r, f, m) cell census. One customer-keyed aggregate, three
+    ntile windows over the |customers| frame with the custkey tiebreak
+    (ntile is tie-sensitive), a tiny cell count. Champions sit at
+    (1,1,1); win-back campaigns read the (5,1,1) cell."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("__d"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("__d"), F.max("o_orderdate")).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("mon"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("rec"), F.col("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("mon").desc(), F.col("o_custkey")))
+    scored = per.select(
+        r.cast("long").alias("r"), f.cast("long").alias("f"), m.cast("long").alias("m")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@_register(
+    "txlog_dv_metrics",
+    """
+    SELECT CAST(count(*) FILTER (WHERE o_orderstatus = 'F'
+                                   AND o_totalprice < 50000) AS BIGINT)
+             AS n_dv_rows,
+           TRUE AS matches_mor_gap,
+           TRUE AS has_dv_files
+    FROM orders
+    """,
+)
+def txlog_dv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV read-amplification gate (txlog.dv_metrics): sidecar-counted
+    deleted rows must equal BOTH the SQL count of the deleted predicate
+    AND the plain-read−MOR-read row gap — three independent derivations
+    of the same number (sidecar metadata, source relation, scan
+    difference) pinned to agree. The metrics themselves are metadata +
+    sidecar reads only; this is the signal that schedules OPTIMIZE on a
+    merge-on-read table."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path)
+        txlog.delete_where_dv(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000),
+        )
+
+    path = _lakehouse_table("delete_dv", sf_dir, build)
+    met = txlog.dv_metrics(spark, path)
+    plain = txlog.read(spark, path).agg(F.count(F.lit(1)).alias("__p"))
+    mor = txlog.read_mor(spark, path).agg(F.count(F.lit(1)).alias("__m"))
+    return (
+        met.crossJoin(F.broadcast(plain))
+        .crossJoin(F.broadcast(mor))
+        .select(
+            "n_dv_rows",
+            (F.col("__p") - F.col("__m") == F.col("n_dv_rows")).alias(
+                "matches_mor_gap"
+            ),
+            (F.col("n_files_with_dv") > 0).alias("has_dv_files"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # of this list. Invariant (tests/test_plans.py::
@@ -9487,6 +9589,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_session_stats",
     "events_burstiness",
     "ml_pr_at_thresholds",
+    "customer_rfm",
+    "txlog_dv_metrics",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

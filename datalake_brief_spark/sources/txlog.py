@@ -2057,3 +2057,33 @@ def read_mor(
     return df.join(F.broadcast(dv), ["__fn", "__ri"], "left_anti").drop(
         "__fn", "__ri"
     )
+
+
+def dv_metrics(spark: SparkSession, path: str, version: int | None = None):
+    """Deletion-vector health at a snapshot (metadata + sidecars only, no
+    data pages): total DV'd rows, files carrying DVs, and the worst
+    single-file DV count — the read-amplification signals that say when
+    to OPTIMIZE a merge-on-read table (every MOR read anti-joins
+    n_dv_rows; a file with a huge DV share is mostly-dead bytes).
+    Returns a 1-row DataFrame (n_files, n_files_with_dv, n_dv_rows,
+    max_file_dv_rows)."""
+    n_files = len(visible_files(path, version))
+    dvs = visible_dvs(path, version)
+    dv_paths = sorted({p for ps in dvs.values() for p in ps})
+    if not dv_paths:
+        return spark.createDataFrame(
+            [(n_files, 0, 0, 0)],
+            "n_files long, n_files_with_dv long, n_dv_rows long, "
+            "max_file_dv_rows long",
+        )
+    per = (
+        spark.read.parquet(*dv_paths)
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per.agg(
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_files_with_dv"),
+        F.sum("__n").cast("long").alias("n_dv_rows"),
+        F.max("__n").cast("long").alias("max_file_dv_rows"),
+    )
