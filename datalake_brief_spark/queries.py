@@ -9527,6 +9527,59 @@ def txlog_dv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "graph_kcore_designed",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(CASE WHEN n_nationkey <= 4 THEN 4
+                     WHEN n_nationkey <= 12 THEN 2
+                     ELSE 1 END AS BIGINT) AS core
+    FROM nation
+    """,
+)
+def graph_kcore_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (graph.core_numbers, h-index iteration)
+    attested on a DESIGNED graph with closed-form coreness — the
+    components-chain pattern: the 25 nation nodes form a 5-clique
+    (coreness 4), an 8-cycle (coreness 2), and a 12-path (coreness 1),
+    built from SQL-expressible edge rules, so the oracle states the
+    exact expected core of every node with no iterative replay. The
+    three regimes stress the algorithm differently: the clique must NOT
+    erode below 4, the cycle must stabilize at 2 (degree alone says 2
+    everywhere but a path's endpoints pull neighbors down), and the path
+    must cascade all the way to 1 — the h-index iteration's
+    monotone-descent argument in miniature."""
+    from datalake_brief_spark.operators.graph import core_numbers
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    a = n.select(F.col("k").alias("u"))
+    b = n.select(F.col("k").alias("v"))
+    clique = (
+        a.crossJoin(b)
+        .filter((F.col("u") < F.col("v")) & (F.col("v") <= 4))
+        .select("u", "v")
+    )
+    cycle = (
+        n.filter((F.col("k") >= 5) & (F.col("k") <= 12))
+        .select(
+            F.col("k").alias("u"),
+            F.when(F.col("k") == 12, F.lit(5)).otherwise(F.col("k") + 1).alias("v"),
+        )
+    )
+    path = (
+        n.filter((F.col("k") >= 13) & (F.col("k") <= 23))
+        .select(F.col("k").alias("u"), (F.col("k") + 1).alias("v"))
+    )
+    edges = clique.unionByName(cycle).unionByName(path)
+    out = core_numbers(edges, rounds=15, src_col="u", dst_col="v")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("core").cast("long").alias("core"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
 # of this list. Invariant (tests/test_plans.py::
@@ -9591,6 +9644,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ml_pr_at_thresholds",
     "customer_rfm",
     "txlog_dv_metrics",
+    "graph_kcore_designed",
     # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
     # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
     "txlog_clone_read",

@@ -786,3 +786,27 @@ class TestNullSafeJoinSemantics:
         strict = df.join(dim, df["k"] == dim["k2"]).count()
         safe = df.join(dim, df["k"].eqNullSafe(dim["k2"])).count()
         assert strict == 1 and safe == 3
+
+
+class TestCoreNumbers:
+    def test_clique_cycle_path(self, spark):
+        from datalake_brief_spark.operators.graph import core_numbers
+
+        edges = [(a, b) for a in range(5) for b in range(5) if a < b]      # K5
+        edges += [(i, i + 1) for i in range(5, 12)] + [(12, 5)]            # cycle
+        edges += [(i, i + 1) for i in range(13, 24)]                       # path
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.id: r.core for r in core_numbers(df, rounds=15).collect()}
+        assert all(got[i] == 4 for i in range(5))
+        assert all(got[i] == 2 for i in range(5, 13))
+        assert all(got[i] == 1 for i in range(13, 25))
+
+    def test_star_hub_pulled_down_to_one(self, spark):
+        from datalake_brief_spark.operators.graph import core_numbers
+
+        # hub degree 6 but every neighbor is a leaf: coreness 1 everywhere —
+        # the case where the degree INITIALIZATION is maximally wrong and
+        # only the h-index descent fixes it.
+        df = spark.createDataFrame([(0, i) for i in range(1, 7)], "src int, dst int")
+        got = {r.id: r.core for r in core_numbers(df, rounds=5).collect()}
+        assert set(got.values()) == {1}
