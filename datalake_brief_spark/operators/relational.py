@@ -977,17 +977,25 @@ def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     counted as a regular value (a 99%-NULL column should read as
     low-entropy). Per column: one partial-aggregated count shuffle over
     the value domain, then a tiny re-agg of -Σ p·log2(p); the per-column
-    plans union into one job. Linear, never a driver-side histogram."""
+    plans union into one job. Linear, never a driver-side histogram.
+    The normalizer is the TABLE row count (NULLs counted ⇒ every
+    column's counts sum to it), computed once as a 1-row aggregate and
+    broadcast — not a whole-relation window over the value domain, which
+    for a near-key column would funnel |distinct| rows through one
+    WindowExec partition (the registry-wide lint in tests/test_plans.py
+    forbids that shape)."""
+    n_total = df.agg(F.count(F.lit(1)).alias("__n"))
     outs = []
     for c in cols:
         counts = df.groupBy(F.col(c).alias("__v")).agg(
             F.count(F.lit(1)).alias("__c")
         )
         outs.append(
-            counts.select(
+            counts.crossJoin(F.broadcast(n_total))
+            .select(
                 F.lit(c).alias("col_name"),
                 F.col("__c"),
-                F.sum("__c").over(Window.partitionBy()).alias("__n"),
+                F.col("__n"),
             )
             .groupBy("col_name")
             .agg(

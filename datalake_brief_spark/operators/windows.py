@@ -318,3 +318,123 @@ def running_distinct(
     return df.select(
         *df.columns, F.sum(flag).over(w_run).alias(out_col)
     )
+
+
+def _order_binned(
+    df: DataFrame, order_col, n_bins: int
+) -> tuple[DataFrame, Column]:
+    """Tag every row with an order-preserving bin id for the two-phase
+    global-window rewrites below: equal-width quantization of the numeric
+    ``order_col`` over its [min, max] span, so bin ids are a monotone
+    function of the sort key and per-bin results concatenate (by bin id)
+    into the exact global order. NULL order keys bin to -1 (Spark's
+    NULLS FIRST under ascending sort); a constant column collapses to one
+    bin — never wrong, merely as serial as the naive global window.
+    Returns (df + ``__bin``, the order Column)."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    mm = df.agg(
+        F.min(oc.cast("double")).alias("__mn"),
+        F.max(oc.cast("double")).alias("__mx"),
+    )
+    width = F.col("__mx") - F.col("__mn")
+    bin_id = (
+        F.when(oc.isNull(), F.lit(-1))
+        .when(
+            width > 0,
+            F.least(
+                F.floor((oc.cast("double") - F.col("__mn")) / width * n_bins),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__bin", bin_id)
+        .drop("__mn", "__mx"),
+        oc,
+    )
+
+
+def _bin_offsets(counts: DataFrame, sum_cols: list[str]) -> DataFrame:
+    """Exclusive cumulative sums of per-bin totals, ordered by bin id.
+    This unpartitioned window is the one that emits Spark's "Moving all
+    data to a single partition" warning — BENIGN by construction (same
+    contract as text.seeded_shuffle): it runs over the ≤ n_bins+1-row
+    bin-total aggregate, never over data-scale rows. Allow-listed in the
+    registry-wide unpartitioned-WindowExec lint (tests/test_plans.py)."""
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "__bin",
+        *[
+            F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_col,
+    tiebreak: Iterable,
+    out: str = "rank",
+    n_bins: int = 256,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_col, *tiebreak)``
+    without an Exchange SinglePartition — the scale-safe form of a global
+    rank (a naive unpartitioned window funnels the whole relation through
+    ONE reducer; dead at 100 TB). Generalizes text.seeded_shuffle's
+    md5-prefix binning to any NUMERIC leading sort key: equal-width value
+    bins (order-preserving, so ties never split across bins), per-bin
+    local row_numbers in parallel after one hash shuffle on the bin id,
+    bin row-counts cumsum into offsets (driver-scale, ≤ n_bins+1 rows)
+    broadcast back; global = offset + local. ``tiebreak`` must make the
+    total order unique or the rank (like any row_number) is
+    tie-arbitrary. Descending order: pass a negated numeric expression
+    (e.g. ``F.col("x") * -1``) plus ascending tiebreaks."""
+    b, oc = _order_binned(df, order_col, n_bins)
+    local = F.row_number().over(
+        Window.partitionBy("__bin").orderBy(oc, *[F.col(c) if isinstance(c, str) else c for c in tiebreak])
+    )
+    counts = b.groupBy("__bin").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    offs = _bin_offsets(counts, ["__n"])
+    return (
+        b.withColumn("__local", local.cast("long"))
+        .join(F.broadcast(offs), "__bin")
+        .withColumn(out, (F.col("__off___n") + F.col("__local")).cast("long"))
+        .drop("__bin", "__local", "__off___n")
+    )
+
+
+def binned_prefix_sums(
+    df: DataFrame,
+    order_col,
+    values: dict,
+    tiebreak: Iterable = (),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Exact EXCLUSIVE running sums (``SUM(v) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING → -1)``) over a global ordering, two-phase like
+    :func:`two_phase_rank`: per-bin partitioned prefix sums + the
+    driver-scale bin-total cumsum broadcast back. ``values`` maps output
+    column name → value Column to prefix-sum. The combined (order_col,
+    *tiebreak) order must be unique per row (e.g. a distinct-key
+    spectrum), otherwise within-tie prefix order is arbitrary."""
+    b, oc = _order_binned(df, order_col, n_bins)
+    vals = {k: (F.col(v) if isinstance(v, str) else v) for k, v in values.items()}
+    w_local = (
+        Window.partitionBy("__bin")
+        .orderBy(oc, *[F.col(c) if isinstance(c, str) else c for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for out, v in vals.items():
+        b = b.withColumn(f"__loc_{out}", F.coalesce(F.sum(v).over(w_local), F.lit(0)))
+    counts = b.groupBy("__bin").agg(
+        *[F.sum(v).alias(f"__tot_{out}") for out, v in vals.items()]
+    )
+    offs = _bin_offsets(counts, [f"__tot_{out}" for out in vals])
+    b = b.join(F.broadcast(offs), "__bin")
+    for out in vals:
+        b = b.withColumn(out, F.col(f"__off___tot_{out}") + F.col(f"__loc_{out}"))
+        b = b.drop(f"__off___tot_{out}", f"__loc_{out}")
+    return b.drop("__bin")

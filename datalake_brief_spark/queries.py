@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from datalake_brief_spark.catalog import load_table, register_views
 from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
-from datalake_brief_spark.operators import dedup, multimodal, similarity, text, timeseries
+from datalake_brief_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    timeseries,
+    windows,
+)
 from datalake_brief_spark.operators.joins import anti_join, join_dim, join_fact, semi_join
 from datalake_brief_spark.operators.nulls import (
     drop_nulls,
@@ -9148,28 +9155,71 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration (the 80/20 screen): the smallest number of
     top users that generate ≥80% of events, and their share of the user
     base — the number that says whether per-key state, quotas, or skew
-    salting will matter. One user-keyed count, then windows over the
-    |users|-sized frame (never event rows); the threshold rank is exact
-    integer/count arithmetic, deterministic via the user-id tiebreak."""
-    from pyspark.sql import Window
+    salting will matter.
 
+    Scale shape (VERDICT r7 ask #2 — the old form ranked the |users|
+    frame through ONE unpartitioned WindowExec): aggregate users to the
+    (event-count → n_users) SPECTRUM first — the rank only depends on
+    the count value, and every user inside an equal-count run
+    contributes exactly ``c`` events, so the oracle's row-level
+    ``min(r) WHERE cum/total >= 0.8`` reduces to closed-form arithmetic
+    inside one boundary spectrum row: r* = users_before + k, k = the
+    smallest 1 ≤ k ≤ n_users(c) with (events_before + k·c)/T ≥ 0.8.
+    The spectrum's exclusive prefixes run as the 256-bin two-phase
+    cumsum (windows.binned_prefix_sums), so no window ever sees a
+    data-scale frame even if the count spectrum grows. k derives from a
+    ceil() candidate VERIFIED at ±2 with the oracle's own double
+    comparison form, so float boundary rounding can never shift the
+    result off DuckDB's (the condition is monotone in k). The user_id
+    tiebreak in the oracle's ORDER BY is irrelevant to min(r): users in
+    an equal-count run are interchangeable."""
     e = _t(spark, sf_dir, "events")
     uc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("user_id"))
-    wall = Window.partitionBy()
-    rk = uc.select(
-        F.col("c"),
-        F.row_number().over(w).alias("r"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n_users"),
+    spec = uc.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    spec = spec.withColumn("ev", F.col("c") * F.col("nu"))
+    # descending-count order via the negated numeric key; spectrum keys
+    # are distinct (groupBy c), so the order is unique without a tiebreak
+    pre = windows.binned_prefix_sums(
+        spec,
+        F.col("c") * -1,
+        {"ev0": F.col("ev"), "nu0": F.col("nu")},
     )
-    hit = rk.filter(F.col("cum") / F.col("total") >= 0.8)
-    return hit.agg(
-        F.min("r").cast("long").alias("users_for_80pct"),
-        F.max("n_users").cast("long").alias("n_users"),
-        F.round(F.min("r") / F.max("n_users"), 6).alias("user_share"),
-        F.max("total").cast("long").alias("n_events"),
+    tot = spec.agg(
+        F.sum("ev").cast("long").alias("__t"), F.sum("nu").cast("long").alias("__u")
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    t = F.col("__t")
+    # the unique boundary row: threshold not reached before this count
+    # group, reached by its end (monotone cum ⇒ exactly one row)
+    hit = j.filter(
+        ((F.col("ev0") + F.col("ev")) / t >= 0.8) & ~(F.col("ev0") / t >= 0.8)
+    )
+
+    def _cond(k):
+        return (F.col("ev0") + k * F.col("c")) / t >= 0.8
+
+    k0 = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.ceil((F.lit(0.8) * t - F.col("ev0")) / F.col("c")).cast("long"),
+            F.col("nu"),
+        ),
+    )
+    hit = hit.withColumn("__k0", k0)
+    kc = F.col("__k0")
+    k = (
+        F.when((kc - 2 >= 1) & _cond(kc - 2), kc - 2)
+        .when((kc - 1 >= 1) & _cond(kc - 1), kc - 1)
+        .when(_cond(kc), kc)
+        .when(_cond(kc + 1), kc + 1)
+        .otherwise(kc + 2)
+    )
+    r = F.col("nu0") + k
+    return hit.select(
+        r.cast("long").alias("users_for_80pct"),
+        F.col("__u").cast("long").alias("n_users"),
+        F.round(r / F.col("__u"), 6).alias("user_share"),
+        t.cast("long").alias("n_events"),
     )
 
 
@@ -9452,12 +9502,19 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic CRM cube): per customer recency
     (days since last order, vs the corpus max date), frequency (order
     count), monetary (total spend), each cut into quintiles — 1 = best —
-    and the (r, f, m) cell census. One customer-keyed aggregate, three
-    ntile windows over the |customers| frame with the custkey tiebreak
-    (ntile is tie-sensitive), a tiny cell count. Champions sit at
-    (1,1,1); win-back campaigns read the (5,1,1) cell."""
-    from pyspark.sql import Window
+    and the (r, f, m) cell census. Champions sit at (1,1,1); win-back
+    campaigns read the (5,1,1) cell.
 
+    Scale shape (VERDICT r7 ask #3 — the old form ran THREE global
+    ntile(5) windows over the |customers| frame, three Exchange
+    SinglePartition sorts): each dimension's exact global rank now comes
+    from windows.two_phase_rank (256 order-preserving value bins →
+    parallel per-bin row_numbers → driver-scale offset cumsum broadcast
+    back), and ntile is then a closed-form expression of (rank, n):
+    with base = ⌊n/5⌋ and rem = n mod 5, the first rem tiles hold
+    base+1 rows — exactly SQL NTILE. The custkey tiebreak makes every
+    total order unique, so ntile's tie sensitivity is fully folded into
+    the rank; descending dimensions rank on the negated numeric key."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("__d"))
     per = (
@@ -9469,11 +9526,26 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("mon"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("rec"), F.col("o_custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.col("mon").desc(), F.col("o_custkey")))
-    scored = per.select(
-        r.cast("long").alias("r"), f.cast("long").alias("f"), m.cast("long").alias("m")
+    per = windows.two_phase_rank(per, F.col("rec"), ["o_custkey"], out="__rk_r")
+    per = windows.two_phase_rank(per, F.col("freq") * -1, ["o_custkey"], out="__rk_f")
+    per = windows.two_phase_rank(per, F.col("mon") * -1, ["o_custkey"], out="__rk_m")
+    cnt = per.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    def _ntile5(rank_col: str):
+        n, rk = F.col("__n"), F.col(rank_col)
+        base = F.floor(n / 5).cast("long")
+        rem = n % 5
+        cut = rem * (base + 1)
+        return (
+            F.when(rk <= cut, F.ceil(rk / (base + 1)))
+            .otherwise(rem + F.ceil((rk - cut) / base))
+            .cast("long")
+        )
+
+    scored = per.crossJoin(F.broadcast(cnt)).select(
+        _ntile5("__rk_r").alias("r"),
+        _ntile5("__rk_f").alias("f"),
+        _ntile5("__rk_m").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")

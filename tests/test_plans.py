@@ -17,6 +17,7 @@ from datalake_brief_spark.plans import (
     count_nodes,
     formatted_plan,
     plan_has,
+    unpartitioned_window_count,
 )
 from datalake_brief_spark.queries import QUERIES
 
@@ -226,15 +227,46 @@ def test_ngram_candidates_come_from_lsh_banding(spark):
     assert "band_hash" in plan, plan
 
 
+# Entries allowed to carry unpartitioned Window nodes, with the documented
+# driver-scale bound of each frame (VERDICT r7 ask #5). Every other entry
+# must plan ZERO of them — an unpartitioned WindowExec funnels its whole
+# input through ONE reducer (Exchange SinglePartition), the single-partition
+# scale-killer class the r7 verdict flagged.
+_UNPARTITIONED_WINDOW_ALLOWED = {
+    # ≤257-row bin-offset cumsums of windows.two_phase_rank /
+    # binned_prefix_sums (one per helper call): frames are the 256-bin
+    # count aggregates, never data-scale rows.
+    "ml_auc_rank": 1,  # one binned_prefix_sums over the score spectrum
+    "events_pareto": 1,  # one binned_prefix_sums over the count spectrum
+    "customer_rfm": 3,  # three two_phase_rank calls (R, F, M dimensions)
+    # text.seeded_shuffle's documented 256-bin offset cumsum (text.py:516)
+    "corpus_seeded_shuffle": 1,
+    # distinct-frequency spectrum of text.vocab_coverage (text.py:1183):
+    # O(√total_tokens) rows by the Zipf bound documented in its docstring
+    "text_vocab_coverage": 3,
+}
+
+
 def test_no_query_produces_cartesian_or_row_python(spark):
     """Registry-wide physical-plan lint: no CartesianProduct (quadratic
-    shuffle), and no BatchEvalPython — the row-at-a-time Python UDF operator
+    shuffle), no BatchEvalPython — the row-at-a-time Python UDF operator
     the engine's §2.11 rule forbids (Arrow paths plan as ArrowEvalPython /
-    MapInPandas / FlatMapGroupsInPandas)."""
+    MapInPandas / FlatMapGroupsInPandas) — and no unpartitioned Window
+    over a data-scale frame: entries in _UNPARTITIONED_WINDOW_ALLOWED may
+    carry exactly their documented driver-scale count, everything else
+    zero. This lint fails on the r7 forms of events_pareto (|users|
+    frame), customer_rfm (three |customers| ntiles), and ml_auc_rank
+    (unbinned score spectrum)."""
     for name, q in QUERIES.items():
         df = q.fn(spark, SF_SMOKE)
         assert_no_cartesian(df)
         assert "BatchEvalPython" not in formatted_plan(df), name
+        n_unpart = unpartitioned_window_count(df)
+        allowed = _UNPARTITIONED_WINDOW_ALLOWED.get(name, 0)
+        assert n_unpart <= allowed, (
+            f"{name}: {n_unpart} unpartitioned Window node(s) in plan, "
+            f"allowed {allowed} — single-partition funnel at scale"
+        )
 
 
 def test_driver_window_covers_unattested_entries():
