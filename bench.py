@@ -55,6 +55,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # box contention context (the r5/r7 cross-round comparisons
+                # were dominated by it): 1/5/15-min load averages at exit
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

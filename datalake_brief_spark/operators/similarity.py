@@ -123,11 +123,16 @@ def cosine_topk_batch(
     because global top-k is a monotone merge of per-batch top-k.
 
     Scores compute in float64; ties break on corpus id, matching
-    cosine_topk's determinism contract."""
+    cosine_topk's determinism contract. Id columns keep their INPUT
+    types (string keys rank with numpy object-array lexsort; the
+    mapInPandas schema derives from the source dtypes), so any id type
+    cosine_topk accepts works here too."""
     import pandas as pd
 
+    q_id_type = dict(queries.dtypes)[query_id_col]
+    c_id_type = dict(corpus.dtypes)[id_col]
     q_rows = queries.select(query_id_col, vec_col).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qids = np.array([r[0] for r in q_rows])
     qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     # keep one extra candidate per batch so dropping a self-match can never
@@ -143,7 +148,7 @@ def cosine_topk_batch(
             )
             cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             scores = cmat @ qmat.T  # (n, Q)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             n = len(ids)
             take = min(kk, n)
             out_q, out_id, out_s = [], [], []
@@ -160,7 +165,7 @@ def cosine_topk_batch(
                 else:
                     cand = np.arange(n)
                 order = cand[np.lexsort((ids[cand], -col[cand]))][:take]
-                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_q.append(np.repeat(qids[j], len(order)))
                 out_id.append(ids[order])
                 out_s.append(col[order])
             yield pd.DataFrame(
@@ -172,7 +177,8 @@ def cosine_topk_batch(
             )
 
     partials = corpus.select(id_col, vec_col).mapInPandas(
-        score_batches, schema=f"{query_id_col} long, {id_col} long, score double"
+        score_batches,
+        schema=f"{query_id_col} {q_id_type}, {id_col} {c_id_type}, score double",
     )
     if exclude_self:
         partials = partials.filter(F.col(id_col) != F.col(query_id_col))

@@ -163,6 +163,24 @@ COMMENT = {
         "alignment the join recomputed: 7.4 s → 0.95 s at sf0.1). "
         "Top-20 is TakeOrderedAndProject with a unique tiebreak."
     ),
+    "multimodal_png": (
+        "Scan → MapInPandas(synthesize PNG payloads) → MapInPandas(decode: "
+        "real zlib inflate + all five unfilters, stdlib-only) — pure "
+        "scan-stage, ZERO exchanges: binary payloads never shuffle, Python "
+        "sees whole Arrow batches, one typed row leaves per image. "
+        "Embarrassingly parallel at 100 TB — cost is the per-image codec "
+        "work itself, the shape a GPU/codec stage swap needs (same "
+        "contract as multimodal_features)."
+    ),
+    "dsir_weights_hashed": (
+        "The hashing-trick DSIR form — the 100 TB path: tokens key as "
+        "xxhash64 % 65536, so the double histogram is a partial+final "
+        "aggregate into a CONSTANT-size ratio table regardless of corpus "
+        "vocabulary, the ratio table broadcasts (BuildLeft) into the "
+        "exploded-token scan, and the per-doc score is one doc-keyed "
+        "partial-aggregated sum. The BroadcastNestedLoopJoin is the 1-row "
+        "totals scalar cross — benign. Raw-vocab twin: dsir_weights."
+    ),
     "dsir_weights": (
         "One token-keyed aggregation builds BOTH corpus histograms in a "
         "single pass (count + conditional count, partial+final around one "

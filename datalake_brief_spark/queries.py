@@ -9308,6 +9308,51 @@ def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_update_dv",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (txlog.update_where_dv + read_mor — the
+    Delta/Iceberg DV-backed UPDATE shape): matched rows' POSITIONS land
+    in a deletion-vector sidecar and ONLY the rewritten rows append, in
+    one atomic commit — a 1%-row update costs 1% of the data, where the
+    CoW twin (txlog_update) rewrites every touched file. Same 10%
+    open-order repricing and the same CASE-over-raw-table oracle as the
+    CoW entry, so the two mutation families are pinned to the IDENTICAL
+    logical result; the bare IEEE multiply keeps updated values
+    bit-identical across engines. pytest additionally pins no-file-
+    rewritten, CDF delete+insert pairs, DV-dead rows never re-updated,
+    and OPTIMIZE materialization (tests/test_txlog.py round-8 class)."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path)
+        txlog.update_where_dv(
+            spark,
+            path,
+            F.col("o_orderstatus") == "O",
+            {"o_totalprice": F.col("o_totalprice") * 1.1},
+        )
+
+    return aggregate(
+        txlog.read_mor(spark, _lakehouse_table("update_dv", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
     "events_session_stats",
     """
     WITH g AS (
@@ -9654,78 +9699,25 @@ def graph_kcore_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registry order: the driver's CORRECTNESS gate checks the FIRST 50 entries
-# of this list. Invariant (tests/test_plans.py::
-# test_driver_window_covers_unattested_entries): every entry absent from
-# ALL committed CORRECTNESS_r*.json files sits in the top 50; when more
-# than 50 entries are never-attested (round 6's files never landed, and
-# round 7 added 37 entries), the window must be SATURATED with
-# never-attested entries and the overflow queues contiguously behind it.
-# Round-7 state: 37 r7-new entries first, then r6 band A (txlog pair with
-# zero driver history since r5's VERDICT ask), then the r6-new band — its
-# tail overflows the window and attests next round — then re-attest bands
-# (old rows exist) and the oldest-attested rotation. Source order above
-# stays grouped by SURVEY band for readability — this list is the only
-# ordering that matters.
+# of this list. Two invariants (tests/test_plans.py):
+#   1. every entry absent from ALL committed CORRECTNESS_r*.json files sits
+#      in the top 50 (test_driver_window_covers_unattested_entries);
+#   2. the tail past the window is ordered by non-decreasing latest-attested
+#      round (test_rotation_tail_sorted_by_staleness) — the rotation that
+#      retires stale attestations oldest-first each round.
+# Round-8 state: 25 never-attested entries (1 new + the 24 the r6 driver
+# gap left behind) lead, then the re-attest band (behavior changed since
+# their newest row), then the window fills with the stalest r1 entries and
+# the tail continues r1->r7. Source order above stays grouped by SURVEY
+# band for readability - this list is the only ordering that matters.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r7 band: NEW this round (no driver row can exist yet) — the
-    # window rule (tests/test_plans.py) requires every never-attested
-    # entry in the first 50 slots.
-    "window_distribution_suite",
-    "dedup_latest_by_key",
-    "scd2_intervals",
-    "gaps_islands",
-    "graph_degree_stats",
-    "graph_triangles",
-    "ts_zscore_anomaly",
-    "ts_interpolate_linear",
-    "ml_one_hot",
-    "ml_split_stratified",
-    "text_ttr",
-    "dedup_segments_corpus",
-    "emb_assign_cells",
-    "knn_pq",
-    "sample_group_hash",
-    "ts_rolling_median",
-    "profile_entropy",
-    "join_interval_overlap",
-    "ml_eval_metrics",
-    "text_zipf_alpha",
-    "graph_adamic_adar",
-    "pq_metadata_profile",
-    "market_basket_rules",
-    "seq_transition_matrix",
-    "window_running_distinct",
-    "text_vocab_coverage",
-    "text_batch_padding",
-    "ml_auc_rank",
-    "ml_calibration_bins",
-    "agg_decimal_exact",
-    "pipeline_curation_v3",
-    "dq_date_bounds",
-    "join_null_safe",
-    "setop_union_evolved",
-    "dedup_edit_distance",
-    "emb_dim_stats",
-    "events_pareto",
-    "orders_interarrival",
-    "txlog_delete_dv",
-    "events_session_stats",
-    "events_burstiness",
-    "ml_pr_at_thresholds",
-    "customer_rfm",
-    "txlog_dv_metrics",
-    "graph_kcore_designed",
-    # -- r6 band A: NEVER driver-attested in any round (VERDICT r5 ask #1);
-    # txlog_timestamp_travel also carries the r6 monotonic-clamp change.
-    "txlog_clone_read",
-    "txlog_timestamp_travel",
-    # -- r6 band D: new entries added this round go HERE, above the
-    # rotation bands (tests/test_plans.py enforces the window rule).
-    "multimodal_png",
-    "dsir_weights_hashed",
-    "csv_malformed_quarantine",
+    # -- never-attested band (window rule: these MUST hold the top
+    # slots): the r8-new MOR-update entry, then the 24 round-6-band
+    # entries that have never had a driver row (r6 closed without
+    # driver artifacts; VERDICT r7 ask #1).
+    "txlog_update_dv",
     "temperature_mix",
     "jsonl_malformed_quarantine",
     "dq_mad_outliers",
@@ -9750,15 +9742,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_quality_cut",
     "text_compression_ratio",
     "graph_components_chain",
-    # ANN gates re-parameterized in r6 (Hamming-2 multiprobe, nprobe 8/16,
-    # floors 0.85/0.75) -> re-attest at the new floors; they HAVE older
-    # driver rows, so they queue behind the never-attested band.
+    # -- re-attest band (old driver rows exist, behavior since
+    # changed): r8's single-partition-window rewrites + DV-aware
+    # restore/merge/dv_metrics, the r6-refloored ANN gates, and the
+    # r6 B/C bands.
+    "events_pareto",
+    "customer_rfm",
+    "ml_auc_rank",
+    "profile_entropy",
+    "txlog_restore",
+    "txlog_merge_upsert",
+    "txlog_dv_metrics",
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_indexed",
-    # -- r6 bands B/C (behavior changed in r5/r6; old driver rows exist,
-    # so the window rule doesn't force them — they re-attest after every
-    # never-attested entry is covered).
     "leakage_safe_split",
     "pipeline_curation",
     "pipeline_curation_v2",
@@ -9766,8 +9763,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_near_dup_exact",
     "events_ewma",
     "table_diff_audit",
-    # -- oldest-attested rotation: newest driver row r1 (43 entries);
-    # the ~50-entry window cuts into the r1 band — remainder rotates in r7.
+    # -- stalest-attested rotation fill (newest driver row r1); the
+    # tail below continues in non-decreasing latest-attested round
+    # order (enforced by tests/test_plans.py::
+    # test_rotation_tail_sorted_by_staleness).
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q3_shipping_priority",
@@ -9811,7 +9810,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_hourly",
     "dedup_exact",
     "text_tokens",
-    # -- rotation: newest driver row r2 (7 entries)
     "join_dim_chain",
     "dedup_minhash",
     "dedup_simhash",
@@ -9819,7 +9817,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_ngrams",
     "join_salted_skew",
     "join_semi_reduced",
-    # -- rotation: newest driver row r3 (37 entries)
     "emb_near_dup",
     "events_resample_fill",
     "asof_join",
@@ -9857,15 +9854,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "date_funcs",
     "json_extract",
     "case_buckets",
-    # -- rotation: newest driver row r4 (42 entries)
     "txlog_snapshot_read",
     "txlog_time_travel",
     "txlog_cdf",
     "txlog_pruned_read",
     "txlog_point_read",
-    "txlog_merge_upsert",
     "txlog_update",
-    "txlog_restore",
     "txlog_replace_where",
     "txlog_fast_count",
     "txlog_null_skip",
@@ -9900,7 +9894,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_histogram",
     "profile_correlations",
     "dq_report",
-    # -- rotation: newest driver row r5 (48 entries)
     "dedup_incremental",
     "fuzzy_join_sources",
     "events_rolling_stats",
@@ -9946,6 +9939,51 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_containment",
     "dedup_clusters",
     "dedup_keep_best",
+    "window_distribution_suite",
+    "dedup_latest_by_key",
+    "scd2_intervals",
+    "gaps_islands",
+    "graph_degree_stats",
+    "graph_triangles",
+    "ts_zscore_anomaly",
+    "ts_interpolate_linear",
+    "ml_one_hot",
+    "ml_split_stratified",
+    "text_ttr",
+    "dedup_segments_corpus",
+    "emb_assign_cells",
+    "knn_pq",
+    "sample_group_hash",
+    "ts_rolling_median",
+    "join_interval_overlap",
+    "ml_eval_metrics",
+    "text_zipf_alpha",
+    "graph_adamic_adar",
+    "pq_metadata_profile",
+    "market_basket_rules",
+    "seq_transition_matrix",
+    "window_running_distinct",
+    "text_vocab_coverage",
+    "text_batch_padding",
+    "ml_calibration_bins",
+    "agg_decimal_exact",
+    "pipeline_curation_v3",
+    "dq_date_bounds",
+    "join_null_safe",
+    "setop_union_evolved",
+    "dedup_edit_distance",
+    "emb_dim_stats",
+    "orders_interarrival",
+    "txlog_delete_dv",
+    "events_session_stats",
+    "events_burstiness",
+    "ml_pr_at_thresholds",
+    "graph_kcore_designed",
+    "txlog_clone_read",
+    "txlog_timestamp_travel",
+    "multimodal_png",
+    "dsir_weights_hashed",
+    "csv_malformed_quarantine",
 ]
 
 

@@ -149,6 +149,13 @@ def _replay(path: str, version: int | None = None) -> dict:
         for rel, dv_rel in commit.get("dv_adds", {}).items():
             if rel in live:
                 live[rel].setdefault("dvs", []).append(dv_rel)
+        # dv_set REPLACES a file's whole DV list (possibly with []) — the
+        # primitive RESTORE and CLONE need to reproduce another snapshot's
+        # exact DV state: accumulate-only semantics could never shrink a
+        # list back to the target version's.
+        for rel, dv_list in commit.get("dv_set", {}).items():
+            if rel in live:
+                live[rel]["dvs"] = list(dv_list)
     return live
 
 
@@ -509,6 +516,7 @@ def _try_commit(
     blooms: dict[str, dict[str, str]] | None = None,
     meta: dict | None = None,
     dv_adds: dict[str, str] | None = None,
+    dv_set: dict[str, list[str]] | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     commit = {
@@ -533,6 +541,8 @@ def _try_commit(
         commit["meta"] = meta
     if dv_adds:
         commit["dv_adds"] = dv_adds
+    if dv_set:
+        commit["dv_set"] = dv_set
     payload = json.dumps(commit)
     try:
         with open(_commit_path(path, version), "x") as f:
@@ -1074,7 +1084,12 @@ def merge(
         # verbatim append of a possibly multi-row-per-key updates batch.
         combined = updates
     else:
-        combined = read(spark, path, read_v, merge_schema=True).unionByName(
+        # MOR read, not plain read(): a MERGE rewrites the whole snapshot,
+        # so its input must be the LOGICAL table — reading raw file bytes
+        # would resurrect every DV-deleted row into the merged files (the
+        # same resurrection hazard _read_files_with_dvs documents for the
+        # file-scoped rewrites).
+        combined = read_mor(spark, path, read_v, merge_schema=True).unionByName(
             updates, allowMissingColumns=True
         )
     latest = (
@@ -1433,8 +1448,13 @@ def restore(path: str, version: int) -> int:
     no data is rewritten, and history is preserved (the rollback itself is
     a version you can inspect or restore past). The re-added files carry
     their stats/blooms forward from the target version's resolution, so
-    data skipping survives the rollback. Fails up front if vacuum already
-    reclaimed any file the target version needs."""
+    data skipping survives the rollback, and every file's DELETION-VECTOR
+    state is pinned to the target version's via a ``dv_set`` replacement
+    (files common to both snapshots drop DVs accumulated after the
+    target; re-added files get their at-target DV lists back — the
+    accumulate-only ``dv_adds`` channel could express neither). Fails up
+    front if vacuum already reclaimed any data file OR DV sidecar the
+    target version needs."""
     cur_v = current_version(path)
     if not 1 <= version <= cur_v:
         raise ValueError(f"version {version} not in [1, {cur_v}]")
@@ -1452,6 +1472,31 @@ def restore(path: str, version: int) -> int:
     old_blooms = visible_blooms(path, version)
     stats = {rel: old_stats[rel] for rel in adds if rel in old_stats}
     blooms = {rel: old_blooms[rel] for rel in adds if rel in old_blooms}
+    # Reproduce the target version's exact DV state on every surviving
+    # file: replay-time dv_set REPLACES the list, so post-target deletes
+    # un-hide and pre-target deletes re-apply (a plain file-visibility
+    # flip would do neither).
+    tgt_state = _replay(path, version)
+    cur_state = _replay(path, cur_v)
+    dv_set: dict[str, list[str]] = {}
+    for rel, e in tgt_state.items():
+        tgt_dvs = list(e.get("dvs") or [])
+        cur_dvs = list(cur_state.get(rel, {}).get("dvs") or [])
+        if rel in cur_state and cur_dvs == tgt_dvs:
+            continue
+        if tgt_dvs or rel in cur_state:
+            dv_set[rel] = tgt_dvs
+    missing_dv = sorted(
+        g
+        for groups in dv_set.values()
+        for g in groups
+        if not os.path.isdir(os.path.join(path, g))
+    )
+    if missing_dv:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing_dv)} deletion-"
+            f"vector sidecar group(s) already vacuumed, e.g. {missing_dv[0]!r}"
+        )
     _try_commit(
         path,
         cur_v + 1,
@@ -1460,6 +1505,7 @@ def restore(path: str, version: int) -> int:
         stats or None,
         blooms or None,
         meta={"op": "restore", "restored_version": version},
+        dv_set=dv_set or None,
     )
     return cur_v + 1
 
@@ -1552,8 +1598,10 @@ def table_changes(
     #   - rows of REMOVED files that were DV-dead at from_version were not
     #     part of the source snapshot -> drop from the delete side (a CoW
     #     rewrite after a DV delete must not re-report those rows);
-    #   - files visible in BOTH snapshots whose DV set GREW emit the new
-    #     positions as deletes (DVs only accumulate per file).
+    #   - files visible in BOTH snapshots whose DV set CHANGED emit the
+    #     positions added as deletes and — since RESTORE's dv_set can
+    #     SHRINK a file's DV list back to an older state — the positions
+    #     removed as inserts (resurrected rows re-enter the snapshot).
     dvs_from = visible_dvs(path, from_version)
     dvs_to = visible_dvs(path, to_v)
 
@@ -1579,13 +1627,13 @@ def table_changes(
         return df.drop("__fn", "__ri")
 
     common = sorted(f_from & f_to)
-    dv_grew = [
+    dv_changed = [
         f
         for f in common
-        if len(dvs_to.get(os.path.relpath(f, path), []))
-        > len(dvs_from.get(os.path.relpath(f, path), []))
+        if set(dvs_to.get(os.path.relpath(f, path), []))
+        != set(dvs_from.get(os.path.relpath(f, path), []))
     ]
-    if not added and not removed and not dv_grew:
+    if not added and not removed and not dv_changed:
         raise ValueError(f"no changes between versions {from_version} and {to_v}")
     a = _read_minus_dvs(added, dvs_to) if added else None
     r = _read_minus_dvs(removed, dvs_from) if removed else None
@@ -1599,30 +1647,40 @@ def table_changes(
     inserts = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
     deletes = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
     out = inserts.unionByName(deletes)
-    if dv_grew:
-        new_pos = _positions(dvs_to, dv_grew)
-        old_pos = _positions(dvs_from, dv_grew)
-        if old_pos is not None:
-            new_pos = new_pos.join(old_pos, ["file_name", "row_index"], "left_anti")
-        rows = spark.read.parquet(*dv_grew).select(
+    if dv_changed:
+        new_pos = _positions(dvs_to, dv_changed)
+        old_pos = _positions(dvs_from, dv_changed)
+        rows = spark.read.parquet(*dv_changed).select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        dv_deletes = (
-            rows.join(
-                F.broadcast(
-                    new_pos.select(
-                        F.col("file_name").alias("__fn"),
-                        F.col("row_index").alias("__ri"),
-                    )
-                ),
-                ["__fn", "__ri"],
+
+        def _emit(pos, change_type):
+            return (
+                rows.join(
+                    F.broadcast(
+                        pos.select(
+                            F.col("file_name").alias("__fn"),
+                            F.col("row_index").alias("__ri"),
+                        )
+                    ),
+                    ["__fn", "__ri"],
+                )
+                .drop("__fn", "__ri")
+                .withColumn("_change_type", F.lit(change_type))
             )
-            .drop("__fn", "__ri")
-            .withColumn("_change_type", F.lit("delete"))
-        )
-        out = out.unionByName(dv_deletes)
+
+        if new_pos is not None:
+            d = new_pos
+            if old_pos is not None:
+                d = d.join(old_pos, ["file_name", "row_index"], "left_anti")
+            out = out.unionByName(_emit(d, "delete"))
+        if old_pos is not None:
+            i = old_pos
+            if new_pos is not None:
+                i = i.join(new_pos, ["file_name", "row_index"], "left_anti")
+            out = out.unionByName(_emit(i, "insert"))
     return out
 
 
@@ -1748,6 +1806,17 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         m = latest_meta(src_path, key, version)
         if m is not None:
             meta[key] = m
+    # live deletion vectors ride along (dv_set — replay-time replacement),
+    # each sidecar group re-keyed dst-relative exactly like the data files:
+    # without this a shallow clone would resurrect every DV-deleted row.
+    dv_set = {
+        rel: [
+            os.path.relpath(os.path.join(src_path, d), dst_path)
+            for d in e["dvs"]
+        ]
+        for rel, e in rel_map.items()
+        if e.get("dvs")
+    }
     commit = {
         "version": 1,
         "adds": sorted(rel_map),
@@ -1758,6 +1827,8 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         "blooms": {rel: e["blooms"] for rel, e in rel_map.items() if e.get("blooms")},
         "meta": meta,
     }
+    if dv_set:
+        commit["dv_set"] = dv_set
     os.makedirs(_log_dir(dst_path), exist_ok=True)
     fd = os.open(_commit_path(dst_path, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:
@@ -1936,14 +2007,14 @@ def _read_files_with_dvs(
         return df
     tagged = df.select(
         "*",
-        _file_name_col().alias("__dv_fn"),
-        F.col("_metadata.row_index").alias("__dv_ri"),
+        _file_name_col().alias("__fn"),
+        F.col("_metadata.row_index").alias("__ri"),
     )
     dv = spark.read.parquet(*dv_paths).select(
-        F.col("file_name").alias("__dv_fn"), F.col("row_index").alias("__dv_ri")
+        F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
     )
-    return tagged.join(F.broadcast(dv), ["__dv_fn", "__dv_ri"], "left_anti").drop(
-        "__dv_fn", "__dv_ri"
+    return _anti_join_dvs(
+        tagged, dv, _dv_rows_from_footers(dv_paths), DV_BROADCAST_MAX_ROWS
     )
 
 
@@ -2013,15 +2084,54 @@ def delete_where_dv(
         return read_v
     by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
     dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
-    _try_commit(
-        path,
-        read_v + 1,
-        [],
-        [],
-        meta={"op": "delete_dv"},
-        dv_adds=dv_adds,
-    )
+    try:
+        _try_commit(
+            path,
+            read_v + 1,
+            [],
+            [],
+            meta={"op": "delete_dv"},
+            dv_adds=dv_adds,
+        )
+    except CommitConflict:
+        # the sidecar group landed before the commit; a losing writer must
+        # sweep it (mirroring the no-touched-files cleanup above) or the
+        # orphan lingers until a vacuum pass happens to catch it
+        shutil.rmtree(target, ignore_errors=True)
+        raise
     return read_v + 1
+
+
+# Past this many accumulated DV positions the MOR anti-join build side no
+# longer broadcasts: a broadcast must fit in driver + every executor's
+# memory, and a few hundred MB of (file_name, row_index) pairs IS the
+# failure mode at that point. The fallback is a shuffle anti-join — cost
+# still tracks the deleted-row count, spread across reducers instead of
+# materialized whole on every node. ~4M positions ≈ 60-80 MB serialized,
+# comfortably under Spark's own 8 GB broadcast hard cap with margin for
+# row overhead.
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _dv_rows_from_footers(paths: list[str]) -> int:
+    """Total DV positions across sidecar groups, from parquet FOOTERS only
+    (each group is a directory of part files; no data pages read) — the
+    metadata-cost signal that picks the MOR anti-join strategy."""
+    total = 0
+    for group in paths:
+        for root, _, files in os.walk(group):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += _file_rows(os.path.join(root, f))
+    return total
+
+
+def _anti_join_dvs(df: DataFrame, dv: DataFrame, n_dv_rows: int, max_broadcast: int):
+    """Anti-join ``df`` (tagged __fn/__ri) against DV positions, choosing
+    the build strategy by DV size: broadcast below ``max_broadcast``
+    positions, shuffle above (see DV_BROADCAST_MAX_ROWS)."""
+    build = F.broadcast(dv) if n_dv_rows <= max_broadcast else dv
+    return df.join(build, ["__fn", "__ri"], "left_anti").drop("__fn", "__ri")
 
 
 def read_mor(
@@ -2029,15 +2139,22 @@ def read_mor(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    dv_broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Merge-on-read snapshot: the plain snapshot scan anti-joined against
     the union of the visible deletion-vector sidecars on
     (file basename, _metadata.row_index). With no live DVs this IS
     :func:`read` — zero overhead on pure-CoW tables. The anti-join
-    build side is the DELETED-ROW COUNT, not the table size, and it
-    broadcasts; the probe stays the streaming scan, so MOR read cost is
-    scan + a broadcast hash anti-join at any table size. Time travel
-    works unchanged: a version below the delete resolves no DVs."""
+    build side is the DELETED-ROW COUNT, not the table size; below
+    ``dv_broadcast_max_rows`` (default DV_BROADCAST_MAX_ROWS) it
+    broadcasts and MOR read cost is scan + a broadcast hash anti-join at
+    any table size; above it the build switches to a shuffle anti-join —
+    a table that has accumulated hundreds of MB of positions must not
+    materialize them whole on every executor (dv_metrics surfaces the
+    chosen strategy and is the OPTIMIZE trigger). The row total comes
+    from sidecar parquet footers, so strategy choice is metadata-only.
+    Time travel works unchanged: a version below the delete resolves no
+    DVs."""
     dvs = visible_dvs(path, version)
     if not dvs:
         return read(spark, path, version, merge_schema)
@@ -2054,28 +2171,165 @@ def read_mor(
     dv = spark.read.parquet(*dv_paths).select(
         F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
     )
-    return df.join(F.broadcast(dv), ["__fn", "__ri"], "left_anti").drop(
-        "__fn", "__ri"
+    cap = DV_BROADCAST_MAX_ROWS if dv_broadcast_max_rows is None else dv_broadcast_max_rows
+    return _anti_join_dvs(df, dv, _dv_rows_from_footers(dv_paths), cap)
+
+
+def update_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> int:
+    """Merge-on-read ``UPDATE ... SET`` — the mutation that makes a
+    1%-row update cost 1% of the data instead of every touched file: in
+    ONE atomic commit, the matched rows' POSITIONS land in a deletion-
+    vector sidecar (hiding the old versions from :func:`read_mor`) and
+    ONLY the rewritten rows append as a new file group. This is the
+    Delta/Iceberg DV-backed UPDATE shape (delete-vector old row + append
+    new row); :func:`update_where` remains the copy-on-write
+    materialization that OPTIMIZE-style maintenance prefers.
+
+    Same contract surface as the CoW twin: assignments validate against
+    the TABLE schema up front (a misspelled SET column errors even on a
+    no-match predicate), each assignment casts back to the column's
+    existing type, CHECK constraints gate the rewritten rows, the
+    stats/bloom channels the table carries are recollected on the
+    appended files, and the pruning ladder (stats skip → bloom skip for
+    point predicates) bounds the scan. SQL three-valued semantics hold
+    (NULL-predicate rows untouched), already-DV-dead positions are never
+    re-updated or resurrected (anti-join against the live DV union), and
+    a repeated no-match call is a commit-free no-op. Plain :func:`read`
+    sees old AND new row versions by design — the same contract as
+    delete_where_dv. Returns the new version."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    table_schema = read(spark, path, read_v, merge_schema=True).schema
+    table_fields = {f.name: f.dataType for f in table_schema.fields}
+    unknown = set(assignments) - set(table_fields)
+    if unknown:
+        raise ValueError(f"assignments reference unknown columns: {sorted(unknown)}")
+    all_files = visible_files(path, read_v)
+    candidates = all_files
+    if prune_col is not None:
+        stats = visible_stats(path, read_v)
+        blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+        candidates = []
+        for abs_p in all_files:
+            rel = os.path.relpath(abs_p, path)
+            if _range_excludes(stats.get(rel, {}).get(prune_col), c_lo, c_hi):
+                continue
+            b64 = blooms.get(rel, {}).get(prune_col)
+            if b64 is not None and not _bloom_may_contain(b64, lo):
+                continue
+            candidates.append(abs_p)
+    if not candidates:
+        return read_v
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+    hits = scan.filter(predicate).select(
+        "*",
+        _file_name_col().alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
     )
+    existing = visible_dvs(path, read_v)
+    existing_paths = sorted({p for ps in existing.values() for p in ps})
+    if existing_paths:
+        prior = spark.read.parquet(*existing_paths).select("file_name", "row_index")
+        hits = hits.join(
+            F.broadcast(prior)
+            if _dv_rows_from_footers(existing_paths) <= DV_BROADCAST_MAX_ROWS
+            else prior,
+            ["file_name", "row_index"],
+            "left_anti",
+        )
+    group = os.path.join(_DV_DIR, uuid.uuid4().hex)
+    target = os.path.join(path, group)
+    hits.select("file_name", "row_index").write.mode("error").parquet(target)
+    touched = [
+        r.file_name
+        for r in spark.read.parquet(target).select("file_name").distinct().collect()
+    ]
+    if not touched:
+        shutil.rmtree(target, ignore_errors=True)
+        return read_v
+    # rewrite ONLY the matched rows (recomputed from the same immutable
+    # candidate files — deterministic), padded to the evolved table schema,
+    # every row predicate-TRUE so assignments apply unconditionally
+    src = hits.drop("file_name", "row_index")
+    for name, dtype in table_fields.items():
+        if name not in src.columns:
+            src = src.withColumn(name, F.lit(None).cast(dtype))
+    cols = []
+    for field in table_schema.fields:
+        if field.name in assignments:
+            a = assignments[field.name]
+            a = F.expr(a) if isinstance(a, str) else a
+            cols.append(a.cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    rewritten = src.select(*cols)
+    _enforce_constraints(rewritten, path)
+    live_rels = [os.path.relpath(p, path) for p in all_files]
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, live_rels)
+    adds = _write_data_files(rewritten, path)
+    stats_new = _collect_stats(path, adds, stat_cols or None)
+    blooms_new = _collect_blooms(path, adds, bloom_cols or None)
+    by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
+    dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
+    try:
+        _try_commit(
+            path,
+            read_v + 1,
+            adds,
+            [],
+            stats_new,
+            blooms_new,
+            meta={"op": "update_dv"},
+            dv_adds=dv_adds,
+        )
+    except CommitConflict:
+        # losing writer sweeps BOTH pre-landed groups (sidecar + data)
+        shutil.rmtree(target, ignore_errors=True)
+        if adds:
+            shutil.rmtree(
+                os.path.dirname(os.path.join(path, adds[0])), ignore_errors=True
+            )
+        raise
+    return read_v + 1
 
 
 def dv_metrics(spark: SparkSession, path: str, version: int | None = None):
     """Deletion-vector health at a snapshot (metadata + sidecars only, no
-    data pages): total DV'd rows, files carrying DVs, and the worst
-    single-file DV count — the read-amplification signals that say when
+    data pages): total DV'd rows, files carrying DVs, the worst
+    single-file DV count, and the MOR anti-join strategy those numbers
+    select (``broadcast`` under DV_BROADCAST_MAX_ROWS positions,
+    ``shuffle`` past it) — the read-amplification signals that say when
     to OPTIMIZE a merge-on-read table (every MOR read anti-joins
-    n_dv_rows; a file with a huge DV share is mostly-dead bytes).
-    Returns a 1-row DataFrame (n_files, n_files_with_dv, n_dv_rows,
-    max_file_dv_rows)."""
+    n_dv_rows; a file with a huge DV share is mostly-dead bytes; a
+    shuffle-regime table is overdue). Returns a 1-row DataFrame
+    (n_files, n_files_with_dv, n_dv_rows, max_file_dv_rows,
+    mor_join_strategy)."""
     n_files = len(visible_files(path, version))
     dvs = visible_dvs(path, version)
     dv_paths = sorted({p for ps in dvs.values() for p in ps})
     if not dv_paths:
         return spark.createDataFrame(
-            [(n_files, 0, 0, 0)],
+            [(n_files, 0, 0, 0, "none")],
             "n_files long, n_files_with_dv long, n_dv_rows long, "
-            "max_file_dv_rows long",
+            "max_file_dv_rows long, mor_join_strategy string",
         )
+    strategy = (
+        "broadcast"
+        if _dv_rows_from_footers(dv_paths) <= DV_BROADCAST_MAX_ROWS
+        else "shuffle"
+    )
     per = (
         spark.read.parquet(*dv_paths)
         .groupBy("file_name")
@@ -2086,4 +2340,5 @@ def dv_metrics(spark: SparkSession, path: str, version: int | None = None):
         F.count(F.lit(1)).cast("long").alias("n_files_with_dv"),
         F.sum("__n").cast("long").alias("n_dv_rows"),
         F.max("__n").cast("long").alias("max_file_dv_rows"),
+        F.lit(strategy).alias("mor_join_strategy"),
     )

@@ -308,6 +308,36 @@ def test_driver_window_covers_unattested_entries():
     assert set(_DRIVER_WINDOW_PRIORITY) == set(QUERIES)
 
 
+def test_rotation_tail_sorted_by_staleness():
+    """Attestation rotation (VERDICT r7 ask #10): past the ~50-entry driver
+    window, already-attested entries must queue in NON-DECREASING
+    latest-attested-round order, so each round's window fill naturally
+    takes the stalest entries first and no attestation can rot
+    indefinitely. The tail's rounds are untouched by the upcoming round's
+    driver run (it attests only the window), so this invariant — unlike
+    the window rule — survives the new CORRECTNESS file landing."""
+    import glob
+    import json
+    import os
+    import re
+
+    from datalake_brief_spark.queries import _DRIVER_WINDOW_PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), r)
+    tail_rounds = [
+        latest[n] for n in _DRIVER_WINDOW_PRIORITY[50:] if n in latest
+    ]
+    assert tail_rounds == sorted(tail_rounds), (
+        "rotation tail out of staleness order: a fresher-attested entry "
+        "queues ahead of a staler one"
+    )
+
+
 def test_repetition_ngrams_do_not_retokenize_per_position(spark):
     """Regression guard for the O(tokens^2) shape: building bigrams via
     transform(sequence(...), i -> slice(split(...), i, n)) re-runs the

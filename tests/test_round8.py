@@ -168,3 +168,35 @@ class TestAucBinnedSpectrum:
         expect = (agg.rs - agg.np * (agg.np + 1) / 2.0) / (agg.np * agg.nn)
         assert got.auc == pytest.approx(round(expect, 6), abs=0)
         assert got.n_pos == agg.np and got.n_neg == agg.nn
+
+
+class TestBatchTopkIdTypes:
+    def test_string_ids_match_cosine_topk(self, spark):
+        """cosine_topk_batch hardcoded int64 ids (mapInPandas '<id> long'
+        schema) while claiming parity with cosine_topk, which accepts any
+        id type — string keys crashed with a cast error. The schema now
+        derives from the input dtypes."""
+        import random
+
+        from datalake_brief_spark.operators import similarity
+
+        rng = random.Random(8)
+        rows = [
+            (f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        q = emb.filter(F.col("vec_id") < "doc-005").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r.query_id, r.rank): (r.vec_id, r.score)
+            for r in similarity.cosine_topk(emb, q, k=5).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.score)
+            for r in similarity.cosine_topk_batch(
+                emb.repartition(3), q, k=5
+            ).collect()
+        }
+        assert got == want

@@ -1775,3 +1775,205 @@ class TestDeletionVectors:
         # the DV is still referenced by the latest version: must survive
         assert _glob.glob(_os.path.join(table, "_dv", "*", "*.parquet"))
         assert txlog.read_mor(spark, table).filter("k = 3").count() == 0
+
+
+class TestDeletionVectorsRound8:
+    """DV composition with the whole-snapshot/metadata operations (merge,
+    restore, clone), the merge-on-read UPDATE, and the MOR broadcast-size
+    guard."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        t = str(tmp_path / "dv8_tbl")
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        txlog.append(df.repartition(3), t)
+        return t
+
+    def test_merge_does_not_resurrect_dv_rows(self, spark, table):
+        """merge() rewrites the whole snapshot — its input must be the MOR
+        view, or an upsert on a table with live DVs resurrects every
+        DV-deleted row into the merged files."""
+        txlog.delete_where_dv(spark, table, "k = 3")
+        updates = spark.createDataFrame([(1, 99)], "id long, k long")
+        txlog.merge(spark, table, updates, keys=["id"], order_col="k")
+        got = txlog.read(spark, table)  # merge is CoW: plain read is exact
+        assert got.filter("k = 3").count() == 0, "DV-deleted rows resurrected"
+        assert got.filter("id = 1 AND k = 99").count() == 1
+        assert got.count() == 100 - 14 + 0  # 14 DV'd (k=3), id=1 upserted
+
+    def test_restore_drops_post_target_dvs(self, spark, table):
+        v2 = txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where_dv(spark, table, "k = 5")
+        assert txlog.read_mor(spark, table).count() == 100 - 28
+        txlog.restore(table, v2)
+        mor = txlog.read_mor(spark, table)
+        assert mor.count() == 100 - 14
+        assert mor.filter("k = 3").count() == 0  # at-target DV still applies
+        assert mor.filter("k = 5").count() == 14  # post-target DV dropped
+
+    def test_restore_to_pre_dv_version_clears_all_dvs(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.restore(table, 1)
+        assert txlog.read_mor(spark, table).count() == 100
+        assert not txlog.visible_dvs(table)
+
+    def test_restore_reapplies_dvs_on_readded_files(self, spark, table):
+        """Files removed after the target (CoW rewrite) re-add with their
+        AT-TARGET DV lists — replay's add gives dvs=[], dv_set restores."""
+        v2 = txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where(spark, table, "k = 5")  # CoW: rewrites files
+        txlog.restore(table, v2)
+        mor = txlog.read_mor(spark, table)
+        assert mor.count() == 100 - 14
+        assert mor.filter("k = 3").count() == 0
+        assert mor.filter("k = 5").count() == 14
+
+    def test_restore_fails_when_target_sidecar_vacuumed(self, spark, table):
+        import glob as _glob
+        import shutil as _shutil
+
+        v2 = txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.delete_where(spark, table, "k = 3")  # orphan the DV via CoW
+        for g in _glob.glob(os.path.join(table, "_dv", "*")):
+            _shutil.rmtree(g)
+        with pytest.raises(FileNotFoundError, match="deletion-?\\s?vector"):
+            txlog.restore(table, v2)
+
+    def test_restore_cdf_reports_resurrections_as_inserts(self, spark, table):
+        v2 = txlog.delete_where_dv(spark, table, "k = 3")
+        v3 = txlog.restore(table, 1)
+        cdf = txlog.table_changes(spark, table, v2, v3)
+        ins = cdf.filter("_change_type = 'insert'")
+        assert sorted(r.id for r in ins.collect()) == [
+            i for i in range(100) if i % 7 == 3
+        ]
+        assert cdf.filter("_change_type = 'delete'").count() == 0
+
+    def test_clone_carries_dvs(self, spark, table, tmp_path):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        dst = str(tmp_path / "dv8_clone")
+        txlog.clone(table, dst)
+        src_ids = sorted(r.id for r in txlog.read_mor(spark, table).collect())
+        dst_ids = sorted(r.id for r in txlog.read_mor(spark, dst).collect())
+        assert src_ids == dst_ids
+        m = txlog.dv_metrics(spark, dst).collect()[0]
+        assert m.n_dv_rows == 14 and m.n_files_with_dv > 0
+
+    def test_update_dv_rewrites_no_files_and_equals_cow(self, spark, table, tmp_path):
+        before = set(txlog.visible_files(table))
+        v = txlog.update_where_dv(
+            spark, table, "k = 3", {"k": F.col("k") + 100}
+        )
+        assert v == 2
+        after = set(txlog.visible_files(table))
+        assert before <= after, "update_dv must not remove any file"
+        assert len(after) > len(before), "rewritten rows must append"
+        # plain read sees BOTH row versions (MOR contract)
+        assert txlog.read(spark, table).count() == 100 + 14
+        # MOR view equals the CoW twin's result on an identical table
+        twin = str(tmp_path / "dv8_twin")
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        txlog.append(df.repartition(3), twin)
+        txlog.update_where(spark, twin, "k = 3", {"k": F.col("k") + 100})
+        got = sorted((r.id, r.k) for r in txlog.read_mor(spark, table).collect())
+        want = sorted((r.id, r.k) for r in txlog.read(spark, twin).collect())
+        assert got == want
+
+    def test_update_dv_null_predicate_rows_untouched(self, spark, tmp_path):
+        t = str(tmp_path / "dv8_null")
+        df = spark.createDataFrame(
+            [(1, 1), (2, None), (3, 3)], "id long, v long"
+        )
+        txlog.append(df, t)
+        txlog.update_where_dv(spark, t, F.col("v") > 1, {"v": F.lit(0)})
+        got = {r.id: r.v for r in txlog.read_mor(spark, t).collect()}
+        assert got == {1: 1, 2: None, 3: 0}
+
+    def test_update_dv_no_match_is_noop_and_unknown_column_errors(
+        self, spark, table
+    ):
+        v = txlog.current_version(table)
+        assert txlog.update_where_dv(spark, table, "k = 999", {"k": F.lit(0)}) == v
+        with pytest.raises(ValueError, match="unknown columns"):
+            txlog.update_where_dv(spark, table, "k = 999", {"nope": F.lit(0)})
+
+    def test_update_dv_skips_already_dv_dead_rows(self, spark, table):
+        txlog.delete_where_dv(spark, table, "k = 3")
+        txlog.update_where_dv(spark, table, "k = 3", {"k": F.lit(0)})
+        mor = txlog.read_mor(spark, table)
+        assert mor.count() == 100 - 14, "deleted rows must not resurrect as updates"
+        assert mor.filter("k = 0").count() == 100 // 7 + 1  # only the real k=0 rows
+
+    def test_update_dv_cdf_reports_delete_insert_pair(self, spark, table):
+        v = txlog.update_where_dv(spark, table, "k = 3", {"k": F.lit(42)})
+        cdf = txlog.table_changes(spark, table, v - 1, v)
+        dels = cdf.filter("_change_type = 'delete'")
+        ins = cdf.filter("_change_type = 'insert'")
+        want_ids = [i for i in range(100) if i % 7 == 3]
+        assert sorted(r.id for r in dels.collect()) == want_ids
+        assert sorted(r.id for r in ins.collect()) == want_ids
+        assert {r.k for r in ins.collect()} == {42}
+
+    def test_update_dv_then_optimize_materializes(self, spark, table):
+        txlog.update_where_dv(spark, table, "k = 3", {"k": F.lit(42)})
+        txlog.optimize(spark, table, target_file_bytes=1 << 30)
+        assert not txlog.visible_dvs(table)
+        got = txlog.read(spark, table)
+        assert got.count() == 100
+        assert got.filter("k = 42").count() == 14
+        assert got.filter("k = 3").count() == 0
+
+    def test_mor_broadcast_guard_switches_strategy(self, spark, table):
+        """Past the threshold the hint must be ABSENT — Catalyst then
+        chooses by its own size estimate (auto-broadcast disabled here to
+        make the difference observable on a toy DV set): hinted plan
+        broadcasts unconditionally, unhinted falls back to a shuffle
+        anti-join. Results identical either way."""
+        txlog.delete_where_dv(spark, table, "k = 3")
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bc = txlog.read_mor(spark, table)
+            sh = txlog.read_mor(spark, table, dv_broadcast_max_rows=0)
+            bc_plan = bc._jdf.queryExecution().sparkPlan().toString()  # noqa: SLF001
+            sh_plan = sh._jdf.queryExecution().sparkPlan().toString()  # noqa: SLF001
+            assert "BroadcastHashJoin" in bc_plan
+            assert "BroadcastHashJoin" not in sh_plan
+            assert sorted(r.id for r in bc.collect()) == sorted(
+                r.id for r in sh.collect()
+            )
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    def test_dv_metrics_surfaces_strategy(self, spark, table):
+        assert (
+            txlog.dv_metrics(spark, table).collect()[0].mor_join_strategy == "none"
+        )
+        txlog.delete_where_dv(spark, table, "k = 3")
+        m = txlog.dv_metrics(spark, table).collect()[0]
+        assert m.mor_join_strategy == "broadcast"
+        assert m.n_dv_rows == 14
+
+    def test_delete_dv_conflict_sweeps_sidecar(self, spark, table, monkeypatch):
+        """A delete_where_dv losing the commit race must remove the sidecar
+        group it pre-landed — no lingering orphan until vacuum."""
+        import glob as _glob
+
+        real_try = txlog._try_commit
+
+        def stealing_try(path, version, *a, **kw):
+            if getattr(stealing_try, "armed", True):
+                stealing_try.armed = False
+                real_try(path, version, [], [], meta={"op": "append"})
+            return real_try(path, version, *a, **kw)
+
+        stealing_try.armed = True
+        monkeypatch.setattr(txlog, "_try_commit", stealing_try)
+        with pytest.raises(txlog.CommitConflict):
+            txlog.delete_where_dv(spark, table, "k = 3")
+        monkeypatch.undo()
+        assert not _glob.glob(os.path.join(table, "_dv", "*")), "orphan sidecar"
+        assert txlog.read_mor(spark, table).count() == 100
