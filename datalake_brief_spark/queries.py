@@ -9353,6 +9353,47 @@ def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_rename_column",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (txlog.rename_column / drop_column — the Delta
+    column-mapping name mode): RENAME and DROP COLUMN as metadata-only
+    commits, zero data files rewritten at any table size — files keep
+    each column's immutable PHYSICAL name and readers alias/project at
+    plan build; retired physical names are reserved forever so recycled
+    logical names can never resurrect old bytes (pinned in pytest along
+    with lazy purge-on-rewrite, per-version time travel of the logical
+    schema, and mutation/pruning/CDF/clone composition). Here the table
+    renames o_orderstatus→status and drops o_orderpriority; the oracle
+    replays both as a SELECT alias over the raw table, so a reader that
+    resolves the mapping wrongly (or resurrects the dropped column into
+    the aggregate) hash-mismatches."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        txlog.append(o, path)
+        txlog.rename_column(path, "o_orderstatus", "status")
+        txlog.drop_column(path, "o_orderpriority")
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("rename_col", sf_dir, build)),
+        ["status"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
     "events_session_stats",
     """
     WITH g AS (
@@ -9718,6 +9759,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # entries that have never had a driver row (r6 closed without
     # driver artifacts; VERDICT r7 ask #1).
     "txlog_update_dv",
+    "txlog_rename_column",
     "temperature_mix",
     "jsonl_malformed_quarantine",
     "dq_mad_outliers",

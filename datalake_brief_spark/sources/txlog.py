@@ -595,6 +595,186 @@ def _validate_append_schema(
     return {**logged, **cur}
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (the Delta column-mapping "name" mode): RENAME/DROP COLUMN
+# as metadata-only commits — no data file is rewritten. Data files keep each
+# column's PHYSICAL name forever (assigned when the column first appears);
+# the log carries a logical→physical mapping and readers rename/project at
+# plan build. A physical name is RESERVED for all time once any file may
+# carry it — reusing one for a new logical column would resurrect old bytes
+# under the new name, so appends that re-introduce a reserved name get a
+# fresh generated physical name instead.
+# ---------------------------------------------------------------------------
+
+
+def _column_mapping(path: str, version: int | None = None) -> dict[str, str]:
+    """Live logical→physical column-name mapping at ``version``. Empty ⇒
+    identity (every table that never renamed — the zero-overhead path)."""
+    return latest_meta(path, "column_mapping", version) or {}
+
+
+def _physical_reserved(path: str, version: int | None = None) -> set[str]:
+    """Every physical column name any live-or-historical data file may
+    carry: the logged reservation list plus the current schema's physical
+    names. Renames/drops are metadata-only, so a renamed-away or dropped
+    physical name stays in files until a rewrite purges it — it may never
+    be handed to a NEW logical column."""
+    reserved = set(latest_meta(path, "physical_reserved", version) or [])
+    schema = latest_meta(path, "schema", version) or {}
+    mapping = _column_mapping(path, version)
+    reserved.update(mapping.get(c, c) for c in schema)
+    return reserved
+
+
+def _to_logical(df: DataFrame, schema, mapping, passthrough=()) -> DataFrame:
+    """Physical scan → logical view: rename via the mapping and PROJECT
+    OUT physical columns absent from the logical schema (dropped
+    columns). Identity mapping + schema-subset columns is a no-op (the
+    plan is untouched for every pre-mapping table)."""
+    phys_to_log = {p: l for l, p in mapping.items()}
+    if not phys_to_log and (
+        schema is None or all(c in schema or c in passthrough for c in df.columns)
+    ):
+        return df
+    cols = []
+    for c in df.columns:
+        if c in passthrough:
+            cols.append(F.col(c))
+            continue
+        lc = phys_to_log.get(c, c)
+        if schema is None or lc in schema:
+            cols.append(F.col(c).alias(lc))
+    return df.select(*cols)
+
+
+def _logical_view(
+    df: DataFrame, path: str, version: int | None = None, passthrough=()
+) -> DataFrame:
+    return _to_logical(
+        df,
+        latest_meta(path, "schema", version),
+        _column_mapping(path, version),
+        passthrough,
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Logical frame → physical column names for landing data files."""
+    if not mapping:
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _phys_name(path: str, version: int | None, col: str) -> str:
+    """Translate one LOGICAL column name to its physical form — the name
+    stats/blooms are keyed by (they describe file contents)."""
+    return _column_mapping(path, version).get(col, col)
+
+
+def _guard_constraint_refs(path: str, col: str, action: str) -> None:
+    import re as _re
+
+    cons = latest_meta(path, "constraints") or {}
+    hits = sorted(
+        n for n, sql in cons.items() if _re.search(rf"\b{_re.escape(col)}\b", sql)
+    )
+    if hits:
+        raise ValueError(
+            f"cannot {action} column {col!r}: referenced by CHECK "
+            f"constraint(s) {hits}; drop them first"
+        )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN old TO new`` as a METADATA-ONLY commit
+    (Delta column-mapping name mode): zero data files rewritten at any
+    table size — the column keeps its physical name in every file and
+    readers alias it at plan build. Time travel below the rename sees the
+    old name (the mapping resolves per version). Rejected when: the
+    column is referenced by a CHECK constraint (the expression would
+    silently stop matching), the new name already exists logically, or
+    the new name collides with a RESERVED physical name still present in
+    data files (old bytes would resurrect under it). Renaming back to a
+    column's own original name is always legal."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    schema = latest_meta(path, "schema")
+    if schema is None:
+        raise ValueError(
+            "table has no logged schema; rename requires schema-recording "
+            "commits (append/overwrite since schemas were logged)"
+        )
+    if old not in schema:
+        raise ValueError(f"no column {old!r} (have {sorted(schema)})")
+    if new in schema:
+        raise ValueError(f"column {new!r} already exists")
+    _guard_constraint_refs(path, old, "rename")
+    mapping = dict(_column_mapping(path))
+    phys = mapping.pop(old, old)
+    reserved = _physical_reserved(path)
+    if new in reserved - {phys}:
+        raise ValueError(
+            f"cannot rename {old!r} to {new!r}: {new!r} is a reserved "
+            f"physical column name still present in data files"
+        )
+    if new != phys:
+        mapping[new] = phys
+    new_schema = {(new if k == old else k): t for k, t in schema.items()}
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={
+            "op": "rename_column",
+            "renamed": [old, new],
+            "schema": new_schema,
+            "column_mapping": mapping,
+            "physical_reserved": sorted(reserved | {phys}),
+        },
+    )
+    return read_v + 1
+
+
+def drop_column(path: str, name: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the physical
+    data stays in the files (readers project it out at plan build) and is
+    PURGED LAZILY by any later rewrite that touches a file (CoW mutation,
+    OPTIMIZE/Z-order — the Delta ``REORG ... PURGE`` effect without a
+    dedicated command). The physical name stays reserved forever; a later
+    append re-introducing the same logical name gets a fresh generated
+    physical name, so the old bytes can never resurrect. Time travel
+    below the drop still reads the column."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    schema = latest_meta(path, "schema")
+    if schema is None or name not in schema:
+        raise ValueError(f"no column {name!r} (have {sorted(schema or {})})")
+    if len(schema) == 1:
+        raise ValueError("cannot drop the last column")
+    _guard_constraint_refs(path, name, "drop")
+    mapping = dict(_column_mapping(path))
+    phys = mapping.pop(name, name)
+    reserved = _physical_reserved(path) | {phys}
+    new_schema = {k: t for k, t in schema.items() if k != name}
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={
+            "op": "drop_column",
+            "dropped": name,
+            "schema": new_schema,
+            "column_mapping": mapping,
+            "physical_reserved": sorted(reserved),
+        },
+    )
+    return read_v + 1
+
+
 def add_constraint(
     spark: SparkSession, path: str, name: str, check_sql: str
 ) -> int:
@@ -711,9 +891,30 @@ def append(
     _check_bloom_cols(df, bloom_cols)
     _validate_append_schema(path, df, merge_schema)  # fail BEFORE data lands
     _enforce_constraints(df, path)
-    adds = _write_data_files(df, path)
-    stats = _collect_stats(path, adds, stats_cols)
-    blooms = _collect_blooms(path, adds, bloom_cols)
+    # Column mapping: land PHYSICAL column names. A merge_schema append may
+    # re-introduce a logical name whose physical form is RESERVED (a
+    # renamed-away or dropped column still present in old files) — it gets
+    # a fresh generated physical name, or the old bytes would resurrect
+    # under the new column.
+    mapping = dict(_column_mapping(path))
+    logged = latest_meta(path, "schema")
+    reserved = _physical_reserved(path)
+    mapping_changed = False
+    for c in df.columns:
+        if logged is not None and c not in logged and c in reserved:
+            mapping[c] = f"{c}__c{uuid.uuid4().hex[:8]}"
+            reserved.add(mapping[c])
+            mapping_changed = True
+    map_meta = (
+        {"column_mapping": mapping, "physical_reserved": sorted(reserved)}
+        if mapping_changed
+        else {}
+    )
+    adds = _write_data_files(_to_physical(df, mapping), path)
+    p_stats = [mapping.get(c, c) for c in stats_cols] if stats_cols else stats_cols
+    p_blooms = [mapping.get(c, c) for c in bloom_cols] if bloom_cols else bloom_cols
+    stats = _collect_stats(path, adds, p_stats)
+    blooms = _collect_blooms(path, adds, p_blooms)
     for _ in range(max_retries):
         # re-resolve against the tip each attempt: a racing writer may have
         # evolved the schema between our validation and our commit
@@ -727,7 +928,12 @@ def append(
                 [],
                 stats,
                 blooms,
-                meta={"op": "append", "schema": schema_meta, **(meta or {})},
+                meta={
+                    "op": "append",
+                    "schema": schema_meta,
+                    **map_meta,
+                    **(meta or {}),
+                },
             )
             return v
         except CommitConflict:
@@ -789,6 +995,18 @@ def overwrite(
     read_v = current_version(path)
     _enforce_constraints(df, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
+    # overwrite replaces the WHOLE table: the new files carry the frame's
+    # own (logical == physical) names, so any column mapping RESETS to
+    # identity; the reservation list persists (old files stay on disk for
+    # time travel, so their physical names are never reusable).
+    map_meta = {}
+    if _column_mapping(path, read_v):
+        map_meta = {
+            "column_mapping": {},
+            "physical_reserved": sorted(
+                _physical_reserved(path, read_v) | set(dict(df.dtypes))
+            ),
+        }
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     _try_commit(
@@ -799,7 +1017,12 @@ def overwrite(
         stats,
         # overwrite replaces the WHOLE table, so its schema simply becomes
         # the table schema (Delta's overwriteSchema shape)
-        meta={"op": "overwrite", "schema": dict(df.dtypes), **(meta or {})},
+        meta={
+            "op": "overwrite",
+            "schema": dict(df.dtypes),
+            **map_meta,
+            **(meta or {}),
+        },
     )
     return read_v + 1
 
@@ -834,7 +1057,12 @@ def read(
     carry new columns, and the snapshot unifies all visible footers (older
     rows read NULL for columns they predate — the standard lakehouse
     evolution contract). Off by default because schema unification reads
-    every file's footer instead of one."""
+    every file's footer instead of one.
+
+    Column mapping: the scan carries PHYSICAL column names; the returned
+    frame is the LOGICAL view at ``version`` (renames aliased, dropped
+    columns projected out) — identity on every table that never
+    renamed/dropped."""
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -846,7 +1074,7 @@ def read(
         # creation and raises PATH_NOT_FOUND itself if a file is gone —
         # only THEN do we pay the per-file existence sweep to diagnose a
         # vacuumed snapshot (never O(n_files) stat calls on every read).
-        return reader.parquet(*files)
+        return _logical_view(reader.parquet(*files), path, version)
     except Exception as e:
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
@@ -992,16 +1220,19 @@ def read_pruned(
     match. This is the read half of the data-skipping story: write-side
     clustering (io.write_sorted / write_zorder) makes the per-file ranges
     narrow, the log carries them, and this read turns them into IO savings
-    proportional to selectivity."""
+    proportional to selectivity. ``col`` is the LOGICAL name; stats are
+    keyed by the physical name (files never change), so a rename costs
+    no skipping."""
     all_files = visible_files(path, version)
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     stats = visible_stats(path, version)
+    pcol = _phys_name(path, version, col)
     c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
     keep = []
     for abs_p in all_files:
         rel = os.path.relpath(abs_p, path)
-        rng = stats.get(rel, {}).get(col)
+        rng = stats.get(rel, {}).get(pcol)
         if rng is None:
             keep.append(abs_p)
             continue
@@ -1012,6 +1243,7 @@ def read_pruned(
         df = spark.read.parquet(*all_files).limit(0)
     else:
         df = spark.read.parquet(*keep)
+    df = _logical_view(df, path, version)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -1038,10 +1270,11 @@ def read_pruned_nulls(
     live = _replay(path, version)
     if not live:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    pcol = _phys_name(path, version, col)
     keep = []
     for rel in sorted(live):
         e = live[rel]
-        st = (e.get("stats") or {}).get(col)
+        st = (e.get("stats") or {}).get(pcol)
         nc = st[2] if st is not None and len(st) > 2 else None
         rows = e.get("rows")
         if nc is not None:
@@ -1055,6 +1288,7 @@ def read_pruned_nulls(
         df = spark.read.parquet(*all_files).limit(0)
     else:
         df = spark.read.parquet(*keep)
+    df = _logical_view(df, path, version)
     return df.filter(F.col(col).isNull() if is_null else F.col(col).isNotNull())
 
 
@@ -1104,7 +1338,7 @@ def merge(
     # column the superseded files carried, or the table silently loses its
     # data skipping after the first upsert
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(latest, path)
+    adds = _write_data_files(_to_physical(latest, _column_mapping(path, read_v)), path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     _try_commit(
@@ -1138,7 +1372,11 @@ def read_pruned_multi(
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     stats = visible_stats(path, version)
-    canon = {c: (_canon_bound(lo), _canon_bound(hi)) for c, (lo, hi) in ranges.items()}
+    mapping = _column_mapping(path, version)
+    canon = {
+        mapping.get(c, c): (_canon_bound(lo), _canon_bound(hi))
+        for c, (lo, hi) in ranges.items()
+    }
     keep = []
     for abs_p in all_files:
         fstats = stats.get(os.path.relpath(abs_p, path), {})
@@ -1150,6 +1388,7 @@ def read_pruned_multi(
         if not drop:
             keep.append(abs_p)
     df = spark.read.parquet(*keep) if keep else spark.read.parquet(*all_files).limit(0)
+    df = _logical_view(df, path, version)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
@@ -1188,9 +1427,10 @@ def read_point(
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     blooms = visible_blooms(path, version)
+    pcol = _phys_name(path, version, col)
     keep = []
     for abs_p in all_files:
-        b64 = blooms.get(os.path.relpath(abs_p, path), {}).get(col)
+        b64 = blooms.get(os.path.relpath(abs_p, path), {}).get(pcol)
         if b64 is not None and not _bloom_may_contain(b64, value):
             continue
         keep.append(abs_p)
@@ -1198,6 +1438,7 @@ def read_point(
         df = spark.read.parquet(*all_files).limit(0)
     else:
         df = spark.read.parquet(*keep)
+    df = _logical_view(df, path, version)
     return df.filter(F.col(col) == F.lit(value))
 
 
@@ -1220,6 +1461,7 @@ def _matched_files(
     all_files = visible_files(path, read_v)
     candidates = all_files
     if prune_col is not None:
+        prune_col = _phys_name(path, read_v, prune_col)
         stats = visible_stats(path, read_v)
         # a point predicate (lo == hi) can additionally consult the blooms —
         # the unclustered-key case where every file's range matches
@@ -1238,7 +1480,10 @@ def _matched_files(
         return []
     # mergeSchema: candidate files may span additive schema evolution; the
     # narrower single-footer schema would drop evolved columns on rewrite.
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+    # The predicate is LOGICAL — match against the logical view.
+    scan = _logical_view(
+        spark.read.option("mergeSchema", "true").parquet(*candidates), path, read_v
+    )
     matched = [
         r[0]
         for r in scan.filter(predicate)
@@ -1305,7 +1550,7 @@ def delete_where(
     )
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(keep, path)
+    adds = _write_data_files(_to_physical(keep, _column_mapping(path, read_v)), path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "delete"})
@@ -1371,7 +1616,9 @@ def update_where(
     _enforce_constraints(rewritten, path)
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(rewritten, path)
+    adds = _write_data_files(
+        _to_physical(rewritten, _column_mapping(path, read_v)), path
+    )
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "update"})
@@ -1419,13 +1666,14 @@ def overwrite_where(
                 "the replace predicate (pass enforce=False to allow)"
             )
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
-    adds = _write_data_files(new_df, path)
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(new_df, mapping), path)
     removes = []
     if matched:
         survivors = _read_files_with_dvs(spark, path, read_v, matched).filter(
             ~F.coalesce(predicate, F.lit(False))
         )
-        adds += _write_data_files(survivors, path)
+        adds += _write_data_files(_to_physical(survivors, mapping), path)
         removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     stats = _collect_stats(path, adds, stat_cols or None)
@@ -1497,6 +1745,22 @@ def restore(path: str, version: int) -> int:
             f"cannot restore to version {version}: {len(missing_dv)} deletion-"
             f"vector sidecar group(s) already vacuumed, e.g. {missing_dv[0]!r}"
         )
+    # RESTORE also restores the SCHEMA-layer metadata (logical schema +
+    # column mapping) to the target version's — the restored files carry
+    # the physical names that mapping describes, so restoring data without
+    # its mapping would mis-resolve renamed columns. The reservation list
+    # only ever grows (files from both epochs remain on disk).
+    meta = {"op": "restore", "restored_version": version}
+    tgt_schema = latest_meta(path, "schema", version)
+    if tgt_schema is not None and tgt_schema != latest_meta(path, "schema"):
+        meta["schema"] = tgt_schema
+    cur_map = _column_mapping(path)
+    tgt_map = _column_mapping(path, version)
+    if tgt_map != cur_map:
+        meta["column_mapping"] = tgt_map
+        meta["physical_reserved"] = sorted(
+            _physical_reserved(path) | _physical_reserved(path, version)
+        )
     _try_commit(
         path,
         cur_v + 1,
@@ -1504,7 +1768,7 @@ def restore(path: str, version: int) -> int:
         removes,
         stats or None,
         blooms or None,
-        meta={"op": "restore", "restored_version": version},
+        meta=meta,
         dv_set=dv_set or None,
     )
     return cur_v + 1
@@ -1560,6 +1824,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "num_rows": fast_count(path, version),
         "schema": latest_meta(path, "schema", version),
         "constraints": latest_meta(path, "constraints", version) or {},
+        "column_mapping": _column_mapping(path, version),
         "stats_cols": stat_cols,
         "bloom_cols": bloom_cols,
         "vacuum_retention_floor": vacuum_retention_floor(path),
@@ -1585,6 +1850,19 @@ def table_changes(
     This is the same observable contract as Delta's CDF, reconstructed from
     add/remove actions rather than stored change files."""
     to_v = current_version(path) if to_version is None else to_version
+    # Column-mapping boundary guard (the Delta CDF restriction): a rename
+    # or drop between the two versions would make the sides' logical
+    # schemas incomparable — additive evolution remains supported.
+    s_from = latest_meta(path, "schema", from_version)
+    s_to = latest_meta(path, "schema", to_v)
+    if _column_mapping(path, from_version) != _column_mapping(path, to_v) or (
+        s_from is not None and s_to is not None and not set(s_from) <= set(s_to)
+    ):
+        raise ValueError(
+            "change data feed across a column rename/drop boundary is not "
+            "supported (the sides' logical schemas are incomparable); read "
+            "the snapshots separately"
+        )
     f_from = set(visible_files(path, from_version))
     f_to = set(visible_files(path, to_v))
     added = sorted(f_to - f_from)
@@ -1618,6 +1896,7 @@ def table_changes(
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
+        df = _logical_view(df, path, to_v, passthrough=("__fn", "__ri"))
         pos = _positions(dv_map, files)
         if pos is not None:
             pos = pos.select(
@@ -1638,7 +1917,9 @@ def table_changes(
     a = _read_minus_dvs(added, dvs_to) if added else None
     r = _read_minus_dvs(removed, dvs_from) if removed else None
     if a is None and r is None:
-        template = spark.read.parquet(*sorted(f_to or f_from)).limit(0)
+        template = _logical_view(
+            spark.read.parquet(*sorted(f_to or f_from)).limit(0), path, to_v
+        )
         a = r = template
     elif a is None:
         a = r.limit(0)
@@ -1655,6 +1936,7 @@ def table_changes(
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
+        rows = _logical_view(rows, path, to_v, passthrough=("__fn", "__ri"))
 
         def _emit(pos, change_type):
             return (
@@ -1720,7 +2002,9 @@ def optimize(
     # the footers, or the rewrite could pick the narrower schema and lose
     # evolved columns permanently once vacuum reclaims the originals.
     compacted = _read_files_with_dvs(spark, path, read_v, small).coalesce(n_out)
-    adds = _write_data_files(compacted, path)
+    adds = _write_data_files(
+        _to_physical(compacted, _column_mapping(path, read_v)), path
+    )
     removes = [os.path.relpath(p, path) for p in small]
     # Compaction must not silently degrade data skipping: recollect stats
     # AND blooms for the rewritten files on every column the superseded
@@ -1765,9 +2049,15 @@ def optimize_zorder(
     )
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     prev_stat_cols, prev_bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(arranged, path)
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(arranged, mapping), path)
     stats = _collect_stats(
-        path, adds, sorted(set(stats_cols or cluster_cols) | set(prev_stat_cols))
+        path,
+        adds,
+        sorted(
+            {mapping.get(c, c) for c in (stats_cols or cluster_cols)}
+            | set(prev_stat_cols)
+        ),
     )
     blooms = _collect_blooms(path, adds, prev_bloom_cols or None)
     _try_commit(
@@ -1802,7 +2092,7 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         for rel, e in live.items()
     }
     meta = {"op": "clone", "source": os.path.abspath(src_path)}
-    for key in ("schema", "constraints"):
+    for key in ("schema", "constraints", "column_mapping", "physical_reserved"):
         m = latest_meta(src_path, key, version)
         if m is not None:
             meta[key] = m
@@ -1996,20 +2286,26 @@ def _read_files_with_dvs(
     replaceWhere survivors, compaction, Z-order): rewriting raw file
     bytes would RESURRECT DV-deleted rows, because the rewrite commit
     drops the file's DVs along with the file. mergeSchema for the usual
-    evolution reason."""
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    evolution reason. Returns the LOGICAL view (rewriters re-translate
+    with _to_physical before landing files) — which also means any
+    rewrite lazily PURGES dropped-column bytes from the files it
+    touches, the REORG PURGE effect."""
+    raw = spark.read.option("mergeSchema", "true").parquet(*files)
     dvs = visible_dvs(path, read_v)
     rels = {os.path.relpath(f, path) for f in files}
     dv_paths = sorted(
         {p for rel, ps in dvs.items() if rel in rels for p in ps}
     )
     if not dv_paths:
-        return df
-    tagged = df.select(
+        return _logical_view(raw, path, read_v)
+    # tag from the RAW scan (the _metadata pseudo-column resolves only on
+    # the file-source relation), then translate to the logical view
+    tagged = raw.select(
         "*",
         _file_name_col().alias("__fn"),
         F.col("_metadata.row_index").alias("__ri"),
     )
+    tagged = _logical_view(tagged, path, read_v, passthrough=("__fn", "__ri"))
     dv = spark.read.parquet(*dv_paths).select(
         F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
     )
@@ -2048,6 +2344,7 @@ def delete_where_dv(
     all_files = visible_files(path, read_v)
     candidates = all_files
     if prune_col is not None:
+        prune_col = _phys_name(path, read_v, prune_col)
         stats = visible_stats(path, read_v)
         blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
         c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
@@ -2062,11 +2359,17 @@ def delete_where_dv(
             candidates.append(abs_p)
     if not candidates:
         return read_v
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
-    hits = scan.filter(predicate).select(
+    # tag positions on the RAW scan, then evaluate the LOGICAL predicate
+    # against the logical view (passthrough keeps the position tags)
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates).select(
+        "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
     )
+    scan = _logical_view(
+        scan, path, read_v, passthrough=("file_name", "row_index")
+    )
+    hits = scan.filter(predicate).select("file_name", "row_index")
     existing = visible_dvs(path, read_v)
     existing_paths = sorted({p for ps in existing.values() for p in ps})
     if existing_paths:
@@ -2167,6 +2470,7 @@ def read_mor(
         _file_name_col().alias("__fn"),
         F.col("_metadata.row_index").alias("__ri"),
     )
+    df = _logical_view(df, path, version, passthrough=("__fn", "__ri"))
     dv_paths = sorted({p for ps in dvs.values() for p in ps})
     dv = spark.read.parquet(*dv_paths).select(
         F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
@@ -2218,6 +2522,7 @@ def update_where_dv(
     all_files = visible_files(path, read_v)
     candidates = all_files
     if prune_col is not None:
+        prune_col = _phys_name(path, read_v, prune_col)
         stats = visible_stats(path, read_v)
         blooms = visible_blooms(path, read_v) if lo is not None and lo == hi else {}
         c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
@@ -2232,12 +2537,17 @@ def update_where_dv(
             candidates.append(abs_p)
     if not candidates:
         return read_v
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
-    hits = scan.filter(predicate).select(
+    # tag positions on the RAW scan, then evaluate the LOGICAL predicate
+    # against the logical view (passthrough keeps the position tags)
+    scan = spark.read.option("mergeSchema", "true").parquet(*candidates).select(
         "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
     )
+    scan = _logical_view(
+        scan, path, read_v, passthrough=("file_name", "row_index")
+    )
+    hits = scan.filter(predicate)
     existing = visible_dvs(path, read_v)
     existing_paths = sorted({p for ps in existing.values() for p in ps})
     if existing_paths:
@@ -2278,7 +2588,9 @@ def update_where_dv(
     _enforce_constraints(rewritten, path)
     live_rels = [os.path.relpath(p, path) for p in all_files]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, live_rels)
-    adds = _write_data_files(rewritten, path)
+    adds = _write_data_files(
+        _to_physical(rewritten, _column_mapping(path, read_v)), path
+    )
     stats_new = _collect_stats(path, adds, stat_cols or None)
     blooms_new = _collect_blooms(path, adds, bloom_cols or None)
     by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}

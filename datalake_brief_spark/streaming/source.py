@@ -71,7 +71,20 @@ _ARROW_TO_DDL = {
 def _table_ddl(path: str) -> str:
     """Schema DDL for the table: the logged schema (exact Spark type
     names) when present; otherwise derived from one visible parquet
-    footer (pre-schema-logging tables)."""
+    footer (pre-schema-logging tables). Tables with a live column mapping
+    (renamed/dropped columns) are rejected — the executor-side pyarrow
+    reads select by PHYSICAL name while this DDL carries logical names,
+    and streaming across a rename boundary is unsupported anyway (the
+    same restriction Delta places on CDF/streaming under column-mapping
+    changes); ``overwrite(read(...), path)`` resets the mapping to
+    identity if streaming the table matters more than the rewrite.
+    Dropped-only tables (empty mapping, narrower logical schema) stream
+    fine — the per-file column selection simply skips the dead bytes."""
+    if txlog._column_mapping(path):  # noqa: SLF001
+        raise ValueError(
+            f"streaming source does not support tables with a live column "
+            f"mapping (renamed columns): {path!r}"
+        )
     logged = txlog.latest_meta(path, "schema")
     if logged:
         return ", ".join(f"{c} {t}" for c, t in logged.items())

@@ -1977,3 +1977,187 @@ class TestDeletionVectorsRound8:
         monkeypatch.undo()
         assert not _glob.glob(os.path.join(table, "_dv", "*")), "orphan sidecar"
         assert txlog.read_mor(spark, table).count() == 100
+
+
+class TestColumnMapping:
+    """RENAME/DROP COLUMN as metadata-only commits (Delta column-mapping
+    name mode): no data file rewritten, physical names immutable and
+    reserved forever, logical view resolved per version."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        t = str(tmp_path / "cm_tbl")
+        df = spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+        txlog.append(df.repartition(3), t, stats_cols=["k"])
+        return t
+
+    def test_rename_is_metadata_only_and_time_travels(self, spark, table):
+        before = txlog.visible_files(table)
+        v = txlog.rename_column(table, "k", "bucket")
+        assert txlog.visible_files(table) == before, "rename must move no files"
+        got = txlog.read(spark, table)
+        assert "bucket" in got.columns and "k" not in got.columns
+        assert got.filter("bucket = 3").count() == 14
+        old = txlog.read(spark, table, version=v - 1)
+        assert "k" in old.columns and "bucket" not in old.columns
+
+    def test_rename_guards(self, spark, table):
+        with pytest.raises(ValueError, match="no column"):
+            txlog.rename_column(table, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            txlog.rename_column(table, "k", "v")
+        txlog.add_constraint(spark, table, "k_pos", "k >= 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            txlog.rename_column(table, "k", "bucket")
+        txlog.drop_constraint(table, "k_pos")
+        txlog.rename_column(table, "k", "bucket")
+        # "k" stays reserved (old files carry it): renaming v onto it would
+        # resurrect the old bytes under the new name
+        with pytest.raises(ValueError, match="reserved physical"):
+            txlog.rename_column(table, "v", "k")
+        # renaming BACK to the column's own original physical name is legal
+        txlog.rename_column(table, "bucket", "k")
+        assert txlog.read(spark, table).filter("k = 3").count() == 14
+        assert not txlog._column_mapping(table)  # noqa: SLF001 (identity again)
+
+    def test_drop_is_metadata_only_lazy_purged_on_rewrite(self, spark, table):
+        import pyarrow.parquet as pq
+
+        before = set(txlog.visible_files(table))
+        txlog.drop_column(table, "v")
+        assert set(txlog.visible_files(table)) == before
+        got = txlog.read(spark, table)
+        assert "v" not in got.columns and got.count() == 100
+        # physical bytes still in the old files
+        assert "v" in {c for f in before for c in pq.ParquetFile(f).schema_arrow.names}
+        # any rewrite purges them (REORG PURGE effect)
+        txlog.optimize(spark, table, target_file_bytes=1 << 30)
+        live = txlog.visible_files(table)
+        assert before.isdisjoint(live)
+        assert "v" not in {
+            c for f in live for c in pq.ParquetFile(f).schema_arrow.names
+        }
+        with pytest.raises(ValueError, match="no column"):
+            txlog.drop_column(table, "v")
+
+    def test_drop_guards(self, spark, tmp_path):
+        t = str(tmp_path / "cm_one")
+        txlog.append(spark.range(5), t)
+        with pytest.raises(ValueError, match="last column"):
+            txlog.drop_column(t, "id")
+
+    def test_append_after_rename_lands_logical_names(self, spark, table):
+        txlog.rename_column(table, "k", "bucket")
+        more = spark.range(100, 120).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket"), (F.col("id") * 2.0).alias("v")
+        )
+        txlog.append(more, table)
+        got = txlog.read(spark, table, merge_schema=True)
+        assert got.count() == 120
+        assert got.filter("bucket = 0").count() == got.filter("id % 7 = 0").count()
+
+    def test_recycled_name_gets_fresh_physical(self, spark, table):
+        """rename k->bucket, then additively append a NEW column named k:
+        the new logical k must NOT read the old physical k bytes."""
+        txlog.rename_column(table, "k", "bucket")
+        more = spark.range(100, 110).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("bucket"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(999).alias("k"),
+        )
+        txlog.append(more, table, merge_schema=True)
+        got = txlog.read(spark, table, merge_schema=True)
+        # old rows: new k is NULL (never the resurrected old bytes);
+        # bucket still reads the original physical k data
+        assert got.filter("id < 100 AND k IS NOT NULL").count() == 0
+        assert got.filter("id < 100 AND bucket = 3").count() == 14
+        assert got.filter("k = 999").count() == 10
+
+    def test_mutations_on_renamed_column(self, spark, table):
+        txlog.rename_column(table, "k", "bucket")
+        txlog.delete_where(spark, table, "bucket = 3")
+        assert txlog.read(spark, table).count() == 86
+        txlog.update_where(
+            spark, table, "bucket = 5", {"v": F.lit(-1.0)}
+        )
+        got = txlog.read(spark, table)
+        assert got.filter("v = -1.0").count() == got.filter("bucket = 5").count()
+        v = txlog.update_where_dv(spark, table, "bucket = 1", {"v": F.lit(-2.0)})
+        mor = txlog.read_mor(spark, table)
+        assert mor.count() == 86
+        assert mor.filter("v = -2.0").count() == mor.filter("bucket = 1").count()
+        txlog.delete_where_dv(spark, table, "bucket = 2")
+        assert txlog.read_mor(spark, table).filter("bucket = 2").count() == 0
+
+    def test_pruned_reads_translate_to_physical_stats(self, spark, table):
+        """Stats recorded under the physical name keep skipping after a
+        rename — the logical prune column translates."""
+        txlog.rename_column(table, "k", "bucket")
+        pruned = txlog.read_pruned(spark, table, "bucket", 100, 200)
+        assert pruned.count() == 0
+        assert len(pruned.inputFiles()) == 0, "stats skip must survive rename"
+        hit = txlog.read_pruned(spark, table, "bucket", 3, 3)
+        assert hit.count() == 14
+
+    def test_merge_and_replace_where_on_mapped_table(self, spark, table):
+        txlog.rename_column(table, "k", "bucket")
+        updates = spark.createDataFrame(
+            [(1, 99, 0.0)], "id long, bucket long, v double"
+        )
+        txlog.merge(spark, table, updates, keys=["id"], order_col="bucket")
+        got = txlog.read(spark, table)
+        assert got.filter("id = 1 AND bucket = 99").count() == 1
+        assert got.count() == 100
+        repl = spark.createDataFrame([(500, 99, 1.0)], "id long, bucket long, v double")
+        txlog.overwrite_where(spark, table, repl, "bucket = 99")
+        got = txlog.read(spark, table)
+        assert got.filter("bucket = 99").count() == 1
+        assert got.filter("id = 500").count() == 1
+
+    def test_cdf_within_mapping_ok_across_boundary_rejected(self, spark, table):
+        v1 = txlog.current_version(table)
+        v2 = txlog.rename_column(table, "k", "bucket")
+        txlog.delete_where(spark, table, "bucket = 3")
+        cdf = txlog.table_changes(spark, table, v2)
+        assert cdf.filter("_change_type = 'delete'").count() == 14
+        assert "bucket" in cdf.columns
+        with pytest.raises(ValueError, match="rename/drop boundary"):
+            txlog.table_changes(spark, table, v1, v2)
+
+    def test_clone_and_restore_preserve_mapping(self, spark, table, tmp_path):
+        v_pre = txlog.current_version(table)
+        txlog.rename_column(table, "k", "bucket")
+        dst = str(tmp_path / "cm_clone")
+        txlog.clone(table, dst)
+        assert "bucket" in txlog.read(spark, dst).columns
+        assert txlog.read(spark, dst).filter("bucket = 3").count() == 14
+        # restore below the rename reverts the logical schema with the data
+        txlog.restore(table, v_pre)
+        got = txlog.read(spark, table)
+        assert "k" in got.columns and "bucket" not in got.columns
+        assert got.filter("k = 3").count() == 14
+
+    def test_overwrite_resets_mapping(self, spark, table):
+        txlog.rename_column(table, "k", "bucket")
+        fresh = spark.range(10).select(F.col("id"), F.lit(1).alias("bucket"))
+        txlog.overwrite(fresh, table)
+        assert not txlog._column_mapping(table)  # noqa: SLF001
+        assert txlog.read(spark, table).count() == 10
+        # the retired physical name stays reserved across the reset
+        with pytest.raises(ValueError, match="reserved physical"):
+            txlog.rename_column(table, "id", "k")
+
+    def test_describe_detail_and_streaming_guard(self, spark, table):
+        txlog.rename_column(table, "k", "bucket")
+        d = txlog.describe_detail(table)
+        assert d["column_mapping"] == {"bucket": "k"}
+        assert "bucket" in d["schema"] and "k" not in d["schema"]
+        from datalake_brief_spark.streaming.source import _table_ddl
+
+        with pytest.raises(ValueError, match="column mapping"):
+            _table_ddl(table)
