@@ -9353,6 +9353,52 @@ def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_reorg_purge",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           TRUE AS no_dvs_left
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG ... APPLY (PURGE) (txlog.reorg_purge): after a DV delete,
+    rewrite EXACTLY the files carrying dead positions — large files the
+    small-file OPTIMIZE criterion never touches — so the table returns
+    to the zero-read-overhead pure state. Attested end-to-end: the
+    PLAIN read (not read_mor) must equal the NOT(pred) oracle — only a
+    correct purge makes the raw bytes match the logical table — and
+    no_dvs_left pins that the sidecar state is actually empty, not just
+    masked by the MOR anti-join. The advisor channel
+    (needs_optimize.reorg_recommended) and the retired-column purge are
+    pinned in pytest."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path)
+        txlog.delete_where_dv(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000),
+        )
+        txlog.reorg_purge(spark, path)
+
+    path = _lakehouse_table("reorg_purge", sf_dir, build)
+    no_dvs = not txlog.visible_dvs(path)
+    return aggregate(
+        txlog.read(spark, path),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    ).withColumn("no_dvs_left", F.lit(no_dvs))
+
+
+@_register(
     "txlog_rename_column",
     """
     SELECT o_orderstatus AS status,
@@ -9760,6 +9806,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # driver artifacts; VERDICT r7 ask #1).
     "txlog_update_dv",
     "txlog_rename_column",
+    "txlog_reorg_purge",
     "temperature_mix",
     "jsonl_malformed_quarantine",
     "dq_mad_outliers",

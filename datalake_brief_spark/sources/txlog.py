@@ -1442,6 +1442,106 @@ def read_point(
     return df.filter(F.col(col) == F.lit(value))
 
 
+# Operations that restructure the whole snapshot (or its schema layer):
+# a racing row-level mutation can never prove disjointness against them,
+# so conflict resolution always surfaces the conflict instead.
+_SNAPSHOT_OPS = {
+    "overwrite",
+    "restore",
+    "merge",
+    "optimize",
+    "optimize_zorder",
+    "replace_where",
+    "rename_column",
+    "drop_column",
+    "reorg_purge",
+    "add_constraint",
+}
+
+
+def _commit_serializable(
+    spark: SparkSession,
+    path: str,
+    read_v: int,
+    adds: list[str],
+    removes: list[str],
+    stats,
+    blooms,
+    meta: dict,
+    predicate=None,
+    dv_adds: dict[str, str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """WriteSerializable commit for the row-level mutations — the Delta
+    conflict-RESOLUTION rules instead of fail-on-any-race: when another
+    writer stole our target version, examine what actually landed and
+    retry against the new tip iff the result is provably the same as a
+    serial execution:
+
+    - a snapshot-restructuring op (_SNAPSHOT_OPS) or any dv_set commit →
+      surface the conflict (no disjointness argument exists);
+    - the concurrent commit REMOVED or DV'd a file we mutate →
+      ConcurrentDelete conflict (write-write on the same rows);
+    - the concurrent commit APPENDED files → evaluate OUR predicate over
+      exactly those files (one bounded scan of the new data, logical
+      view): a match is a phantom row the serial order would have
+      mutated → conflict; no match → the append is disjoint, re-target.
+
+    Blind appends keep their own simpler retry (append never conflicts).
+    Returns the committed version; raises CommitConflict with the named
+    reason when resolution is impossible."""
+    target = read_v + 1
+    for _ in range(max_retries + 1):
+        try:
+            _try_commit(
+                path, target, adds, removes, stats, blooms,
+                meta=meta, dv_adds=dv_adds,
+            )
+            return target
+        except CommitConflict as e:
+            tip = current_version(path)
+            ours = set(removes) | set(dv_adds or {})
+            new_files: list[str] = []
+            for v in range(target, tip + 1):
+                with open(_commit_path(path, v)) as f:
+                    c = json.load(f)
+                op = c.get("meta", {}).get("op", "write")
+                if op in _SNAPSHOT_OPS or c.get("dv_set"):
+                    raise CommitConflict(
+                        f"concurrent snapshot-level operation {op!r} at "
+                        f"version {v}; cannot prove serializability"
+                    ) from e
+                if set(c.get("removes", [])) & ours:
+                    raise CommitConflict(
+                        f"concurrent commit {v} removed file(s) this "
+                        f"mutation rewrites (write-write conflict)"
+                    ) from e
+                if set(c.get("dv_adds", {})) & ours:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added deletion vectors on "
+                        f"file(s) this mutation touches"
+                    ) from e
+                new_files.extend(c.get("adds", []))
+            if new_files and predicate is not None:
+                probe = _logical_view(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(path, r) for r in new_files]
+                    ),
+                    path,
+                    tip,
+                )
+                if probe.filter(predicate).limit(1).count():
+                    raise CommitConflict(
+                        "concurrent append added rows matching this "
+                        "mutation's predicate (phantom conflict under "
+                        "WriteSerializable)"
+                    ) from e
+            target = tip + 1
+    raise CommitConflict(
+        f"mutation lost {max_retries} serializability retries"
+    )
+
+
 def _matched_files(
     spark: SparkSession,
     path: str,
@@ -1553,8 +1653,10 @@ def delete_where(
     adds = _write_data_files(_to_physical(keep, _column_mapping(path, read_v)), path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "delete"})
-    return read_v + 1
+    return _commit_serializable(
+        spark, path, read_v, adds, removes, stats, blooms,
+        {"op": "delete"}, predicate=predicate,
+    )
 
 
 def update_where(
@@ -1621,8 +1723,10 @@ def update_where(
     )
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
-    _try_commit(path, read_v + 1, adds, removes, stats, blooms, meta={"op": "update"})
-    return read_v + 1
+    return _commit_serializable(
+        spark, path, read_v, adds, removes, stats, blooms,
+        {"op": "update"}, predicate=predicate,
+    )
 
 
 def overwrite_where(
@@ -1678,16 +1782,10 @@ def overwrite_where(
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
-    _try_commit(
-        path,
-        read_v + 1,
-        adds,
-        removes,
-        stats,
-        blooms,
-        meta={"op": "replace_where", "schema": schema_meta},
+    return _commit_serializable(
+        spark, path, read_v, adds, removes, stats, blooms,
+        {"op": "replace_where", "schema": schema_meta}, predicate=predicate,
     )
-    return read_v + 1
 
 
 def restore(path: str, version: int) -> int:
@@ -2224,23 +2322,43 @@ def needs_optimize(
     the log and sizes from file stats; no data page is read, so the check
     costs O(n_files) stat calls at any table size.
 
-    Returns ``{'n_files', 'n_small', 'small_bytes', 'recommended'}``;
+    Returns ``{'n_files', 'n_small', 'small_bytes', 'recommended',
+    'n_dv_rows', 'mor_join_strategy', 'reorg_recommended'}``;
     ``recommended`` is True when at least ``min_small_files`` undersized
     files exist (below ``small_file_bytes``, default half the target) —
     the point where per-file open/footer overhead starts to dominate
     scans and an OPTIMIZE pays for itself. Streaming sinks commit one
     file set per micro-batch, so this trips naturally after sustained
-    ingestion; run ``optimize(...)`` when it does."""
+    ingestion; run ``optimize(...)`` when it does.
+
+    Deletion-vector read amplification is its OWN advice channel
+    (``reorg_recommended``): a LARGE file that accumulated a big DV is
+    invisible to the small-file criterion, yet every MOR read pays its
+    dead positions — once the accumulated DVs would push the anti-join
+    into the shuffle regime (DV_BROADCAST_MAX_ROWS), run
+    :func:`reorg_purge` to rewrite exactly the DV-carrying files."""
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
-    files = visible_files(path, current_version(path)) if current_version(path) else []
+    cur = current_version(path)
+    files = visible_files(path, cur) if cur else []
     sizes = [os.path.getsize(p) for p in files]
     small = [s for s in sizes if s < small_file_bytes]
+    dv_paths = sorted(
+        {p for ps in visible_dvs(path, cur).values() for p in ps}
+    ) if cur else []
+    n_dv_rows = _dv_rows_from_footers(dv_paths)
     return {
         "n_files": len(files),
         "n_small": len(small),
         "small_bytes": int(sum(small)),
         "recommended": len(small) >= min_small_files,
+        "n_dv_rows": n_dv_rows,
+        "mor_join_strategy": (
+            "none"
+            if not n_dv_rows
+            else ("broadcast" if n_dv_rows <= DV_BROADCAST_MAX_ROWS else "shuffle")
+        ),
+        "reorg_recommended": n_dv_rows > DV_BROADCAST_MAX_ROWS,
     }
 
 
@@ -2388,13 +2506,9 @@ def delete_where_dv(
     by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
     dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
     try:
-        _try_commit(
-            path,
-            read_v + 1,
-            [],
-            [],
-            meta={"op": "delete_dv"},
-            dv_adds=dv_adds,
+        return _commit_serializable(
+            spark, path, read_v, [], [], None, None,
+            {"op": "delete_dv"}, predicate=predicate, dv_adds=dv_adds,
         )
     except CommitConflict:
         # the sidecar group landed before the commit; a losing writer must
@@ -2402,7 +2516,6 @@ def delete_where_dv(
         # orphan lingers until a vacuum pass happens to catch it
         shutil.rmtree(target, ignore_errors=True)
         raise
-    return read_v + 1
 
 
 # Past this many accumulated DV positions the MOR anti-join build side no
@@ -2596,15 +2709,9 @@ def update_where_dv(
     by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
     dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
     try:
-        _try_commit(
-            path,
-            read_v + 1,
-            adds,
-            [],
-            stats_new,
-            blooms_new,
-            meta={"op": "update_dv"},
-            dv_adds=dv_adds,
+        return _commit_serializable(
+            spark, path, read_v, adds, [], stats_new, blooms_new,
+            {"op": "update_dv"}, predicate=predicate, dv_adds=dv_adds,
         )
     except CommitConflict:
         # losing writer sweeps BOTH pre-landed groups (sidecar + data)
@@ -2614,7 +2721,6 @@ def update_where_dv(
                 os.path.dirname(os.path.join(path, adds[0])), ignore_errors=True
             )
         raise
-    return read_v + 1
 
 
 def dv_metrics(spark: SparkSession, path: str, version: int | None = None):
@@ -2654,3 +2760,77 @@ def dv_metrics(spark: SparkSession, path: str, version: int | None = None):
         F.max("__n").cast("long").alias("max_file_dv_rows"),
         F.lit(strategy).alias("mor_join_strategy"),
     )
+
+
+def reorg_purge(
+    spark: SparkSession, path: str, min_file_dv_rows: int = 1
+) -> int:
+    """``REORG TABLE ... APPLY (PURGE)``: rewrite EXACTLY the files whose
+    bytes are partially dead — files carrying ≥ ``min_file_dv_rows``
+    deletion-vector positions (their MOR anti-join cost), and files still
+    carrying RETIRED physical columns (dropped, or renamed-away-and-
+    recycled) — leaving every fully-live file untouched, in one atomic
+    commit. The targeted complement of :func:`optimize`: the small-file
+    criterion never touches a LARGE file that accumulated a big DV, yet
+    every merge-on-read scan pays its dead positions forever;
+    ``needs_optimize.reorg_recommended`` trips when the accumulated DVs
+    would push :func:`read_mor` into the shuffle regime. Candidate
+    selection is metadata-only (sidecar per-file counts + parquet footer
+    schemas). After the purge a plain :func:`read` equals
+    :func:`read_mor` for the rewritten span and the dead column bytes
+    are gone. Returns the new version (current one when nothing needs
+    purging)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        return 0
+    all_files = visible_files(path, read_v)
+    by_base = {os.path.basename(p): p for p in all_files}
+    targets: set[str] = set()
+    dvs = visible_dvs(path, read_v)
+    dv_paths = sorted({p for ps in dvs.values() for p in ps})
+    if dv_paths:
+        per = (
+            spark.read.parquet(*dv_paths)
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= min_file_dv_rows)
+            .collect()
+        )  # driver-scale: ≤ one row per DV-carrying file
+        targets.update(
+            by_base[r.file_name] for r in per if r.file_name in by_base
+        )
+    # files still carrying retired physical column bytes (footer-only)
+    schema = latest_meta(path, "schema", read_v)
+    if schema is not None:
+        mapping = _column_mapping(path, read_v)
+        live_phys = {mapping.get(c, c) for c in schema}
+        retired = _physical_reserved(path, read_v) - live_phys
+        if retired:
+            import pyarrow.parquet as pq
+
+            for p in all_files:
+                if p in targets:
+                    continue
+                if retired & set(pq.ParquetFile(p).schema_arrow.names):
+                    targets.add(p)
+    if not targets:
+        return read_v
+    rewritten = _read_files_with_dvs(spark, path, read_v, sorted(targets))
+    removes = [os.path.relpath(p, path) for p in sorted(targets)]
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
+    # retired columns are being purged — drop their stat/bloom channels
+    if schema is not None:
+        live_phys = {
+            _column_mapping(path, read_v).get(c, c) for c in schema
+        }
+        stat_cols = [c for c in stat_cols if c in live_phys]
+        bloom_cols = [c for c in bloom_cols if c in live_phys]
+    adds = _write_data_files(
+        _to_physical(rewritten, _column_mapping(path, read_v)), path
+    )
+    stats = _collect_stats(path, adds, stat_cols or None)
+    blooms = _collect_blooms(path, adds, bloom_cols or None)
+    _try_commit(
+        path, read_v + 1, adds, removes, stats, blooms, meta={"op": "reorg_purge"}
+    )
+    return read_v + 1

@@ -1380,13 +1380,101 @@ class TestSchemaRaceRevalidation:
 
 
 class TestMutationRace:
-    def test_delete_losing_a_race_leaves_table_intact(self, spark, monkeypatch, tmp_path):
-        """A DELETE whose target version gets stolen by a concurrent append
-        must surface CommitConflict and leave the table EXACTLY as the
-        concurrent history wrote it — the survivors it already landed stay
-        invisible garbage (vacuumable), never a half-applied delete."""
+    @staticmethod
+    def _race_append(spark, monkeypatch, rows):
+        """Arm a one-shot concurrent append that lands AFTER the mutation
+        chose its read version but BEFORE its commit."""
+        real_write = txlog._write_data_files
+
+        def racing_write(df, p):
+            out = real_write(df, p)
+            if getattr(racing_write, "armed", True):
+                racing_write.armed = False
+                adds = real_write(
+                    spark.createDataFrame(rows, "id long, v string, version int"),
+                    p,
+                )
+                txlog._try_commit(  # noqa: SLF001
+                    p, txlog.current_version(p) + 1, adds, [], meta={"op": "append"}
+                )
+            return out
+
+        racing_write.armed = True
+        monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+
+    def test_delete_conflicts_when_concurrent_append_matches_predicate(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """WriteSerializable phantom conflict: the racing append lands a row
+        the DELETE's predicate MATCHES — a serial execution would have
+        deleted it, so the conflict must surface and the table stays
+        exactly as the concurrent history wrote it (the delete's survivor
+        files are invisible garbage, vacuumable)."""
         path = str(tmp_path / "t")
         txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]), path)
+        self._race_append(spark, monkeypatch, [(2, "late", 1)])
+        with pytest.raises(txlog.CommitConflict, match="phantom"):
+            txlog.delete_where(spark, path, "id < 5")
+        monkeypatch.undo()
+        got = sorted(r.id for r in txlog.read(spark, path).collect())
+        assert got == sorted(list(range(10)) + [2])  # nothing deleted
+        orphans = txlog.vacuum(path, retain_versions=10, dry_run=True)
+        assert orphans, "the aborted delete's files should be vacuumable"
+
+    def test_delete_resolves_disjoint_concurrent_append(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """Conflict RESOLUTION (the Delta WriteSerializable rules): a racing
+        append whose rows do NOT match the DELETE's predicate is provably
+        disjoint — the delete re-targets the new tip and commits; both
+        effects land."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]), path)
+        self._race_append(spark, monkeypatch, [(99, "late", 1)])
+        v = txlog.delete_where(spark, path, "id < 5")
+        monkeypatch.undo()
+        assert v == 3  # append stole v2; delete re-targeted v3
+        got = sorted(r.id for r in txlog.read(spark, path).collect())
+        assert got == [5, 6, 7, 8, 9, 99]
+        assert txlog.history(path)[0]["op"] == "delete"
+
+    def test_dv_delete_resolves_disjoint_append(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """The DV delete writes no data files, so the race lands via a
+        commit-steal: an append wins the target version, the DV delete's
+        serializability retry re-targets (the appended rows don't match)."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]), path)
+        real_try = txlog._try_commit
+
+        def stealing_try(p, version, *a, **kw):
+            if getattr(stealing_try, "armed", True):
+                stealing_try.armed = False
+                adds = txlog._write_data_files(  # noqa: SLF001
+                    spark.createDataFrame(
+                        [(99, "late", 1)], "id long, v string, version int"
+                    ),
+                    p,
+                )
+                real_try(p, version, adds, [], meta={"op": "append"})
+            return real_try(p, version, *a, **kw)
+
+        stealing_try.armed = True
+        monkeypatch.setattr(txlog, "_try_commit", stealing_try)
+        v = txlog.delete_where_dv(spark, path, "id < 5")
+        monkeypatch.undo()
+        assert v == 3
+        got = sorted(r.id for r in txlog.read_mor(spark, path).collect())
+        assert got == [5, 6, 7, 8, 9, 99]
+
+    def test_update_conflicts_with_concurrent_snapshot_op(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """A racing snapshot-level op (OPTIMIZE here) admits no
+        disjointness argument — the mutation must surface the conflict."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]).repartition(3), path)
 
         real_write = txlog._write_data_files
 
@@ -1394,29 +1482,43 @@ class TestMutationRace:
             out = real_write(df, p)
             if getattr(racing_write, "armed", True):
                 racing_write.armed = False
-                # concurrent append lands AFTER the delete chose its
-                # read version but BEFORE its commit
-                real_try = txlog._try_commit
-                adds = real_write(
-                    spark.createDataFrame([(99, "late", 1)], "id long, v string, version int"),
-                    p,
-                )
-                real_try(p, txlog.current_version(p) + 1, adds, [], meta={"op": "append"})
+                monkeypatch.setattr(txlog, "_write_data_files", real_write)
+                txlog.optimize(spark, p, target_file_bytes=1 << 30)
+                monkeypatch.setattr(txlog, "_write_data_files", racing_write)
             return out
 
         racing_write.armed = True
         monkeypatch.setattr(txlog, "_write_data_files", racing_write)
-        with pytest.raises(txlog.CommitConflict):
+        with pytest.raises(txlog.CommitConflict, match="snapshot-level"):
+            txlog.update_where(spark, path, "id < 5", {"version": F.lit(2)})
+        monkeypatch.undo()
+        assert txlog.read(spark, path).filter("version = 2").count() == 0
+
+    def test_concurrent_delete_of_same_files_conflicts(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """Write-write: the racer REMOVES a file our delete also rewrites."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "a", 1) for i in range(10)]).coalesce(1), path)
+
+        real_write = txlog._write_data_files
+
+        def racing_write(df, p):
+            out = real_write(df, p)
+            if getattr(racing_write, "armed", True):
+                racing_write.armed = False
+                monkeypatch.setattr(txlog, "_write_data_files", real_write)
+                txlog.delete_where(spark, p, "id = 9")  # rewrites THE file
+                monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+            return out
+
+        racing_write.armed = True
+        monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+        with pytest.raises(txlog.CommitConflict, match="write-write"):
             txlog.delete_where(spark, path, "id < 5")
         monkeypatch.undo()
-        got = {r.id for r in txlog.read(spark, path).collect()}
-        assert got == set(range(10)) | {99}  # nothing deleted, racer intact
-        # the delete's orphaned survivor files are reclaimable, not visible
-        orphans = [
-            rel
-            for rel in txlog.vacuum(path, retain_versions=10, dry_run=True)
-        ]
-        assert orphans, "the aborted delete's files should be vacuumable"
+        got = sorted(r.id for r in txlog.read(spark, path).collect())
+        assert got == list(range(9))  # only the racer's delete landed
 
 
 class TestCheckConstraints:
@@ -1958,8 +2060,10 @@ class TestDeletionVectorsRound8:
         assert m.n_dv_rows == 14
 
     def test_delete_dv_conflict_sweeps_sidecar(self, spark, table, monkeypatch):
-        """A delete_where_dv losing the commit race must remove the sidecar
-        group it pre-landed — no lingering orphan until vacuum."""
+        """A delete_where_dv losing the commit race to an UNRESOLVABLE
+        concurrent commit (a snapshot-level op — a disjoint append would
+        now auto-resolve) must remove the sidecar group it pre-landed —
+        no lingering orphan until vacuum."""
         import glob as _glob
 
         real_try = txlog._try_commit
@@ -1967,7 +2071,7 @@ class TestDeletionVectorsRound8:
         def stealing_try(path, version, *a, **kw):
             if getattr(stealing_try, "armed", True):
                 stealing_try.armed = False
-                real_try(path, version, [], [], meta={"op": "append"})
+                real_try(path, version, [], [], meta={"op": "optimize"})
             return real_try(path, version, *a, **kw)
 
         stealing_try.armed = True
@@ -2161,3 +2265,72 @@ class TestColumnMapping:
 
         with pytest.raises(ValueError, match="column mapping"):
             _table_ddl(table)
+
+
+class TestReorgPurge:
+    """REORG ... APPLY (PURGE): rewrite exactly the partially-dead files
+    (DV-carrying or retired-column-carrying); fully-live files untouched."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        t = str(tmp_path / "reorg_tbl")
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        txlog.append(df.repartition(4), t)
+        return t
+
+    def test_purges_only_dv_carrying_files(self, spark, table):
+        # delete rows that live only in SOME files (id < 25 spans a subset
+        # of the 4 hash partitions? hash-partitioned — use a per-file key).
+        txlog.delete_where_dv(spark, table, "id < 10")
+        before = set(txlog.visible_files(table))
+        carrying = {
+            os.path.basename(p)
+            for p in txlog.visible_dvs(table)
+        }
+        v = txlog.reorg_purge(spark, table)
+        assert v == 3
+        after = set(txlog.visible_files(table))
+        untouched = {p for p in before if os.path.basename(os.path.relpath(p, table)) not in carrying}
+        # files that carried no DV survive byte-identical
+        kept = before & after
+        assert all(os.path.relpath(p, table) not in carrying for p in kept)
+        assert not txlog.visible_dvs(table), "purge must clear all DVs"
+        got = txlog.read(spark, table)  # PLAIN read is exact post-purge
+        assert got.count() == 90
+        assert got.filter("id < 10").count() == 0
+        assert txlog.reorg_purge(spark, table) == v, "no-op when fully live"
+
+    def test_purges_retired_column_bytes(self, spark, table):
+        import pyarrow.parquet as pq
+
+        txlog.drop_column(table, "v")
+        v = txlog.reorg_purge(spark, table)
+        assert v == 3
+        live = txlog.visible_files(table)
+        assert all(
+            "v" not in pq.ParquetFile(p).schema_arrow.names for p in live
+        )
+        assert txlog.read(spark, table).count() == 100
+
+    def test_advisor_reorg_channel(self, spark, table):
+        adv = txlog.needs_optimize(table)
+        assert adv["n_dv_rows"] == 0 and adv["mor_join_strategy"] == "none"
+        assert adv["reorg_recommended"] is False
+        txlog.delete_where_dv(spark, table, "k = 3")
+        adv = txlog.needs_optimize(table)
+        assert adv["n_dv_rows"] == 14 and adv["mor_join_strategy"] == "broadcast"
+        # force the shuffle-regime threshold down: monkeypatching the module
+        # constant is the documented knob for tests
+        saved = txlog.DV_BROADCAST_MAX_ROWS
+        txlog.DV_BROADCAST_MAX_ROWS = 5
+        try:
+            adv = txlog.needs_optimize(table)
+            assert adv["mor_join_strategy"] == "shuffle"
+            assert adv["reorg_recommended"] is True
+        finally:
+            txlog.DV_BROADCAST_MAX_ROWS = saved
+        txlog.reorg_purge(spark, table)
+        adv = txlog.needs_optimize(table)
+        assert adv["n_dv_rows"] == 0 and adv["reorg_recommended"] is False
