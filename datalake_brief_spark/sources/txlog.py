@@ -596,6 +596,50 @@ def _validate_append_schema(
 
 
 # ---------------------------------------------------------------------------
+# Protocol feature gating (the Delta reader/writer-features contract): the
+# first commit that makes a table depend on a capability older readers lack
+# (deletion vectors, column mapping) records it in a ``protocol`` meta; every
+# read path checks the table's required reader features against what this
+# build understands and REFUSES with the feature named rather than silently
+# mis-reading (a DV-unaware reader would resurrect deleted rows; a
+# mapping-unaware one would mis-name columns). Version-resolved: time travel
+# below a feature's introduction needs nothing.
+# ---------------------------------------------------------------------------
+
+_READER_FEATURES = {"deletion-vectors", "column-mapping"}
+
+
+def table_protocol(path: str, version: int | None = None) -> dict:
+    """The table's protocol declaration at ``version`` (``{}`` for tables
+    that never used a gated feature)."""
+    return latest_meta(path, "protocol", version) or {}
+
+
+def _check_reader(path: str, version: int | None = None) -> None:
+    required = set(table_protocol(path, version).get("reader_features", []))
+    unknown = required - _READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"table at {path!r} requires reader feature(s) this build does "
+            f"not support: {sorted(unknown)} (supported: "
+            f"{sorted(_READER_FEATURES)})"
+        )
+
+
+def _with_feature(path: str, meta: dict, feature: str) -> dict:
+    """Fold ``feature`` into the commit meta's protocol declaration if the
+    table has not declared it yet (idempotent — later commits carry no
+    protocol key, so latest_meta resolution stays O(first declaration))."""
+    cur = set(table_protocol(path).get("reader_features", []))
+    if feature not in cur:
+        meta = {
+            **meta,
+            "protocol": {"reader_features": sorted(cur | {feature})},
+        }
+    return meta
+
+
+# ---------------------------------------------------------------------------
 # Column mapping (the Delta column-mapping "name" mode): RENAME/DROP COLUMN
 # as metadata-only commits — no data file is rewritten. Data files keep each
 # column's PHYSICAL name forever (assigned when the column first appears);
@@ -726,13 +770,13 @@ def rename_column(path: str, old: str, new: str) -> int:
         read_v + 1,
         [],
         [],
-        meta={
+        meta=_with_feature(path, {
             "op": "rename_column",
             "renamed": [old, new],
             "schema": new_schema,
             "column_mapping": mapping,
             "physical_reserved": sorted(reserved | {phys}),
-        },
+        }, "column-mapping"),
     )
     return read_v + 1
 
@@ -764,13 +808,13 @@ def drop_column(path: str, name: str) -> int:
         read_v + 1,
         [],
         [],
-        meta={
+        meta=_with_feature(path, {
             "op": "drop_column",
             "dropped": name,
             "schema": new_schema,
             "column_mapping": mapping,
             "physical_reserved": sorted(reserved),
-        },
+        }, "column-mapping"),
     )
     return read_v + 1
 
@@ -1063,6 +1107,7 @@ def read(
     frame is the LOGICAL view at ``version`` (renames aliased, dropped
     columns projected out) — identity on every table that never
     renamed/dropped."""
+    _check_reader(path, version)
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1192,6 +1237,7 @@ def fast_count(path: str, version: int | None = None) -> int:
     the same trick Delta/Iceberg use to answer bare counts from the
     transaction log. Files from commits that predate row-count recording
     fall back to ONE parquet footer read each (still no data pages)."""
+    _check_reader(path, version)
     live = _replay(path, version)
     if not live:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1223,6 +1269,7 @@ def read_pruned(
     proportional to selectivity. ``col`` is the LOGICAL name; stats are
     keyed by the physical name (files never change), so a rename costs
     no skipping."""
+    _check_reader(path, version)
     all_files = visible_files(path, version)
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1267,6 +1314,7 @@ def read_pruned_nulls(
     Same conservative contract as every pruned read: files without the
     stat are kept, the residual predicate applies, results always equal
     ``read().filter(...)``."""
+    _check_reader(path, version)
     live = _replay(path, version)
     if not live:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1368,6 +1416,7 @@ def read_pruned_multi(
     allows. ``ranges`` maps column → (lo, hi), either bound None = open.
     Same conservative contract as read_pruned: statless files are kept and
     every residual predicate applies."""
+    _check_reader(path, version)
     all_files = visible_files(path, version)
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1423,6 +1472,7 @@ def read_point(
     Blooms never false-skip; ~1% of files false-keep and are eliminated by
     the residual filter. Files without a logged bloom are conservatively
     read, so results always equal ``read().filter(col = value)``."""
+    _check_reader(path, version)
     all_files = visible_files(path, version)
     if not all_files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
@@ -1923,6 +1973,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "schema": latest_meta(path, "schema", version),
         "constraints": latest_meta(path, "constraints", version) or {},
         "column_mapping": _column_mapping(path, version),
+        "protocol": table_protocol(path, version),
         "stats_cols": stat_cols,
         "bloom_cols": bloom_cols,
         "vacuum_retention_floor": vacuum_retention_floor(path),
@@ -1948,6 +1999,7 @@ def table_changes(
     This is the same observable contract as Delta's CDF, reconstructed from
     add/remove actions rather than stored change files."""
     to_v = current_version(path) if to_version is None else to_version
+    _check_reader(path, to_v)
     # Column-mapping boundary guard (the Delta CDF restriction): a rename
     # or drop between the two versions would make the sides' logical
     # schemas incomparable — additive evolution remains supported.
@@ -2190,7 +2242,13 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         for rel, e in live.items()
     }
     meta = {"op": "clone", "source": os.path.abspath(src_path)}
-    for key in ("schema", "constraints", "column_mapping", "physical_reserved"):
+    for key in (
+        "schema",
+        "constraints",
+        "column_mapping",
+        "physical_reserved",
+        "protocol",
+    ):
         m = latest_meta(src_path, key, version)
         if m is not None:
             meta[key] = m
@@ -2508,7 +2566,8 @@ def delete_where_dv(
     try:
         return _commit_serializable(
             spark, path, read_v, [], [], None, None,
-            {"op": "delete_dv"}, predicate=predicate, dv_adds=dv_adds,
+            _with_feature(path, {"op": "delete_dv"}, "deletion-vectors"),
+            predicate=predicate, dv_adds=dv_adds,
         )
     except CommitConflict:
         # the sidecar group landed before the commit; a losing writer must
@@ -2571,6 +2630,7 @@ def read_mor(
     from sidecar parquet footers, so strategy choice is metadata-only.
     Time travel works unchanged: a version below the delete resolves no
     DVs."""
+    _check_reader(path, version)
     dvs = visible_dvs(path, version)
     if not dvs:
         return read(spark, path, version, merge_schema)
@@ -2711,7 +2771,8 @@ def update_where_dv(
     try:
         return _commit_serializable(
             spark, path, read_v, adds, [], stats_new, blooms_new,
-            {"op": "update_dv"}, predicate=predicate, dv_adds=dv_adds,
+            _with_feature(path, {"op": "update_dv"}, "deletion-vectors"),
+            predicate=predicate, dv_adds=dv_adds,
         )
     except CommitConflict:
         # losing writer sweeps BOTH pre-landed groups (sidecar + data)

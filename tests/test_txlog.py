@@ -2334,3 +2334,64 @@ class TestReorgPurge:
         txlog.reorg_purge(spark, table)
         adv = txlog.needs_optimize(table)
         assert adv["n_dv_rows"] == 0 and adv["reorg_recommended"] is False
+
+
+class TestProtocolFeatures:
+    """Delta-style reader-feature gating: tables depending on DVs or
+    column mapping declare it; a reader that lacks a declared feature
+    refuses with the feature named instead of silently mis-reading."""
+
+    def test_dv_and_mapping_declare_features(self, spark, tmp_path):
+        t = str(tmp_path / "proto")
+        txlog.append(
+            spark.range(10).selectExpr("id", "id % 3 AS k"), t
+        )
+        assert txlog.table_protocol(t) == {}
+        txlog.delete_where_dv(spark, t, "k = 1")
+        assert txlog.table_protocol(t)["reader_features"] == ["deletion-vectors"]
+        txlog.rename_column(t, "k", "bucket")
+        assert txlog.table_protocol(t)["reader_features"] == [
+            "column-mapping",
+            "deletion-vectors",
+        ]
+        # declaration is idempotent: a second DV delete adds no new protocol
+        v = txlog.delete_where_dv(spark, t, "bucket = 2")
+        import json as _json
+
+        with open(txlog._commit_path(t, v)) as f:  # noqa: SLF001
+            assert "protocol" not in _json.load(f).get("meta", {})
+        # version-resolved: below the first declaration nothing is required
+        assert txlog.table_protocol(t, version=1) == {}
+
+    def test_unknown_feature_refuses_reads_with_name(self, spark, tmp_path):
+        t = str(tmp_path / "proto2")
+        txlog.append(spark.range(10).selectExpr("id", "id % 3 AS k"), t)
+        txlog._try_commit(  # noqa: SLF001 (forge a future-feature table)
+            t,
+            2,
+            [],
+            [],
+            meta={"op": "upgrade", "protocol": {"reader_features": ["v9-widgets"]}},
+        )
+        for fn in (
+            lambda: txlog.read(spark, t),
+            lambda: txlog.read_mor(spark, t),
+            lambda: txlog.fast_count(t),
+            lambda: txlog.read_pruned(spark, t, "k", 0, 1),
+            lambda: txlog.read_point(spark, t, "k", 1),
+            lambda: txlog.table_changes(spark, t, 1),
+        ):
+            with pytest.raises(ValueError, match="v9-widgets"):
+                fn()
+        # time travel BELOW the upgrade still reads fine
+        assert txlog.read(spark, t, version=1).count() == 10
+
+    def test_clone_carries_protocol(self, spark, tmp_path):
+        src = str(tmp_path / "proto_src")
+        dst = str(tmp_path / "proto_dst")
+        txlog.append(spark.range(10).selectExpr("id", "id % 3 AS k"), src)
+        txlog.delete_where_dv(spark, src, "k = 1")
+        txlog.clone(src, dst)
+        assert txlog.table_protocol(dst)["reader_features"] == ["deletion-vectors"]
+        d = txlog.describe_detail(dst)
+        assert d["protocol"]["reader_features"] == ["deletion-vectors"]
