@@ -1261,3 +1261,57 @@ def batch_padding_stats(
             precision,
         ).alias("pad_fraction"),
     )
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical form of a URL for dedup/crawl-frontier keys — the
+    normalization every web-corpus pipeline needs before URL-level dedup
+    (mirrors of one page differ only in case, default ports, tracking
+    params, fragments, and trailing slashes):
+
+    - scheme and host LOWERCASE; default ports stripped (http:80,
+      https:443);
+    - fragment dropped entirely (client-side only);
+    - tracking query params removed (utm_*, gclid, fbclid, ref) and the
+      survivors SORTED (param order is transport noise), '?' dropped
+      when none survive;
+    - trailing slashes trimmed from non-root paths (the root path keeps
+      its single '/').
+
+    Pure Column expressions (regexp + higher-order array functions —
+    JVM-side, zero Python), chosen so the IDENTICAL logic is expressible
+    in ANSI/DuckDB SQL for the oracle: regexp_extract group semantics,
+    starts_with, list filter/sort/join all agree across engines."""
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_replace(u, "#.*", "")
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[^:/?]+://([^/?]+)", 1))
+    host = (
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.regexp_replace(hostport, ":80$", ""),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.regexp_replace(hostport, ":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(base, r"^[^:/?]+://[^/?]*(/[^?]*)?", 1)
+    path_c = F.when(
+        F.regexp_replace(path, "/+$", "") == "", F.lit("/")
+    ).otherwise(F.regexp_replace(path, "/+$", ""))
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid=")
+            & ~p.startswith("ref="),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    suffix = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    return F.concat(scheme, F.lit("://"), host, path_c, suffix)

@@ -9353,6 +9353,124 @@ def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_url_canonical",
+    """
+    WITH raw AS (
+      SELECT 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.COM:443/Docs/' || source || '/p'
+             || CAST(doc_id % 50 AS VARCHAR)
+             || CASE doc_id % 3
+                  WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+                  WHEN 1 THEN '?a=1&b=2&utm_campaign=x#top'
+                  ELSE '///#frag' END AS url
+      FROM documents
+    ),
+    parts AS (
+      -- DuckDB regexp_extract yields NULL on no-match where Spark yields
+      -- '' — coalesce the optional groups so both engines agree
+      SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[^:/?]+://([^/?]+)', 1)) AS hostport,
+             coalesce(regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1), '') AS path,
+             coalesce(regexp_extract(u, '\\?(.*)$', 1), '') AS query
+      FROM (SELECT regexp_replace(url, '#.*', '') AS u FROM raw)
+    ),
+    canon AS (
+      SELECT scheme || '://'
+             || CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                       THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' AND hostport LIKE '%:443'
+                       THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END
+             || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/+$', '') END
+             || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url
+      FROM (
+        -- coalesce: DuckDB array_to_string of an EMPTY list is NULL
+        -- where Spark's array_join is ''
+        SELECT scheme, hostport, path,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'gclid=')
+                      AND NOT starts_with(p, 'fbclid=')
+                      AND NOT starts_with(p, 'ref='))), '&'), '') AS qs
+        FROM parts
+      )
+    )
+    SELECT url, CAST(count(*) AS BIGINT) AS n_docs FROM canon GROUP BY 1
+    """,
+)
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text.canonicalize_url) — the normalization
+    before URL-level dedup of a web corpus: lowercase scheme/host,
+    default ports and fragments stripped, tracking params (utm_*, gclid,
+    fbclid, ref) removed with the survivors SORTED, trailing slashes
+    trimmed. The documents table has no URL column, so both engines
+    synthesize the SAME deliberately-messy URLs from (doc_id, source) —
+    uppercase host, explicit :443, three query/fragment/trailing-slash
+    variants — and the canonical group-by must collapse variant pairs
+    identically (mod-3 classes 0 and 1 canonicalize to the same key).
+    Pure JVM expressions: regexp + higher-order array filter/sort —
+    scan-stage, one group-by shuffle on the canonical key at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Docs/"),
+            F.col("source"),
+            F.lit("/p"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1")
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2&utm_campaign=x#top"))
+            .otherwise(F.lit("///#frag")),
+        ).alias("url")
+    )
+    return (
+        raw.select(text.canonicalize_url("url").alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@_register(
+    "txlog_partitioned_read",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           TRUE AS pruned_files
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def txlog_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned append + partition-pruned read (txlog.append
+    partition_by): the batch lands under __part_<col>=value directories
+    with the real columns INLINE (so partitioned and unpartitioned
+    groups always read in one plain scan — rewrites land unpartitioned),
+    and each file's partition value rides the commit as exact min==max
+    stats, making partition pruning a zero-extra-machinery case of stats
+    pruning. pruned_files pins that the scan actually read a strict file
+    subset (partition pruning happened at PLAN BUILD, from the log
+    alone); the aggregate pins the per-partition rows against the raw
+    oracle."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path, partition_by=["o_orderstatus"])
+
+    path = _lakehouse_table("partitioned", sf_dir, build)
+    pruned = txlog.read_pruned(spark, path, "o_orderstatus", "F", "F")
+    subset = len(pruned.inputFiles()) < len(txlog.visible_files(path))
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).withColumn("pruned_files", F.lit(subset))
+
+
+@_register(
     "txlog_reorg_purge",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
@@ -9807,6 +9925,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_update_dv",
     "txlog_rename_column",
     "txlog_reorg_purge",
+    "txlog_partitioned_read",
+    "text_url_canonical",
     "temperature_mix",
     "jsonl_malformed_quarantine",
     "dq_mad_outliers",

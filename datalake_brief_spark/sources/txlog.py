@@ -191,12 +191,42 @@ def visible_files(path: str, version: int | None = None) -> list[str]:
     return [os.path.join(path, rel) for rel in sorted(_replay(path, version))]
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[str]:
+def _read_data(
+    spark: SparkSession, path: str, files: list[str], merge_schema: bool = False
+):
+    """Scan an explicit list of the table's data files — the ONE way any
+    txlog code touches data bytes. Partitioned appends keep every column
+    INLINE in the data files and encode the layout in ``__part_<col>=v``
+    directory segments (see _write_data_files), so a plain file-list
+    read is always complete: no basePath, no partition reconstruction,
+    no mixed-layout hazard when partitioned and unpartitioned file
+    groups coexist in one snapshot (rewrites land unpartitioned)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
+def _write_data_files(df: DataFrame, path: str, partition_by=None) -> list[str]:
     """Land a new immutable data-file group; return table-relative paths.
     Nothing is visible until a commit references these files."""
     group = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     target = os.path.join(path, group)
-    df.write.mode("error").parquet(target)
+    out = df
+    if partition_by:
+        # partition on PREFIXED DUPLICATES so the real columns stay inline
+        # in every data file: Spark's partitionBy drops the partition
+        # column from the files, and a snapshot mixing dir-encoded and
+        # inline layouts (any rewrite lands unpartitioned) cannot be read
+        # in one scan (CONFLICTING_DIRECTORY_STRUCTURES). The __part_*
+        # dirs exist for humans, external tools, and _partition_stats.
+        out = df.select(
+            "*", *[F.col(c).alias(f"__part_{c}") for c in partition_by]
+        )
+    w = out.write.mode("error")
+    if partition_by:
+        w = w.partitionBy(*[f"__part_{c}" for c in partition_by])
+    w.parquet(target)
     rels = []
     for root, _, files in os.walk(target):
         for f in files:
@@ -369,6 +399,60 @@ def _collect_stats(
         s = _file_minmax(os.path.join(path, rel), stats_cols)
         if s:
             out[rel] = s
+    return out
+
+
+def _partition_stats(
+    path: str, rels: list[str], phys_types: dict[str, str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max, null_count] stats derived from hive-style
+    ``key=value`` directory segments of partitioned-append file paths —
+    a partition column is CONSTANT per file, so its stats are exact
+    (min == max == the value) and the generic stats-pruning ladder gets
+    partition pruning with zero extra machinery. Values parse back
+    through the LOGGED type (directory names are URL-escaped strings);
+    the null partition (__HIVE_DEFAULT_PARTITION__) records no range —
+    conservative keep, with read_pruned_nulls unaffected (no claim
+    beats a wrong claim)."""
+    import datetime as _date_mod
+    from decimal import Decimal as _Dec
+    from urllib.parse import unquote
+
+    def _typed(v: str, dtype: str):
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if dtype in ("float", "double"):
+            return float(v)
+        if dtype.startswith("decimal"):
+            return _Dec(v)
+        if dtype == "date":
+            return _date_mod.date.fromisoformat(v)
+        if dtype == "boolean":
+            return v == "true"
+        return v
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rels:
+        cols: dict[str, list] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, raw = seg.partition("=")
+            k = unquote(k)
+            if not k.startswith("__part_"):
+                continue
+            k = k[len("__part_"):]
+            if k not in phys_types:
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            try:
+                v = _typed(unquote(raw), phys_types[k])
+            except (ValueError, ArithmeticError):
+                continue
+            cols[k] = [_canon_stat(v, True), _canon_stat(v, False), 0]
+        if cols:
+            out[rel] = cols
     return out
 
 
@@ -671,13 +755,22 @@ def _physical_reserved(path: str, version: int | None = None) -> set[str]:
 
 
 def _to_logical(df: DataFrame, schema, mapping, passthrough=()) -> DataFrame:
-    """Physical scan → logical view: rename via the mapping and PROJECT
-    OUT physical columns absent from the logical schema (dropped
-    columns). Identity mapping + schema-subset columns is a no-op (the
-    plan is untouched for every pre-mapping table)."""
+    """Physical scan → logical view: rename via the mapping, PROJECT OUT
+    physical columns absent from the logical schema (dropped columns),
+    and CAST any column whose scan type drifted from the logged type —
+    hive-style partition reconstruction INFERS types from directory
+    strings (a bigint partition column reads back as int), and the
+    logged schema, not the inference, is the contract. Identity mapping
+    + matching columns/types is a no-op (the plan is untouched for every
+    pre-mapping, unpartitioned table)."""
     phys_to_log = {p: l for l, p in mapping.items()}
+    dd = dict(df.dtypes)
     if not phys_to_log and (
-        schema is None or all(c in schema or c in passthrough for c in df.columns)
+        schema is None
+        or all(
+            c in passthrough or (c in schema and dd[c] == schema[c])
+            for c in df.columns
+        )
     ):
         return df
     cols = []
@@ -687,7 +780,10 @@ def _to_logical(df: DataFrame, schema, mapping, passthrough=()) -> DataFrame:
             continue
         lc = phys_to_log.get(c, c)
         if schema is None or lc in schema:
-            cols.append(F.col(c).alias(lc))
+            col = F.col(c)
+            if schema is not None and dd.get(c) != schema[lc]:
+                col = col.cast(schema[lc])
+            cols.append(col.alias(lc))
     return df.select(*cols)
 
 
@@ -903,9 +999,20 @@ def append(
     bloom_cols: list[str] | None = None,
     meta: dict | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Blind append: always merges cleanly under races (adds only — no
     read-set to validate), so a conflict just re-targets the new tip.
+
+    ``partition_by`` lands this batch hive-partitioned
+    (``__part_<col>=value`` directories; the real columns stay INLINE in
+    every file, so partitioned and unpartitioned file groups always read
+    in one plain scan) and records each file's partition VALUES as
+    per-file min==max stats in the commit — so partition pruning IS
+    stats pruning: read_pruned / read_pruned_multi / the mutation
+    ladders skip whole partitions from the log alone, with no special
+    partition-column code path, and files from later unpartitioned
+    appends or rewrites simply carry footer stats for the same columns.
 
     ``meta`` rides inside the commit file (see :func:`overwrite` /
     :func:`latest_meta`) — the idempotent-writer hook: a streaming sink
@@ -935,6 +1042,10 @@ def append(
     _check_bloom_cols(df, bloom_cols)
     _validate_append_schema(path, df, merge_schema)  # fail BEFORE data lands
     _enforce_constraints(df, path)
+    if partition_by:
+        missing_p = [c for c in partition_by if c not in df.columns]
+        if missing_p:
+            raise ValueError(f"partition_by references unknown columns: {missing_p}")
     # Column mapping: land PHYSICAL column names. A merge_schema append may
     # re-introduce a logical name whose physical form is RESERVED (a
     # renamed-away or dropped column still present in old files) — it gets
@@ -954,11 +1065,17 @@ def append(
         if mapping_changed
         else {}
     )
-    adds = _write_data_files(_to_physical(df, mapping), path)
+    phys_parts = [mapping.get(c, c) for c in partition_by] if partition_by else None
+    adds = _write_data_files(_to_physical(df, mapping), path, phys_parts)
     p_stats = [mapping.get(c, c) for c in stats_cols] if stats_cols else stats_cols
     p_blooms = [mapping.get(c, c) for c in bloom_cols] if bloom_cols else bloom_cols
     stats = _collect_stats(path, adds, p_stats)
     blooms = _collect_blooms(path, adds, p_blooms)
+    if partition_by:
+        phys_types = {mapping.get(c, c): t for c, t in df.dtypes}
+        pstats = _partition_stats(path, adds, phys_types)
+        for rel, s in pstats.items():
+            stats.setdefault(rel, {}).update(s)
     for _ in range(max_retries):
         # re-resolve against the tip each attempt: a racing writer may have
         # evolved the schema between our validation and our commit
@@ -1111,15 +1228,14 @@ def read(
     files = visible_files(path, version)
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
     try:
         # Happy path stays metadata-only: Spark reads footers at plan
         # creation and raises PATH_NOT_FOUND itself if a file is gone —
         # only THEN do we pay the per-file existence sweep to diagnose a
         # vacuumed snapshot (never O(n_files) stat calls on every read).
-        return _logical_view(reader.parquet(*files), path, version)
+        return _logical_view(
+            _read_data(spark, path, files, merge_schema), path, version
+        )
     except Exception as e:
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
@@ -1287,9 +1403,9 @@ def read_pruned(
             continue
         keep.append(abs_p)
     if not keep:
-        df = spark.read.parquet(*all_files).limit(0)
+        df = _read_data(spark, path, all_files).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_data(spark, path, keep)
     df = _logical_view(df, path, version)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
@@ -1333,9 +1449,9 @@ def read_pruned_nulls(
         keep.append(os.path.join(path, rel))
     if not keep:
         all_files = [os.path.join(path, rel) for rel in sorted(live)]
-        df = spark.read.parquet(*all_files).limit(0)
+        df = _read_data(spark, path, all_files).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_data(spark, path, keep)
     df = _logical_view(df, path, version)
     return df.filter(F.col(col).isNull() if is_null else F.col(col).isNotNull())
 
@@ -1436,7 +1552,11 @@ def read_pruned_multi(
                 break
         if not drop:
             keep.append(abs_p)
-    df = spark.read.parquet(*keep) if keep else spark.read.parquet(*all_files).limit(0)
+    df = (
+        _read_data(spark, path, keep)
+        if keep
+        else _read_data(spark, path, all_files).limit(0)
+    )
     df = _logical_view(df, path, version)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
@@ -1485,9 +1605,9 @@ def read_point(
             continue
         keep.append(abs_p)
     if not keep:
-        df = spark.read.parquet(*all_files).limit(0)
+        df = _read_data(spark, path, all_files).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_data(spark, path, keep)
     df = _logical_view(df, path, version)
     return df.filter(F.col(col) == F.lit(value))
 
@@ -1574,8 +1694,11 @@ def _commit_serializable(
                 new_files.extend(c.get("adds", []))
             if new_files and predicate is not None:
                 probe = _logical_view(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(path, r) for r in new_files]
+                    _read_data(
+                        spark,
+                        path,
+                        [os.path.join(path, r) for r in new_files],
+                        merge_schema=True,
                     ),
                     path,
                     tip,
@@ -1632,7 +1755,7 @@ def _matched_files(
     # narrower single-footer schema would drop evolved columns on rewrite.
     # The predicate is LOGICAL — match against the logical view.
     scan = _logical_view(
-        spark.read.option("mergeSchema", "true").parquet(*candidates), path, read_v
+        _read_data(spark, path, candidates, merge_schema=True), path, read_v
     )
     matched = [
         r[0]
@@ -2041,7 +2164,7 @@ def table_changes(
         return spark.read.parquet(*paths).select("file_name", "row_index")
 
     def _read_minus_dvs(files, dv_map):
-        df = spark.read.parquet(*files).select(
+        df = _read_data(spark, path, files).select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
@@ -2068,7 +2191,7 @@ def table_changes(
     r = _read_minus_dvs(removed, dvs_from) if removed else None
     if a is None and r is None:
         template = _logical_view(
-            spark.read.parquet(*sorted(f_to or f_from)).limit(0), path, to_v
+            _read_data(spark, path, sorted(f_to or f_from)).limit(0), path, to_v
         )
         a = r = template
     elif a is None:
@@ -2081,7 +2204,7 @@ def table_changes(
     if dv_changed:
         new_pos = _positions(dvs_to, dv_changed)
         old_pos = _positions(dvs_from, dv_changed)
-        rows = spark.read.parquet(*dv_changed).select(
+        rows = _read_data(spark, path, dv_changed).select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
@@ -2466,7 +2589,7 @@ def _read_files_with_dvs(
     with _to_physical before landing files) — which also means any
     rewrite lazily PURGES dropped-column bytes from the files it
     touches, the REORG PURGE effect."""
-    raw = spark.read.option("mergeSchema", "true").parquet(*files)
+    raw = _read_data(spark, path, files, merge_schema=True)
     dvs = visible_dvs(path, read_v)
     rels = {os.path.relpath(f, path) for f in files}
     dv_paths = sorted(
@@ -2537,7 +2660,7 @@ def delete_where_dv(
         return read_v
     # tag positions on the RAW scan, then evaluate the LOGICAL predicate
     # against the logical view (passthrough keeps the position tags)
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates).select(
+    scan = _read_data(spark, path, candidates, merge_schema=True).select(
         "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
@@ -2635,10 +2758,7 @@ def read_mor(
     if not dvs:
         return read(spark, path, version, merge_schema)
     files = visible_files(path, version)
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*files).select(
+    df = _read_data(spark, path, files, merge_schema).select(
         "*",
         _file_name_col().alias("__fn"),
         F.col("_metadata.row_index").alias("__ri"),
@@ -2712,7 +2832,7 @@ def update_where_dv(
         return read_v
     # tag positions on the RAW scan, then evaluate the LOGICAL predicate
     # against the logical view (passthrough keeps the position tags)
-    scan = spark.read.option("mergeSchema", "true").parquet(*candidates).select(
+    scan = _read_data(spark, path, candidates, merge_schema=True).select(
         "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),

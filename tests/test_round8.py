@@ -200,3 +200,22 @@ class TestBatchTopkIdTypes:
             ).collect()
         }
         assert got == want
+
+
+class TestUrlCanonicalize:
+    def test_rules(self, spark):
+        from datalake_brief_spark.operators.text import canonicalize_url
+
+        cases = [
+            ("HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&b=2&a=1#f",
+             "https://www.ex.com/A/B?a=1&b=2"),
+            ("http://Host.com:80/", "http://host.com/"),
+            ("http://host.com:8080/p", "http://host.com:8080/p"),  # non-default kept
+            ("https://h.com:80/p", "https://h.com:80/p"),  # :80 is NOT https default
+            ("https://h.com", "https://h.com/"),  # bare host gets root path
+            ("https://h.com/p?ref=abc&gclid=1&fbclid=2", "https://h.com/p"),
+            ("https://h.com/p?z=1&a=2", "https://h.com/p?a=2&z=1"),  # sorted
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+        assert got == [want for _, want in cases]
