@@ -12,15 +12,27 @@ tracking the version offset in its checkpoint.
 Change-commit semantics (mirrors Delta's source):
 
 - ``append`` commits stream their added files' rows.
-- Maintenance commits that only rewrite existing rows (``optimize``,
-  ``optimize_zorder``, ``restore``, constraint DDL) are data-change-free
-  and are skipped entirely — their adds must NOT re-emit rows the stream
-  already delivered.
+- Maintenance commits that only rewrite existing bytes (``optimize``,
+  ``optimize_zorder``, ``reorg_purge``, constraint DDL) are
+  data-change-free and are skipped entirely — their adds must NOT
+  re-emit rows the stream already delivered.
 - Commits that change rows (``merge``/``delete``/``update``/``overwrite``/
-  ``replace_where``) make the source non-append-only: the stream FAILS
-  with a clear error unless ``skipChangeCommits=true`` (then the whole
-  commit is skipped; downstream sees inserts-only, Delta's
-  ``skipChangeCommits`` contract).
+  ``replace_where``/``restore``, and the deletion-vector mutations
+  ``delete_dv``/``update_dv``/``dv_set``) make the source
+  non-append-only: the stream FAILS with a clear error unless
+  ``skipChangeCommits=true`` (then the whole commit is skipped;
+  downstream sees inserts-only, Delta's ``skipChangeCommits`` contract).
+
+CHANGE DATA FEED streaming (``option("readChangeFeed", "true")``): each
+micro-batch emits row-level changes with ``_change_type`` /
+``_commit_version`` columns — appends as inserts, deletion-vector
+deletes as position-exact deletes (the sidecar names the rows), an
+``update_dv`` as its delete+insert pair. Commits that REWRITE files
+(CoW delete/update, merge, replaceWhere, restore) carry no row-level
+change record in the log — reconstructing them needs a cross-file diff
+no per-partition reader can do — so the CDF stream fails on them with a
+clear error (Delta's CDC needs stored change files for exactly the same
+reason) unless ``skipChangeCommits=true``.
 
 Scale shape: offsets are version numbers (tiny JSON), planning reads only
 the commit files in the window (never a directory listing), and each input
@@ -49,7 +61,9 @@ from datalake_brief_spark.sources import txlog
 _NO_DATA_CHANGE_OPS = {
     "optimize",
     "optimize_zorder",
-    "restore",
+    # reorg_purge materializes ALREADY-COMMITTED DV deletes / column drops
+    # into fresh files — the change was the DV/DDL commit, not the purge
+    "reorg_purge",
     "add_constraint",
     "drop_constraint",
 }
@@ -191,14 +205,26 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 commit = json.load(f)
             op = commit.get("meta", {}).get("op", "write")
             if op in _NO_DATA_CHANGE_OPS:
+                # op label is the authority for byte-rewriting maintenance
+                # (optimize/zorder/constraint DDL): their removes re-land
+                # identical rows — Delta's dataChange=false
                 continue
-            if commit.get("removes"):
+            # everything else carrying removes, deletion vectors, or a
+            # dv_set replacement CHANGES rows — including a RESTORE's
+            # visibility flip and a DV delete with zero adds/removes
+            if (
+                op == "restore"
+                or commit.get("removes")
+                or commit.get("dv_adds")
+                or commit.get("dv_set")
+            ):
                 if self.skip_change:
                     continue
                 raise ValueError(
                     f"txlog stream source: version {v} is a {op!r} commit "
                     f"that changes existing rows; set skipChangeCommits=true "
-                    f"to ignore change commits (inserts-only stream)"
+                    f"to ignore change commits (inserts-only stream), or "
+                    f"read with readChangeFeed=true to consume the changes"
                 )
             parts += [
                 _FilePartition(os.path.join(self.path, rel), self.columns)
@@ -215,6 +241,125 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._last_offered = max(self._last_offered, int(end["version"]))
 
 
+class _CdfPartition(InputPartition):
+    def __init__(self, abs_path, columns, change_type, version, dv_group=None):
+        self.abs_path = abs_path
+        self.columns = columns
+        self.change_type = change_type
+        self.version = version
+        self.dv_group = dv_group
+
+
+def _read_cdf_batches(p: _CdfPartition):
+    """Executor-side change-row materialization: an insert partition is a
+    whole added file; a delete partition is a data file TAKEN at the
+    row positions its deletion-vector sidecar group names for it —
+    position-exact, no diffing, cost proportional to the change."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(p.abs_path)
+    if p.dv_group is not None:
+        dv = pq.read_table(p.dv_group)
+        base = os.path.basename(p.abs_path)
+        idx = (
+            dv.filter(pc.equal(dv.column("file_name"), pa.scalar(base)))
+            .column("row_index")
+            .to_pylist()
+        )
+        table = table.take(sorted(idx))
+    cols = []
+    for name in p.columns:
+        if name in table.column_names:
+            cols.append(table.column(name))
+        else:
+            cols.append(pa.nulls(table.num_rows))
+    out = pa.table(dict(zip(p.columns, cols)))
+    out = out.append_column(
+        "_change_type", pa.array([p.change_type] * out.num_rows, pa.string())
+    )
+    out = out.append_column(
+        "_commit_version", pa.array([p.version] * out.num_rows, pa.int64())
+    )
+    yield from out.to_batches()
+
+
+class _TxlogCdfStreamReader(DataSourceStreamReader):
+    """Streaming change data feed over the commit log — same version-offset
+    axis as the append reader, but every micro-batch emits ROW-LEVEL
+    changes instead of failing on them (for the commit shapes the log can
+    answer position-exactly)."""
+
+    def __init__(self, options, columns):
+        self.path = options["path"]
+        self.columns = columns  # data columns only (no _change_type pair)
+        self.skip_change = str(
+            options.get("skipChangeCommits", "false")
+        ).lower() in ("true", "1")
+        self.starting_version = int(options.get("startingVersion", 1))
+        self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self._last_offered = max(0, self.starting_version - 1)
+
+    def initialOffset(self):
+        return {"version": max(0, self.starting_version - 1)}
+
+    def latestOffset(self):
+        cur = txlog.current_version(self.path)
+        if self.max_versions > 0:
+            cur = min(cur, self._last_offered + self.max_versions)
+        self._last_offered = max(self._last_offered, cur)
+        return {"version": cur}
+
+    def partitions(self, start, end):
+        self._last_offered = max(self._last_offered, int(start["version"]))
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
+                commit = json.load(f)
+            op = commit.get("meta", {}).get("op", "write")
+            if op in _NO_DATA_CHANGE_OPS:
+                continue
+            if op == "restore" or commit.get("removes") or commit.get("dv_set"):
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"txlog CDF stream: version {v} is a {op!r} commit that "
+                    f"REWRITES files — the log carries no row-level change "
+                    f"record for it (reconstruction needs a cross-file diff; "
+                    f"use batch table_changes), so the stream cannot emit "
+                    f"it; set skipChangeCommits=true to skip such commits"
+                )
+            # deletion-vector positions → position-exact delete rows; an
+            # update_dv commit ALSO carries adds (its rewritten rows), so
+            # the insert half falls through to the generic adds below
+            for rel, group in commit.get("dv_adds", {}).items():
+                parts.append(
+                    _CdfPartition(
+                        os.path.join(self.path, rel),
+                        self.columns,
+                        "delete",
+                        v,
+                        dv_group=os.path.join(self.path, group),
+                    )
+                )
+            for rel in commit.get("adds", []):
+                parts.append(
+                    _CdfPartition(
+                        os.path.join(self.path, rel), self.columns, "insert", v
+                    )
+                )
+        return parts or [_CdfPartition("", self.columns, "insert", 0)]
+
+    def read(self, partition):
+        if not partition.abs_path:
+            return iter(())
+        return _read_cdf_batches(partition)
+
+    def commit(self, end):
+        self._last_offered = max(self._last_offered, int(end["version"]))
+
+
 class TxlogDataSource(DataSource):
     """``format("txlog")`` — register once per session with
     :func:`register_txlog_source`. Required option: ``path``. Batch also
@@ -225,17 +370,38 @@ class TxlogDataSource(DataSource):
     def name(cls):
         return "txlog"
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readChangeFeed", "false")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self):
-        return _table_ddl(self.options["path"])
+        ddl = _table_ddl(self.options["path"])
+        if self._cdf():
+            ddl += ", _change_type string, _commit_version bigint"
+        return ddl
 
     def _columns(self, schema) -> list[str]:
-        return [f.name for f in schema.fields]
+        return [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
 
     def reader(self, schema):
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option; batch change reads "
+                "are txlog.table_changes(spark, path, from_v, to_v)"
+            )
         return _TxlogBatchReader(self.options, self._columns(schema))
 
     def streamReader(self, schema):
-        return _TxlogStreamReader(self.options, self._columns(schema))
+        cols = self._columns(schema)
+        if self._cdf():
+            return _TxlogCdfStreamReader(self.options, cols)
+        return _TxlogStreamReader(self.options, cols)
 
 
 def register_txlog_source(spark) -> None:

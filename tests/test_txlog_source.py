@@ -219,3 +219,127 @@ class TestTableToTablePipeline:
             assert max(p["numInputRows"] for p in batches) == 1
         finally:
             q.stop()
+
+
+class TestCdfStream:
+    """Streaming change data feed (readChangeFeed=true): appends as
+    inserts, DV deletes as position-exact deletes, update_dv as its
+    delete+insert pair; file-rewriting commits fail with a clear error."""
+
+    def test_appends_and_dv_deletes_stream_as_changes(self, spark, table, tmp_path):
+        stream = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cdf1")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf1"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = [
+                (r.id, r._change_type)
+                for r in spark.sql("SELECT * FROM cdf1").collect()
+            ]
+            assert sorted(got) == [(1, "insert"), (2, "insert"), (3, "insert")]
+            txlog.delete_where_dv(spark, table, "id = 2")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM cdf1").collect()
+            dels = [(r.id, r._commit_version) for r in rows if r._change_type == "delete"]
+            assert dels == [(2, 3)]
+        finally:
+            q.stop()
+
+    def test_update_dv_streams_delete_insert_pair(self, spark, table, tmp_path):
+        stream = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cdf2")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            txlog.update_where_dv(spark, table, "id = 3", {"v": txlog.F.lit("Z")})
+            q.processAllAvailable()
+            rows = [
+                (r.id, r.v, r._change_type)
+                for r in spark.sql(
+                    "SELECT * FROM cdf2 WHERE _commit_version = 3"
+                ).collect()
+            ]
+            assert sorted(rows) == [(3, "Z", "insert"), (3, "c", "delete")]
+        finally:
+            q.stop()
+
+    def test_rewrite_commit_fails_unless_skipped(self, spark, table, tmp_path):
+        txlog.delete_where(spark, table, "id = 1")  # CoW rewrite commit
+        stream = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cdf3")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf3"))
+            .start()
+        )
+        with pytest.raises(Exception, match="REWRITES files"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # skipChangeCommits drains past the rewrite
+        q2 = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf4")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf4"))
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM cdf4").collect()}
+            assert got == {1, 2, 3}  # the two appends; the rewrite skipped
+        finally:
+            q2.stop()
+
+    def test_append_stream_now_rejects_dv_commits(self, spark, table, tmp_path):
+        """The plain (inserts-only) stream must FAIL on a DV delete — a
+        silent skip would hand downstream a table that still contains the
+        deleted rows with no signal anything changed."""
+        txlog.delete_where_dv(spark, table, "id = 2")
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf5")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf5"))
+            .start()
+        )
+        with pytest.raises(Exception, match="changes existing rows"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
