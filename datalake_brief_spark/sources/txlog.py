@@ -2244,6 +2244,9 @@ def optimize(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
 ) -> int:
     """Atomic small-file compaction (the lakehouse ``OPTIMIZE``): rewrite
     the snapshot's undersized data files into ``ceil(bytes/target)`` files
@@ -2256,7 +2259,15 @@ def optimize(
     rewrite cost is bounded by the small-file bytes regardless of table
     size. The superseded files remain on disk for time travel until
     ``vacuum`` reclaims them. Returns the new version (or the current one
-    if there was nothing to compact)."""
+    if there was nothing to compact).
+
+    ``prune_col``/``lo``/``hi`` scope the compaction to files whose logged
+    stats can intersect the range (the ``OPTIMIZE ... WHERE`` surface):
+    with partition-value or clustered stats this compacts ONE
+    partition/band of a 100 TB table — the shape a streaming sink needs,
+    compacting only the hot ingest partition while cold history stays
+    byte-identical. Conservative like every stats consumer: statless
+    files are considered in scope. ``prune_col`` is the LOGICAL name."""
     import math
 
     if small_file_bytes is None:
@@ -2264,9 +2275,19 @@ def optimize(
     read_v = current_version(path)
     if read_v == 0:
         return 0
-    small = [
-        p for p in visible_files(path, read_v) if os.path.getsize(p) < small_file_bytes
-    ]
+    in_scope = visible_files(path, read_v)
+    if prune_col is not None:
+        pcol = _phys_name(path, read_v, prune_col)
+        stats = visible_stats(path, read_v)
+        c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+        in_scope = [
+            p
+            for p in in_scope
+            if not _range_excludes(
+                stats.get(os.path.relpath(p, path), {}).get(pcol), c_lo, c_hi
+            )
+        ]
+    small = [p for p in in_scope if os.path.getsize(p) < small_file_bytes]
     if len(small) < 2:
         return read_v
     total = sum(os.path.getsize(p) for p in small)

@@ -2487,3 +2487,33 @@ class TestPartitionedAppend:
         # the NULL partition has no range stats -> conservatively kept,
         # the residual filter still makes the result exact
         assert sorted(r.id for r in pruned.collect()) == [1, 4]
+
+
+class TestOptimizeWhere:
+    def test_scoped_compaction_touches_only_matching_partition(self, spark, tmp_path):
+        """OPTIMIZE ... WHERE via the stats ladder: many small files per
+        partition; the scoped compaction rewrites ONE partition's files
+        and leaves every other partition byte-identical."""
+        t = str(tmp_path / "optw")
+        for i in range(4):  # 4 commits x 2 partitions = small files everywhere
+            df = spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id"), (F.col("id") % 2).alias("k")
+            )
+            txlog.append(df, t, partition_by=["k"])
+        before = set(txlog.visible_files(t))
+        v = txlog.optimize(
+            spark, t, target_file_bytes=1 << 30, prune_col="k", lo=1, hi=1
+        )
+        assert v == 5
+        after = set(txlog.visible_files(t))
+        untouched = before & after
+        # every k=0 file survives; the k=1 files were compacted away
+        assert all("__part_k=1" not in p for p in untouched - (after - before))
+        assert any("__part_k=0" in p for p in untouched)
+        assert not any("__part_k=1" in p for p in after), "k=1 band compacted"
+        got = txlog.read(spark, t)
+        assert got.count() == 40 and got.filter("k = 1").count() == 20
+        # compacted files carry recollected partition-column stats
+        pruned = txlog.read_pruned(spark, t, "k", 1, 1)
+        assert pruned.count() == 20
+        assert len(pruned.inputFiles()) < len(txlog.visible_files(t))
