@@ -79,14 +79,23 @@ def asof_join(
     is carried as one more value column and compared after the carry —
     no second pass.
 
+    ``direction="nearest"`` completes the merge_asof surface: both
+    carries run over the SAME union and key partitioning (one exchange,
+    two sorted windows) and each left row takes whichever side is
+    closer in time; EQUAL distances prefer the backward match (so a
+    same-instant right row — distance 0 both ways — resolves
+    identically to the single-direction forms).
+
     Ties: a right row at exactly left_ts matches in both directions;
     among right rows with equal timestamps the one with the greatest
     ``right_tiebreak`` wins (required for deterministic output).
     """
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     back = direction == "backward"
     lcols = [c for c in left.columns]
     carry = list(value_cols) + ["__mt"]
@@ -115,24 +124,43 @@ def asof_join(
     # row at equal timestamps, the frame flips to currentRow..following,
     # and "first" picks the earliest qualifying right row (descending
     # __tb keeps the greatest-tiebreak convention for equal timestamps).
-    if back:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy("__t", "__side", "__tb")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__t"), F.col("__side").desc(), F.col("__tb").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-    pick = (lambda c: F.last(c, ignorenulls=True).over(w)) if back else (
-        lambda c: F.first(c, ignorenulls=True).over(w)
+    w_back = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__side").desc(), F.col("__tb").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     unioned = l.unionByName(r)
-    for c in carry:
-        unioned = unioned.withColumn(f"__v_{c}", pick(f"__v_{c}"))
+    if direction == "nearest":
+        for c in carry:
+            unioned = unioned.withColumn(
+                f"__b_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w_back)
+            ).withColumn(
+                f"__f_{c}", F.first(f"__v_{c}", ignorenulls=True).over(w_fwd)
+            )
+        t = F.col("__t").cast("double")
+        d_back = F.abs(t - F.col("__b___mt"))
+        d_fwd = F.abs(F.col("__f___mt") - t)
+        use_back = F.col("__b___mt").isNotNull() & (
+            F.col("__f___mt").isNull() | (d_back <= d_fwd)
+        )
+        for c in carry:
+            unioned = unioned.withColumn(
+                f"__v_{c}",
+                F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+            ).drop(f"__b_{c}", f"__f_{c}")
+    else:
+        pick = (
+            (lambda c: F.last(c, ignorenulls=True).over(w_back))
+            if back
+            else (lambda c: F.first(c, ignorenulls=True).over(w_fwd))
+        )
+        for c in carry:
+            unioned = unioned.withColumn(f"__v_{c}", pick(f"__v_{c}"))
     out = unioned.filter(F.col("__side") == 1)
     if tolerance is not None:
         within = (

@@ -219,3 +219,48 @@ class TestUrlCanonicalize:
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
         got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
         assert got == [want for _, want in cases]
+
+
+class TestAsofNearest:
+    def test_nearest_picks_closer_side_and_backward_on_ties(self, spark):
+        from datalake_brief_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2020-01-01 10:00:00"), (2, "2020-01-01 10:00:10"),
+             (3, "2020-01-01 09:00:00"), (4, "2020-01-02 00:00:00")],
+            "id long, ts string",
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+        left = left.withColumn("k", F.lit("a"))
+        right = spark.createDataFrame(
+            [(100, "2020-01-01 09:59:55"), (200, "2020-01-01 10:00:05"),
+             (300, "2020-01-01 10:00:15")],
+            "rid long, rts string",
+        ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+        right = right.withColumn("k", F.lit("a"))
+        out = {
+            r.id: r.rid
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                value_cols=["rid"], right_tiebreak="rid", direction="nearest",
+            ).collect()
+        }
+        assert out[1] == 100  # 5s back vs 5s fwd: TIE -> backward
+        assert out[2] == 200  # 5s back beats 5s fwd tie -> backward again
+        assert out[3] == 100  # nothing behind; takes the earliest ahead
+        assert out[4] == 300  # nothing ahead; takes the latest behind
+
+    def test_nearest_tolerance_nulls_far_matches(self, spark):
+        from datalake_brief_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2020-01-01 10:00:00")], "id long, ts string"
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"), F.lit("a").alias("k"))
+        right = spark.createDataFrame(
+            [(9, "2020-01-01 12:00:00")], "rid long, rts string"
+        ).select("rid", F.col("rts").cast("timestamp").alias("rts"), F.lit("a").alias("k"))
+        got = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            value_cols=["rid"], right_tiebreak="rid",
+            direction="nearest", tolerance=3600,
+        ).collect()[0]
+        assert got.rid is None  # 2h away > 1h tolerance
