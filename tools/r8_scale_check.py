@@ -34,6 +34,11 @@ R8_ENTRIES = [
     "profile_entropy",
     "txlog_update_dv",
     "txlog_rename_column",
+    "txlog_reorg_purge",
+    "txlog_partitioned_read",
+    "text_url_canonical",
+    "asof_join_nearest",
+    "dedup_edit_distance",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF01", "/root/testdata/sf0.1")
