@@ -9974,68 +9974,13 @@ def graph_kcore_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- never-attested band (window rule: these MUST hold the top
-    # slots): the r8-new MOR-update entry, then the 24 round-6-band
-    # entries that have never had a driver row (r6 closed without
-    # driver artifacts; VERDICT r7 ask #1).
-    "txlog_update_dv",
-    "txlog_rename_column",
-    "txlog_reorg_purge",
-    "txlog_partitioned_read",
-    "text_url_canonical",
-    "asof_join_nearest",
-    "temperature_mix",
-    "jsonl_malformed_quarantine",
-    "dq_mad_outliers",
-    "dq_ks_drift",
-    "dedup_minhash_recall",
-    "semantic_dedup_recall",
-    "ml_normalize_minmax",
-    "asof_join_forward",
-    "corpus_domain_cap",
-    "sample_weighted_aes",
-    "ml_target_encode",
-    "profile_winsorized",
-    "source_token_kl",
-    "ml_quantile_bins",
-    "dq_benford",
-    "text_normalize_nfc",
-    "emb_norm_profile",
-    "emb_label_balance",
-    "ml_feature_mi",
-    "profile_group_quantiles",
-    "text_lm_perplexity",
-    "corpus_quality_cut",
-    "text_compression_ratio",
-    "graph_components_chain",
-    # -- re-attest band (old driver rows exist, behavior since
-    # changed): r8's single-partition-window rewrites + DV-aware
-    # restore/merge/dv_metrics, the r6-refloored ANN gates, and the
-    # r6 B/C bands.
-    "events_pareto",
-    "customer_rfm",
-    "ml_auc_rank",
-    "profile_entropy",
-    "txlog_restore",
-    "txlog_merge_upsert",
-    "txlog_dv_metrics",
-    "knn_lsh",
-    "knn_ivf",
-    "knn_ivf_indexed",
-    "leakage_safe_split",
-    "pipeline_curation",
-    "pipeline_curation_v2",
-    "emb_near_dup_srp45",
-    "emb_near_dup_exact",
-    "events_ewma",
-    "table_diff_audit",
-    # -- stalest-attested rotation fill (newest driver row r1); the
-    # tail below continues in non-decreasing latest-attested round
-    # order (enforced by tests/test_plans.py::
-    # test_rotation_tail_sorted_by_staleness).
-    "q1_pricing_summary",
-    "q5_nation_revenue",
-    "q3_shipping_priority",
+    # Round-9 rotation (VERDICT r8 ask #1): drain the attestation-
+    # staleness backlog. Top-50 = the 50 stalest-attested entries
+    # (the full r1 band, the r2 band, and the head of the r3 band);
+    # the tail continues in non-decreasing latest-attested-round
+    # order (tests/test_plans.py::test_rotation_tail_sorted_by_
+    # staleness). Never-attested round-9 additions must be inserted
+    # at the top as they land.
     "proj_select",
     "proj_derive",
     "proj_rename_drop",
@@ -10250,6 +10195,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_png",
     "dsir_weights_hashed",
     "csv_malformed_quarantine",
+    "txlog_update_dv",
+    "txlog_rename_column",
+    "txlog_reorg_purge",
+    "txlog_partitioned_read",
+    "text_url_canonical",
+    "asof_join_nearest",
+    "temperature_mix",
+    "jsonl_malformed_quarantine",
+    "dq_mad_outliers",
+    "dq_ks_drift",
+    "dedup_minhash_recall",
+    "semantic_dedup_recall",
+    "ml_normalize_minmax",
+    "asof_join_forward",
+    "corpus_domain_cap",
+    "sample_weighted_aes",
+    "ml_target_encode",
+    "profile_winsorized",
+    "source_token_kl",
+    "ml_quantile_bins",
+    "dq_benford",
+    "text_normalize_nfc",
+    "emb_norm_profile",
+    "emb_label_balance",
+    "ml_feature_mi",
+    "profile_group_quantiles",
+    "text_lm_perplexity",
+    "corpus_quality_cut",
+    "text_compression_ratio",
+    "graph_components_chain",
+    "events_pareto",
+    "customer_rfm",
+    "ml_auc_rank",
+    "profile_entropy",
+    "txlog_restore",
+    "txlog_merge_upsert",
+    "txlog_dv_metrics",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_indexed",
+    "leakage_safe_split",
+    "pipeline_curation",
+    "pipeline_curation_v2",
+    "emb_near_dup_srp45",
+    "emb_near_dup_exact",
+    "events_ewma",
+    "table_diff_audit",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q3_shipping_priority",
 ]
 
 
