@@ -982,9 +982,15 @@ def edit_distance_pairs(
         F.col("__h").alias("__hb"),
         F.col("__len").alias("__lb"),
     )
+    # ``<=`` (not ``<``): two DISTINCT texts that collide on xxhash64
+    # share __h, and a strict inequality would silently drop their
+    # candidate pair (ADVICE r8). Equal-hash candidates survive to the
+    # text join-back, where the true canonical order ``__ta < __tb``
+    # dedups orientations and removes self-pairs — a collision can only
+    # cost extra levenshtein work, never a missed pair.
     cand = (
         a.join(b, ["__w", "__band"])
-        .filter(F.col("__ha") < F.col("__hb"))
+        .filter(F.col("__ha") <= F.col("__hb"))
         .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         .select("__ha", "__hb")
         .distinct()
@@ -994,6 +1000,10 @@ def edit_distance_pairs(
     txt_pairs = (
         cand.join(ta, "__ha")
         .join(tb, "__hb")
+        # hash-ordered candidates (__ha < __hb) pass in their single
+        # orientation as before (downstream canonicalizes by id); the
+        # equal-hash fan-out orders/dedups by the texts themselves
+        .filter((F.col("__ha") < F.col("__hb")) | (F.col("__ta") < F.col("__tb")))
         .select(
             "__ta", "__tb", F.levenshtein("__ta", "__tb").alias("dist")
         )

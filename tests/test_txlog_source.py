@@ -133,6 +133,64 @@ class TestStreamSource:
             q2.stop()
 
 
+    def test_schema_commit_fails_even_with_skip_change(self, spark, table, tmp_path):
+        """ADVICE r8 (medium): rename/drop commits carry no adds/removes/
+        dv state, so the change-commit guard let them pass mid-stream —
+        and after DROP COLUMN + a merge-schema append re-introducing the
+        same logical name, later micro-batches select the stale physical
+        name and emit NULLs for real values. Schema-layer commits must
+        fail the stream UNCONDITIONALLY (skipChangeCommits skips rows,
+        not layout changes)."""
+        stream = (
+            spark.readStream.format("txlog")
+            .options(path=table, skipChangeCommits="true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc_schema")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_schema"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # drain the pre-existing appends
+            txlog.drop_column(table, "v")
+            txlog.append(
+                spark.createDataFrame([(7, "fresh")], "id long, v string"),
+                table,
+                merge_schema=True,
+            )
+            with pytest.raises(Exception, match="column mapping"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_cdf_stream_rejects_schema_commit(self, spark, table, tmp_path):
+        """The CDF reader shares the guard: a rename mid-stream (after the
+        start-time _table_ddl mapping check passed) must fail the stream,
+        skipChangeCommits notwithstanding."""
+        stream = (
+            spark.readStream.format("txlog")
+            .options(path=table, readChangeFeed="true", skipChangeCommits="true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("txsrc_cdf_schema")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf_schema"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            txlog.rename_column(table, "v", "w")
+            with pytest.raises(Exception, match="column mapping"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 class TestTableToTablePipeline:
     def test_stream_from_one_txlog_table_into_another(self, spark, tmp_path):
         """The full lakehouse loop with the new source: table A streams
@@ -283,19 +341,61 @@ class TestCdfStream:
         finally:
             q.stop()
 
-    def test_rewrite_commit_fails_unless_skipped(self, spark, table, tmp_path):
-        txlog.delete_where(spark, table, "id = 1")  # CoW rewrite commit
-        stream = (
+    def test_cow_delete_streams_its_change_record(self, spark, table, tmp_path):
+        """A CoW DELETE commit now lands _change_data files alongside the
+        rewrite, so the CDF stream drains it WITHOUT skipChangeCommits —
+        the pre-change-record reader had to fail here."""
+        v = txlog.delete_where(spark, table, "id = 1")  # CoW rewrite commit
+        q = (
             spark.readStream.format("txlog")
             .option("path", table)
             .option("readChangeFeed", "true")
             .load()
-        )
-        q = (
-            stream.writeStream.format("memory")
+            .writeStream.format("memory")
             .queryName("cdf3")
             .outputMode("append")
             .option("checkpointLocation", str(tmp_path / "ck_cdf3"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = [
+                (r.id, r._change_type, r._commit_version)
+                for r in spark.sql("SELECT * FROM cdf3").collect()
+            ]
+            assert sorted(rows) == [
+                (1, "delete", v),
+                (1, "insert", 1),
+                (2, "insert", 1),
+                (3, "insert", 2),
+            ], rows
+        finally:
+            q.stop()
+
+    def test_legacy_rewrite_commit_fails_unless_skipped(self, spark, table, tmp_path):
+        """A rewrite commit WITHOUT a stored change record (written before
+        change files existed) keeps the old contract: fail with a clear
+        error unless skipChangeCommits=true."""
+        import json
+        import os
+
+        v = txlog.delete_where(spark, table, "id = 1")
+        cpath = txlog._commit_path(table, v)  # noqa: SLF001
+        with open(cpath) as f:
+            commit = json.load(f)
+        for rel in commit.pop("change_data", []):
+            os.remove(os.path.join(table, rel))
+        with open(cpath, "w") as f:
+            json.dump(commit, f)
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf3b")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf3b"))
             .start()
         )
         with pytest.raises(Exception, match="REWRITES files"):
@@ -303,7 +403,7 @@ class TestCdfStream:
                 q.processAllAvailable()
             finally:
                 q.stop()
-        # skipChangeCommits drains past the rewrite
+        # skipChangeCommits drains past the legacy rewrite
         q2 = (
             spark.readStream.format("txlog")
             .option("path", table)
@@ -322,6 +422,47 @@ class TestCdfStream:
             assert got == {1, 2, 3}  # the two appends; the rewrite skipped
         finally:
             q2.stop()
+
+    def test_merge_streams_without_skip(self, spark, table, tmp_path):
+        """VERDICT r8 ask #2 done-criterion: the streaming CDF drains a
+        MERGE without skipChangeCommits — the updated key emits its
+        delete+insert pair, the new key its insert, and the rows the
+        merge rewrote byte-identically emit NOTHING (they cancelled in
+        the stored change record, not at read time)."""
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_merge")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf_merge"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # the two appends
+            v = txlog.merge(
+                spark,
+                table,
+                spark.createDataFrame([(2, "b2"), (9, "new")], "id long, v string"),
+                keys=["id"],
+                order_col="v",  # 'b2' > 'b' desc: the update wins its key
+            )
+            q.processAllAvailable()
+            rows = [
+                (r.id, r.v, r._change_type)
+                for r in spark.sql(
+                    f"SELECT * FROM cdf_merge WHERE _commit_version = {v}"
+                ).collect()
+            ]
+            assert sorted(rows) == [
+                (2, "b", "delete"),
+                (2, "b2", "insert"),
+                (9, "new", "insert"),
+            ], rows
+        finally:
+            q.stop()
 
     def test_append_stream_now_rejects_dv_commits(self, spark, table, tmp_path):
         """The plain (inserts-only) stream must FAIL on a DV delete — a
