@@ -769,6 +769,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes (m small ints per vector — dim/4 bytes
     of index instead of 4·dim): per subspace, the index of the nearest
@@ -794,7 +795,9 @@ def pq_encode(
         return pd.Series(list(codes))
 
     return df.select(
-        F.col(id_col), enc(as_double_array(F.col(vec_col))).alias(out_col)
+        F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
+        enc(as_double_array(F.col(vec_col))).alias(out_col),
     )
 
 
@@ -872,6 +875,147 @@ def pq_topk(
         .select(query_id_col, id_col)
     )
     raw = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+    )
+    qvecs = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    rer = (
+        shortlist.join(raw, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def ivf_pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF-PQ layout — the billion-scale index
+    shape (FAISS IndexIVFPQ; Jégou et al. 2011 §IV): cell-partitioned
+    parquet (``cell=<k>/`` directories, the ivf_index_write layout)
+    carrying ``(id, codes, raw vector)`` per row. Parquet is columnar,
+    so the two search phases read DISJOINT column sets: the ADC pass
+    scans only (id, codes) — m small ints instead of 4·dim bytes per
+    vector — and the raw column is fetched only for the per-query
+    shortlist re-rank. Scan bytes per probe ≈ (nprobe / n_cells) ×
+    (m / 4·dim) of a brute-force pass, both factors physical (partition
+    pruning × column pruning). Codes use the GLOBAL codebooks (vectors
+    L2-normalized at encode, so ADC ranks like cosine) — the residual
+    refinement of full IndexIVFPQ is unnecessary here because the exact
+    re-rank restores true scores for everything the shortlist keeps."""
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cell", 1
+    )
+    encoded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep=["cell", vec_col]
+    )
+    from datalake_brief_spark.sources.io import write_partitioned
+
+    write_partitioned(encoded, path, ["cell"])
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k against a materialized IVF-PQ index (ivf_pq_index_write)
+    — coarse prune, compressed score, exact finish:
+
+    1. queries assign to their ``nprobe`` nearest cells (plan-literal
+       centroids, scan-stage) and the probed cell set pushes as an
+       IN-filter on the partition column — the scan plans
+       PartitionFilters and never opens non-probed directories;
+    2. per-query m×ks inner-product LUTs build driver-side (queries are
+       broadcast-small by the cosine_topk contract) and ADC scoring is a
+       pure zip_with/aggregate over the broadcast (cell, lut) probe
+       relation — JVM-only, reading ONLY the codes column;
+    3. the top-``refine`` ADC candidates per query re-rank with exact
+       cosine against the index's raw-vector column (same pruned
+       directories, shortlist-bounded rows), restoring exact scores —
+       output schema/rounding identical to cosine_topk.
+
+    recall@k follows the IVF probe fraction (the PQ stage at
+    refine ≫ k costs ~nothing — measured in tests on clustered vectors);
+    at 100 TB the ADC scan reads (nprobe/n_cells)·(m bytes/vector) and
+    only refine·|queries| raw vectors ever leave disk."""
+    books = np.asarray(codebooks)
+    m, ks, dsub = books.shape
+    q = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        centroids,
+        vec_col,
+        "cell",
+        nprobe,
+    )
+    qcells = q.select(query_id_col, "cell")
+    probed = sorted({r.cell for r in qcells.select("cell").distinct().collect()})
+    qrows = (
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("v")
+        )
+        .orderBy(query_id_col)
+        .collect()
+    )
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r.v, dtype=np.float64)
+        lut = np.array(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        luts.append((r[0], [float(x) for x in lut.ravel()]))
+    lut_df = spark.createDataFrame(
+        luts, schema=f"{query_id_col} long, __lut array<double>"
+    )
+    probe = qcells.join(lut_df, query_id_col)  # ≤ |queries|·nprobe rows
+    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(F.col("__lut"), i * ks + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        scan.select(id_col, "cell", "codes")
+        .join(F.broadcast(probe), "cell")
+        .withColumn("__adc", adc)
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").desc(), F.col(id_col)
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= refine)
+        .select(query_id_col, id_col)
+    )
+    raw = scan.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
     )
     qvecs = queries.select(

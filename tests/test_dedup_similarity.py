@@ -774,3 +774,97 @@ class TestIVFIndexAppend:
         }
         assert got == want
         assert got, "searches should return results"
+
+
+class TestIVFPQ:
+    """Composed IVF-PQ index (similarity.ivf_pq_index_write/
+    ivf_pq_topk_indexed): physical cell pruning + code-only ADC scan +
+    exact re-rank, and recall vs brute force."""
+
+    @pytest.fixture(scope="class")
+    def fixture(self, spark, tmp_path_factory):
+        emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+        corpus = emb.limit(400)
+        cents = similarity.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        books = similarity.train_pq_codebooks(corpus, dim=64, m=16, ks=32)
+        path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+        similarity.ivf_pq_index_write(corpus, path, cents, books)
+        return emb, corpus, cents, books, path
+
+    def test_plan_prunes_partitions_and_stays_jvm_side(self, spark, fixture):
+        """(a) PartitionFilters on the cell column — non-probed cell
+        directories never open; (b) no row-at-a-time BatchEvalPython
+        anywhere in the SEARCH plan (the pandas pass is the offline
+        encode); (c) the ADC scan's ReadSchema carries codes but NOT the
+        raw embedding column — column pruning makes the compressed scan
+        real, the raw bytes are read only by the shortlist re-rank scan."""
+        _, corpus, cents, books, path = fixture
+        q = corpus.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.ivf_pq_topk_indexed(
+            spark, path, q, cents, books, k=5, nprobe=2, refine=16
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "PartitionFilters" in plan, plan
+        assert "cell" in plan.split("PartitionFilters", 1)[1][:300], plan
+        assert "BatchEvalPython" not in plan, plan
+        scans = [
+            seg[:500] for seg in plan.split("ReadSchema: ")[1:]
+        ]
+        adc_scans = [s for s in scans if "codes" in s]
+        assert adc_scans, plan
+        assert any("embedding" not in s for s in adc_scans), (
+            "the ADC scan must column-prune the raw vector away:\n" + plan
+        )
+
+    def test_recall_floor_vs_bruteforce(self, spark, fixture):
+        """recall@10 ≥ 0.85 vs exact cosine on the real testdata
+        embeddings at the registry parameterization (nprobe 12/16 of the
+        cells; measured 0.94-0.96)."""
+        emb, _, _, _, _ = fixture
+        cents = similarity.train_ivf_centroids(emb, dim=64, n_centroids=16)
+        books = similarity.train_pq_codebooks(emb, dim=64, m=16, ks=32)
+        import tempfile
+
+        path = str(tempfile.mkdtemp(prefix="ivfpq_full_")) + "/idx"
+        similarity.ivf_pq_index_write(emb, path, cents, books)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+        approx = similarity.ivf_pq_topk_indexed(
+            spark, path, q, cents, books, k=10, nprobe=12, refine=64
+        ).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        assert hits >= 0.85 * 50
+
+    def test_full_probe_equals_bruteforce(self, spark, fixture):
+        """With nprobe = n_cells and refine ≥ |corpus| the composition
+        must return EXACTLY the brute-force relation (ranks, rounded
+        scores) — the approximation comes only from pruning/shortlist,
+        never from the ADC scoring itself (exact re-rank restores
+        scores)."""
+        _, corpus, cents, books, path = fixture
+        q = corpus.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.cosine_topk(corpus, q, k=5).collect()
+        }
+        got = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.ivf_pq_topk_indexed(
+                spark, path, q, cents, books, k=5, nprobe=8, refine=400
+            ).collect()
+        }
+        assert got == want
+
+    def test_index_carries_codes_and_raw_vectors(self, spark, fixture):
+        _, corpus, cents, books, path = fixture
+        idx = spark.read.parquet(path)
+        assert {"vec_id", "codes", "embedding", "cell"} <= set(idx.columns)
+        row = idx.first()
+        assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
+        assert idx.count() == corpus.count()
