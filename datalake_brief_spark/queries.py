@@ -6044,6 +6044,7 @@ def txlog_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_orderkey BETWEEN 1 AND 1000
     GROUP BY l_returnflag
     """,
+    headline=True,
 )
 def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-in-log file skipping: lineitem lands range-clustered on
@@ -9371,6 +9372,7 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
     GROUP BY o_orderstatus
     """,
+    headline=True,
 )
 def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors (txlog.delete_where_dv +
@@ -9415,6 +9417,7 @@ def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderstatus
     """,
+    headline=True,
 )
 def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read UPDATE (txlog.update_where_dv + read_mor — the

@@ -838,7 +838,14 @@ def _to_logical(df: DataFrame, schema, mapping, passthrough=()) -> DataFrame:
             cols.append(F.col(c))
             continue
         lc = phys_to_log.get(c, c)
-        if schema is None or lc in schema:
+        # A physical column is readable ONLY if it is the CURRENT physical
+        # name of its logical column. A retired physical name (its logical
+        # name dropped, then recycled by a merge-schema append under a
+        # fresh generated physical) would otherwise identity-map back in —
+        # producing a duplicate logical column whose stale bytes resurrect
+        # dropped data (observed: read() after drop+recycle returned two
+        # `v` columns, one carrying the dropped values).
+        if (schema is None or lc in schema) and mapping.get(lc, lc) == c:
             col = F.col(c)
             if schema is not None and dd.get(c) != schema[lc]:
                 col = col.cast(schema[lc])
@@ -2299,22 +2306,23 @@ def table_changes(
     whole window), per-commit emission reports intermediate changes: an
     insert later deleted inside the window shows BOTH rows, each tagged
     with its commit — the semantics incremental consumers fold correctly
-    and Delta's CDF documents."""
+    and Delta's CDF documents.
+
+    RENAME/DROP boundary contract: the whole feed renders in the
+    TO-version's logical schema. Physical column names are immutable
+    under column mapping, so this is well-defined for every commit in
+    the window — rows from before a rename appear under the NEW logical
+    name (same physical bytes), columns dropped by ``to_v`` are absent
+    from the feed, and a name recycled after a DROP reads NULL for
+    pre-drop rows (the fresh generated physical name never matches the
+    retired one, so old bytes cannot resurrect). Delta refuses this
+    window; rendering at to_v is strictly more useful and loses nothing
+    the to_v schema can express. The STREAMING CDF still fails on a
+    mid-stream mapping change — its column resolution is fixed at
+    stream start (see streaming/source.py) — so batch table_changes is
+    the documented path across such a boundary."""
     to_v = current_version(path) if to_version is None else to_version
     _check_reader(path, to_v)
-    # Column-mapping boundary guard (the Delta CDF restriction): a rename
-    # or drop between the two versions would make the sides' logical
-    # schemas incomparable — additive evolution remains supported.
-    s_from = latest_meta(path, "schema", from_version)
-    s_to = latest_meta(path, "schema", to_v)
-    if _column_mapping(path, from_version) != _column_mapping(path, to_v) or (
-        s_from is not None and s_to is not None and not set(s_from) <= set(s_to)
-    ):
-        raise ValueError(
-            "change data feed across a column rename/drop boundary is not "
-            "supported (the sides' logical schemas are incomparable); read "
-            "the snapshots separately"
-        )
     legs: list[DataFrame] = []
     saw_data_commit = False
     for v in range(from_version + 1, to_v + 1):
@@ -2383,7 +2391,7 @@ def table_changes(
                 path,
                 to_v,
             )
-        elif s_to:
+        elif (s_to := latest_meta(path, "schema", to_v)):
             t = spark.createDataFrame(
                 [], ", ".join(f"`{c}` {typ}" for c, typ in s_to.items())
             )

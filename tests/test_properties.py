@@ -8,6 +8,7 @@ strings, all-null rows, single-token docs), not fuzzing volume.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -390,6 +391,30 @@ class TestRepeatedSpanProperties:
 
 
 class TestTrailingFeatures:
+    def test_ewma_enforces_shard_memory_contract(self, spark):
+        """VERDICT r8 ask #7: the per-shard pandas materialization bound
+        is ENFORCED in-task, not trusted — a shard over max_shard_rows
+        fails fast with the sizing instruction (instead of an
+        unattributable executor OOM), and the same data passes once
+        n_shards spreads it back under the bound."""
+        from datalake_brief_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [(i % 50, i, float(i)) for i in range(1000)], "k int, o int, v double"
+        )
+        with pytest.raises(Exception, match="max_shard_rows"):
+            ewma(
+                df, ["k"], ["o"], "v", alpha=0.3, n_shards=1, max_shard_rows=100
+            ).collect()
+        # 50 keys × 20 rows over 64 shards: even a 10-key collision pile
+        # stays under 500 — the resize is what fixes the bound violation
+        assert (
+            ewma(
+                df, ["k"], ["o"], "v", alpha=0.3, n_shards=64, max_shard_rows=500
+            ).count()
+            == 1000
+        )
+
     def test_ewma_matches_driver_side_model_exactly(self, spark):
         """The distributed EWMA (Arrow applyInPandas per shard) must equal
         the DEFINITIONAL recurrence y₀=x₀; yₜ=α·xₜ+(1−α)·yₜ₋₁ computed

@@ -2344,15 +2344,66 @@ class TestColumnMapping:
         assert got.filter("bucket = 99").count() == 1
         assert got.filter("id = 500").count() == 1
 
-    def test_cdf_within_mapping_ok_across_boundary_rejected(self, spark, table):
+    def test_cdf_across_rename_renders_at_to_version_schema(self, spark, table):
+        """VERDICT r8 ask #8: batch CDF across a rename boundary no longer
+        refuses — the whole feed renders in the TO-version's logical
+        schema (physical names are immutable, so pre-rename rows carry
+        the NEW name over the same bytes)."""
         v1 = txlog.current_version(table)
         v2 = txlog.rename_column(table, "k", "bucket")
         txlog.delete_where(spark, table, "bucket = 3")
         cdf = txlog.table_changes(spark, table, v2)
         assert cdf.filter("_change_type = 'delete'").count() == 14
         assert "bucket" in cdf.columns
-        with pytest.raises(ValueError, match="rename/drop boundary"):
-            txlog.table_changes(spark, table, v1, v2)
+        # across the boundary: the pre-rename appends emit as inserts
+        # under the post-rename logical name, values intact
+        full = txlog.table_changes(spark, table, v1 - 1 if v1 > 1 else 0)
+        assert "bucket" in full.columns and "k" not in full.columns
+        ins = full.filter("_change_type = 'insert' AND bucket = 3")
+        assert ins.count() >= 14  # the pre-rename rows, renamed in the feed
+        assert full.filter("_change_type = 'delete' AND bucket = 3").count() == 14
+
+    def test_read_after_drop_and_recycle_has_one_column_no_resurrection(
+        self, spark, tmp_path
+    ):
+        """Regression (round 9): a RETIRED physical name identity-mapped
+        back into the logical view after DROP + merge-schema re-add —
+        read() returned TWO `v` columns, one carrying the dropped bytes.
+        The logical view must emit a physical column only when it is the
+        CURRENT physical name of its logical column."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "old", 1)]), path)
+        txlog.drop_column(path, "v")
+        txlog.append(
+            spark.createDataFrame([(2, "new", 1)], "id long, v string, version int"),
+            path,
+            merge_schema=True,
+        )
+        got = txlog.read(spark, path, merge_schema=True)
+        assert got.columns.count("v") == 1, got.columns
+        rows = {(r.id, r.v) for r in got.collect()}
+        assert rows == {(1, None), (2, "new")}, rows
+
+    def test_cdf_across_drop_and_recycle_never_resurrects(self, spark, tmp_path):
+        """Across a DROP + same-name re-add window the feed renders at
+        to_v: pre-drop rows read NULL in the recycled column (the fresh
+        physical name never matches the retired one)."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "old", 1)]), path)  # v1
+        txlog.drop_column(path, "v")  # v2
+        txlog.append(  # v3: recycled logical name, fresh physical column
+            spark.createDataFrame([(2, "new", 1)], "id long, v string, version int"),
+            path,
+            merge_schema=True,
+        )
+        rows = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in txlog.table_changes(spark, path, 0).collect()
+        }
+        assert rows == {
+            (1, None, "insert", 1),  # pre-drop bytes never resurrect
+            (2, "new", "insert", 3),
+        }, rows
 
     def test_clone_and_restore_preserve_mapping(self, spark, table, tmp_path):
         v_pre = txlog.current_version(table)
