@@ -4,8 +4,9 @@ A grouped SUM/COUNT aggregate over a 100 TB fact table costs a full scan to
 recompute; after a commit that touched 0.1% of rows, 99.9% of that scan
 re-derives what the previous result already knew. These operators maintain
 the aggregate INCREMENTALLY: read only the change feed between the last
-refreshed version and the current one (txlog.table_changes scans just the
-snapshots' file-list symmetric difference), turn it into signed deltas, and
+refreshed version and the current one (txlog.table_changes reads stored
+``_change_data`` records where the commits carry them, falling back to the
+file-list symmetric difference), turn it into signed deltas, and
 fold the deltas into the stored aggregate — classic view-maintenance for the
 distributive aggregates (COUNT, SUM; AVG derives as sum/count at read time).
 

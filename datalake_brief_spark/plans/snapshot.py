@@ -46,6 +46,28 @@ COMMENT = {
         "AQE re-elects the broadcast at gate scale."
     ),
     "topk_per_group": "Single exchange on the partition key; window row_number + rank filter.",
+    "txlog_pruned_read": (
+        "Lakehouse range read: the file list is resolved from the commit "
+        "log's per-file stats BEFORE the plan exists, so the scan node "
+        "carries only the overlapping files (see the file-skipping section "
+        "below) and the residual BETWEEN filter is pushed to it; "
+        "partial+final aggregate, one exchange."
+    ),
+    "txlog_delete_dv": (
+        "Merge-on-read through live deletion vectors: the DV union (tiny, "
+        "bounded by deleted rows) broadcasts into a left-anti "
+        "BroadcastHashJoin against the data scan keyed on "
+        "(file name, row_index) — no data file was rewritten by the "
+        "delete, and the anti-join cost tracks the DELETED rows; above "
+        "DV_BROADCAST_MAX_ROWS positions the guard flips to a shuffle "
+        "anti-join (measured crossover in BASELINE.md r8)."
+    ),
+    "txlog_update_dv": (
+        "DV UPDATE read = the delete_dv MOR plan plus the appended "
+        "rewritten-rows file group in the same scan; one aggregate "
+        "exchange on top. The update itself cost one sidecar + the "
+        "matched rows — this read is the steady-state consumer view."
+    ),
     "events_hourly": "Scan-stage date_trunc, partial+final aggregate, one shuffle.",
     "dedup_ngram_jaccard": (
         "Shingles hashed to int64 in the scan stage; candidates come from the "
