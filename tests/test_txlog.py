@@ -2725,3 +2725,63 @@ class TestOptimizeWhere:
         pruned = txlog.read_pruned(spark, t, "k", 1, 1)
         assert pruned.count() == 20
         assert len(pruned.inputFiles()) < len(txlog.visible_files(t))
+
+
+class TestCdcFoldInvariant:
+    """THE change-feed invariant: folding the per-commit CDC feed from v0
+    (multiset of inserts minus deletes, per full row value) must
+    reconstruct EVERY snapshot exactly — across every mutation family
+    (CoW delete/update, DV delete/update, merge, replaceWhere, OPTIMIZE,
+    restore) and regardless of which resolution rung served each commit
+    (stored change record, pure-append fast path, snapshot-diff
+    fallback). An incremental consumer is exactly this fold; any
+    double-emitted, netted-away, or mis-signed row breaks it."""
+
+    @staticmethod
+    def _fold(spark, path, to_v):
+        cdf = txlog.table_changes(spark, path, 0, to_v)
+        signed = cdf.withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        cols = [c for c in cdf.columns if c not in ("_change_type", "_commit_version")]
+        return {
+            tuple(r[c] for c in cols): r["__n"]
+            for r in signed.groupBy(*cols)
+            .agg(F.sum("__sign").alias("__n"))
+            .filter("__n != 0")
+            .collect()
+        }
+
+    def test_fold_reconstructs_every_snapshot(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, f"v{i}", 1) for i in range(1, 9)]), path)  # v1
+        txlog.append(_df(spark, [(9, "v9", 1), (10, "v10", 1)]), path)  # v2
+        txlog.delete_where(spark, path, "id = 3")  # v3 (CoW, stored record)
+        txlog.update_where(spark, path, "id = 4", {"v": F.lit("V4")})  # v4
+        txlog.merge(  # v5: update 5, insert 11
+            spark,
+            path,
+            _df(spark, [(5, "v5b", 2), (11, "v11", 1)]),
+            keys=["id"],
+            order_col="version",
+        )
+        txlog.overwrite_where(  # v6: replace the id<=1 band
+            spark, path, _df(spark, [(0, "v0", 1)]), "id <= 1"
+        )
+        txlog.delete_where_dv(spark, path, "id = 6")  # v7 (DV, diff fallback)
+        txlog.update_where_dv(spark, path, "id = 7", {"v": F.lit("V7")})  # v8
+        v_opt = txlog.optimize(spark, path)  # v9: dataChange=false
+        txlog.restore(path, 5, spark=spark)  # v10: stored restore record
+        final_v = txlog.current_version(path)
+        for v in range(1, final_v + 1):
+            want = {}
+            rows = txlog.read_mor(spark, path, v, merge_schema=True).collect()
+            for r in rows:
+                k = tuple(r)
+                want[k] = want.get(k, 0) + 1
+            got = self._fold(spark, path, v)
+            assert got == want, f"fold != snapshot at v{v}"
+        assert v_opt == 9 and final_v == 10

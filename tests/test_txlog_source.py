@@ -484,3 +484,59 @@ class TestCdfStream:
                 q.processAllAvailable()
             finally:
                 q.stop()
+
+
+class TestCdfStreamRestore:
+    def test_spark_assisted_restore_streams_its_change_record(
+        self, spark, table, tmp_path
+    ):
+        """restore(..., spark=...) lands the rollback's row-level diff as
+        _change_data, so the streaming CDF drains the restore commit
+        without skipChangeCommits — resurrections arrive as inserts."""
+        txlog.delete_where_dv(spark, table, "id = 2")  # v3
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_restore")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf_restore"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # appends + the DV delete
+            v = txlog.restore(table, 2, spark=spark)  # resurrect id=2
+            q.processAllAvailable()
+            rows = [
+                (r.id, r._change_type)
+                for r in spark.sql(
+                    f"SELECT * FROM cdf_restore WHERE _commit_version = {v}"
+                ).collect()
+            ]
+            assert rows == [(2, "insert")], rows
+        finally:
+            q.stop()
+
+    def test_bare_restore_still_fails_unless_skipped(self, spark, table, tmp_path):
+        """A restore WITHOUT a session (no change record) keeps the old
+        contract: the stream fails with the skipChangeCommits hint."""
+        txlog.delete_where_dv(spark, table, "id = 2")
+        txlog.restore(table, 2)
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_restore_bare")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_cdf_rb"))
+            .start()
+        )
+        with pytest.raises(Exception, match="skipChangeCommits"):
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
