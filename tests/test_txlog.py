@@ -2785,3 +2785,43 @@ class TestCdcFoldInvariant:
             got = self._fold(spark, path, v)
             assert got == want, f"fold != snapshot at v{v}"
         assert v_opt == 9 and final_v == 10
+
+    def test_fold_survives_rename_drop_and_recycle(self, spark, tmp_path):
+        """The fold invariant holds ACROSS schema-layer commits: with the
+        feed rendered at the to-version's logical schema, folding from v0
+        over a rename + drop + recycled re-add still reconstructs the
+        final snapshot (columns compared by NAME — the feed and the
+        snapshot agree on the logical schema, not on field order)."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, f"v{i}", i) for i in range(1, 6)]), path)
+        txlog.rename_column(path, "version", "rev")  # v2
+        txlog.delete_where(spark, path, "rev = 3")  # v3 (physical name 'version')
+        txlog.drop_column(path, "v")  # v4
+        txlog.append(  # v5: recycled 'v' under a fresh physical name
+            spark.createDataFrame([(9, "new", 9)], "id long, v string, rev int"),
+            path,
+            merge_schema=True,
+        )
+        final_v = txlog.current_version(path)
+        snap = txlog.read_mor(spark, path, final_v, merge_schema=True)
+        cols = sorted(snap.columns)
+        want = {}
+        for r in snap.collect():
+            k = tuple(r[c] for c in cols)
+            want[k] = want.get(k, 0) + 1
+        cdf = txlog.table_changes(spark, path, 0, final_v)
+        assert sorted(
+            c for c in cdf.columns if not c.startswith("_c")
+        ) == cols, cdf.columns
+        signed = cdf.withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1)),
+        )
+        got = {
+            tuple(r[c] for c in cols): r["__n"]
+            for r in signed.groupBy(*cols)
+            .agg(F.sum("__sign").alias("__n"))
+            .filter("__n != 0")
+            .collect()
+        }
+        assert got == want
