@@ -6035,6 +6035,62 @@ def txlog_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_convert_in_place",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO txlog (in-place import, the Delta CONVERT TO DELTA
+    shape): a plain-parquet directory becomes a transactional table in
+    ONE metadata-only commit referencing the files where they are — zero
+    rows rewritten at any size — and is immediately a full citizen: the
+    build runs a CoW DELETE on the CONVERTED table, so the oracle (raw
+    table minus the deleted band) proves import + post-import mutation +
+    snapshot resolution end-to-end."""
+    def build(path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        _t(spark, sf_dir, "orders").write.parquet(path)
+        txlog.convert_to_txlog(spark, path, stats_cols=["o_orderkey"])
+        txlog.delete_where(spark, path, "o_orderkey % 10 = 0")
+
+    path = _lakehouse_table("converted", sf_dir, build)
+    return aggregate(
+        txlog.read(spark, path),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
+    "txlog_symlink_manifest",
+    _TXLOG_AGG_SQL.format(where="WHERE NOT (l_quantity < 5)"),
+)
+def txlog_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-reader handoff (GENERATE symlink_format_manifest): export
+    the lifecycle table's snapshot as a manifest of absolute file URIs,
+    then read it back through PLAIN ``spark.read.parquet`` on exactly
+    those files — no txlog resolution in the read path. The oracle is
+    the same post-DELETE relation as txlog_snapshot_read, so a manifest
+    naming a superseded, uncommitted, or missing file hash-mismatches."""
+    path = _snapshot_table(spark, sf_dir)
+    manifest = txlog.generate_symlink_manifest(path)
+    with open(manifest) as f:
+        files = [u[len("file://"):] for u in f.read().splitlines()]
+    return _txlog_agg(spark.read.parquet(*files))
+
+
+@_register(
     "txlog_pruned_read",
     """
     SELECT l_returnflag,
@@ -10084,6 +10140,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # at the top as they land.
     "txlog_cdf_update",
     "knn_ivf_pq",
+    "txlog_convert_in_place",
+    "txlog_symlink_manifest",
     "proj_select",
     "proj_derive",
     "proj_rename_drop",

@@ -2776,10 +2776,18 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
     deleted = []
     store = logstore.for_path(path)
 
+    # The metadata trees have their own lifecycles (log: never reclaimed;
+    # DV/change-data: group-granularity sweeps below; manifest: a static
+    # export) — everything else under the root is data, INCLUDING files
+    # imported in place by convert_to_txlog, which live outside data/.
+    _META_DIRS = {_LOG_DIR, _DV_DIR, _CDC_DIR, _MANIFEST_DIR}
+
     def _sweep(root_dir: str, is_kept) -> None:
         if not os.path.isdir(root_dir):
             return
-        for root, _, files in os.walk(root_dir):
+        for root, dirs, files in os.walk(root_dir):
+            if root == root_dir:
+                dirs[:] = [d for d in dirs if d not in _META_DIRS]
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), path)
                 if f.endswith(".parquet") and not is_kept(rel):
@@ -2788,10 +2796,12 @@ def vacuum(path: str, retain_versions: int = 1, dry_run: bool = False) -> list[s
                     deleted.append(rel)
         if not dry_run:
             for root, dirs, files in list(os.walk(root_dir, topdown=False)):
-                if not dirs and not files and root != root_dir:
+                if root == root_dir or os.path.basename(root) in _META_DIRS:
+                    continue
+                if not dirs and not files:
                     store.delete_tree(root)
 
-    _sweep(os.path.join(path, _DATA_DIR), lambda rel: rel in keep)
+    _sweep(path, lambda rel: rel in keep)
     # DV sidecars reclaim at GROUP granularity (each delete commit wrote one
     # _dv/<uuid>/ directory): an orphaned group goes wholesale, including
     # its _SUCCESS/.crc markers.
@@ -3351,3 +3361,113 @@ def reorg_purge(
         path, read_v + 1, adds, removes, stats, blooms, meta={"op": "reorg_purge"}
     )
     return read_v + 1
+
+
+def convert_to_txlog(
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """In-place IMPORT of an existing plain-parquet directory as a txlog
+    table (the Delta ``CONVERT TO DELTA`` shape): ONE metadata-only
+    commit references the files WHERE THEY ARE — zero rows rewritten at
+    any size; cost is O(n_files) footer reads (row counts, optional
+    stats/blooms). After conversion the directory is a full citizen:
+    appends, CoW/DV mutations, merge, CDC, time travel (version 1 = the
+    imported snapshot), OPTIMIZE — everything — because the commit log
+    only ever records file VISIBILITY, never layout.
+
+    Refused up front:
+
+    - a directory that already has a commit log (double-convert would
+      fork history);
+    - hive-partitioned layouts (``key=value`` path segments): this
+      engine keeps every column INLINE in the data files, so a converted
+      hive read would silently drop the partition columns — re-land
+      through ``append(..., partition_by=...)`` instead, which stores
+      them inline AND keeps the directory layout.
+
+    The logged schema is the footers' ADDITIVE union (a column missing
+    from some files reads NULL there — the merge-schema contract);
+    conflicting types across footers refuse, same as any append would.
+    """
+    if _versions(path):
+        raise ValueError(
+            f"{path!r} already has a commit log (version "
+            f"{current_version(path)}); convert_to_txlog imports plain "
+            f"directories only"
+        )
+    rels = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(root, f), path))
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    hive = sorted(r for r in rels if "=" in os.path.dirname(r))
+    if hive:
+        raise ValueError(
+            f"hive-partitioned layout detected ({hive[0]!r}): partition "
+            f"values live only in directory names there, and this engine "
+            f"keeps columns inline — re-land via append(partition_by=...) "
+            f"instead of converting in place"
+        )
+    rels = sorted(rels)
+    # additive-union schema from the actual files (spark types, logged
+    # exactly like an append's schema record); type conflicts fail here
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, r) for r in rels]
+    )
+    schema = dict(unified.dtypes)
+    stats = _collect_stats(path, rels, stats_cols or None)
+    blooms = _collect_blooms(path, rels, bloom_cols or None)
+    _try_commit(
+        path,
+        1,
+        rels,
+        [],
+        stats or None,
+        blooms or None,
+        meta={"op": "convert", "schema": schema},
+    )
+    return 1
+
+
+_MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def generate_symlink_manifest(path: str, version: int | None = None) -> str:
+    """External-reader handoff (the Delta ``GENERATE
+    symlink_format_manifest`` surface): write
+    ``_symlink_format_manifest/manifest`` — one absolute data-file URI
+    per line for the snapshot — so engines with no txlog connector
+    (Trino/Presto/Athena/Hive external tables) read EXACTLY the
+    snapshot's live files, never uncommitted or superseded ones.
+    Metadata-only, O(n_files); re-run after commits to refresh (the
+    manifest is a static export, not a live view — same contract as
+    Delta's). Torn-write-safe through the LogStore seam.
+
+    Refuses a snapshot with live deletion vectors: an external reader
+    has no DV semantics, so the manifest would resurrect every DV-dead
+    row — run :func:`reorg_purge` (rewrites exactly the DV-carrying
+    files) first, then export."""
+    v = current_version(path) if version is None else version
+    _check_reader(path, v)
+    dvs = visible_dvs(path, v)
+    if any(dvs.values()):
+        raise ValueError(
+            f"snapshot v{v} carries live deletion vectors on "
+            f"{sum(1 for x in dvs.values() if x)} file(s); an external "
+            f"reader would resurrect the DV-dead rows — run "
+            f"reorg_purge() first, then re-export"
+        )
+    files = visible_files(path, v)
+    if not files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    manifest = os.path.join(path, _MANIFEST_DIR, "manifest")
+    logstore.for_path(path).put_atomic(
+        manifest,
+        "\n".join(f"file://{os.path.abspath(f)}" for f in files) + "\n",
+    )
+    return manifest

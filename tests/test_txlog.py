@@ -2825,3 +2825,109 @@ class TestCdcFoldInvariant:
             .collect()
         }
         assert got == want
+
+
+class TestConvertAndManifest:
+    """Interop pair: convert_to_txlog (in-place import, zero rewrite) and
+    generate_symlink_manifest (external-reader export)."""
+
+    def test_convert_imports_in_place_and_table_is_full_citizen(
+        self, spark, tmp_path
+    ):
+        plain = str(tmp_path / "plain")
+        src = _df(spark, [(i, f"v{i}", 1) for i in range(1, 9)])
+        src.repartition(3).write.parquet(plain)
+        before = {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(plain)
+            for f in fs
+        }
+        v = txlog.convert_to_txlog(spark, plain, stats_cols=["id"])
+        assert v == 1
+        # zero rewrite: exactly the same data files, plus only the log
+        after = {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(plain)
+            for f in fs
+            if "_txlog" not in r
+        }
+        assert {f for f in after if f.endswith(".parquet")} == {
+            f for f in before if f.endswith(".parquet")
+        }
+        got = txlog.read(spark, plain)
+        assert sorted(r.id for r in got.collect()) == list(range(1, 9))
+        # the imported snapshot is version 1 forever (time travel target)
+        txlog.delete_where(spark, plain, "id <= 2")  # v2, CoW
+        assert txlog.read(spark, plain).count() == 6
+        assert txlog.read(spark, plain, version=1).count() == 8
+        # stats recorded at convert actually skip files
+        pruned = txlog.read_pruned(spark, plain, "id", lo=1, hi=1)
+        assert len(pruned.inputFiles()) <= 1 or pruned.count() == 0
+        # CDC works from the import onward
+        rows = {
+            (r.id, r._change_type)
+            for r in txlog.table_changes(spark, plain, 1, 2).collect()
+        }
+        assert rows == {(1, "delete"), (2, "delete")}
+        # schema was logged: a type change refuses like any append
+        with pytest.raises(Exception, match="type"):
+            txlog.append(
+                spark.createDataFrame([(1, 2, 1)], "id long, v int, version int"),
+                plain,
+            )
+
+    def test_convert_refuses_double_convert_and_hive_layout(self, spark, tmp_path):
+        plain = str(tmp_path / "p2")
+        _df(spark, [(1, "a", 1)]).write.parquet(plain)
+        txlog.convert_to_txlog(spark, plain)
+        with pytest.raises(ValueError, match="already has a commit log"):
+            txlog.convert_to_txlog(spark, plain)
+        hive = str(tmp_path / "hive")
+        _df(spark, [(1, "a", 1), (2, "b", 2)]).write.partitionBy(
+            "version"
+        ).parquet(hive)
+        with pytest.raises(ValueError, match="hive-partitioned"):
+            txlog.convert_to_txlog(spark, hive)
+
+    def test_vacuum_reclaims_superseded_converted_files(self, spark, tmp_path):
+        plain = str(tmp_path / "p3")
+        _df(spark, [(i, "x", 1) for i in range(20)]).coalesce(2).write.parquet(plain)
+        txlog.convert_to_txlog(spark, plain)
+        txlog.optimize(spark, plain, target_file_bytes=1 << 30)  # v2 rewrite
+        deleted = txlog.vacuum(plain, retain_versions=1)
+        # the imported files live OUTSIDE data/ — the sweep must still
+        # reclaim them once superseded
+        assert deleted and all(not d.startswith("data/") for d in deleted)
+        assert txlog.read(spark, plain).count() == 20
+
+    def test_manifest_exports_exact_snapshot_and_refreshes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        m = txlog.generate_symlink_manifest(path)
+        uris = open(m).read().splitlines()
+        assert uris and all(u.startswith("file://") for u in uris)
+        files = [u[len("file://"):] for u in uris]
+        assert sorted(files) == sorted(txlog.visible_files(path))
+        # an engine with no txlog connector reads exactly the snapshot
+        ext = spark.read.parquet(*files)
+        assert sorted((r.id, r.v) for r in ext.collect()) == [(1, "a"), (2, "b")]
+        # static export: refresh picks up later commits
+        txlog.delete_where(spark, path, "id = 1")
+        txlog.generate_symlink_manifest(path)
+        files2 = [
+            u[len("file://"):] for u in open(m).read().splitlines()
+        ]
+        assert sorted(files2) == sorted(txlog.visible_files(path))
+        assert spark.read.parquet(*files2).count() == 1
+
+    def test_manifest_refuses_live_deletion_vectors(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.delete_where_dv(spark, path, "id = 1")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            txlog.generate_symlink_manifest(path)
+        # purge materializes the DVs; the export then succeeds
+        txlog.reorg_purge(spark, path)
+        m = txlog.generate_symlink_manifest(path)
+        files = [u[len("file://"):] for u in open(m).read().splitlines()]
+        assert spark.read.parquet(*files).count() == 1
