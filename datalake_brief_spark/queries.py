@@ -6035,6 +6035,44 @@ def txlog_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_row_ids",
+    """
+    SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
+                                                        AS n_deleted,
+           TRUE                                         AS ids_ok
+    FROM orders
+    """,
+)
+def txlog_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (the Delta row-ID feature) at the driver gate: enable
+    on an orders-backed table (backfill covers every row exactly once:
+    ids 0..n-1), CoW-DELETE a band, and verify the SURVIVORS' ids are the
+    identical dense-prefix subset — distinct, still inside [0, n), and
+    none recycled (count survivors == n - deleted, max < n). A rewrite
+    that re-keyed, duplicated, or dropped an id flips the boolean. Id
+    VALUES are allocation-order-specific (engine-local state, like LSH
+    hashes), so the gate is the pinned-boolean form."""
+    def build(path: str) -> None:
+        txlog.append(_t(spark, sf_dir, "orders"), path)
+        txlog.enable_row_tracking(path)
+        txlog.delete_where(spark, path, "o_orderkey % 10 = 0")
+
+    path = _lakehouse_table("row_ids", sf_dir, build)
+    n_total = _t(spark, sf_dir, "orders").count()
+    df = txlog.read_with_row_ids(spark, path)
+    return df.agg(
+        F.lit(n_total).cast("long").alias("n_rows"),
+        (F.lit(n_total) - F.count(F.lit(1))).cast("long").alias("n_deleted"),
+        (
+            (F.countDistinct("row_id") == F.count(F.lit(1)))
+            & (F.min("row_id") >= 0)
+            & (F.max("row_id") < F.lit(n_total))
+        ).alias("ids_ok"),
+    )
+
+
+@_register(
     "txlog_convert_in_place",
     """
     SELECT o_orderstatus,
@@ -10142,6 +10180,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_ivf_pq",
     "txlog_convert_in_place",
     "txlog_symlink_manifest",
+    "txlog_row_ids",
     "proj_select",
     "proj_derive",
     "proj_rename_drop",

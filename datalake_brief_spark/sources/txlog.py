@@ -134,6 +134,7 @@ def _replay(path: str, version: int | None = None) -> dict:
                 "blooms": e.get("blooms"),
                 "rows": e.get("rows"),
                 "dvs": list(e.get("dvs") or []),
+                "base": e.get("base"),
             }
             for rel, e in cp["files"].items()
         }
@@ -168,6 +169,12 @@ def _replay(path: str, version: int | None = None) -> dict:
         for rel, dv_list in commit.get("dv_set", {}).items():
             if rel in live:
                 live[rel]["dvs"] = list(dv_list)
+        # row tracking: a file's base row id rides with the file (fresh
+        # files get a base from the allocating commit; re-asserted by
+        # restore/clone; files carrying MATERIALIZED ids record none)
+        for rel, b in commit.get("row_bases", {}).items():
+            if rel in live:
+                live[rel]["base"] = b
     return live
 
 
@@ -654,6 +661,7 @@ def _try_commit(
     dv_adds: dict[str, str] | None = None,
     dv_set: dict[str, list[str]] | None = None,
     change_data: list[str] | None = None,
+    row_bases: dict[str, int] | None = None,
 ) -> None:
     commit = {
         "version": version,
@@ -684,6 +692,8 @@ def _try_commit(
         # commit provably changed no rows" — distinct from ABSENT, which
         # means "no record; CDC must diff snapshots or refuse")
         commit["change_data"] = change_data
+    if row_bases:
+        commit["row_bases"] = row_bases
     payload = json.dumps(commit)
     # The LogStore seam IS the commit: put_if_absent's mutual exclusion
     # (O_EXCL locally; conditional put on an object store) decides which
@@ -1117,6 +1127,12 @@ def append(
     # renamed-away or dropped column still present in old files) — it gets
     # a fresh generated physical name, or the old bytes would resurrect
     # under the new column.
+    tracking = row_tracking_enabled(path)
+    if tracking and _ROWID in df.columns:
+        raise ValueError(
+            f"{_ROWID!r} is the reserved row-tracking column; appended "
+            f"frames must not carry it"
+        )
     base_mapping = _column_mapping(path)
     mapping = dict(base_mapping)
     logged = latest_meta(path, "schema")
@@ -1176,6 +1192,13 @@ def append(
                 "changed (concurrent rename/drop) after this append's data "
                 "files landed; re-run the append against the new schema"
             )
+        # row tracking: allocate fresh id ranges PER ATTEMPT — a lost race
+        # re-reads the watermark the winner advanced, so only the commit
+        # winner's allocation ever lands and ranges never overlap
+        rt_meta, row_bases = {}, None
+        if tracking:
+            row_bases, wm = _alloc_row_bases(path, adds)
+            rt_meta = {"row_id_watermark": wm}
         v = current_version(path) + 1
         try:
             _try_commit(
@@ -1189,8 +1212,10 @@ def append(
                     "op": "append",
                     "schema": schema_meta,
                     **map_meta,
+                    **rt_meta,
                     **(meta or {}),
                 },
+                row_bases=row_bases,
             )
             return v
         except CommitConflict:
@@ -1250,6 +1275,11 @@ def overwrite(
     with the data it describes — the Delta ``txn``-action pattern. Read it
     back with :func:`latest_meta`."""
     read_v = current_version(path)
+    if row_tracking_enabled(path, read_v) and _ROWID in df.columns:
+        raise ValueError(
+            f"{_ROWID!r} is the reserved row-tracking column; overwritten "
+            f"frames must not carry it"
+        )
     _enforce_constraints(df, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     # overwrite replaces the WHOLE table: the new files carry the frame's
@@ -1266,6 +1296,12 @@ def overwrite(
         }
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
+    # row tracking: full overwrite replaces every row — fresh id ranges
+    # for the new files (single-attempt commit, race → conflict)
+    rt_meta, row_bases = {}, None
+    if row_tracking_enabled(path, read_v):
+        row_bases, wm = _alloc_row_bases(path, adds)
+        rt_meta = {"row_id_watermark": wm}
     _try_commit(
         path,
         read_v + 1,
@@ -1278,8 +1314,10 @@ def overwrite(
             "op": "overwrite",
             "schema": dict(df.dtypes),
             **map_meta,
+            **rt_meta,
             **(meta or {}),
         },
+        row_bases=row_bases,
     )
     return read_v + 1
 
@@ -1618,6 +1656,15 @@ def merge(
     change_data = _write_change_files(_to_physical(changes, mapping), path)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
+    # row tracking: merge restructures the whole snapshot through a
+    # latest-wins window — no per-row lineage survives it, so the merged
+    # files get FRESH id ranges (the documented re-key contract; safe on
+    # this single-attempt commit — a race surfaces as CommitConflict, the
+    # allocation never lands)
+    rt_meta, row_bases = {}, None
+    if row_tracking_enabled(path, read_v):
+        row_bases, wm = _alloc_row_bases(path, adds)
+        rt_meta = {"row_id_watermark": wm}
     _try_commit(
         path,
         read_v + 1,
@@ -1627,8 +1674,9 @@ def merge(
         blooms,
         # merge is the evolution-tolerant path by contract (unionByName
         # allowMissingColumns above); record the unified post-merge schema
-        meta={"op": "merge", "schema": dict(latest.dtypes)},
+        meta={"op": "merge", "schema": dict(latest.dtypes), **rt_meta},
         change_data=change_data,
+        row_bases=row_bases,
     )
     return read_v + 1
 
@@ -1756,6 +1804,7 @@ def _commit_serializable(
     dv_adds: dict[str, str] | None = None,
     max_retries: int = 3,
     change_data: list[str] | None = None,
+    alloc_row_bases_for: list[str] | None = None,
 ) -> int:
     """WriteSerializable commit for the row-level mutations — the Delta
     conflict-RESOLUTION rules instead of fail-on-any-race: when another
@@ -1777,10 +1826,17 @@ def _commit_serializable(
     reason when resolution is impossible."""
     target = read_v + 1
     for _ in range(max_retries + 1):
+        # row tracking: fresh-id allocation re-derives PER ATTEMPT from the
+        # tip watermark (same serialization argument as append's loop)
+        meta_rt, row_bases = dict(meta), None
+        if alloc_row_bases_for:
+            row_bases, wm = _alloc_row_bases(path, alloc_row_bases_for)
+            meta_rt["row_id_watermark"] = wm
         try:
             _try_commit(
                 path, target, adds, removes, stats, blooms,
-                meta=meta, dv_adds=dv_adds, change_data=change_data,
+                meta=meta_rt, dv_adds=dv_adds, change_data=change_data,
+                row_bases=row_bases,
             )
             return target
         except CommitConflict as e:
@@ -2079,9 +2135,19 @@ def overwrite_where(
                 "overwrite_where: new_df contains rows that do not satisfy "
                 "the replace predicate (pass enforce=False to allow)"
             )
+    tracking = row_tracking_enabled(path, read_v)
+    if tracking and _ROWID in new_df.columns:
+        raise ValueError(
+            f"{_ROWID!r} is the reserved row-tracking column; replacement "
+            f"frames must not carry it"
+        )
     matched = _matched_files(spark, path, read_v, predicate, prune_col, lo, hi)
     mapping = _column_mapping(path, read_v)
     adds = _write_data_files(_to_physical(new_df, mapping), path)
+    # row tracking: the REPLACEMENT rows are new logical rows (fresh id
+    # ranges, allocated per commit attempt); band survivors rewritten
+    # below carry their MATERIALIZED ids — untouched-row ids never move
+    new_row_files = list(adds) if tracking else None
     # change record: the replaced band's pre-images as deletes + new_df as
     # inserts (survivor rows pass through byte-identical — not a change)
     change_data = _write_change_files(
@@ -2107,6 +2173,7 @@ def overwrite_where(
         spark, path, read_v, adds, removes, stats, blooms,
         {"op": "replace_where", "schema": schema_meta}, predicate=predicate,
         change_data=sorted(change_data),
+        alloc_row_bases_for=new_row_files,
     )
 
 
@@ -2195,6 +2262,15 @@ def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
             if d is None
             else _write_change_files(_to_physical(d, tgt_map), path)
         )
+    # row tracking: re-added files get their AT-TARGET base row ids back
+    # (a plain visibility flip would leave them base-less and break
+    # read_with_row_ids); the watermark never rolls back — ids stay
+    # history-unique even across restores.
+    row_bases = {
+        rel: tgt_state[rel]["base"]
+        for rel in adds
+        if tgt_state.get(rel, {}).get("base") is not None
+    }
     _try_commit(
         path,
         cur_v + 1,
@@ -2205,6 +2281,7 @@ def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
         meta=meta,
         dv_set=dv_set or None,
         change_data=change_data,
+        row_bases=row_bases or None,
     )
     return cur_v + 1
 
@@ -2625,7 +2702,13 @@ def optimize_zorder(
         return 0
     # MOR-aware: a full-snapshot rewrite must apply live deletion vectors
     # or it would resurrect DV-deleted rows (read_mor == read when no DVs).
-    df = read_mor(spark, path, read_v, merge_schema=True)
+    # On a row-tracking table the files-with-dvs read carries __row_id, so
+    # the clustered rewrite MATERIALIZES every row's id (maintenance never
+    # re-keys).
+    if row_tracking_enabled(path, read_v):
+        df = _read_files_with_dvs(spark, path, read_v, visible_files(path, read_v))
+    else:
+        df = read_mor(spark, path, read_v, merge_schema=True)
     z = zorder_value(df, cluster_cols, bits=bits)
     arranged = (
         z.repartitionByRange(n_files, F.col("__zval"))
@@ -2698,6 +2781,17 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         for rel, e in rel_map.items()
         if e.get("dvs")
     }
+    # row tracking carries into the clone: per-file bases ride like stats,
+    # the flag + watermark like any meta (ids in the clone == ids in the
+    # source snapshot; the clone allocates its own fresh ids from the
+    # carried watermark thereafter)
+    for key in ("row_tracking", "row_id_watermark"):
+        m = latest_meta(src_path, key, version)
+        if m is not None:
+            meta[key] = m
+    row_bases = {
+        rel: e["base"] for rel, e in rel_map.items() if e.get("base") is not None
+    }
     commit = {
         "version": 1,
         "adds": sorted(rel_map),
@@ -2710,6 +2804,8 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
     }
     if dv_set:
         commit["dv_set"] = dv_set
+    if row_bases:
+        commit["row_bases"] = row_bases
     logstore.for_path(dst_path).put_if_absent(
         _commit_path(dst_path, 1), json.dumps(commit)
     )
@@ -2934,29 +3030,46 @@ def _read_files_with_dvs(
     evolution reason. Returns the LOGICAL view (rewriters re-translate
     with _to_physical before landing files) — which also means any
     rewrite lazily PURGES dropped-column bytes from the files it
-    touches, the REORG PURGE effect."""
-    raw = _read_data(spark, path, files, merge_schema=True)
+    touches, the REORG PURGE effect.
+
+    On a row-tracking table the view additionally carries each row's
+    stable id in the reserved ``__row_id`` PHYSICAL column, so every
+    rewrite that lands this frame MATERIALIZES the ids into its new
+    files — preservation happens by construction, no rewrite path can
+    forget it."""
+    if row_tracking_enabled(path, read_v):
+        tagged = _rid_frame(spark, path, read_v, files)
+    else:
+        raw = _read_data(spark, path, files, merge_schema=True)
+        tagged = None
     dvs = visible_dvs(path, read_v)
     rels = {os.path.relpath(f, path) for f in files}
     dv_paths = sorted(
         {p for rel, ps in dvs.items() if rel in rels for p in ps}
     )
-    if not dv_paths:
+    if tagged is None and not dv_paths:
         return _logical_view(raw, path, read_v)
-    # tag from the RAW scan (the _metadata pseudo-column resolves only on
-    # the file-source relation), then translate to the logical view
-    tagged = raw.select(
-        "*",
-        _file_name_col().alias("__fn"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
-    tagged = _logical_view(tagged, path, read_v, passthrough=("__fn", "__ri"))
-    dv = spark.read.parquet(*dv_paths).select(
-        F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
-    )
-    return _anti_join_dvs(
-        tagged, dv, _dv_rows_from_footers(dv_paths), DV_BROADCAST_MAX_ROWS
-    )
+    if tagged is None:
+        # tag from the RAW scan (the _metadata pseudo-column resolves only
+        # on the file-source relation), then translate to the logical view
+        tagged = raw.select(
+            "*",
+            _file_name_col().alias("__fn"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        tagged = _logical_view(tagged, path, read_v, passthrough=("__fn", "__ri"))
+    if dv_paths:
+        dv = spark.read.parquet(*dv_paths).select(
+            F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+        )
+        out = _anti_join_dvs(
+            tagged, dv, _dv_rows_from_footers(dv_paths), DV_BROADCAST_MAX_ROWS
+        )
+    else:
+        out = tagged.drop("__fn", "__ri")
+    if "__rid" in out.columns:
+        out = out.withColumnRenamed("__rid", _ROWID)
+    return out
 
 
 def delete_where_dv(
@@ -3178,14 +3291,35 @@ def update_where_dv(
         return read_v
     # tag positions on the RAW scan, then evaluate the LOGICAL predicate
     # against the logical view (passthrough keeps the position tags)
-    scan = _read_data(spark, path, candidates, merge_schema=True).select(
+    raw = _read_data(spark, path, candidates, merge_schema=True)
+    scan = raw.select(
         "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
     )
-    scan = _logical_view(
-        scan, path, read_v, passthrough=("file_name", "row_index")
-    )
+    tracking = row_tracking_enabled(path, read_v)
+    passthrough = ["file_name", "row_index"]
+    if tracking:
+        # stable row ids ride with the updated rows: resolve each hit's id
+        # (materialized column or base + position) so the appended rewrite
+        # MATERIALIZES it — a DV UPDATE preserves identity like the CoW twin
+        mat = (
+            F.col(_ROWID) if _ROWID in raw.columns else F.lit(None).cast("long")
+        )
+        bases = visible_row_bases(path, read_v)
+        base_df = spark.createDataFrame(
+            [(os.path.basename(r), b) for r, b in bases.items()],
+            "file_name string, __base long",
+        )
+        scan = scan.withColumn("__mat", mat).join(
+            F.broadcast(base_df), "file_name", "left"
+        )
+        scan = scan.withColumn(
+            "__rid",
+            F.coalesce(F.col("__mat"), F.col("__base") + F.col("row_index")),
+        ).drop("__mat", "__base")
+        passthrough.append("__rid")
+    scan = _logical_view(scan, path, read_v, passthrough=tuple(passthrough))
     hits = scan.filter(predicate)
     existing = visible_dvs(path, read_v)
     existing_paths = sorted({p for ps in existing.values() for p in ps})
@@ -3223,6 +3357,8 @@ def update_where_dv(
             cols.append(a.cast(field.dataType).alias(field.name))
         else:
             cols.append(F.col(field.name))
+    if tracking:
+        cols.append(F.col("__rid").alias(_ROWID))
     rewritten = src.select(*cols)
     _enforce_constraints(rewritten, path)
     live_rels = [os.path.relpath(p, path) for p in all_files]
@@ -3471,3 +3607,175 @@ def generate_symlink_manifest(path: str, version: int | None = None) -> str:
         "\n".join(f"file://{os.path.abspath(f)}" for f in files) + "\n",
     )
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (the Delta row-ID feature): a stable 64-bit identity per row,
+# assigned at write and PRESERVED across every file-scoped rewrite.
+# ---------------------------------------------------------------------------
+
+#: the reserved PHYSICAL column materialized row ids live in once a rewrite
+#: touches a file; never part of any logical schema, so plain reads drop it
+_ROWID = "__row_id"
+
+
+def row_tracking_enabled(path: str, version: int | None = None) -> bool:
+    return bool(latest_meta(path, "row_tracking", version))
+
+
+def _row_id_watermark(path: str) -> int:
+    return int(latest_meta(path, "row_id_watermark") or 0)
+
+
+def _alloc_row_bases(path: str, rels: list[str], wm: int | None = None):
+    """Allocate contiguous fresh-id ranges for new file groups: each file's
+    base is the running watermark, advanced by its exact footer row count.
+    Returns ``(row_bases, new_watermark)``. Callers racing for a version
+    re-invoke per commit attempt — only the commit WINNER's allocation
+    lands, so id ranges are serialized by commit order and never overlap."""
+    if wm is None:
+        wm = _row_id_watermark(path)
+    bases: dict[str, int] = {}
+    for rel in sorted(rels):
+        bases[rel] = wm
+        wm += _file_rows(os.path.join(path, rel))
+    return bases, wm
+
+
+def visible_row_bases(path: str, version: int | None = None) -> dict[str, int]:
+    """rel path → base row id for every live file that carries one (files
+    whose ids are MATERIALIZED in a ``__row_id`` column carry none)."""
+    return {
+        rel: e["base"]
+        for rel, e in _replay(path, version).items()
+        if e.get("base") is not None
+    }
+
+
+def enable_row_tracking(path: str) -> int:
+    """Turn on row tracking for an existing table in ONE metadata-only
+    commit (the Delta ``delta.enableRowTracking`` shape): every visible
+    file gets a ``base_row_id`` backfilled from its exact footer row
+    count, and every later write either allocates fresh ranges from the
+    logged watermark (appends, merge, overwrite, replaceWhere inserts) or
+    MATERIALIZES the ids it read into the files it rewrites (CoW
+    DELETE/UPDATE, DV UPDATE's rewritten rows, OPTIMIZE/Z-order/REORG) —
+    so a row's id survives any sequence of file-scoped rewrites.
+    Read ids back with :func:`read_with_row_ids`.
+
+    Semantics (documented contract): ids identify LOGICAL rows — stable
+    across UPDATE (both CoW and DV forms) and across every maintenance
+    rewrite; the snapshot-RESTRUCTURING writes (merge, overwrite,
+    replaceWhere's replacement rows) assign fresh ids to the rows they
+    produce, because a latest-wins merge has no per-row lineage to
+    preserve. RESTORE brings the target snapshot's ids back with it;
+    CLONE carries ids into the clone.
+
+    Requires a logged schema (the enabling commit must know the table's
+    columns so the reserved ``__row_id`` physical name can never
+    collide) and refuses a table that already has a column of that name.
+    Writers predating the feature do not allocate — their appends make
+    :func:`read_with_row_ids` fail fast on the uncovered file (never a
+    silent wrong id)."""
+    v = current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if row_tracking_enabled(path):
+        raise ValueError(f"row tracking already enabled on {path!r}")
+    schema = latest_meta(path, "schema")
+    if schema is None:
+        raise ValueError(
+            "row tracking needs a logged schema; write once with a "
+            "schema-recording commit (any append/overwrite) first"
+        )
+    if _ROWID in schema or _ROWID in _physical_reserved(path):
+        raise ValueError(
+            f"table has a column or reserved physical name {_ROWID!r}"
+        )
+    rels = [os.path.relpath(p, path) for p in visible_files(path, v)]
+    bases, wm = _alloc_row_bases(path, rels, wm=0)
+    _try_commit(
+        path,
+        v + 1,
+        [],
+        [],
+        meta={
+            "op": "enable_row_tracking",
+            "row_tracking": True,
+            "row_id_watermark": wm,
+            "physical_reserved": sorted(_physical_reserved(path) | {_ROWID}),
+        },
+        row_bases=bases,
+    )
+    return v + 1
+
+
+def _rid_frame(spark: SparkSession, path: str, version, files, passthrough=()):
+    """Internal: logical view of ``files`` with a ``__rid`` column — each
+    row's stable id, resolved per file as COALESCE(materialized
+    ``__row_id`` column, base_row_id + ``_metadata.row_index``). The base
+    map is metadata-sized (n_files) and broadcast, mirroring the DV
+    anti-join shape. Rows with NEITHER source fail loudly (a file written
+    by a pre-feature writer), never return a wrong id. Tags ``__fn``/
+    ``__ri`` are kept for the caller's DV handling."""
+    raw = _read_data(spark, path, files, merge_schema=True)
+    mat = F.col(_ROWID) if _ROWID in raw.columns else F.lit(None).cast("long")
+    tagged = raw.select(
+        "*",
+        _file_name_col().alias("__fn"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    bases = visible_row_bases(path, version)
+    base_df = spark.createDataFrame(
+        [(os.path.basename(r), b) for r, b in bases.items()],
+        "__fn string, __base long",
+    )
+    tagged = tagged.join(F.broadcast(base_df), "__fn", "left")
+    rid = F.coalesce(mat, F.col("__base") + F.col("__ri"))
+    rid = F.when(
+        rid.isNull(),
+        F.raise_error(
+            F.lit(
+                "row tracking: a visible file carries neither a base row "
+                "id nor materialized ids (written by a pre-feature "
+                "writer?); re-run enable_row_tracking after an OPTIMIZE "
+                "of the uncovered files"
+            )
+        ).cast("long"),
+    ).otherwise(rid)
+    out = tagged.withColumn("__rid", rid).drop("__base")
+    return _logical_view(
+        out, path, version, passthrough=("__fn", "__ri", "__rid", *passthrough)
+    )
+
+
+def read_with_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with the stable ``row_id`` column (merge-on-read:
+    deletion vectors applied, like :func:`read_mor`). The id is unique
+    across the table's whole history — deleted rows' ids are never
+    recycled (the watermark only grows) — which is what makes it usable
+    as a join key for external enrichment, incremental ML feature
+    stores, and audit lineage across rewrites."""
+    if not row_tracking_enabled(path, version):
+        raise ValueError(
+            f"row tracking is not enabled on {path!r} (enable_row_tracking)"
+        )
+    _check_reader(path, version)
+    files = visible_files(path, version)
+    if not files:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    df = _rid_frame(spark, path, version, files)
+    dvs = visible_dvs(path, version)
+    dv_paths = sorted({p for ps in dvs.values() for p in ps})
+    if dv_paths:
+        dv = spark.read.parquet(*dv_paths).select(
+            F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+        )
+        df = _anti_join_dvs(
+            df, dv, _dv_rows_from_footers(dv_paths), DV_BROADCAST_MAX_ROWS
+        )
+    else:
+        df = df.drop("__fn", "__ri")
+    return df.withColumnRenamed("__rid", "row_id")

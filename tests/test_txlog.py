@@ -2931,3 +2931,151 @@ class TestConvertAndManifest:
         m = txlog.generate_symlink_manifest(path)
         files = [u[len("file://"):] for u in open(m).read().splitlines()]
         assert spark.read.parquet(*files).count() == 1
+
+
+class TestRowTracking:
+    """Stable row IDs (the Delta row-tracking feature, opt-in per table):
+    allocation from the logged watermark, preservation across every
+    file-scoped rewrite, fresh ranges from restructuring writes, and the
+    uniqueness invariant throughout."""
+
+    @staticmethod
+    def _ids(spark, path, version=None):
+        return {
+            r.id: r.row_id
+            for r in txlog.read_with_row_ids(spark, path, version).collect()
+        }
+
+    def test_enable_backfills_and_appends_allocate(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        with pytest.raises(ValueError, match="not enabled"):
+            txlog.read_with_row_ids(spark, path)
+        txlog.enable_row_tracking(path)
+        ids = self._ids(spark, path)
+        assert sorted(ids.values()) == [0, 1]  # backfill covers everything
+        txlog.append(_df(spark, [(3, "c", 1), (4, "d", 1)]), path)
+        ids2 = self._ids(spark, path)
+        assert {ids2[1], ids2[2]} == set(ids.values())  # old rows stable
+        assert sorted(ids2.values()) == [0, 1, 2, 3]  # fresh range appended
+        with pytest.raises(ValueError, match="already enabled"):
+            txlog.enable_row_tracking(path)
+
+    def test_cow_delete_and_update_preserve_ids(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, f"v{i}", 1) for i in range(1, 6)]), path)
+        txlog.enable_row_tracking(path)
+        before = self._ids(spark, path)
+        txlog.delete_where(spark, path, "id = 2")
+        after = self._ids(spark, path)
+        assert after == {k: v for k, v in before.items() if k != 2}
+        txlog.update_where(spark, path, "id = 4", {"v": F.lit("X")})
+        after2 = self._ids(spark, path)
+        assert after2 == after  # an UPDATE keeps the row's identity
+        got = {
+            r.id: r.v for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        assert got[4] == "X"
+
+    def test_dv_delete_and_update_preserve_ids(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, f"v{i}", 1) for i in range(1, 6)]), path)
+        txlog.enable_row_tracking(path)
+        before = self._ids(spark, path)
+        txlog.delete_where_dv(spark, path, "id = 2")
+        assert self._ids(spark, path) == {
+            k: v for k, v in before.items() if k != 2
+        }
+        txlog.update_where_dv(spark, path, "id = 4", {"v": F.lit("Y")})
+        after = self._ids(spark, path)
+        assert after == {k: v for k, v in before.items() if k != 2}
+        rows = {
+            r.id: (r.v, r.row_id)
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        assert rows[4] == ("Y", before[4])
+
+    def test_optimize_and_zorder_preserve_ids(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        for i in range(4):
+            txlog.append(_df(spark, [(i, f"v{i}", 1)]), path)
+        txlog.enable_row_tracking(path)
+        before = self._ids(spark, path)
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        assert self._ids(spark, path) == before
+        txlog.optimize_zorder(spark, path, ["id"], n_files=2)
+        assert self._ids(spark, path) == before
+
+    def test_merge_and_overwrite_rekey_but_stay_unique(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.enable_row_tracking(path)
+        wm_before = txlog._row_id_watermark(path)  # noqa: SLF001
+        txlog.merge(
+            spark, path, _df(spark, [(2, "b2", 2), (3, "c", 1)]),
+            keys=["id"], order_col="version",
+        )
+        ids = self._ids(spark, path)
+        assert len(set(ids.values())) == 3
+        assert min(ids.values()) >= wm_before  # merged snapshot re-keyed
+        txlog.overwrite(_df(spark, [(9, "z", 1)]), path)
+        ids2 = self._ids(spark, path)
+        assert list(ids2) == [9] and min(ids2.values()) > max(ids.values())
+
+    def test_replace_where_fresh_inserts_survivors_stable(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(i, "x", 1) for i in range(1, 6)]), path)
+        txlog.enable_row_tracking(path)
+        before = self._ids(spark, path)
+        txlog.overwrite_where(
+            spark, path, _df(spark, [(0, "new", 1)]), "id <= 2"
+        )
+        after = self._ids(spark, path)
+        # survivors of the rewritten files keep their ids exactly
+        for k in (3, 4, 5):
+            assert after[k] == before[k]
+        # the replacement row got a FRESH id (never a recycled one)
+        assert after[0] not in before.values()
+
+    def test_restore_and_clone_carry_ids(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.enable_row_tracking(path)
+        v2 = txlog.current_version(path)
+        at_v2 = self._ids(spark, path, v2)
+        txlog.delete_where(spark, path, "id = 1")
+        dst = str(tmp_path / "c")
+        txlog.clone(path, dst)
+        assert self._ids(spark, dst) == {2: at_v2[2]}
+        txlog.restore(path, v2)
+        assert self._ids(spark, path) == at_v2
+        # the clone allocates its OWN fresh ids from the carried watermark
+        txlog.append(_df(spark, [(7, "g", 1)]), dst)
+        cids = self._ids(spark, dst)
+        assert cids[7] not in at_v2.values()
+
+    def test_ids_survive_checkpoint_and_vacuum(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(0, "seed", 1)]), path)
+        txlog.enable_row_tracking(path)
+        before = {0: self._ids(spark, path)[0]}
+        for i in range(1, 12):  # crosses the 10-commit checkpoint
+            txlog.append(_df(spark, [(i, "x", 1)]), path)
+            before[i] = self._ids(spark, path)[i]
+        assert self._ids(spark, path) == before
+        assert len(set(before.values())) == 12
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        txlog.vacuum(path)
+        assert self._ids(spark, path) == before
+
+    def test_reserved_column_and_schema_guards(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        txlog.enable_row_tracking(path)
+        bad = spark.createDataFrame(
+            [(2, "b", 1, 99)], "id long, v string, version int, __row_id long"
+        )
+        with pytest.raises(Exception, match="__row_id"):
+            txlog.append(bad, path, merge_schema=True)
+        with pytest.raises(Exception, match="__row_id"):
+            txlog.overwrite(bad, path)
