@@ -2359,6 +2359,7 @@ def table_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    include_row_ids: bool = False,
 ) -> DataFrame:
     """Change data feed over ``(from_version, to_version]``, PER COMMIT
     (the Delta CDF contract): every row gains ``_change_type``
@@ -2397,9 +2398,23 @@ def table_changes(
     the to_v schema can express. The STREAMING CDF still fails on a
     mid-stream mapping change — its column resolution is fixed at
     stream start (see streaming/source.py) — so batch table_changes is
-    the documented path across such a boundary."""
+    the documented path across such a boundary.
+
+    ``include_row_ids=True`` (row-tracking tables only) adds the stable
+    ``row_id`` to every change row the ladder can attribute: stored
+    change records carry the ids their rewrite materialized (an UPDATE's
+    delete+insert pair shares ONE id — join the pair on it), pure
+    appends compute ids from their own commit's base allocation, and
+    deletion-vector commits resolve position-exactly. ``row_id`` is NULL
+    only where no identity exists: merge/overwrite/replaceWhere images
+    (those ops re-key by contract) and legacy pre-change-record rewrite
+    commits (their diff predates id materialization)."""
     to_v = current_version(path) if to_version is None else to_version
     _check_reader(path, to_v)
+    if include_row_ids and not row_tracking_enabled(path, to_v):
+        raise ValueError(
+            f"include_row_ids needs row tracking enabled on {path!r}"
+        )
     legs: list[DataFrame] = []
     saw_data_commit = False
     for v in range(from_version + 1, to_v + 1):
@@ -2416,7 +2431,16 @@ def table_changes(
             cd = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, r) for r in rels]
             )
-            cd = _logical_view(cd, path, to_v, passthrough=("_change_type",))
+            passthrough = ["_change_type"]
+            if include_row_ids:
+                rid = (
+                    F.col(_ROWID).cast("long")
+                    if _ROWID in cd.columns
+                    else F.lit(None).cast("long")
+                )
+                cd = cd.withColumn("row_id", rid)
+                passthrough.append("row_id")
+            cd = _logical_view(cd, path, to_v, passthrough=tuple(passthrough))
             legs.append(cd.withColumn("_commit_version", F.lit(v)))
             continue
         has_state = (
@@ -2437,23 +2461,44 @@ def table_changes(
             and op != "restore"
         ):
             # pure append: its added files ARE the change record
-            rows = _logical_view(
-                _read_data(
-                    spark,
-                    path,
-                    [os.path.join(path, r) for r in commit["adds"]],
-                    merge_schema=True,
-                ),
+            raw = _read_data(
+                spark,
                 path,
-                to_v,
+                [os.path.join(path, r) for r in commit["adds"]],
+                merge_schema=True,
             )
+            passthrough = ()
+            if include_row_ids:
+                # the commit's OWN base allocation names each row's id
+                base_df = spark.createDataFrame(
+                    [
+                        (os.path.basename(rel), b)
+                        for rel, b in commit.get("row_bases", {}).items()
+                    ],
+                    "__fn string, __base long",
+                )
+                raw = (
+                    raw.select(
+                        "*",
+                        _file_name_col().alias("__fn"),
+                        F.col("_metadata.row_index").alias("__ri"),
+                    )
+                    .join(F.broadcast(base_df), "__fn", "left")
+                    .withColumn("row_id", F.col("__base") + F.col("__ri"))
+                    .drop("__fn", "__ri", "__base")
+                )
+                passthrough = ("row_id",)
+            rows = _logical_view(raw, path, to_v, passthrough=passthrough)
             legs.append(
                 rows.withColumn("_change_type", F.lit("insert")).withColumn(
                     "_commit_version", F.lit(v)
                 )
             )
             continue
-        d = _snapshot_diff(spark, path, v - 1, v, schema_v=to_v)
+        d = _snapshot_diff(
+            spark, path, v - 1, v, schema_v=to_v,
+            include_row_ids=include_row_ids,
+        )
         if d is not None:
             legs.append(d.withColumn("_commit_version", F.lit(v)))
     if not saw_data_commit:
@@ -2476,14 +2521,20 @@ def table_changes(
             raise ValueError(
                 f"no changes between versions {from_version} and {to_v}"
             )
+        extra = (
+            [F.lit(None).cast("long").alias("row_id")] if include_row_ids else []
+        )
         return t.select(
             "*",
             F.lit(None).cast("string").alias("_change_type"),
             F.lit(None).cast("bigint").alias("_commit_version"),
+            *extra,
         ).limit(0)
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg, allowMissingColumns=True)
+    if include_row_ids and "row_id" not in out.columns:
+        out = out.withColumn("row_id", F.lit(None).cast("long"))
     return out
 
 
@@ -2493,6 +2544,7 @@ def _snapshot_diff(
     v_from: int,
     v_to: int,
     schema_v: int,
+    include_row_ids: bool = False,
 ) -> DataFrame | None:
     """Net row-level diff between two snapshots — the cross-file CDC
     engine: file-set symmetric difference + deletion-vector corrections,
@@ -2569,15 +2621,44 @@ def _snapshot_diff(
     inserts = a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
     deletes = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
     out = inserts.unionByName(deletes)
+    if include_row_ids:
+        # the exceptAll legs exist only for LEGACY pre-change-record
+        # rewrites — no id was materialized then; NULL, never a guess
+        out = out.withColumn("row_id", F.lit(None).cast("long"))
     if dv_changed:
         new_pos = _positions(dvs_to, dv_changed)
         old_pos = _positions(dvs_from, dv_changed)
-        rows = _read_data(spark, path, dv_changed).select(
+        raw = _read_data(spark, path, dv_changed)
+        rows = raw.select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        rows = _logical_view(rows, path, schema_v, passthrough=("__fn", "__ri"))
+        passthrough = ["__fn", "__ri"]
+        if include_row_ids:
+            # position-exact identity for DV-commit changes: materialized
+            # column if the file carries one, else base + position
+            mat = (
+                F.col(_ROWID).cast("long")
+                if _ROWID in raw.columns
+                else F.lit(None).cast("long")
+            )
+            bases = visible_row_bases(path, v_to)
+            base_df = spark.createDataFrame(
+                [(os.path.basename(rel), b) for rel, b in bases.items()],
+                "__fn string, __base long",
+            )
+            rows = (
+                rows.withColumn("__mat", mat)
+                .join(F.broadcast(base_df), "__fn", "left")
+                .withColumn(
+                    "row_id",
+                    F.coalesce(F.col("__mat"), F.col("__base") + F.col("__ri")),
+                )
+                .drop("__mat", "__base")
+            )
+            passthrough.append("row_id")
+        rows = _logical_view(rows, path, schema_v, passthrough=tuple(passthrough))
 
         def _emit(pos, change_type):
             return (

@@ -3079,3 +3079,38 @@ class TestRowTracking:
             txlog.append(bad, path, merge_schema=True)
         with pytest.raises(Exception, match="__row_id"):
             txlog.overwrite(bad, path)
+
+    def test_cdc_include_row_ids(self, spark, tmp_path):
+        """include_row_ids attributes every attributable change row to its
+        stable identity: an UPDATE's delete+insert pair shares ONE id
+        (the consumer joins the pair on it), appends carry their
+        allocation, DV deletes resolve position-exactly, and the re-key
+        ops' images are NULL by contract."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1
+        with pytest.raises(ValueError, match="row tracking"):
+            txlog.table_changes(spark, path, 0, include_row_ids=True)
+        txlog.enable_row_tracking(path)  # v2
+        ids = self._ids(spark, path)
+        txlog.append(_df(spark, [(3, "c", 1)]), path)  # v3
+        ids3 = self._ids(spark, path)
+        txlog.update_where(spark, path, "id = 2", {"v": F.lit("B")})  # v4
+        txlog.delete_where_dv(spark, path, "id = 1")  # v5
+        cdf = txlog.table_changes(spark, path, 2, include_row_ids=True)
+        rows = {
+            (r.id, r._change_type, r._commit_version): r.row_id
+            for r in cdf.collect()
+        }
+        assert rows[(3, "insert", 3)] == ids3[3]  # append leg
+        # the update pair shares the row's ONE stable id
+        assert rows[(2, "delete", 4)] == ids[2]
+        assert rows[(2, "insert", 4)] == ids[2]
+        assert rows[(1, "delete", 5)] == ids[1]  # DV leg, position-exact
+        # merge re-keys: its images carry NULL ids by contract
+        txlog.merge(
+            spark, path, _df(spark, [(9, "z", 9)]), keys=["id"], order_col="version"
+        )  # v6
+        m = txlog.table_changes(spark, path, 5, 6, include_row_ids=True)
+        assert all(r.row_id is None for r in m.collect())
+        # and without the flag the schema is unchanged
+        assert "row_id" not in txlog.table_changes(spark, path, 2).columns
