@@ -157,15 +157,20 @@ def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, columns: list[str]):
+    def __init__(self, abs_path: str, columns: list[str], row_base=None):
         self.abs_path = abs_path
         self.columns = columns
+        #: base row id for this file (row-tracking streams): executor-side
+        #: row_id = base + position, no lookup table shipped per row
+        self.row_base = row_base
 
 
 def _read_file_batches(partition: _FilePartition):
     """Executor-side read of one data file → Arrow RecordBatches in the
     source's column order; columns a file predates materialize as NULL
-    (additive evolution)."""
+    (additive evolution). A partition carrying ``row_base`` appends the
+    stable ``row_id`` column (base + file position — the same identity
+    txlog.read_with_row_ids resolves)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -176,7 +181,14 @@ def _read_file_batches(partition: _FilePartition):
             cols.append(table.column(name))
         else:
             cols.append(pa.nulls(table.num_rows))
-    yield from pa.table(dict(zip(partition.columns, cols))).to_batches()
+    out = pa.table(dict(zip(partition.columns, cols)))
+    if partition.row_base is not None:
+        ids = pa.array(
+            range(partition.row_base, partition.row_base + out.num_rows),
+            pa.int64(),
+        )
+        out = out.append_column("row_id", ids)
+    yield from out.to_batches()
 
 
 class _TxlogBatchReader(DataSourceReader):
@@ -199,9 +211,10 @@ class _TxlogBatchReader(DataSourceReader):
 
 
 class _TxlogStreamReader(DataSourceStreamReader):
-    def __init__(self, options, columns):
+    def __init__(self, options, columns, row_ids=False):
         self.path = options["path"]
         self.columns = columns
+        self.row_ids = row_ids
         self.skip_change = str(
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
@@ -261,10 +274,24 @@ class _TxlogStreamReader(DataSourceStreamReader):
                     f"to ignore change commits (inserts-only stream), or "
                     f"read with readChangeFeed=true to consume the changes"
                 )
-            parts += [
-                _FilePartition(os.path.join(self.path, rel), self.columns)
-                for rel in commit.get("adds", [])
-            ]
+            bases = (
+                txlog.visible_row_bases(self.path, int(end["version"]))
+                if self.row_ids
+                else {}
+            )
+            for rel in commit.get("adds", []):
+                base = bases.get(rel) if self.row_ids else None
+                if self.row_ids and base is None:
+                    raise ValueError(
+                        f"rowIds stream: file {rel!r} (version {v}) has no "
+                        f"base row id — written by a pre-feature writer? "
+                        f"(enable_row_tracking backfills only VISIBLE files)"
+                    )
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.path, rel), self.columns, base
+                    )
+                )
         return parts or [_FilePartition("", self.columns)]
 
     def read(self, partition):
@@ -429,8 +456,24 @@ class TxlogDataSource(DataSource):
             "1",
         )
 
+    def _row_ids(self) -> bool:
+        return str(self.options.get("rowIds", "false")).lower() in ("true", "1")
+
     def schema(self):
         ddl = _table_ddl(self.options["path"])
+        if self._row_ids():
+            if self._cdf():
+                raise ValueError(
+                    "rowIds applies to the plain append stream; the change "
+                    "feed's identity surface is the BATCH "
+                    "table_changes(include_row_ids=True)"
+                )
+            if not txlog.row_tracking_enabled(self.options["path"]):
+                raise ValueError(
+                    "rowIds needs row tracking enabled on the table "
+                    "(txlog.enable_row_tracking)"
+                )
+            ddl += ", row_id bigint"
         if self._cdf():
             ddl += ", _change_type string, _commit_version bigint"
         return ddl
@@ -439,7 +482,7 @@ class TxlogDataSource(DataSource):
         return [
             f.name
             for f in schema.fields
-            if f.name not in ("_change_type", "_commit_version")
+            if f.name not in ("_change_type", "_commit_version", "row_id")
         ]
 
     def reader(self, schema):
@@ -448,13 +491,18 @@ class TxlogDataSource(DataSource):
                 "readChangeFeed is a STREAMING option; batch change reads "
                 "are txlog.table_changes(spark, path, from_v, to_v)"
             )
+        if self._row_ids():
+            raise ValueError(
+                "rowIds is a STREAMING option; batch id reads are "
+                "txlog.read_with_row_ids(spark, path)"
+            )
         return _TxlogBatchReader(self.options, self._columns(schema))
 
     def streamReader(self, schema):
         cols = self._columns(schema)
         if self._cdf():
             return _TxlogCdfStreamReader(self.options, cols)
-        return _TxlogStreamReader(self.options, cols)
+        return _TxlogStreamReader(self.options, cols, row_ids=self._row_ids())
 
 
 def register_txlog_source(spark) -> None:

@@ -540,3 +540,58 @@ class TestCdfStreamRestore:
                 q.processAllAvailable()
             finally:
                 q.stop()
+
+
+class TestRowIdStream:
+    def test_append_stream_emits_stable_row_ids(self, spark, table, tmp_path):
+        """rowIds=true: each micro-batch row carries the same stable id
+        txlog.read_with_row_ids resolves — backlog (backfilled bases) and
+        live appends (per-commit allocation) alike."""
+        txlog.enable_row_tracking(table)
+        q = (
+            spark.readStream.format("txlog")
+            .options(path=table, rowIds="true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("rid_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_rid"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            txlog.append(_df(spark, [(4, "d")]), table)
+            q.processAllAvailable()
+            got = {
+                r.id: r.row_id
+                for r in spark.sql("SELECT * FROM rid_stream").collect()
+            }
+            want = {
+                r.id: r.row_id
+                for r in txlog.read_with_row_ids(spark, table).collect()
+            }
+            assert got == want and len(set(got.values())) == 4
+        finally:
+            q.stop()
+
+    def test_row_ids_require_tracking_and_plain_stream(self, spark, table):
+        with pytest.raises(Exception, match="row tracking"):
+            (
+                spark.readStream.format("txlog")
+                .options(path=table, rowIds="true")
+                .load()
+            )
+        txlog.enable_row_tracking(table)
+        with pytest.raises(Exception, match="table_changes"):
+            (
+                spark.readStream.format("txlog")
+                .options(path=table, rowIds="true", readChangeFeed="true")
+                .load()
+            )
+        with pytest.raises(Exception, match="read_with_row_ids"):
+            (
+                spark.read.format("txlog")
+                .options(path=table, rowIds="true")
+                .load()
+                .collect()
+            )
