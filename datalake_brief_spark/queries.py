@@ -6035,6 +6035,57 @@ def txlog_cdf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_cdf_rowids",
+    """
+    SELECT CAST(count(*) AS BIGINT)            AS n_pairs,
+           round(sum(o_totalprice), 2)         AS sum_old,
+           round(sum(o_totalprice + 1000), 2)  AS sum_new,
+           TRUE                                AS pairs_ok
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def txlog_cdf_rowids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC + row tracking composed: an UPDATE's delete+insert pair shares
+    ONE stable row id, so the change feed's two legs JOIN on identity —
+    the incremental-consumer shape (old value, new value, one key, no
+    full-row matching). The join must pair EVERY updated row exactly
+    once (pairs_ok: join count == delete count == insert count, ids
+    distinct); pre/post sums hash-check the values rode with the right
+    identity."""
+    def build(path: str) -> None:
+        txlog.append(_t(spark, sf_dir, "orders"), path)
+        txlog.enable_row_tracking(path)
+        txlog.update_where(
+            spark,
+            path,
+            F.pmod(F.col("o_orderkey"), F.lit(97)) == 0,
+            {"o_totalprice": F.col("o_totalprice") + 1000},
+        )
+
+    path = _lakehouse_table("cdf_rowids", sf_dir, build)
+    v = txlog.current_version(path)
+    cdf = txlog.table_changes(spark, path, v - 1, v, include_row_ids=True)
+    d = cdf.filter("_change_type = 'delete'").select(
+        "row_id", F.col("o_totalprice").alias("__old")
+    )
+    i = cdf.filter("_change_type = 'insert'").select(
+        "row_id", F.col("o_totalprice").alias("__new")
+    )
+    j = d.join(i, "row_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("__old"), 2).alias("sum_old"),
+        F.round(F.sum("__new"), 2).alias("sum_new"),
+        (
+            (F.count(F.lit(1)) == F.countDistinct("row_id"))
+            & (F.count(F.lit(1)) == F.lit(d.count()))
+            & (F.count(F.lit(1)) == F.lit(i.count()))
+        ).alias("pairs_ok"),
+    )
+
+
+@_register(
     "txlog_row_ids",
     """
     SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
@@ -10181,6 +10232,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_convert_in_place",
     "txlog_symlink_manifest",
     "txlog_row_ids",
+    "txlog_cdf_rowids",
     "proj_select",
     "proj_derive",
     "proj_rename_drop",

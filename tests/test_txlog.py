@@ -3114,3 +3114,17 @@ class TestRowTracking:
         assert all(r.row_id is None for r in m.collect())
         # and without the flag the schema is unchanged
         assert "row_id" not in txlog.table_changes(spark, path, 2).columns
+
+    def test_read_with_row_ids_plan_is_jvm_side_broadcast(self, spark, tmp_path):
+        """The id resolution is metadata-shaped: the base map broadcasts
+        (n_files rows, like the DV anti-join) and the coalesce is a pure
+        JVM expression — no Python in the plan, no shuffle added to the
+        scan."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.enable_row_tracking(path)
+        df = txlog.read_with_row_ids(spark, path)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
