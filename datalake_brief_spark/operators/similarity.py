@@ -801,6 +801,55 @@ def pq_encode(
     )
 
 
+def _pq_query_luts(
+    queries: DataFrame,
+    books: "np.ndarray",
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup tables, built driver-side (queries are
+    broadcast-small by the cosine_topk contract) and returned as a tiny
+    DataFrame — the id column keeps the INPUT dtype (string keys work,
+    same contract as cosine_topk_batch). Shared by pq_topk and the
+    composed IVF-PQ search so the LUT layout and the ADC indexing can
+    never drift apart."""
+    m, ks, dsub = books.shape
+    spark = queries.sparkSession
+    id_type = dict(queries.dtypes)[query_id_col]
+    qrows = (
+        queries.select(
+            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("v")
+        )
+        .orderBy(query_id_col)
+        .collect()
+    )
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r.v, dtype=np.float64)
+        lut = np.array(
+            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        luts.append((r[0], [float(x) for x in lut.ravel()]))
+    return spark.createDataFrame(
+        luts, schema=f"{query_id_col} {id_type}, __lut array<double>"
+    )
+
+
+def _adc_expr(m: int, ks: int):
+    """Asymmetric-distance score of a PQ ``codes`` array against the
+    row's joined ``__lut``: m JVM-side lookups folded with zip_with +
+    aggregate — the expression BOTH search paths score with."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(F.col("__lut"), i * ks + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -833,37 +882,11 @@ def pq_topk(
             corpus, dim, m=m, ks=ks, id_col=id_col, vec_col=vec_col
         )
     books = np.asarray(codebooks)
-    dsub = dim // m
     codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    qrows = (
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("v")
-        )
-        .orderBy(query_id_col)
-        .collect()
+    lut_df = _pq_query_luts(queries, books, query_id_col, vec_col)
+    cand = codes.crossJoin(F.broadcast(lut_df)).withColumn(
+        "__adc", _adc_expr(m, ks)
     )
-    luts = []
-    for r in qrows:
-        qv = np.asarray(r.v, dtype=np.float64)
-        lut = np.array(
-            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
-        )
-        luts.append((r[0], [float(x) for x in lut.ravel()]))
-    spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        luts, schema=f"{query_id_col} long, __lut array<double>"
-    )
-    pos = F.sequence(F.lit(0), F.lit(m - 1))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            pos,
-            lambda c, i: F.element_at(F.col("__lut"), i * ks + c + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    cand = codes.crossJoin(F.broadcast(lut_df)).withColumn("__adc", adc)
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     w = Window.partitionBy(query_id_col).orderBy(
@@ -962,7 +985,7 @@ def ivf_pq_topk_indexed(
     at 100 TB the ADC scan reads (nprobe/n_cells)·(m bytes/vector) and
     only refine·|queries| raw vectors ever leave disk."""
     books = np.asarray(codebooks)
-    m, ks, dsub = books.shape
+    m, ks, _ = books.shape
     q = ivf_assign(
         queries.select(F.col(query_id_col), F.col(vec_col)),
         centroids,
@@ -972,38 +995,13 @@ def ivf_pq_topk_indexed(
     )
     qcells = q.select(query_id_col, "cell")
     probed = sorted({r.cell for r in qcells.select("cell").distinct().collect()})
-    qrows = (
-        queries.select(
-            F.col(query_id_col), as_double_array(F.col(vec_col)).alias("v")
-        )
-        .orderBy(query_id_col)
-        .collect()
-    )
-    luts = []
-    for r in qrows:
-        qv = np.asarray(r.v, dtype=np.float64)
-        lut = np.array(
-            [books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)]
-        )
-        luts.append((r[0], [float(x) for x in lut.ravel()]))
-    lut_df = spark.createDataFrame(
-        luts, schema=f"{query_id_col} long, __lut array<double>"
-    )
+    lut_df = _pq_query_luts(queries, books, query_id_col, vec_col)
     probe = qcells.join(lut_df, query_id_col)  # ≤ |queries|·nprobe rows
     scan = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, i: F.element_at(F.col("__lut"), i * ks + c + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     cand = (
         scan.select(id_col, "cell", "codes")
         .join(F.broadcast(probe), "cell")
-        .withColumn("__adc", adc)
+        .withColumn("__adc", _adc_expr(m, ks))
     )
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))

@@ -161,13 +161,20 @@ def ewma(
 
     The contract is ENFORCED, not trusted (VERDICT r8 ask #7): each task
     checks its materialized shard against ``max_shard_rows`` (default
-    8M rows ≈ low-hundreds MB as a pandas frame) and fails fast with a
-    sizing instruction instead of dying in an unattributable executor
-    OOM. The check is exact and free — it runs where the memory would
-    be spent, no extra driver-side pass. A bound violation under an
-    already-large ``n_shards`` means ONE key's series exceeds the
-    bound; no shard count fixes that — the chunked-state streaming
-    form (streaming/anomaly.py's pattern) is the documented escape."""
+    8M rows ≈ low-hundreds MB as a pandas frame) and fails with a
+    sizing instruction. Scope, honestly stated: the check runs AFTER
+    Arrow→pandas materialization, so it converts the follow-on copies
+    (sort, to_numpy, the output column) from an unattributable executor
+    OOM into a named error — a shard so large that the materialization
+    ITSELF cannot fit still dies in the Arrow layer before any Python
+    runs; the guard narrows the failure window, it cannot eliminate it
+    (only a pre-shuffle count could, and that costs a full extra pass
+    the hot path shouldn't pay — callers who want it can compare
+    ``df.count()/n_shards`` against the bound themselves). A bound
+    violation under an already-large ``n_shards`` means ONE key's
+    series exceeds the bound; no shard count fixes that — the
+    chunked-state streaming form (streaming/anomaly.py's pattern) is
+    the documented escape."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

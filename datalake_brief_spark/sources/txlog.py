@@ -1127,8 +1127,7 @@ def append(
     # renamed-away or dropped column still present in old files) — it gets
     # a fresh generated physical name, or the old bytes would resurrect
     # under the new column.
-    tracking = row_tracking_enabled(path)
-    if tracking and _ROWID in df.columns:
+    if _ROWID in df.columns and row_tracking_enabled(path):
         raise ValueError(
             f"{_ROWID!r} is the reserved row-tracking column; appended "
             f"frames must not carry it"
@@ -1192,11 +1191,20 @@ def append(
                 "changed (concurrent rename/drop) after this append's data "
                 "files landed; re-run the append against the new schema"
             )
-        # row tracking: allocate fresh id ranges PER ATTEMPT — a lost race
-        # re-reads the watermark the winner advanced, so only the commit
-        # winner's allocation ever lands and ranges never overlap
+        # row tracking: RE-RESOLVE the flag and allocate fresh id ranges
+        # PER ATTEMPT — a lost race re-reads the watermark the winner
+        # advanced (ranges never overlap), and an enable_row_tracking that
+        # landed since this append's files were written still gets bases
+        # allocated (the landed files carry no ids of their own, so a
+        # stale tracking=False would commit permanently uncovered files)
         rt_meta, row_bases = {}, None
-        if tracking:
+        if row_tracking_enabled(path):
+            if _ROWID in df.columns:
+                raise CommitConflict(
+                    f"append lost a metadata race: row tracking was enabled "
+                    f"concurrently and the frame carries the reserved "
+                    f"{_ROWID!r} column"
+                )
             row_bases, wm = _alloc_row_bases(path, adds)
             rt_meta = {"row_id_watermark": wm}
         v = current_version(path) + 1
@@ -2469,12 +2477,19 @@ def table_changes(
             )
             passthrough = ()
             if include_row_ids:
-                # the commit's OWN base allocation names each row's id
+                # the commit's OWN base allocation names each row's id; a
+                # PRE-ENABLE append's bases live in the enable commit's
+                # backfill — resolve those at this commit's version so the
+                # feed never NULLs an id the log actually holds
+                bases = dict(commit.get("row_bases", {}))
+                missing = [r for r in commit["adds"] if r not in bases]
+                if missing:
+                    backfill = _row_base_registry(path, up_to=to_v)
+                    for r in missing:
+                        if r in backfill:
+                            bases[r] = backfill[r]
                 base_df = spark.createDataFrame(
-                    [
-                        (os.path.basename(rel), b)
-                        for rel, b in commit.get("row_bases", {}).items()
-                    ],
+                    [(os.path.basename(rel), b) for rel, b in bases.items()],
                     "__fn string, __base long",
                 )
                 raw = (
@@ -2622,8 +2637,9 @@ def _snapshot_diff(
     deletes = r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
     out = inserts.unionByName(deletes)
     if include_row_ids:
-        # the exceptAll legs exist only for LEGACY pre-change-record
-        # rewrites — no id was materialized then; NULL, never a guess
+        # the exceptAll legs serve only LEGACY pre-change-record rewrites
+        # and session-less RESTOREs — no id was materialized by those
+        # writers; NULL, never a guess
         out = out.withColumn("row_id", F.lit(None).cast("long"))
     if dv_changed:
         new_pos = _positions(dvs_to, dv_changed)
@@ -3444,8 +3460,22 @@ def update_where_dv(
     _enforce_constraints(rewritten, path)
     live_rels = [os.path.relpath(p, path) for p in all_files]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, live_rels)
-    adds = _write_data_files(
-        _to_physical(rewritten, _column_mapping(path, read_v)), path
+    mapping = _column_mapping(path, read_v)
+    adds = _write_data_files(_to_physical(rewritten, mapping), path)
+    # change record, like the CoW twin: each updated row's pre-image
+    # (original values, same stable id when tracking) + post-image (the
+    # rewritten rows) — CDC over a DV-update window reads ONLY these
+    # files, and the streaming CDF drains the commit from them (the DV
+    # positions themselves must NOT be reported separately; the stored
+    # record covers them, which is why the resolution ladder checks
+    # change_data before dv state).
+    pre_cols = [F.col(f.name) for f in table_schema.fields]
+    if tracking:
+        pre_cols.append(F.col("__rid").alias(_ROWID))
+    pre = src.select(*pre_cols).withColumn("_change_type", F.lit("delete"))
+    post = rewritten.withColumn("_change_type", F.lit("insert"))
+    change_data = _write_change_files(
+        _to_physical(pre.unionByName(post), mapping), path
     )
     stats_new = _collect_stats(path, adds, stat_cols or None)
     blooms_new = _collect_blooms(path, adds, bloom_cols or None)
@@ -3455,15 +3485,17 @@ def update_where_dv(
         return _commit_serializable(
             spark, path, read_v, adds, [], stats_new, blooms_new,
             _with_feature(path, {"op": "update_dv"}, "deletion-vectors"),
-            predicate=predicate, dv_adds=dv_adds,
+            predicate=predicate, dv_adds=dv_adds, change_data=change_data,
         )
     except CommitConflict:
-        # losing writer sweeps BOTH pre-landed groups (sidecar + data)
+        # losing writer sweeps ALL pre-landed groups (sidecar + data +
+        # change record)
         logstore.for_path(path).delete_tree(target)
-        if adds:
-            logstore.for_path(path).delete_tree(
-                os.path.dirname(os.path.join(path, adds[0]))
-            )
+        for group_rels in (adds, change_data):
+            if group_rels:
+                logstore.for_path(path).delete_tree(
+                    os.path.dirname(os.path.join(path, group_rels[0]))
+                )
         raise
 
 
@@ -3721,6 +3753,22 @@ def _alloc_row_bases(path: str, rels: list[str], wm: int | None = None):
         bases[rel] = wm
         wm += _file_rows(os.path.join(path, rel))
     return bases, wm
+
+
+def _row_base_registry(path: str, up_to: int | None = None) -> dict[str, int]:
+    """EVERY base row id the log ever assigned (rel → base), visible or
+    not: a file's base is immutable once assigned (its append commit, the
+    enable backfill, or a restore re-record — always the same value), so
+    the union over commits is well-defined regardless of order. The
+    resolution for change feeds and streams, where the file may already
+    be REMOVED at the resolution version even though its rows' ids are
+    the real, attributable identities."""
+    out: dict[str, int] = {}
+    for v in _versions(path):
+        if up_to is not None and v > up_to:
+            break
+        out.update(_load_commit(path, v).get("row_bases", {}))
+    return out
 
 
 def visible_row_bases(path: str, version: int | None = None) -> dict[str, int]:

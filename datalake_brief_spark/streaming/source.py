@@ -141,9 +141,13 @@ def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
     unconditionally (Delta's stream-fails-on-schema-change behavior);
     restart from a fresh checkpoint (the source re-validates the
     mapping at start)."""
-    if op in ("rename_column", "drop_column") or "column_mapping" in commit.get(
-        "meta", {}
+    if op in ("rename_column", "drop_column") or commit.get("meta", {}).get(
+        "column_mapping"
     ):
+        # (truthiness, not presence: an overwrite RESETS the mapping by
+        # writing column_mapping {} — from that commit on every file
+        # resolves logical == physical, so a stream STARTED at/after the
+        # reset is sound and must not be killed by the benign marker)
         raise ValueError(
             f"txlog stream source: version {v} is a {op!r} commit that "
             f"changes the table's column mapping mid-stream; later files "
@@ -248,8 +252,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._last_offered = max(self._last_offered, int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
-                commit = json.load(f)
+            commit = txlog._load_commit(self.path, v)  # noqa: SLF001
             op = commit.get("meta", {}).get("op", "write")
             _reject_schema_commit(commit, op, v)
             if op in _NO_DATA_CHANGE_OPS:
@@ -274,13 +277,26 @@ class _TxlogStreamReader(DataSourceStreamReader):
                     f"to ignore change commits (inserts-only stream), or "
                     f"read with readChangeFeed=true to consume the changes"
                 )
-            bases = (
-                txlog.visible_row_bases(self.path, int(end["version"]))
-                if self.row_ids
-                else {}
-            )
+            backfill = None  # lazy: one registry scan per batch
             for rel in commit.get("adds", []):
-                base = bases.get(rel) if self.row_ids else None
+                base = None
+                if self.row_ids:
+                    # the commit's own allocation first; a pre-enable
+                    # append's base lives in the ENABLE commit's backfill,
+                    # resolved at v — never at the batch END (a later
+                    # rewrite inside the same batch removes the file from
+                    # the end-version replay and would falsely fail here)
+                    base = commit.get("row_bases", {}).get(rel)
+                    if base is None:
+                        if backfill is None:
+                            # bases are immutable per file; the registry
+                            # union finds a pre-enable append's base in the
+                            # LATER enable commit, and survives the file
+                            # being rewritten later in the same batch
+                            backfill = txlog._row_base_registry(  # noqa: SLF001
+                                self.path, up_to=int(end["version"])
+                            )
+                        base = backfill.get(rel)
                 if self.row_ids and base is None:
                     raise ValueError(
                         f"rowIds stream: file {rel!r} (version {v}) has no "
@@ -382,8 +398,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         self._last_offered = max(self._last_offered, int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            with open(txlog._commit_path(self.path, v)) as f:  # noqa: SLF001
-                commit = json.load(f)
+            commit = txlog._load_commit(self.path, v)  # noqa: SLF001
             op = commit.get("meta", {}).get("op", "write")
             _reject_schema_commit(commit, op, v)
             if op in _NO_DATA_CHANGE_OPS:

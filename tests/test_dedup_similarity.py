@@ -868,3 +868,17 @@ class TestIVFPQ:
         row = idx.first()
         assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
         assert idx.count() == corpus.count()
+
+    def test_string_query_ids_supported(self, spark, fixture):
+        """The LUT frame derives the id column's type from the input
+        (was hard-coded long — crashed on string keys)."""
+        _, corpus, cents, books, path = fixture
+        q = corpus.filter(F.col("vec_id") < 2).select(
+            F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"), "embedding"
+        )
+        out = similarity.ivf_pq_topk_indexed(
+            spark, path, q, cents, books, k=3, nprobe=8, refine=50,
+            exclude_self=False,
+        ).collect()
+        assert {r.query_id for r in out} == {"q0", "q1"}
+        assert all(1 <= r.rank <= 3 for r in out)

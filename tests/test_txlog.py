@@ -3128,3 +3128,61 @@ class TestRowTracking:
         assert "BroadcastHashJoin" in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
+
+    def test_append_racing_enable_still_gets_bases(self, spark, tmp_path, monkeypatch):
+        """Review finding: append resolved row tracking once before its
+        retry loop — an enable_row_tracking landing between file-landing
+        and commit produced files with neither a base nor materialized
+        ids. The loop now re-resolves per attempt and allocates."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1)]), path)
+        real = txlog._validate_append_schema  # noqa: SLF001
+        calls = {"n": 0}
+
+        def hook(p, df, merge_schema):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first IN-LOOP call: files already landed
+                txlog.enable_row_tracking(path)
+            return real(p, df, merge_schema)
+
+        monkeypatch.setattr(txlog, "_validate_append_schema", hook)
+        txlog.append(_df(spark, [(2, "b", 1)]), path)
+        ids = self._ids(spark, path)
+        assert sorted(ids) == [1, 2] and len(set(ids.values())) == 2
+
+    def test_cdc_ids_for_pre_enable_appends(self, spark, tmp_path):
+        """Review finding: the pure-append CDC leg only looked at the
+        append commit's own row_bases, NULLing ids for appends that
+        PRECEDE the enable commit even though the backfill holds them."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1
+        txlog.enable_row_tracking(path)  # v2 backfills v1's file
+        ids = self._ids(spark, path)
+        rows = {
+            r.id: r.row_id
+            for r in txlog.table_changes(
+                spark, path, 0, include_row_ids=True
+            ).collect()
+        }
+        assert rows == ids and None not in rows.values()
+
+    def test_cdc_ids_for_dv_update_window(self, spark, tmp_path):
+        """Review finding: a DV UPDATE's added files fell to the
+        snapshot-diff exceptAll leg where row_id was blanket-NULL. The
+        commit now stores its change record, so both images carry the
+        row's ONE id."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.enable_row_tracking(path)
+        ids = self._ids(spark, path)
+        v = txlog.update_where_dv(spark, path, "id = 2", {"v": F.lit("B")})
+        rows = {
+            (r.id, r.v, r._change_type): r.row_id
+            for r in txlog.table_changes(
+                spark, path, v - 1, v, include_row_ids=True
+            ).collect()
+        }
+        assert rows == {
+            (2, "b", "delete"): ids[2],
+            (2, "B", "insert"): ids[2],
+        }, rows

@@ -595,3 +595,74 @@ class TestRowIdStream:
                 .load()
                 .collect()
             )
+
+    def test_batch_spanning_append_and_optimize_keeps_ids(
+        self, spark, table, tmp_path
+    ):
+        """Review finding: bases were resolved at the batch END version, so
+        a batch spanning an append AND a later compaction of those files
+        spuriously failed ('pre-feature writer'). The registry lookup
+        survives the rewrite."""
+        txlog.enable_row_tracking(table)
+        want = {
+            r.id: r.row_id
+            for r in txlog.read_with_row_ids(spark, table).collect()
+        }
+        # the rewrite lands BEFORE the stream ever starts: one batch spans
+        # the appends AND the optimize of their files
+        txlog.optimize(spark, table, target_file_bytes=1 << 30)
+        q = (
+            spark.readStream.format("txlog")
+            .options(path=table, rowIds="true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("rid_span")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_span"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.id: r.row_id
+                for r in spark.sql("SELECT * FROM rid_span").collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+
+    def test_stream_survives_mapping_reset_boundary(self, spark, table, tmp_path):
+        """Review finding: an overwrite that RESETS the mapping to identity
+        writes column_mapping {} in its meta, and the schema-commit guard
+        killed the stream UNCONDITIONALLY on the benign marker —
+        skipChangeCommits notwithstanding. The guard now keys on a
+        NON-EMPTY mapping: the overwrite is still a change commit (its
+        removes trip the normal skippable refusal), but with
+        skipChangeCommits=true a fresh stream drains past the reset and
+        later appends flow."""
+        txlog.rename_column(table, "v", "w")
+        v_reset = txlog.overwrite(txlog.read(spark, table), table)
+        q = (
+            spark.readStream.format("txlog")
+            .options(
+                path=table,
+                startingVersion=str(v_reset),
+                skipChangeCommits="true",
+            )
+            .load()
+            .writeStream.format("memory")
+            .queryName("reset_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_reset"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # previously: unconditional ValueError
+            txlog.append(  # the table's column is 'w' since the rename
+                spark.createDataFrame([(9, "z")], "id long, w string"), table
+            )
+            q.processAllAvailable()
+            got = {r.id for r in spark.sql("SELECT * FROM reset_stream").collect()}
+            assert got == {9}
+        finally:
+            q.stop()
