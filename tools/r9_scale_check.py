@@ -87,8 +87,40 @@ def cdc_flatness(spark, sf_dir: str) -> tuple[float, float, int]:
     return a, b, n
 
 
+def row_id_read_overhead(spark, sf_dir: str) -> tuple[float, float]:
+    """(plain read s, read_with_row_ids s) over the same orders-backed
+    table: the id resolution is one broadcast of an n_files-row base map
+    + a JVM coalesce — the overhead should be a fixed small factor, flat
+    in data size."""
+    path = os.path.join(tempfile.mkdtemp(prefix="r9rid_"), "t")
+    txlog.append(load_table(spark, sf_dir, "orders"), path)
+    txlog.enable_row_tracking(path)
+
+    def plain() -> float:
+        t0 = time.perf_counter()
+        txlog.read(spark, path).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def with_ids() -> float:
+        t0 = time.perf_counter()
+        txlog.read_with_row_ids(spark, path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    return _min_of(plain), _min_of(with_ids)
+
+
 def main() -> None:
     spark = get_spark("r9_scale_check")
+
+    print("== row-id read overhead (plain read vs read_with_row_ids)")
+    print(f"{'table':22s} {'plain s':>8s} {'ids s':>8s} {'factor':>7s}")
+    for label, sf in (("sf0.1", SF01), ("sf1", SF1)):
+        if not os.path.isdir(sf):
+            continue
+        a, b = row_id_read_overhead(spark, sf)
+        print(f"{label:22s} {a:8.3f} {b:8.3f} {b / a:7.2f}", flush=True)
 
     print("== CDC read cost: stored change record vs legacy snapshot diff")
     print(f"{'table':22s} {'stored s':>9s} {'legacy s':>9s} {'rows':>6s}")
