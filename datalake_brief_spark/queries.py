@@ -10220,63 +10220,16 @@ def graph_kcore_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-9 rotation (VERDICT r8 ask #1): drain the attestation-
-    # staleness backlog. Top-50 = the 50 stalest-attested entries
-    # (the full r1 band, the r2 band, and the head of the r3 band);
-    # the tail continues in non-decreasing latest-attested-round
-    # order (tests/test_plans.py::test_rotation_tail_sorted_by_
-    # staleness). Never-attested round-9 additions must be inserted
-    # at the top as they land.
-    "txlog_cdf_update",
+    # Round-10 rotation (VERDICT r9 ask #2): finish draining the
+    # attestation backlog. Top-50 = the 3 re-attest targets whose
+    # behavior changes this round (merge rewrite path, multi-part
+    # checkpoints, IVF-PQ append), then the full r2+r3 band and the
+    # stalest r4 entries; never-attested round-10 additions are
+    # inserted at the very top as they land (displacing the last r4
+    # window slots into the tail head, which keeps the tail sorted).
+    "txlog_merge_upsert",
+    "txlog_checkpoint_read",
     "knn_ivf_pq",
-    "txlog_convert_in_place",
-    "txlog_symlink_manifest",
-    "txlog_row_ids",
-    "txlog_cdf_rowids",
-    "proj_select",
-    "proj_derive",
-    "proj_rename_drop",
-    "filter_sql_string",
-    "filter_column_expr",
-    "filter_conjunction",
-    "filter_negation",
-    "filter_contains",
-    "filter_project_pipeline",
-    "agg_groupby_sum",
-    "agg_groupby_mean",
-    "agg_groupby_count",
-    "agg_global",
-    "summary_stats",
-    "count_alert",
-    "na_drop_any",
-    "na_drop_thresh",
-    "na_drop_subset",
-    "na_fill",
-    "impute_mean",
-    "impute_median",
-    "null_profile",
-    "impute_mode",
-    "join_fact_revenue",
-    "join_semi",
-    "join_anti",
-    "join_left_outer",
-    "join_full_outer",
-    "agg_statistics",
-    "window_rank_suite",
-    "topk_global",
-    "topk_per_group",
-    "window_running",
-    "sessionize",
-    "setop_union",
-    "setop_except",
-    "events_sliding",
-    "events_hourly",
-    "dedup_exact",
-    "text_tokens",
-    "join_dim_chain",
-    "dedup_minhash",
-    "dedup_simhash",
-    "explode_tokens",
     "udtf_ngrams",
     "join_salted_skew",
     "join_semi_reduced",
@@ -10386,7 +10339,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_zorder_pruned",
     "txlog_constraint_gate",
     "txlog_schema_enforce",
-    "txlog_checkpoint_read",
     "pq_compact_read",
     "events_funnel",
     "events_retention",
@@ -10482,7 +10434,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ml_auc_rank",
     "profile_entropy",
     "txlog_restore",
-    "txlog_merge_upsert",
     "txlog_dv_metrics",
     "knn_lsh",
     "knn_ivf",
@@ -10497,6 +10448,55 @@ _DRIVER_WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q3_shipping_priority",
+    "txlog_cdf_update",
+    "txlog_convert_in_place",
+    "txlog_symlink_manifest",
+    "txlog_row_ids",
+    "txlog_cdf_rowids",
+    "proj_select",
+    "proj_derive",
+    "proj_rename_drop",
+    "filter_sql_string",
+    "filter_column_expr",
+    "filter_conjunction",
+    "filter_negation",
+    "filter_contains",
+    "filter_project_pipeline",
+    "agg_groupby_sum",
+    "agg_groupby_mean",
+    "agg_groupby_count",
+    "agg_global",
+    "summary_stats",
+    "count_alert",
+    "na_drop_any",
+    "na_drop_thresh",
+    "na_drop_subset",
+    "na_fill",
+    "impute_mean",
+    "impute_median",
+    "null_profile",
+    "impute_mode",
+    "join_fact_revenue",
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    "join_full_outer",
+    "agg_statistics",
+    "window_rank_suite",
+    "topk_global",
+    "topk_per_group",
+    "window_running",
+    "sessionize",
+    "setop_union",
+    "setop_except",
+    "events_sliding",
+    "events_hourly",
+    "dedup_exact",
+    "text_tokens",
+    "join_dim_chain",
+    "dedup_minhash",
+    "dedup_simhash",
+    "explode_tokens",
 ]
 
 
