@@ -2449,7 +2449,9 @@ def table_changes(
                 cd = cd.withColumn("row_id", rid)
                 passthrough.append("row_id")
             cd = _logical_view(cd, path, to_v, passthrough=tuple(passthrough))
-            legs.append(cd.withColumn("_commit_version", F.lit(v)))
+            legs.append(
+                cd.withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
             continue
         has_state = (
             commit.get("adds")
@@ -2506,7 +2508,7 @@ def table_changes(
             rows = _logical_view(raw, path, to_v, passthrough=passthrough)
             legs.append(
                 rows.withColumn("_change_type", F.lit("insert")).withColumn(
-                    "_commit_version", F.lit(v)
+                    "_commit_version", F.lit(v).cast("bigint")
                 )
             )
             continue
@@ -2515,7 +2517,9 @@ def table_changes(
             include_row_ids=include_row_ids,
         )
         if d is not None:
-            legs.append(d.withColumn("_commit_version", F.lit(v)))
+            legs.append(
+                d.withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
     if not saw_data_commit:
         raise ValueError(f"no changes between versions {from_version} and {to_v}")
     if not legs:
@@ -3581,6 +3585,14 @@ def reorg_purge(
         mapping = _column_mapping(path, read_v)
         live_phys = {mapping.get(c, c) for c in schema}
         retired = _physical_reserved(path, read_v) - live_phys
+        if row_tracking_enabled(path, read_v):
+            # __row_id is reserved so no logical column can ever recycle
+            # its physical name, but on a tracking table it is a LIVE
+            # internal column — treating it as retired would make every
+            # purge rewrite all id-carrying files (and re-materialize the
+            # ids via _read_files_with_dvs), so reorg_purge never
+            # converges to its documented no-op.
+            retired -= {_ROWID}
         if retired:
             import pyarrow.parquet as pq
 
@@ -3686,7 +3698,9 @@ def convert_to_txlog(
 _MANIFEST_DIR = "_symlink_format_manifest"
 
 
-def generate_symlink_manifest(path: str, version: int | None = None) -> str:
+def generate_symlink_manifest(
+    path: str, version: int | None = None, allow_row_ids: bool = False
+) -> str:
     """External-reader handoff (the Delta ``GENERATE
     symlink_format_manifest`` surface): write
     ``_symlink_format_manifest/manifest`` — one absolute data-file URI
@@ -3700,7 +3714,14 @@ def generate_symlink_manifest(path: str, version: int | None = None) -> str:
     Refuses a snapshot with live deletion vectors: an external reader
     has no DV semantics, so the manifest would resurrect every DV-dead
     row — run :func:`reorg_purge` (rewrites exactly the DV-carrying
-    files) first, then export."""
+    files) first, then export.
+
+    Likewise refuses (by default) a row-tracking snapshot whose visible
+    files materialize the internal ``__row_id`` column: a plain
+    ``spark.read.parquet`` through the manifest would surface an
+    undocumented extra column. Pass ``allow_row_ids=True`` to export
+    anyway — the manifest is then documented to carry ``__row_id`` and
+    external readers must project it away themselves."""
     v = current_version(path) if version is None else version
     _check_reader(path, v)
     dvs = visible_dvs(path, v)
@@ -3712,6 +3733,22 @@ def generate_symlink_manifest(path: str, version: int | None = None) -> str:
             f"reorg_purge() first, then re-export"
         )
     files = visible_files(path, v)
+    if not allow_row_ids and row_tracking_enabled(path, v):
+        import pyarrow.parquet as pq
+
+        carriers = [
+            f
+            for f in files
+            if _ROWID in pq.ParquetFile(f).schema_arrow.names
+        ]
+        if carriers:
+            raise ValueError(
+                f"snapshot v{v} materializes the internal '{_ROWID}' "
+                f"column in {len(carriers)} file(s); a plain parquet "
+                f"reader through the manifest would see an undocumented "
+                f"extra column — pass allow_row_ids=True to export "
+                f"anyway (readers must project it away)"
+            )
     if not files:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     manifest = os.path.join(path, _MANIFEST_DIR, "manifest")

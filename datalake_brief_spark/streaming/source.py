@@ -292,9 +292,15 @@ class _TxlogStreamReader(DataSourceStreamReader):
                             # bases are immutable per file; the registry
                             # union finds a pre-enable append's base in the
                             # LATER enable commit, and survives the file
-                            # being rewritten later in the same batch
+                            # being rewritten later in the same batch.
+                            # UNCAPPED on purpose: a rate-limited batch
+                            # (maxVersionsPerTrigger) can end BEFORE the
+                            # enable commit while covering pre-enable
+                            # appends whose bases only the enable commit's
+                            # backfill records — capping at the batch end
+                            # would fail those forever (ADVICE r9 #2).
                             backfill = txlog._row_base_registry(  # noqa: SLF001
-                                self.path, up_to=int(end["version"])
+                                self.path
                             )
                         base = backfill.get(rel)
                 if self.row_ids and base is None:

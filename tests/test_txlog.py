@@ -3186,3 +3186,96 @@ class TestRowTracking:
             (2, "b", "delete"): ids[2],
             (2, "B", "insert"): ids[2],
         }, rows
+
+
+class TestAdviceFixesRound10:
+    """Regression tests for the round-9 ADVICE findings."""
+
+    def test_table_changes_commit_version_is_bigint_in_every_leg(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: live legs emitted _commit_version as INT
+        (F.lit default) while the empty-window frame and the streaming
+        CDF emit BIGINT — the same API returned different schemas
+        depending on window contents. All legs must agree on bigint."""
+        from pyspark.sql.types import LongType
+
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)  # v1 append leg
+        txlog.update_where(
+            spark, path, "id = 2", {"version": F.lit(7)}
+        )  # v2: rewrite/CDC leg
+        def cv_type(df):
+            return df.schema["_commit_version"].dataType
+
+        live = txlog.table_changes(spark, path, from_version=0)
+        assert cv_type(live) == LongType(), live.schema
+        # per-leg: a pure-append-only window and an update-only window
+        assert cv_type(
+            txlog.table_changes(spark, path, from_version=0, to_version=1)
+        ) == LongType()
+        assert cv_type(
+            txlog.table_changes(spark, path, from_version=1, to_version=2)
+        ) == LongType()
+        # empty-window frame (rewrite-only commit): optimize after a second
+        # small append so there is something to compact
+        txlog.append(_df(spark, [(3, "c", 1)]), path)  # v3
+        v_opt = txlog.optimize(spark, path)  # v4 rewrite-only
+        empty = txlog.table_changes(
+            spark, path, from_version=v_opt - 1, to_version=v_opt
+        )
+        assert cv_type(empty) == LongType(), empty.schema
+        # the legs must union cleanly with the empty frame (typed-sink case)
+        assert cv_type(live.unionByName(empty)) == LongType()
+
+    def test_reorg_purge_is_noop_on_fully_live_row_tracking_table(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: enable_row_tracking reserves '__row_id', which is
+        never in the logical schema — the purge's retired-column scan
+        treated it as retired and rewrote every id-carrying file on EVERY
+        call (each rewrite re-materializes __row_id, so it never
+        converged). On a tracking table with no DVs and no genuinely
+        retired columns, reorg_purge must keep its no-op contract."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), path)
+        txlog.enable_row_tracking(path)
+        # CoW delete rewrites the file, materializing __row_id into it
+        txlog.delete_where(spark, path, "id = 2")
+        import pyarrow.parquet as pq
+
+        assert any(
+            "__row_id" in pq.ParquetFile(f).schema_arrow.names
+            for f in txlog.visible_files(path)
+        ), "precondition: a visible file must carry materialized ids"
+        v = txlog.current_version(path)
+        files = set(txlog.visible_files(path))
+        assert txlog.reorg_purge(spark, path) == v
+        assert set(txlog.visible_files(path)) == files
+        # and again — convergence, not oscillation
+        assert txlog.reorg_purge(spark, path) == v
+        # ids still resolve after the (non-)purge
+        ids = {
+            r.id: r.row_id
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        assert set(ids) == {1, 3}
+
+    def test_symlink_manifest_refuses_materialized_row_ids_by_default(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: exported data files carrying the internal __row_id
+        physical column would surface an undocumented extra column to
+        plain parquet readers — refuse like the DV guard unless the
+        caller opts in with allow_row_ids=True."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        txlog.enable_row_tracking(path)
+        # no file materializes ids yet -> export is fine
+        txlog.generate_symlink_manifest(path)
+        txlog.delete_where(spark, path, "id = 2")  # CoW rewrite -> carrier
+        with pytest.raises(ValueError, match="__row_id"):
+            txlog.generate_symlink_manifest(path)
+        m = txlog.generate_symlink_manifest(path, allow_row_ids=True)
+        lines = [ln for ln in open(m).read().splitlines() if ln]
+        assert len(lines) == len(txlog.visible_files(path))

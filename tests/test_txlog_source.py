@@ -666,3 +666,43 @@ class TestRowIdStream:
             assert got == {9}
         finally:
             q.stop()
+
+
+class TestRowIdStreamRateLimited:
+    def test_pre_enable_backlog_drains_under_max_versions_per_trigger(
+        self, spark, table, tmp_path
+    ):
+        """ADVICE r9: with maxVersionsPerTrigger=1 a micro-batch can cover
+        an append commit OLDER than the enable_row_tracking commit; those
+        appends carry no row_bases and the registry — when capped at the
+        batch END version — misses the enable commit's backfill, so the
+        stream failed permanently on a perfectly covered file. The
+        registry is now resolved uncapped (bases are immutable per file)."""
+        txlog.enable_row_tracking(table)  # table fixture: 2 pre-enable appends
+        q = (
+            spark.readStream.format("txlog")
+            .options(path=table, rowIds="true", maxVersionsPerTrigger="1")
+            .load()
+            .writeStream.format("memory")
+            .queryName("rid_rate")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_rid_rate"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.id: r.row_id
+                for r in spark.sql("SELECT * FROM rid_rate").collect()
+            }
+            want = {
+                r.id: r.row_id
+                for r in txlog.read_with_row_ids(spark, table).collect()
+            }
+            assert got == want and len(got) == 3
+            batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            assert len(batches) >= 2, "rate limit must split the backlog"
+        finally:
+            q.stop()
