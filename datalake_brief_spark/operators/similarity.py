@@ -950,6 +950,101 @@ def ivf_pq_index_write(
     write_partitioned(encoded, path, ["cell"])
 
 
+def ivf_pq_index_append(
+    new: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an increment to a materialized IVF-PQ index WITHOUT
+    re-training (the ivf_index_append maintenance path, composed):
+    vectors assign to their nearest EXISTING centroid, encode with the
+    STORED codebooks, and land inside the matched ``cell=<k>/``
+    partition directories. Identical (centroids, codebooks) mean an
+    append-then-search equals a search over a full rebuild — pinned in
+    tests/test_dedup_similarity.py — and probes see appended vectors
+    immediately (partition-pruned scans read whole cell directories).
+    Re-clustering/re-encoding a 100 TB index per increment is a
+    non-starter; :func:`pq_codebook_drift` is the data-driven signal for
+    when a periodic re-train IS due."""
+    assigned = ivf_assign(
+        new.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "cell", 1
+    )
+    encoded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep=["cell", vec_col]
+    )
+    from datalake_brief_spark.sources.io import write_partitioned
+
+    write_partitioned(encoded, path, ["cell"], mode="append")
+
+
+def pq_quantization_error(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean PQ reconstruction error of a vector set against FIXED
+    codebooks: per row, the summed squared L2 distance between each
+    L2-normalized subvector and its nearest codebook centroid (exactly
+    the quantity k-means training minimized). One Arrow-batched pandas
+    pass — the offline index-health path, same budget class as
+    pq_encode. Returns a single row (n_vectors, mean_sq_err)."""
+    books = np.asarray(codebooks)
+    m, ks, dsub = books.shape
+
+    import pandas as pd  # noqa: F811 (Arrow batch path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def qerr(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        err = np.zeros(len(X))
+        for s in range(m):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            err += d.min(1)
+        return pd.Series(err)
+
+    return df.select(qerr(as_double_array(F.col(vec_col))).alias("__e")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("__e").alias("mean_sq_err"),
+    )
+
+
+def pq_codebook_drift(
+    reference: DataFrame,
+    increment: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook-drift statistic for append-maintained PQ indexes: the
+    increment's mean quantization error over a REFERENCE population's —
+    ratio ≈ 1 means the stored codebooks still fit the incoming data
+    (keep appending), a sustained climb means the distribution moved and
+    a re-train + re-encode is due. One row: (reference_err,
+    increment_err, drift_ratio). The reference must be HELD-OUT data the
+    codebooks already serve (e.g. a slice of the indexed corpus) — the
+    k-means training sample itself reads optimistically low (in-sample
+    fit) and would inflate every ratio. The decision threshold is the
+    caller's (FAISS practice is re-train at ~1.2–1.5×); this function
+    only measures."""
+    t = pq_quantization_error(reference, codebooks, vec_col).collect()[0]
+    i = pq_quantization_error(increment, codebooks, vec_col).collect()[0]
+    spark = reference.sparkSession
+    ratio = (
+        float(i.mean_sq_err) / float(t.mean_sq_err)
+        if t.mean_sq_err
+        else float("inf")
+    )
+    return spark.createDataFrame(
+        [(float(t.mean_sq_err), float(i.mean_sq_err), ratio)],
+        "reference_err double, increment_err double, drift_ratio double",
+    )
+
+
 def ivf_pq_topk_indexed(
     spark,
     index_path: str,

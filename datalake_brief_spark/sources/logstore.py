@@ -80,9 +80,20 @@ class LogStore:
         acceptable (callers only use this for deterministic content)."""
         raise NotImplementedError
 
+    def put_atomic_bytes(self, abs_path: str, payload: bytes) -> None:
+        """Binary twin of :func:`put_atomic` (multi-part parquet
+        checkpoint parts). Same contract: never torn, last-writer-wins on
+        deterministic content. Object stores get this for free — a
+        single-key PUT is atomic."""
+        raise NotImplementedError
+
     def read_text(self, abs_path: str) -> str:
         """Return the file's full content (read-after-write consistent
         with this store's own puts)."""
+        raise NotImplementedError
+
+    def read_bytes(self, abs_path: str) -> bytes:
+        """Binary twin of :func:`read_text` (checkpoint part files)."""
         raise NotImplementedError
 
     def list_dir(self, abs_dir: str) -> list[str]:
@@ -116,8 +127,19 @@ class LocalLogStore(LogStore):
             f.write(payload)
         os.replace(tmp, abs_path)
 
+    def put_atomic_bytes(self, abs_path: str, payload: bytes) -> None:
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        tmp = f"{abs_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, abs_path)
+
     def read_text(self, abs_path: str) -> str:
         with open(abs_path) as f:
+            return f.read()
+
+    def read_bytes(self, abs_path: str) -> bytes:
+        with open(abs_path, "rb") as f:
             return f.read()
 
     def list_dir(self, abs_dir: str) -> list[str]:

@@ -40,14 +40,16 @@ etag-guarded create — strategies documented there), not auditing this
 module's file calls.
 
 At 100 TB the log stays tiny (one small JSON per commit), and resolution
-cost stays FLAT as history grows: every 10th commit writes a consolidated
-``<v>.checkpoint.json`` of the live state (files + stats + blooms), and
-readers replay only the commits after the newest covering checkpoint — the
-Delta checkpoint-Parquet design, in JSON. Data file counts bound plan size
-exactly as for any parquet table,
-and MERGE cost is governed by the same partition-pruning arguments as
-``upsert_parquet_partitioned`` — the log only changes *visibility*, not
-dataflow.
+cost stays FLAT as history grows: every 10th commit consolidates the live
+state — small tables into one ``<v>.checkpoint.json``, large ones into
+multi-part PARQUET checkpoint files with the JSON reduced to a completion
+marker (the Delta multi-part checkpoint design; readers replay only the
+commits after the newest covering checkpoint and a million-file state is
+a columnar read, never one giant JSON parse). Data file counts bound plan
+size exactly as for any parquet table, and MERGE is clause-based and
+file-pruned (:func:`merge_into`): per-file key stats + blooms bound the
+rewrite to the files that actually hold matched keys, so a CDC upsert
+stream costs ∝ its touched data, never the table.
 """
 
 from __future__ import annotations
@@ -123,21 +125,7 @@ def _replay(path: str, version: int | None = None) -> dict:
     cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
     if cps:
         start_after = max(cps)
-        cp = json.loads(
-            logstore.for_path(path).read_text(
-                _checkpoint_path(path, start_after)
-            )
-        )
-        live = {
-            rel: {
-                "stats": e.get("stats"),
-                "blooms": e.get("blooms"),
-                "rows": e.get("rows"),
-                "dvs": list(e.get("dvs") or []),
-                "base": e.get("base"),
-            }
-            for rel, e in cp["files"].items()
-        }
+        live = _load_checkpoint(path, start_after)
     for v in _versions(path):
         if v <= start_after:
             continue
@@ -153,6 +141,7 @@ def _replay(path: str, version: int | None = None) -> dict:
                 "blooms": blooms.get(rel),
                 "rows": rows.get(rel),
                 "dvs": [],
+                "base": None,
             }
         for rel in commit.get("removes", []):
             live.pop(rel, None)
@@ -178,20 +167,207 @@ def _replay(path: str, version: int | None = None) -> dict:
     return live
 
 
+# Past this many live files a checkpoint spills from one JSON blob to
+# multi-part parquet (the Delta multi-part checkpoint design): a single
+# driver-parsed JSON of every live file is THE log-resolution bottleneck
+# at millions of files, while parquet parts are columnar, compressed,
+# individually bounded, and readable as a table (checkpoint_as_dataframe).
+_CHECKPOINT_MULTIPART_MIN_FILES = 20_000
+_CHECKPOINT_PART_ENTRIES = 10_000
+
+
+def _checkpoint_part_path(path: str, version: int, n: int, k: int) -> str:
+    return os.path.join(
+        _log_dir(path), f"{version:0{_PAD}d}.checkpoint.{n:04d}.{k:04d}.parquet"
+    )
+
+
+def _checkpoint_part_tables(live: dict):
+    """Chunk the live-state dict into pyarrow tables of
+    ``_CHECKPOINT_PART_ENTRIES`` rows. Stats/blooms ride as JSON strings
+    per entry — exactly Delta's checkpoint convention (its ``stats``
+    column is a JSON string inside the parquet)."""
+    import pyarrow as pa
+
+    rels = sorted(live)
+    for i in range(0, len(rels), _CHECKPOINT_PART_ENTRIES):
+        chunk = rels[i : i + _CHECKPOINT_PART_ENTRIES]
+        yield pa.table(
+            {
+                "rel": chunk,
+                "stats": [
+                    json.dumps(live[r]["stats"]) if live[r].get("stats") else None
+                    for r in chunk
+                ],
+                "blooms": [
+                    json.dumps(live[r]["blooms"]) if live[r].get("blooms") else None
+                    for r in chunk
+                ],
+                "rows": pa.array(
+                    [live[r].get("rows") for r in chunk], type=pa.int64()
+                ),
+                "dvs": pa.array(
+                    [list(live[r].get("dvs") or []) for r in chunk],
+                    type=pa.list_(pa.string()),
+                ),
+                "base": pa.array(
+                    [live[r].get("base") for r in chunk], type=pa.int64()
+                ),
+            }
+        )
+
+
+def _load_checkpoint(path: str, version: int) -> dict:
+    """Resolve a checkpoint's live-state dict: inline JSON for small
+    tables, else the marker names its parquet part count and the parts
+    are read columnar (never one giant JSON parse)."""
+    store = logstore.for_path(path)
+    cp = json.loads(store.read_text(_checkpoint_path(path, version)))
+    if "parts" not in cp:
+        return {
+            rel: {
+                "stats": e.get("stats"),
+                "blooms": e.get("blooms"),
+                "rows": e.get("rows"),
+                "dvs": list(e.get("dvs") or []),
+                "base": e.get("base"),
+            }
+            for rel, e in cp["files"].items()
+        }
+    import io as _io
+
+    import pyarrow.parquet as _pq
+
+    k = cp["parts"]
+    live: dict[str, dict] = {}
+    for n in range(1, k + 1):
+        buf = store.read_bytes(_checkpoint_part_path(path, version, n, k))
+        t = _pq.read_table(_io.BytesIO(buf))
+        cols = {c: t.column(c).to_pylist() for c in t.column_names}
+        # ONE json.loads per column per part, not one per entry: the
+        # strings join into a JSON array and parse at C speed — per-entry
+        # loads() measured 2× slower than the legacy single-blob parse at
+        # 100k files; this form beats it.
+        stats = json.loads("[%s]" % ",".join(s or "null" for s in cols["stats"]))
+        blooms = json.loads("[%s]" % ",".join(s or "null" for s in cols["blooms"]))
+        for i, rel in enumerate(cols["rel"]):
+            live[rel] = {
+                "stats": stats[i],
+                "blooms": blooms[i],
+                "rows": cols["rows"][i],
+                "dvs": list(cols["dvs"][i] or []),
+                "base": cols["base"][i],
+            }
+    return live
+
+
 def _maybe_checkpoint(path: str, version: int) -> None:
-    """Every ``_CHECKPOINT_EVERY`` commits, consolidate the live state into
-    ``<v>.checkpoint.json`` (O_EXCL — a racing duplicate writer loses
-    harmlessly: the content is a deterministic function of the log).
-    Commit files are never deleted, so time travel below the checkpoint
-    still replays the original log."""
+    """Every ``_CHECKPOINT_EVERY`` commits, consolidate the live state.
+    Small tables land one ``<v>.checkpoint.json`` (O_EXCL — a racing
+    duplicate writer loses harmlessly: the content is a deterministic
+    function of the log). Past ``_CHECKPOINT_MULTIPART_MIN_FILES`` live
+    files the state spills to ``<v>.checkpoint.<n>.<k>.parquet`` parts
+    with the JSON reduced to a completion MARKER naming the part count —
+    parts land first, the marker last, so a writer dying mid-checkpoint
+    leaves no visible (torn) checkpoint, only orphan parts a later
+    writer overwrites with identical content. Commit files are never
+    deleted, so time travel below the checkpoint still replays the
+    original log."""
     if version % _CHECKPOINT_EVERY != 0:
         return
-    payload = json.dumps({"version": version, "files": _replay(path, version)})
-    # put_atomic: a writer dying mid-write must never leave a TORN
-    # checkpoint (readers would fail on json.load forever). Racing writers
-    # produce identical content (the state is a deterministic function of
-    # the log), so last-writer-wins is safe.
-    logstore.for_path(path).put_atomic(_checkpoint_path(path, version), payload)
+    store = logstore.for_path(path)
+    live = _replay(path, version)
+    # Fold the commit-meta state in too (the Delta checkpoints-carry-
+    # metadata design): latest_meta otherwise walks commit JSONs
+    # newest-first until a commit records the key — O(versions) on a
+    # table whose recent commits are all mutations that re-record no
+    # schema/mapping. With meta_latest in the marker, resolution is
+    # O(tail) like the file list. Folding starts from the previous
+    # checkpoint's fold when one exists (same O(tail) write cost).
+    meta_latest: dict = {}
+    prior = [v for v in _checkpoint_versions(path) if v < version]
+    start_after = 0
+    if prior:
+        start_after = max(prior)
+        cp = json.loads(store.read_text(_checkpoint_path(path, start_after)))
+        meta_latest = dict(cp.get("meta_latest") or {})
+        if "meta_latest" not in cp:
+            start_after = 0  # legacy checkpoint: fold the whole log once
+            meta_latest = {}
+    for v in _versions(path):
+        if v <= start_after or v > version:
+            continue
+        meta_latest.update(_load_commit(path, v).get("meta", {}))
+    if len(live) < _CHECKPOINT_MULTIPART_MIN_FILES:
+        payload = json.dumps(
+            {"version": version, "files": live, "meta_latest": meta_latest}
+        )
+        # put_atomic: a writer dying mid-write must never leave a TORN
+        # checkpoint (readers would fail on json.load forever). Racing
+        # writers produce identical content (the state is a deterministic
+        # function of the log), so last-writer-wins is safe.
+        store.put_atomic(_checkpoint_path(path, version), payload)
+        return
+    import pyarrow.parquet as _pq
+
+    parts = list(_checkpoint_part_tables(live))
+    k = len(parts)
+    for n, table in enumerate(parts, start=1):
+        import io as _io
+
+        buf = _io.BytesIO()
+        _pq.write_table(table, buf, compression="zstd")
+        store.put_atomic_bytes(
+            _checkpoint_part_path(path, version, n, k), buf.getvalue()
+        )
+    store.put_atomic(
+        _checkpoint_path(path, version),
+        json.dumps(
+            {
+                "version": version,
+                "parts": k,
+                "n_files": len(live),
+                "meta_latest": meta_latest,
+            }
+        ),
+    )
+
+
+def checkpoint_as_dataframe(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The newest checkpoint at or below ``version``, AS A TABLE — one row
+    per live data file (rel, stats/blooms JSON, rows, dvs, base) — the
+    Delta "checkpoint readable as parquet" property. Multi-part
+    checkpoints are a plain distributed parquet scan of the parts (the
+    driver never holds the file list); JSON checkpoints are reconstructed
+    into the identical schema. Raises when no checkpoint exists yet."""
+    cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
+    if not cps:
+        raise FileNotFoundError(f"no checkpoint at or below {version} in {path!r}")
+    cp_v = max(cps)
+    cp = json.loads(logstore.for_path(path).read_text(_checkpoint_path(path, cp_v)))
+    ddl = (
+        "rel string, stats string, blooms string, rows bigint, "
+        "dvs array<string>, base bigint"
+    )
+    if "parts" in cp:
+        k = cp["parts"]
+        return spark.read.schema(ddl).parquet(
+            *[_checkpoint_part_path(path, cp_v, n, k) for n in range(1, k + 1)]
+        )
+    rows = [
+        (
+            rel,
+            json.dumps(e["stats"]) if e.get("stats") else None,
+            json.dumps(e["blooms"]) if e.get("blooms") else None,
+            e.get("rows"),
+            list(e.get("dvs") or []),
+            e.get("base"),
+        )
+        for rel, e in sorted(cp["files"].items())
+    ]
+    return spark.createDataFrame(rows, ddl)
 
 
 def current_version(path: str) -> int:
@@ -208,7 +384,11 @@ def visible_files(path: str, version: int | None = None) -> list[str]:
 
 
 def _read_data(
-    spark: SparkSession, path: str, files: list[str], merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    merge_schema: bool = False,
+    version: int | None = None,
 ):
     """Scan an explicit list of the table's data files — the ONE way any
     txlog code touches data bytes. Partitioned appends keep every column
@@ -216,7 +396,24 @@ def _read_data(
     directory segments (see _write_data_files), so a plain file-list
     read is always complete: no basePath, no partition reconstruction,
     no mixed-layout hazard when partitioned and unpartitioned file
-    groups coexist in one snapshot (rewrites land unpartitioned)."""
+    groups coexist in one snapshot (rewrites land unpartitioned).
+
+    When the log records a schema (every modern commit does), the scan
+    uses it EXPLICITLY — translated to physical names at ``version``,
+    plus the reserved ``__row_id`` column on row-tracking tables — the
+    Delta "schema from the log, never the footers" contract. That makes
+    mixed-schema snapshots deterministic (a file-pruned MERGE/UPDATE
+    leaves old-schema files live next to evolved ones; files missing a
+    column read NULL, retired physical columns never leak in) and costs
+    ZERO footer reads at plan time regardless of ``merge_schema``. The
+    footer path survives only for tables that predate logged schemas."""
+    schema = latest_meta(path, "schema", version)
+    if schema:
+        mapping = _column_mapping(path, version)
+        parts = [f"`{mapping.get(c, c)}` {t}" for c, t in schema.items()]
+        if row_tracking_enabled(path, version):
+            parts.append(f"`{_ROWID}` bigint")
+        return spark.read.schema(", ".join(parts)).parquet(*files)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -1335,13 +1532,38 @@ def latest_meta(path: str, key: str, version: int | None = None):
     (None if no commit carries it). Because the meta landed in the same
     O_EXCL commit file as the adds/removes it describes, a reader can never
     observe data from a commit without that commit's meta — no torn
-    state/meta window exists."""
+    state/meta window exists.
+
+    Checkpoint-accelerated like the file list (the Delta checkpoints-
+    carry-metadata design): markers store the per-key latest-wins fold
+    (``meta_latest``), so resolution walks only the post-checkpoint tail
+    instead of the log back to whichever commit last recorded the key —
+    O(versions) otherwise, on every logical-view build, for a table
+    whose recent commits are all schema-silent mutations. Legacy markers
+    without the fold keep the full walk."""
+    cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
+    cp_v = max(cps) if cps else 0
+    stop_at = 0 if not cp_v else cp_v
     for v in reversed(_versions(path)):
         if version is not None and v > version:
             continue
+        if v <= stop_at:
+            break
         m = _load_commit(path, v).get("meta", {})
         if key in m:
             return m[key]
+    if cp_v:
+        cp = json.loads(
+            logstore.for_path(path).read_text(_checkpoint_path(path, cp_v))
+        )
+        if "meta_latest" in cp:
+            return cp["meta_latest"].get(key)
+        for v in reversed(_versions(path)):
+            if v > cp_v:
+                continue
+            m = _load_commit(path, v).get("meta", {})
+            if key in m:
+                return m[key]
     return None
 
 
@@ -1375,7 +1597,7 @@ def read(
         # only THEN do we pay the per-file existence sweep to diagnose a
         # vacuumed snapshot (never O(n_files) stat calls on every read).
         return _logical_view(
-            _read_data(spark, path, files, merge_schema), path, version
+            _read_data(spark, path, files, merge_schema, version), path, version
         )
     except Exception as e:
         missing = [f for f in files if not os.path.exists(f)]
@@ -1544,9 +1766,9 @@ def read_pruned(
             continue
         keep.append(abs_p)
     if not keep:
-        df = _read_data(spark, path, all_files).limit(0)
+        df = _read_data(spark, path, all_files, version=version).limit(0)
     else:
-        df = _read_data(spark, path, keep)
+        df = _read_data(spark, path, keep, version=version)
     df = _logical_view(df, path, version)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
@@ -1590,9 +1812,9 @@ def read_pruned_nulls(
         keep.append(os.path.join(path, rel))
     if not keep:
         all_files = [os.path.join(path, rel) for rel in sorted(live)]
-        df = _read_data(spark, path, all_files).limit(0)
+        df = _read_data(spark, path, all_files, version=version).limit(0)
     else:
-        df = _read_data(spark, path, keep)
+        df = _read_data(spark, path, keep, version=version)
     df = _logical_view(df, path, version)
     return df.filter(F.col(col).isNull() if is_null else F.col(col).isNotNull())
 
@@ -1604,89 +1826,497 @@ def merge(
     keys: list[str],
     order_col: str,
 ) -> int:
-    """Latest-wins MERGE as one atomic commit: read snapshot ⊎ updates →
-    keep max-``order_col`` row per key → new file group replaces the old
-    snapshot. Readers see the pre-merge or post-merge table, never between.
-    (File-level pruning of untouched data belongs to the partition variant,
-    sources.io.upsert_parquet_partitioned — same dataflow, narrower swap.)
+    """Latest-wins MERGE as one atomic commit: per key, keep the
+    max-``order_col`` row among {existing row, updates rows}. Since round
+    10 this is a thin wrapper over the clause-based :func:`merge_into` —
+    the updates batch is first reduced to its own per-key winner (one
+    window over the UPDATES, cost ∝ |updates|), then merged with
+    ``whenMatched UPDATE`` conditioned on ``s.order >= t.order`` (an
+    update at the same ``order_col`` wins, the deterministic form of the
+    old window tie) plus ``whenNotMatched INSERT`` — so only the files
+    that actually contain updated keys are rewritten, instead of the
+    whole snapshot.
 
     Additive schema evolution on MERGE (the Delta ``mergeSchema`` upsert
     contract): an updates batch may carry columns the table predates —
-    existing rows read NULL for them — and may omit columns the table has —
-    the updates' rows read NULL there. Key and order columns must exist on
-    both sides (enforced by the window)."""
+    existing rows read NULL for them — and may omit columns the table
+    has — a WINNING update row reads NULL there (latest-wins replaces the
+    whole row, so table-only columns are explicitly assigned NULL, not
+    kept). Key and order columns must exist in the updates batch; a table
+    that predates ``order_col`` treats every existing row as older than
+    any update."""
     read_v = current_version(path)
     _enforce_constraints(updates, path)
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-    if read_v == 0:
-        # Same contract on an empty table: one row per key survives, not a
-        # verbatim append of a possibly multi-row-per-key updates batch.
-        combined = updates
-    else:
-        # MOR read, not plain read(): a MERGE rewrites the whole snapshot,
-        # so its input must be the LOGICAL table — reading raw file bytes
-        # would resurrect every DV-deleted row into the merged files (the
-        # same resurrection hazard _read_files_with_dvs documents for the
-        # file-scoped rewrites).
-        combined = read_mor(spark, path, read_v, merge_schema=True).unionByName(
-            updates, allowMissingColumns=True
-        )
     latest = (
-        combined.withColumn("__rn", F.row_number().over(w))
+        updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     if read_v == 0:
+        # Same contract on an empty table: one row per key survives, not a
+        # verbatim append of a possibly multi-row-per-key updates batch.
         return append(latest, path)
-    removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
-    # a MERGE rewrites the whole snapshot: recollect stats/blooms on every
-    # column the superseded files carried, or the table silently loses its
-    # data skipping after the first upsert
-    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
-    mapping = _column_mapping(path, read_v)
-    adds = _write_data_files(_to_physical(latest, mapping), path)
-    # change record: old-vs-new snapshot diff (rows rewritten identically
-    # cancel). The diff costs one extra pass bounded by the merge's own
-    # full-snapshot rewrite; with it, CDC over a merge window reads ONLY
-    # the change files — no cross-file diff at read time.
-    old = read_mor(spark, path, read_v, merge_schema=True)
-    for c, t in latest.dtypes:
-        if c not in old.columns:
-            old = old.withColumn(c, F.lit(None).cast(t))
-    old = old.select(*latest.columns)
-    changes = (
-        old.exceptAll(latest)
-        .withColumn("_change_type", F.lit("delete"))
-        .unionByName(
-            latest.exceptAll(old).withColumn("_change_type", F.lit("insert"))
-        )
+    table_cols = list(
+        (latest_meta(path, "schema", read_v) or dict(read(spark, path, read_v).dtypes))
     )
-    change_data = _write_change_files(_to_physical(changes, mapping), path)
+    upd_cols = set(latest.columns)
+    post_cols = table_cols + [c for c in latest.columns if c not in set(table_cols)]
+    # latest-wins replaces the WHOLE row: source columns from the update,
+    # table-only columns explicitly NULL (the old union-window semantics)
+    assigns = {
+        c: (F.col(f"s.`{c}`") if c in upd_cols else F.lit(None))
+        for c in post_cols
+    }
+    newer = F.col(f"t.`{order_col}`").isNull() | (
+        F.col(f"s.`{order_col}`") >= F.col(f"t.`{order_col}`")
+    ) if order_col in table_cols else F.lit(True)
+    return merge_into(
+        spark,
+        path,
+        latest,
+        keys,
+        when_matched=[("update", assigns, newer)],
+        when_not_matched=True,
+        merge_schema=True,
+    )
+
+
+_MERGE_BLOOM_PROBE_MAX = 4096
+
+
+def _merge_candidate_files(
+    spark: SparkSession,
+    path: str,
+    read_v: int,
+    source: DataFrame,
+    keys: list[str],
+) -> tuple[list[str], dict]:
+    """File-level candidate pruning for MERGE: which of the snapshot's
+    files COULD contain a row whose key equals some source key. Three
+    layers, driver cost bounded by metadata (never table data):
+
+    1. **Range skip** — one agg over the source computes each key
+       column's [min, max]; a file whose logged stats cannot intersect
+       that envelope on ANY key column is out (a matching row would need
+       equality on EVERY key column).
+    2. **Bloom skip** — when the source's distinct key values on a
+       bloom-indexed column fit under ``_MERGE_BLOOM_PROBE_MAX``, probe
+       each surviving file's bloom: a file whose filter excludes every
+       source value of that column cannot match.
+    3. The caller's exact match scan (a semi-join of the survivors
+       against the source keys) decides the final rewrite set.
+
+    Returns ``(candidate absolute paths, {key: (lo, hi)} envelope)`` —
+    the envelope doubles as the WriteSerializable phantom predicate."""
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    row = source.agg(*aggs).collect()[0].asDict()
+    envelope = {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
+    all_files = visible_files(path, read_v)
+    if any(lo is None for lo, _ in envelope.values()):
+        # some key column is all-NULL in the source → no source tuple can
+        # equal any target tuple (NULL never matches an equi-join)
+        return [], envelope
+    stats = visible_stats(path, read_v)
+    phys = {k: _phys_name(path, read_v, k) for k in keys}
+    canon = {k: (_canon_bound(lo), _canon_bound(hi)) for k, (lo, hi) in envelope.items()}
+    candidates = []
+    for abs_p in all_files:
+        fstats = stats.get(os.path.relpath(abs_p, path), {})
+        if any(
+            _range_excludes(fstats.get(phys[k]), *canon[k]) for k in keys
+        ):
+            continue
+        candidates.append(abs_p)
+    if not candidates:
+        return [], envelope
+    # bloom probe: per key column, collect the source's distinct values
+    # only when bounded (the driver holds ≤ _MERGE_BLOOM_PROBE_MAX values)
+    blooms = visible_blooms(path, read_v)
+    for k in keys:
+        if not any(
+            phys[k] in blooms.get(os.path.relpath(p, path), {}) for p in candidates
+        ):
+            continue
+        vals = [
+            r[0]
+            for r in source.select(k)
+            .where(F.col(k).isNotNull())
+            .distinct()
+            .limit(_MERGE_BLOOM_PROBE_MAX + 1)
+            .collect()
+        ]
+        if len(vals) > _MERGE_BLOOM_PROBE_MAX:
+            continue  # unbounded key set: stats + match scan carry it
+        kept = []
+        for abs_p in candidates:
+            b64 = blooms.get(os.path.relpath(abs_p, path), {}).get(phys[k])
+            if b64 is not None and not any(
+                _bloom_may_contain(b64, v) for v in vals
+            ):
+                continue
+            kept.append(abs_p)
+        candidates = kept
+        if not candidates:
+            break
+    return candidates, envelope
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: list[tuple] | None = None,
+    when_not_matched=True,
+    merge_schema: bool = False,
+) -> int:
+    """Clause-based MERGE INTO (the Delta/SQL:2003 ``MERGE`` contract) as
+    one atomic, FILE-PRUNED commit: only files that contain source keys
+    are rewritten; every other file stays referenced byte-identical, so
+    cost tracks the matched data, never the table (the #1 requirement for
+    a CDC upsert stream into a 100 TB table — the old latest-wins form
+    rewrote the whole snapshot every call).
+
+    ``keys`` is the equi-join condition (target.k = source.k per column;
+    SQL semantics — NULL keys never match). Clauses:
+
+    - ``when_matched``: ordered list of ``("update", assignments, cond)``
+      / ``("delete", cond)`` (``cond`` optional in both; trailing element
+      may be omitted). The FIRST clause whose condition is TRUE (NULL →
+      false) applies to a matched row; no true clause → the row passes
+      through unchanged. Every clause except the last must carry a
+      condition (later clauses would be unreachable — the Delta rule).
+      ``assignments`` is ``{col: expr}`` (Column or SQL string; reference
+      the two sides as ``t.<col>`` / ``s.<col>``) or ``"*"`` = set every
+      column present in the source from the source, keep the rest.
+    - ``when_not_matched``: ``True`` (insert source rows verbatim, table
+      columns the source lacks read NULL), ``("insert", values, cond)``
+      (``values`` = ``{col: expr}`` over source columns or None for
+      verbatim), or ``None``/``False`` (insert-nothing).
+
+    Matching rows are found with the same metadata-first ladder as the
+    CoW mutations: per-file stats envelope skip + bloom probe
+    (:func:`_merge_candidate_files`), then ONE semi-join scan tags the
+    files that actually hold source keys. A target row matched by MORE
+    THAN ONE source row with any when_matched clause raises (the Delta
+    "multiple source rows matched" rule — the result would be
+    nondeterministic).
+
+    Row tracking: matched rows KEEP their stable ids — the rewrite rides
+    :func:`_read_files_with_dvs`, which materializes each row's id into
+    the replacement files exactly like CoW UPDATE — and only the
+    not-matched INSERT file group allocates fresh ranges. The change
+    record carries each updated row's delete+insert pair sharing one id.
+
+    Additive schema evolution needs ``merge_schema=True`` (source columns
+    the table lacks extend the logical schema; existing rows read NULL).
+    Concurrency: WriteSerializable via :func:`_commit_serializable` with
+    the key envelope as the phantom predicate — a concurrent append
+    inside the source's key range conflicts, disjoint appends re-target.
+    Returns the new version (the current one when nothing changed)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if not keys:
+        raise ValueError("merge_into needs at least one key column")
+    # --- normalize clauses -------------------------------------------------
+    matched_clauses: list[tuple] = []
+    for cl in when_matched or []:
+        kind = cl[0]
+        if kind == "update":
+            assigns = cl[1]
+            cond = cl[2] if len(cl) > 2 else None
+        elif kind == "delete":
+            assigns = None
+            cond = cl[1] if len(cl) > 1 else None
+        else:
+            raise ValueError(f"unknown when_matched clause kind {kind!r}")
+        matched_clauses.append((kind, assigns, cond))
+    for kind, _, cond in matched_clauses[:-1]:
+        if cond is None:
+            raise ValueError(
+                "every when_matched clause except the last needs a "
+                "condition (later clauses would be unreachable)"
+            )
+    if when_not_matched is True:
+        ins_clause = (None, None)
+    elif when_not_matched in (None, False):
+        ins_clause = None
+    else:
+        if when_not_matched[0] != "insert":
+            raise ValueError(
+                f"unknown when_not_matched clause {when_not_matched[0]!r}"
+            )
+        ins_clause = (
+            when_not_matched[1] if len(when_not_matched) > 1 else None,
+            when_not_matched[2] if len(when_not_matched) > 2 else None,
+        )
+    if not matched_clauses and ins_clause is None:
+        raise ValueError("merge_into with no clauses is a no-op by construction")
+
+    def _as_cond(c):
+        return F.expr(c) if isinstance(c, str) else c
+
+    # --- post-merge schema -------------------------------------------------
+    table_df = read(spark, path, read_v, merge_schema=True)
+    table_fields = dict(table_df.dtypes)
+    src_fields = dict(source.dtypes)
+    missing_keys = [k for k in keys if k not in table_fields or k not in src_fields]
+    if missing_keys:
+        raise ValueError(
+            f"merge keys must exist on both sides; missing: {missing_keys}"
+        )
+    extra = [c for c in source.columns if c not in table_fields]
+    if extra and not merge_schema:
+        # source-only columns are fine as condition/assignment INPUTS
+        # (e.g. a delete flag) — they only evolve the table when a
+        # verbatim clause would WRITE them, and that needs the opt-in
+        writes_all = any(
+            kind == "update" and assigns == "*"
+            for kind, assigns, _ in matched_clauses
+        ) or (ins_clause is not None and ins_clause[0] is None)
+        if writes_all:
+            raise ValueError(
+                f"source adds columns the table does not have ({extra}) "
+                f"and a verbatim clause (UPDATE */INSERT) would write "
+                f"them; pass merge_schema=True to evolve the schema "
+                f"additively"
+            )
+        extra = []
+    post_cols = list(table_fields) + extra
+    post_types = {**table_fields, **{c: src_fields[c] for c in extra}}
+    tracking = row_tracking_enabled(path, read_v)
+    if _ROWID in source.columns:
+        raise ValueError(
+            f"{_ROWID!r} is the reserved row-tracking column; merge "
+            f"sources must not carry it"
+        )
+
+    # --- phase 1: which files could / do contain source keys ---------------
+    candidates, envelope = _merge_candidate_files(spark, path, read_v, source, keys)
+    matched: list[str] = []
+    if candidates:
+        from urllib.parse import unquote, urlparse
+
+        # the file tag must be a REAL column before the semi-join —
+        # input_file_name()/_metadata resolve on the scan stage only, and
+        # a post-shuffle evaluation would return "" (wrong files matched)
+        raw = _read_data(spark, path, candidates, merge_schema=True, version=read_v)
+        raw = raw.select("*", F.col("_metadata.file_path").alias("__fp"))
+        scan = _logical_view(raw, path, read_v, passthrough=("__fp",))
+        hits = (
+            scan.join(source.select(*keys), keys, "left_semi")
+            .select("__fp")
+            .distinct()
+            .collect()
+        )
+        matched = [
+            unquote(urlparse(r[0]).path) if r[0].startswith("file:") else r[0]
+            for r in hits
+        ]
+    # phantom predicate for the conflict-resolution probe: a concurrent
+    # append inside the source's key envelope may hold a row a serial
+    # MERGE would have matched → conflict. All-NULL key column → nothing
+    # can ever match (lit False short-circuits the conjunction).
+    phantom = None
+    for k, (lo, hi) in envelope.items():
+        leg = (
+            F.col(k).between(F.lit(lo), F.lit(hi))
+            if lo is not None
+            else F.lit(False)
+        )
+        phantom = leg if phantom is None else (phantom & leg)
+
+    # Column mapping for the landed files. Evolution may re-introduce a
+    # logical name whose physical form is RESERVED (dropped earlier, or
+    # renamed away) — exactly append's hazard: identity-mapping it would
+    # let the retired bytes in UNTOUCHED files resurrect under the new
+    # column. Generate a fresh physical name, same scheme as append.
+    # (Concurrent mapping DDL is fenced: rename/drop are _SNAPSHOT_OPS,
+    # so the commit retry below surfaces any race instead of drifting.)
+    mapping = dict(_column_mapping(path, read_v))
+    mapping_meta: dict = {}
+    if extra:
+        reserved = _physical_reserved(path, read_v)
+        for c in extra:
+            if c in reserved:
+                mapping[c] = f"{c}__c{uuid.uuid4().hex[:8]}"
+        reserved |= {mapping.get(c, c) for c in extra}
+        if mapping:
+            mapping_meta = {
+                "column_mapping": mapping,
+                "physical_reserved": sorted(reserved),
+            }
+    adds: list[str] = []
+    removes: list[str] = []
+    change_legs: list[DataFrame] = []
+    rowid_pass = ()
+
+    # --- phase 2: rewrite matched files -------------------------------------
+    tgt_m = None
+    if matched:
+        tgt_m = _read_files_with_dvs(spark, path, read_v, matched)
+        for name, dtype in table_fields.items():
+            if name not in tgt_m.columns:
+                tgt_m = tgt_m.withColumn(name, F.lit(None).cast(dtype))
+    if matched and matched_clauses:
+        # the Delta nondeterminism rule: >1 source row matching one target
+        # row with any when_matched clause has no well-defined result
+        dup_keys = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select(*keys)
+        )
+        if tgt_m.join(dup_keys, keys, "left_semi").limit(1).count():
+            raise ValueError(
+                "merge_into: multiple source rows match the same target "
+                "row — de-duplicate the source on the merge keys first"
+            )
+        srcm = source.withColumn("__m", F.lit(True))
+        on = None
+        for k in keys:
+            leg = F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
+            on = leg if on is None else (on & leg)
+        j = tgt_m.alias("t").join(srcm.alias("s"), on, "left_outer")
+        is_matched = F.coalesce(F.col("s.__m"), F.lit(False))
+        act = None
+        for i, (kind, _, cond) in enumerate(matched_clauses):
+            c = is_matched
+            if cond is not None:
+                c = c & F.coalesce(_as_cond(cond), F.lit(False))
+            act = F.when(c, F.lit(i)) if act is None else act.when(c, F.lit(i))
+        j = j.withColumn("__act", act.otherwise(F.lit(-1)))
+
+        def t_val(c):
+            if c in tgt_m.columns:
+                return F.col(f"t.`{c}`")
+            return F.lit(None).cast(post_types[c])
+
+        out_vals, pre_vals = [], []
+        for c in post_cols:
+            v = t_val(c)
+            for i, (kind, assigns, _) in enumerate(matched_clauses):
+                if kind != "update":
+                    continue
+                if assigns == "*":
+                    av = F.col(f"s.`{c}`") if c in source.columns else None
+                else:
+                    unknown = set(assigns) - set(post_cols)
+                    if unknown:
+                        raise ValueError(
+                            f"update assignments reference unknown "
+                            f"columns: {sorted(unknown)}"
+                        )
+                    av = assigns.get(c)
+                    if av is not None:
+                        av = F.expr(av) if isinstance(av, str) else av
+                if av is not None:
+                    v = F.when(
+                        F.col("__act") == i, av.cast(post_types[c])
+                    ).otherwise(v)
+            out_vals.append(v.alias(c))
+            pre_vals.append(t_val(c).alias(c))
+        del_idx = [i for i, (k, _, _) in enumerate(matched_clauses) if k == "delete"]
+        upd_idx = [i for i, (k, _, _) in enumerate(matched_clauses) if k == "update"]
+        if tracking:
+            rowid_pass = (F.col(f"t.`{_ROWID}`").alias(_ROWID),)
+        keep = j.filter(~F.col("__act").isin(del_idx)) if del_idx else j
+        rewritten = keep.select(*out_vals, *rowid_pass)
+        _enforce_constraints(rewritten, path)
+        removes = [os.path.relpath(p, path) for p in matched]
+        adds += _write_data_files(_to_physical(rewritten, mapping), path)
+        # change record: each clause-hit row's images — updates as their
+        # delete+insert pair SHARING the row's stable id, deletes as
+        # pre-images. No-hit and unmatched rows re-land byte-identical:
+        # not a change, not recorded.
+        if upd_idx:
+            hit_u = j.filter(F.col("__act").isin(upd_idx))
+            change_legs.append(
+                hit_u.select(*pre_vals, *rowid_pass).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+            change_legs.append(
+                hit_u.select(*out_vals, *rowid_pass).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if del_idx:
+            change_legs.append(
+                j.filter(F.col("__act").isin(del_idx))
+                .select(*pre_vals, *rowid_pass)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+
+    # --- phase 3: not-matched inserts ---------------------------------------
+    ins_adds: list[str] = []
+    if ins_clause is not None:
+        ins_values, ins_cond = ins_clause
+        nm = source
+        if tgt_m is not None:
+            # anti-join against the DV-APPLIED matched rows: a key whose
+            # only target occurrence is deletion-vector-deleted is NOT
+            # matched (it must insert, not vanish). Files outside the
+            # matched set hold no source keys by phase-1 construction.
+            nm = nm.join(tgt_m.select(*keys), keys, "left_anti")
+        nm = nm.alias("s")
+        if ins_cond is not None:
+            nm = nm.filter(F.coalesce(_as_cond(ins_cond), F.lit(False)))
+        ins_cols = []
+        for c in post_cols:
+            if ins_values is not None:
+                unknown = set(ins_values) - set(post_cols)
+                if unknown:
+                    raise ValueError(
+                        f"insert values reference unknown columns: "
+                        f"{sorted(unknown)}"
+                    )
+                iv = ins_values.get(c)
+                iv = F.expr(iv) if isinstance(iv, str) else iv
+            else:
+                iv = F.col(f"s.`{c}`") if c in source.columns else None
+            if iv is None:
+                iv = F.lit(None)
+            ins_cols.append(iv.cast(post_types[c]).alias(c))
+        inserts = nm.select(*ins_cols)
+        if inserts.limit(1).count():
+            _enforce_constraints(inserts, path)
+            ins_adds = _write_data_files(_to_physical(inserts, mapping), path)
+            adds += ins_adds
+            change_legs.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
+
+    if not removes and not ins_adds:
+        return read_v  # nothing matched, nothing to insert: no empty commit
+    change = change_legs[0]
+    for leg in change_legs[1:]:
+        change = change.unionByName(leg, allowMissingColumns=True)
+    change_data = _write_change_files(_to_physical(change, mapping), path)
+    stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     stats = _collect_stats(path, adds, stat_cols or None)
     blooms = _collect_blooms(path, adds, bloom_cols or None)
-    # row tracking: merge restructures the whole snapshot through a
-    # latest-wins window — no per-row lineage survives it, so the merged
-    # files get FRESH id ranges (the documented re-key contract; safe on
-    # this single-attempt commit — a race surfaces as CommitConflict, the
-    # allocation never lands)
-    rt_meta, row_bases = {}, None
-    if row_tracking_enabled(path, read_v):
-        row_bases, wm = _alloc_row_bases(path, adds)
-        rt_meta = {"row_id_watermark": wm}
-    _try_commit(
+    return _commit_serializable(
+        spark,
         path,
-        read_v + 1,
+        read_v,
         adds,
         removes,
         stats,
         blooms,
-        # merge is the evolution-tolerant path by contract (unionByName
-        # allowMissingColumns above); record the unified post-merge schema
-        meta={"op": "merge", "schema": dict(latest.dtypes), **rt_meta},
+        {
+            "op": "merge",
+            "schema": {c: post_types[c] for c in post_cols},
+            **mapping_meta,
+        },
+        predicate=phantom,
         change_data=change_data,
-        row_bases=row_bases,
+        alloc_row_bases_for=(ins_adds if tracking else None) or None,
     )
-    return read_v + 1
 
 
 def read_pruned_multi(
@@ -1723,9 +2353,9 @@ def read_pruned_multi(
         if not drop:
             keep.append(abs_p)
     df = (
-        _read_data(spark, path, keep)
+        _read_data(spark, path, keep, version=version)
         if keep
-        else _read_data(spark, path, all_files).limit(0)
+        else _read_data(spark, path, all_files, version=version).limit(0)
     )
     df = _logical_view(df, path, version)
     for col, (lo, hi) in ranges.items():
@@ -1775,9 +2405,9 @@ def read_point(
             continue
         keep.append(abs_p)
     if not keep:
-        df = _read_data(spark, path, all_files).limit(0)
+        df = _read_data(spark, path, all_files, version=version).limit(0)
     else:
-        df = _read_data(spark, path, keep)
+        df = _read_data(spark, path, keep, version=version)
     df = _logical_view(df, path, version)
     return df.filter(F.col(col) == F.lit(value))
 
@@ -1877,6 +2507,7 @@ def _commit_serializable(
                         path,
                         [os.path.join(path, r) for r in new_files],
                         merge_schema=True,
+                        version=tip,
                     ),
                     path,
                     tip,
@@ -1933,7 +2564,7 @@ def _matched_files(
     # narrower single-footer schema would drop evolved columns on rewrite.
     # The predicate is LOGICAL — match against the logical view.
     scan = _logical_view(
-        _read_data(spark, path, candidates, merge_schema=True), path, read_v
+        _read_data(spark, path, candidates, merge_schema=True, version=read_v), path, read_v
     )
     matched = [
         r[0]
@@ -2413,10 +3044,13 @@ def table_changes(
     change records carry the ids their rewrite materialized (an UPDATE's
     delete+insert pair shares ONE id — join the pair on it), pure
     appends compute ids from their own commit's base allocation, and
-    deletion-vector commits resolve position-exactly. ``row_id`` is NULL
-    only where no identity exists: merge/overwrite/replaceWhere images
-    (those ops re-key by contract) and legacy pre-change-record rewrite
-    commits (their diff predates id materialization)."""
+    deletion-vector commits resolve position-exactly. A MERGE's matched
+    update/delete images carry their rows' preserved ids (the update
+    pair shares one id). ``row_id`` is NULL only where no identity
+    exists at record-write time: merge/overwrite/replaceWhere INSERT
+    images (their ids allocate at commit, after the change record
+    lands) and legacy pre-change-record rewrite commits (their diff
+    predates id materialization)."""
     to_v = current_version(path) if to_version is None else to_version
     _check_reader(path, to_v)
     if include_row_ids and not row_tracking_enabled(path, to_v):
@@ -2476,6 +3110,7 @@ def table_changes(
                 path,
                 [os.path.join(path, r) for r in commit["adds"]],
                 merge_schema=True,
+                version=to_v,
             )
             passthrough = ()
             if include_row_ids:
@@ -2528,7 +3163,7 @@ def table_changes(
         files = visible_files(path, to_v) or visible_files(path, from_version)
         if files:
             t = _logical_view(
-                _read_data(spark, path, files, merge_schema=True).limit(0),
+                _read_data(spark, path, files, merge_schema=True, version=to_v).limit(0),
                 path,
                 to_v,
             )
@@ -2601,7 +3236,7 @@ def _snapshot_diff(
         return spark.read.parquet(*paths).select("file_name", "row_index")
 
     def _read_minus_dvs(files, dv_map):
-        df = _read_data(spark, path, files).select(
+        df = _read_data(spark, path, files, version=schema_v).select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
@@ -2628,7 +3263,7 @@ def _snapshot_diff(
     r = _read_minus_dvs(removed, dvs_from) if removed else None
     if a is None and r is None:
         template = _logical_view(
-            _read_data(spark, path, sorted(f_to or f_from)).limit(0),
+            _read_data(spark, path, sorted(f_to or f_from), version=schema_v).limit(0),
             path,
             schema_v,
         )
@@ -2648,7 +3283,7 @@ def _snapshot_diff(
     if dv_changed:
         new_pos = _positions(dvs_to, dv_changed)
         old_pos = _positions(dvs_from, dv_changed)
-        raw = _read_data(spark, path, dv_changed)
+        raw = _read_data(spark, path, dv_changed, version=schema_v)
         rows = raw.select(
             "*",
             _file_name_col().alias("__fn"),
@@ -3141,7 +3776,7 @@ def _read_files_with_dvs(
     if row_tracking_enabled(path, read_v):
         tagged = _rid_frame(spark, path, read_v, files)
     else:
-        raw = _read_data(spark, path, files, merge_schema=True)
+        raw = _read_data(spark, path, files, merge_schema=True, version=read_v)
         tagged = None
     dvs = visible_dvs(path, read_v)
     rels = {os.path.relpath(f, path) for f in files}
@@ -3220,7 +3855,7 @@ def delete_where_dv(
         return read_v
     # tag positions on the RAW scan, then evaluate the LOGICAL predicate
     # against the logical view (passthrough keeps the position tags)
-    scan = _read_data(spark, path, candidates, merge_schema=True).select(
+    scan = _read_data(spark, path, candidates, merge_schema=True, version=read_v).select(
         "*",
         _file_name_col().alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
@@ -3318,7 +3953,7 @@ def read_mor(
     if not dvs:
         return read(spark, path, version, merge_schema)
     files = visible_files(path, version)
-    df = _read_data(spark, path, files, merge_schema).select(
+    df = _read_data(spark, path, files, merge_schema, version=version).select(
         "*",
         _file_name_col().alias("__fn"),
         F.col("_metadata.row_index").alias("__ri"),
@@ -3392,7 +4027,7 @@ def update_where_dv(
         return read_v
     # tag positions on the RAW scan, then evaluate the LOGICAL predicate
     # against the logical view (passthrough keeps the position tags)
-    raw = _read_data(spark, path, candidates, merge_schema=True)
+    raw = _read_data(spark, path, candidates, merge_schema=True, version=read_v)
     scan = raw.select(
         "*",
         _file_name_col().alias("file_name"),
@@ -3830,10 +4465,13 @@ def enable_row_tracking(path: str) -> int:
     Read ids back with :func:`read_with_row_ids`.
 
     Semantics (documented contract): ids identify LOGICAL rows — stable
-    across UPDATE (both CoW and DV forms) and across every maintenance
-    rewrite; the snapshot-RESTRUCTURING writes (merge, overwrite,
-    replaceWhere's replacement rows) assign fresh ids to the rows they
-    produce, because a latest-wins merge has no per-row lineage to
+    across UPDATE (both CoW and DV forms), across MERGE for every
+    matched and pass-through row (the clause-based merge rewrites only
+    matched files through _read_files_with_dvs, so lineage survives;
+    only its not-matched INSERTS allocate fresh ranges), and across
+    every maintenance rewrite. The snapshot-RESTRUCTURING writes
+    (overwrite, replaceWhere's replacement rows) assign fresh ids to the
+    rows they produce — a full replacement has no per-row lineage to
     preserve. RESTORE brings the target snapshot's ids back with it;
     CLONE carries ids into the clone.
 
@@ -3884,7 +4522,7 @@ def _rid_frame(spark: SparkSession, path: str, version, files, passthrough=()):
     anti-join shape. Rows with NEITHER source fail loudly (a file written
     by a pre-feature writer), never return a wrong id. Tags ``__fn``/
     ``__ri`` are kept for the caller's DV handling."""
-    raw = _read_data(spark, path, files, merge_schema=True)
+    raw = _read_data(spark, path, files, merge_schema=True, version=version)
     mat = F.col(_ROWID) if _ROWID in raw.columns else F.lit(None).cast("long")
     tagged = raw.select(
         "*",

@@ -32,12 +32,14 @@ CHANGE DATA FEED streaming (``option("readChangeFeed", "true")``): each
 micro-batch emits row-level changes with ``_change_type`` /
 ``_commit_version`` columns — appends as inserts, deletion-vector
 deletes as position-exact deletes (the sidecar names the rows), an
-``update_dv`` as its delete+insert pair. Commits that REWRITE files
-(CoW delete/update, merge, replaceWhere, restore) carry no row-level
-change record in the log — reconstructing them needs a cross-file diff
-no per-partition reader can do — so the CDF stream fails on them with a
-clear error (Delta's CDC needs stored change files for exactly the same
-reason) unless ``skipChangeCommits=true``.
+``update_dv`` as its delete+insert pair, and rewrite commits WITH a
+stored ``_change_data`` record (CoW delete/update, clause-based MERGE,
+replaceWhere, spark-assisted RESTORE) stream their change files — cost
+tracks the changed rows. Only LEGACY rewrite commits lacking a stored
+record (or a session-less restore) fail the stream — reconstructing
+them needs a cross-file diff no per-partition reader can do (Delta's
+CDC needs stored change files for exactly the same reason) — unless
+``skipChangeCommits=true``.
 
 Scale shape: offsets are version numbers (tiny JSON), planning reads only
 the commit files in the window (never a directory listing), and each input

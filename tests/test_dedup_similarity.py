@@ -776,6 +776,65 @@ class TestIVFIndexAppend:
         assert got, "searches should return results"
 
 
+class TestIVFPQAppend:
+    """Maintenance path of the composed index: append increments with the
+    STORED codebooks + centroids, and the codebook-drift health stat."""
+
+    def test_append_then_search_equals_full_rebuild(self, spark, tmp_path):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        corpus = emb.limit(400)
+        base = corpus.filter(F.pmod("vec_id", F.lit(2)) == 0)
+        inc = corpus.filter(F.pmod("vec_id", F.lit(2)) == 1)
+        cents = similarity.train_ivf_centroids(base, dim=64, n_centroids=8)
+        books = similarity.train_pq_codebooks(base, dim=64, m=16, ks=32)
+        p_inc = str(tmp_path / "inc")
+        similarity.ivf_pq_index_write(base, p_inc, cents, books)
+        similarity.ivf_pq_index_append(inc, p_inc, cents, books)
+        p_full = str(tmp_path / "full")
+        similarity.ivf_pq_index_write(corpus, p_full, cents, books)
+        q = corpus.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.ivf_pq_topk_indexed(
+                spark, p_inc, q, cents, books, k=5, nprobe=3, refine=32
+            ).collect()
+        }
+        want = {
+            (r.query_id, r.vec_id, r.rank, r.score)
+            for r in similarity.ivf_pq_topk_indexed(
+                spark, p_full, q, cents, books, k=5, nprobe=3, refine=32
+            ).collect()
+        }
+        assert got == want
+        assert got, "searches should return results"
+
+    def test_codebook_drift_flags_shifted_increment(self, spark):
+        """An in-distribution increment quantizes about as well as a
+        HELD-OUT reference slice (ratio ≈ 1 — comparing against the
+        training rows themselves would read in-sample-optimistic); a
+        distribution-shifted increment (mass concentrated on per-row max
+        coordinates) must show a clearly higher reconstruction error —
+        the data-driven re-train signal."""
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        fit = emb.filter(F.pmod("vec_id", F.lit(3)) == 0)
+        ref = emb.filter(F.pmod("vec_id", F.lit(3)) == 1)
+        inc = emb.filter(F.pmod("vec_id", F.lit(3)) == 2)
+        books = similarity.train_pq_codebooks(fit, dim=64, m=16, ks=32)
+        in_dist = similarity.pq_codebook_drift(ref, inc, books).collect()[0]
+        shifted_vecs = inc.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.pow(x.cast("double") + F.lit(0.1), 8)
+            ).alias("embedding"),
+        )
+        shifted = similarity.pq_codebook_drift(ref, shifted_vecs, books).collect()[0]
+        assert 0.8 < in_dist.drift_ratio < 1.2
+        assert shifted.drift_ratio > in_dist.drift_ratio * 1.5
+        assert shifted.reference_err == in_dist.reference_err
+
+
 class TestIVFPQ:
     """Composed IVF-PQ index (similarity.ivf_pq_index_write/
     ivf_pq_topk_indexed): physical cell pruning + code-only ADC scan +

@@ -821,6 +821,230 @@ class TestConcurrency:
         assert {r.w: r["count"] for r in got} == {i: 10 for i in range(n_writers)}
 
 
+class TestMergeInto:
+    """Clause-based, file-pruned MERGE INTO (the Delta/SQL:2003 contract):
+    whenMatched UPDATE/DELETE with conditions, whenNotMatched INSERT,
+    untouched-file byte-identity, the multiple-source-rows error, and the
+    CDF update pairs."""
+
+    def _table(self, spark, tmp_path, n_bands=4):
+        """A table landed in n_bands disjoint id-range bands (one file
+        group each, per-file id stats) so a key-bounded merge provably
+        prunes the other bands."""
+        path = str(tmp_path / "t")
+        for b in range(n_bands):
+            rows = [(b * 10 + i, f"v{b * 10 + i}", 1) for i in range(10)]
+            txlog.append(_df(spark, rows).coalesce(1), path, stats_cols=["id"])
+        return path
+
+    def test_update_and_insert_prune_unmatched_bands(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        pre = set(txlog.visible_files(path))
+        src = spark.createDataFrame(
+            [(3, "U3"), (7, "U7"), (100, "NEW")], "id long, v string"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", {"v": "s.v"})],
+            when_not_matched=True,
+        )
+        post = set(txlog.visible_files(path))
+        # bands 1..3 (ids 10..39) contain no source keys: byte-identical
+        assert len(pre & post) == 3
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[3] == "U3" and got[7] == "U7"
+        assert got[100] == "NEW"
+        assert got[5] == "v5" and got[15] == "v15"
+        assert len(got) == 41
+
+    def test_matched_delete_with_condition(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(1, True), (2, False), (11, True)], "id long, purge boolean"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("delete", "s.purge")],
+            when_not_matched=False,
+        )
+        ids = {r.id for r in txlog.read(spark, path).collect()}
+        assert 1 not in ids and 11 not in ids
+        assert 2 in ids and len(ids) == 38
+
+    def test_clause_order_first_true_wins(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame(
+            [(1, "stale", 0), (2, "fresh", 9)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[
+                ("delete", "s.version < t.version"),
+                ("update", "*"),
+            ],
+            when_not_matched=False,
+        )
+        got = {r.id: (r.v, r.version) for r in txlog.read(spark, path).collect()}
+        assert 1 not in got  # first clause (conditioned delete) won
+        assert got[2] == ("fresh", 9)  # fell through to the update
+
+    def test_unconditioned_nonfinal_clause_rejected(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame([(1, "x")], "id long, v string")
+        with pytest.raises(ValueError, match="unreachable"):
+            txlog.merge_into(
+                spark, path, src, ["id"],
+                when_matched=[("update", "*"), ("delete",)],
+            )
+
+    def test_multiple_source_rows_matching_one_target_raise(
+        self, spark, tmp_path
+    ):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "id long, v string"
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            txlog.merge_into(
+                spark, path, src, ["id"], when_matched=[("update", "*")]
+            )
+        # insert-only merges tolerate source dupes (both land, as in SQL)
+        src2 = spark.createDataFrame(
+            [(100, "a", 1), (100, "b", 1)], "id long, v string, version int"
+        )
+        txlog.merge_into(spark, path, src2, ["id"], when_not_matched=True)
+        assert txlog.read(spark, path).filter("id = 100").count() == 2
+
+    def test_insert_condition_and_explicit_values(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame(
+            [(100, "yes", 5), (101, "no", 5)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_not_matched=(
+                "insert",
+                {"id": "s.id", "v": F.upper("s.v"), "version": "s.version + 1"},
+                "s.v = 'yes'",
+            ),
+        )
+        got = {r.id: (r.v, r.version) for r in txlog.read(spark, path).collect()}
+        assert got[100] == ("YES", 6)
+        assert 101 not in got
+
+    def test_null_keys_never_match(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(None, "t-null"), (1, "one")], "id long, v string"),
+            path,
+        )
+        src = spark.createDataFrame([(None, "s-null")], "id long, v string")
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*")], when_not_matched=True,
+        )
+        vs = sorted(
+            r.v for r in txlog.read(spark, path).filter("id IS NULL").collect()
+        )
+        assert vs == ["s-null", "t-null"]  # NULL inserts, never updates
+
+    def test_no_change_is_no_commit(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        v = txlog.current_version(path)
+        src = spark.createDataFrame([(999, "x", 1)], "id long, v string, version int")
+        out = txlog.merge_into(
+            spark, path, src, ["id"], when_matched=[("update", "*")],
+            when_not_matched=False,
+        )
+        assert out == v
+
+    def test_cdf_emits_update_pairs_and_inserts(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=2)
+        v0 = txlog.current_version(path)
+        src = spark.createDataFrame(
+            [(3, "U3", 2), (100, "NEW", 2)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*")], when_not_matched=True,
+        )
+        ch = txlog.table_changes(spark, path, v0).collect()
+        by = {(r.id, r._change_type): r.v for r in ch}
+        assert by[(3, "delete")] == "v3"   # pre-image
+        assert by[(3, "insert")] == "U3"   # post-image
+        assert by[(100, "insert")] == "NEW"
+        assert len(ch) == 3  # pass-through rows are NOT changes
+
+    def test_cdf_update_pair_shares_row_id(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=2)
+        txlog.enable_row_tracking(path)
+        v0 = txlog.current_version(path)
+        ids = {
+            r.id: r.row_id
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        src = spark.createDataFrame(
+            [(3, "U3", 2), (100, "NEW", 2)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*")], when_not_matched=True,
+        )
+        ch = txlog.table_changes(spark, path, v0, include_row_ids=True).collect()
+        pair = {r._change_type: r.row_id for r in ch if r.id == 3}
+        assert pair["delete"] == pair["insert"] == ids[3]
+        ins = [r for r in ch if r.id == 100]
+        assert ins[0].row_id is None  # insert identity allocated at commit
+
+    def test_schema_evolution_requires_opt_in(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame([(1, "x", "extra")], "id long, v string, note string")
+        with pytest.raises(ValueError, match="merge_schema"):
+            txlog.merge_into(
+                spark, path, src, ["id"], when_matched=[("update", "*")]
+            )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*")], merge_schema=True,
+        )
+        got = {r.id: r.note for r in txlog.read(spark, path).collect()}
+        assert got[1] == "extra" and got[2] is None
+
+    def test_merge_evolution_never_resurrects_dropped_column(
+        self, spark, tmp_path
+    ):
+        """Evolution through MERGE after a DROP + name recycle: the new
+        logical column must land under a FRESH generated physical name
+        (append's rule), or the retired bytes still sitting in UNTOUCHED
+        files would identity-map back in as the new column's values."""
+        path = self._table(spark, tmp_path, n_bands=2)  # files carry v bytes
+        txlog.drop_column(path, "v")
+        src = spark.createDataFrame([(1, "fresh")], "id long, v string")
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*")], merge_schema=True,
+        )
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[1] == "fresh"
+        # band-1 files were never rewritten and still hold retired "v"
+        # bytes — they must read NULL, never "v15"
+        assert got[15] is None and got[5] is None
+        mapping = txlog._column_mapping(path)  # noqa: SLF001
+        assert mapping.get("v", "v") != "v", "fresh physical name expected"
+
+    def test_update_condition_references_both_sides(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame(
+            [(1, "new", 5), (2, "old", 0)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*", "s.version > t.version")],
+        )
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[1] == "new" and got[2] == "v2"
+
+
 class TestMergeSchemaEvolution:
     def test_merge_accepts_updates_with_new_columns(self, spark, tmp_path):
         """Additive evolution on MERGE: the updates batch carries a column
@@ -982,6 +1206,191 @@ class TestLogCheckpoints:
         assert glob.glob(_os.path.join(path, "_txlog", "*.checkpoint.json"))
         got = {r.id for r in txlog.read(spark, path).collect()}
         assert got == set(range(3, 9))
+
+
+class TestMultipartCheckpoints:
+    """Past _CHECKPOINT_MULTIPART_MIN_FILES live files a checkpoint spills
+    to parquet parts with the JSON reduced to a completion marker — the
+    Delta multi-part checkpoint design (driver never parses one giant
+    JSON blob of a million files)."""
+
+    def _build(self, spark, path, monkeypatch, n_commits=12):
+        monkeypatch.setattr(txlog, "_CHECKPOINT_MULTIPART_MIN_FILES", 4)
+        monkeypatch.setattr(txlog, "_CHECKPOINT_PART_ENTRIES", 3)
+        for i in range(n_commits):
+            txlog.append(
+                spark.createDataFrame([(i, f"k{i}")], "id long, k string").coalesce(1),
+                path,
+                stats_cols=["id"],
+                bloom_cols=["k"],
+            )
+
+    def test_multipart_checkpoint_equals_full_replay(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import glob
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        self._build(spark, path, monkeypatch)
+        marker = _os.path.join(path, "_txlog", f"{10:020d}.checkpoint.json")
+        cp = _json.load(open(marker))
+        assert cp["parts"] == 4 and cp["n_files"] == 10  # ceil(10/3)
+        parts = glob.glob(
+            _os.path.join(path, "_txlog", "*.checkpoint.*.parquet")
+        )
+        assert len(parts) == 4
+        # resolution THROUGH the parts == full replay (checkpoint hidden)
+        via_cp = txlog._replay(path)  # noqa: SLF001
+        monkeypatch.setattr(txlog, "_checkpoint_versions", lambda p: [])
+        via_log = txlog._replay(path)  # noqa: SLF001
+        assert via_cp == via_log
+        assert len(txlog.visible_stats(path)) == 12
+        assert len(txlog.visible_blooms(path)) == 12
+
+    def test_multipart_survives_archived_commits_and_time_travel(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os as _os
+        import shutil as _sh
+
+        path = str(tmp_path / "t")
+        self._build(spark, path, monkeypatch)
+        archive = str(tmp_path / "archive")
+        _os.makedirs(archive)
+        for v in range(1, 10):
+            _sh.move(_os.path.join(path, "_txlog", f"{v:020d}.json"), archive)
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == set(range(12))
+        # the bloom channel survives the parquet round-trip: point read
+        # still skips from the checkpoint-resolved blooms
+        assert [r.id for r in txlog.read_point(spark, path, "k", "k3").collect()] == [3]
+
+    def test_torn_multipart_checkpoint_is_invisible(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Parts land FIRST, the marker LAST: deleting the marker (a
+        writer that died mid-checkpoint never wrote it) must leave the
+        table fully readable via plain log replay."""
+        import os as _os
+
+        path = str(tmp_path / "t")
+        self._build(spark, path, monkeypatch)
+        _os.remove(_os.path.join(path, "_txlog", f"{10:020d}.checkpoint.json"))
+        assert {r.id for r in txlog.read(spark, path).collect()} == set(range(12))
+
+    def test_meta_resolves_from_checkpoint_fold_after_archival(
+        self, spark, tmp_path
+    ):
+        """Checkpoints carry the latest-wins META fold (the Delta
+        checkpoints-carry-metadata design): a key recorded ONCE early
+        (row_tracking at v2) and never re-recorded must resolve O(tail)
+        from the marker — proven by archiving every pre-checkpoint
+        commit, which would make the legacy full-log walk fail."""
+        import os as _os
+        import shutil as _sh
+
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(0,)], "id long").coalesce(1), path
+        )
+        txlog.enable_row_tracking(path)  # v2: the only commit carrying it
+        for i in range(1, 10):
+            txlog.append(
+                spark.createDataFrame([(i,)], "id long").coalesce(1), path
+            )  # v3..v11, checkpoint at v10
+        archive = str(tmp_path / "archive")
+        _os.makedirs(archive)
+        for v in range(1, 10):
+            _sh.move(_os.path.join(path, "_txlog", f"{v:020d}.json"), archive)
+        assert txlog.row_tracking_enabled(path)
+        assert txlog.latest_meta(path, "schema") == {"id": "bigint"}
+        got = {r.id for r in txlog.read_with_row_ids(spark, path).collect()}
+        assert got == set(range(10))
+
+    def test_below_threshold_stays_json(self, spark, tmp_path, monkeypatch):
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        monkeypatch.setattr(txlog, "_CHECKPOINT_MULTIPART_MIN_FILES", 1000)
+        for i in range(10):
+            txlog.append(
+                spark.createDataFrame([(i,)], "id long").coalesce(1), path
+            )
+        cp = _json.load(
+            open(_os.path.join(path, "_txlog", f"{10:020d}.checkpoint.json"))
+        )
+        assert "files" in cp and "parts" not in cp
+
+    def test_checkpoint_as_dataframe_both_formats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The checkpoint is readable AS A TABLE in both formats, with one
+        row per live file and identical content."""
+        path = str(tmp_path / "t")
+        self._build(spark, path, monkeypatch)
+        multi = txlog.checkpoint_as_dataframe(spark, path)
+        assert multi.count() == 10
+        j = str(tmp_path / "j")
+        monkeypatch.setattr(txlog, "_CHECKPOINT_MULTIPART_MIN_FILES", 1000)
+        for i in range(10):
+            txlog.append(
+                spark.createDataFrame([(i, f"k{i}")], "id long, k string").coalesce(1),
+                j,
+                stats_cols=["id"],
+                bloom_cols=["k"],
+            )
+        single = txlog.checkpoint_as_dataframe(spark, j)
+        assert single.count() == 10
+        assert single.schema == multi.schema
+        rows = single.orderBy("rel").collect()
+        assert all(r.rows == 1 and r.stats and r.blooms for r in rows)
+
+    def test_dvs_and_row_bases_round_trip_parquet_parts(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The two nested channels (deletion-vector sidecars, row-id
+        bases) must survive the parquet round-trip exactly — a dropped DV
+        resurrects rows, a dropped base breaks read_with_row_ids."""
+        path = str(tmp_path / "t")
+        monkeypatch.setattr(txlog, "_CHECKPOINT_MULTIPART_MIN_FILES", 2)
+        monkeypatch.setattr(txlog, "_CHECKPOINT_PART_ENTRIES", 2)
+        for i in range(6):
+            txlog.append(
+                spark.createDataFrame(
+                    [(i * 2, "a"), (i * 2 + 1, "b")], "id long, k string"
+                ).coalesce(1),
+                path,
+            )
+        txlog.enable_row_tracking(path)  # v7
+        ids_before = {
+            r.id: r.row_id
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        txlog.delete_where_dv(spark, path, "k = 'b' and id < 4")  # v8
+        txlog.append(
+            spark.createDataFrame([(100, "z")], "id long, k string").coalesce(1),
+            path,
+        )  # v9
+        txlog.append(
+            spark.createDataFrame([(101, "z")], "id long, k string").coalesce(1),
+            path,
+        )  # v10 → multi-part checkpoint with dvs + bases
+        import glob
+        import os as _os
+
+        assert glob.glob(_os.path.join(path, "_txlog", "*.checkpoint.*.parquet"))
+        via_cp = txlog._replay(path)  # noqa: SLF001
+        monkeypatch.setattr(txlog, "_checkpoint_versions", lambda p: [])
+        assert via_cp == txlog._replay(path)  # noqa: SLF001
+        monkeypatch.undo()
+        got = {r.id: r.row_id for r in txlog.read_with_row_ids(spark, path).collect()}
+        for i, rid in ids_before.items():
+            if i in got:
+                assert got[i] == rid
+        assert {1, 3} & set(got) == set(), "DV list dropped by checkpoint"
 
 
 class TestOptimizeZorder:
@@ -1984,16 +2393,22 @@ class TestDeletionVectorsRound8:
         return t
 
     def test_merge_does_not_resurrect_dv_rows(self, spark, table):
-        """merge() rewrites the whole snapshot — its input must be the MOR
-        view, or an upsert on a table with live DVs resurrects every
-        DV-deleted row into the merged files."""
+        """The file-pruned merge rewrites only matched files — their input
+        must be the DV-applied view (a raw-bytes rewrite would resurrect
+        the rewritten files' DV-deleted rows), while UNTOUCHED files keep
+        their DVs mapped (the Delta contract: merge-on-read still applies
+        to files the merge never rewrote)."""
         txlog.delete_where_dv(spark, table, "k = 3")
         updates = spark.createDataFrame([(1, 99)], "id long, k long")
         txlog.merge(spark, table, updates, keys=["id"], order_col="k")
-        got = txlog.read(spark, table)  # merge is CoW: plain read is exact
+        got = txlog.read_mor(spark, table)
         assert got.filter("k = 3").count() == 0, "DV-deleted rows resurrected"
         assert got.filter("id = 1 AND k = 99").count() == 1
         assert got.count() == 100 - 14 + 0  # 14 DV'd (k=3), id=1 upserted
+        # the rewritten (matched) files' DVs were APPLIED, not remapped:
+        # even a plain read of those files never re-shows their dead rows
+        rewritten = txlog.read(spark, table).filter("id = 1")
+        assert rewritten.count() == 1
 
     def test_restore_drops_post_target_dvs(self, spark, table):
         v2 = txlog.delete_where_dv(spark, table, "k = 3")
@@ -3006,10 +3421,16 @@ class TestRowTracking:
         txlog.optimize_zorder(spark, path, ["id"], n_files=2)
         assert self._ids(spark, path) == before
 
-    def test_merge_and_overwrite_rekey_but_stay_unique(self, spark, tmp_path):
+    def test_merge_preserves_matched_ids_overwrite_rekeys(self, spark, tmp_path):
+        """The clause-based merge preserves row lineage: updated AND
+        pass-through rows of rewritten files keep their stable ids
+        (materialized by _read_files_with_dvs), only the not-matched
+        INSERT file group allocates fresh ranges. OVERWRITE remains a
+        snapshot-restructuring re-key."""
         path = str(tmp_path / "t")
         txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
         txlog.enable_row_tracking(path)
+        before = self._ids(spark, path)
         wm_before = txlog._row_id_watermark(path)  # noqa: SLF001
         txlog.merge(
             spark, path, _df(spark, [(2, "b2", 2), (3, "c", 1)]),
@@ -3017,7 +3438,10 @@ class TestRowTracking:
         )
         ids = self._ids(spark, path)
         assert len(set(ids.values())) == 3
-        assert min(ids.values()) >= wm_before  # merged snapshot re-keyed
+        assert ids[1] == before[1]  # pass-through row: id stable
+        assert ids[2] == before[2]  # UPDATED row: id stable across merge
+        assert ids[3] >= wm_before  # insert: fresh, never recycled
+        assert ids[3] not in before.values()
         txlog.overwrite(_df(spark, [(9, "z", 1)]), path)
         ids2 = self._ids(spark, path)
         assert list(ids2) == [9] and min(ids2.values()) > max(ids.values())
