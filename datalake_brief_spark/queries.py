@@ -6473,6 +6473,92 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_generated_col",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT)       AS n_rows,
+           round(sum(o_totalprice), 2)    AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txlog_generated_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS (the Delta generated-columns feature): half of
+    orders lands WITH an explicit ``o_year = year(o_orderdate)`` column,
+    the expression is declared (validating every existing row first —
+    the stricter-than-Delta form), and the other half lands WITHOUT the
+    column — the write path must COMPUTE it. The oracle recomputes the
+    derivation over the raw table, so a missed computation (NULL years),
+    a wrong expression, or a validation hole all hash-mismatch."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 0).withColumn(
+                "o_year", F.year("o_orderdate")
+            ),
+            path,
+        )
+        txlog.add_generated_column(
+            path, "o_year", "year(o_orderdate)", "int", spark=spark
+        )
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 1), path
+        )  # o_year omitted → computed by the write path
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("generated_col", sf_dir, build)),
+        ["o_year"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
+    "txlog_identity_col",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS ids_unique,
+           TRUE AS ids_in_step,
+           TRUE AS batches_ordered
+    FROM orders
+    """,
+)
+def txlog_identity_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY at the driver gate: two appends into
+    an identity table (start=1000, step=3) auto-assign the surrogate key
+    from the logged watermark. Values are engine-local (gaps by design —
+    per-task allocation, the Delta contract), so the gate pins the
+    INVARIANTS as booleans: all ids unique, every id on the declared
+    (start, step) lattice, and the second batch's minimum above the
+    first batch's maximum (the watermark advanced through the commit)."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", F.pmod("o_orderkey", F.lit(2)).alias("batch")
+        )
+        txlog.add_identity_column(path, "order_sk", start=1000, step=3)
+        txlog.append(o.filter("batch = 0"), path)
+        txlog.append(o.filter("batch = 1"), path)
+
+    df = txlog.read(spark, _lakehouse_table("identity_col", sf_dir, build))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.countDistinct("order_sk") == F.count(F.lit(1))).alias("ids_unique"),
+        F.min(
+            (F.col("order_sk") >= 1000)
+            & (F.pmod(F.col("order_sk") - 1000, F.lit(3)) == 0)
+        ).alias("ids_in_step"),
+        (
+            F.max(F.when(F.col("batch") == 0, F.col("order_sk")))
+            < F.min(F.when(F.col("batch") == 1, F.col("order_sk")))
+        ).alias("batches_ordered"),
+    )
+
+
+@_register(
     "txlog_merge_rowids",
     """
     SELECT CAST((SELECT count(*) FROM orders)
@@ -10477,6 +10563,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # stalest r4 entries; never-attested round-10 additions are
     # inserted at the very top as they land (displacing the last r4
     # window slots into the tail head, which keeps the tail sorted).
+    "txlog_generated_col",
+    "txlog_identity_col",
     "dedup_simhash_recall",
     "txlog_cdf_fold",
     "txlog_merge_rowids",

@@ -903,7 +903,7 @@ def _try_commit(
 
 
 def _validate_append_schema(
-    path: str, df: DataFrame, merge_schema: bool
+    path: str, df: DataFrame, merge_schema: bool, system_cols=frozenset()
 ) -> dict[str, str]:
     """Writer-side schema enforcement (the Delta contract): compare the
     incoming frame against the schema recorded in the log and return the
@@ -935,7 +935,7 @@ def _validate_append_schema(
             f"append schema conflicts with the table schema (column: "
             f"(table type, append type)): {conflicts}"
         )
-    added = set(cur) - set(logged)
+    added = set(cur) - set(logged) - set(system_cols)
     if added and not merge_schema:
         raise ValueError(
             f"append schema adds columns the table does not have "
@@ -1264,6 +1264,166 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
         raise ValueError(f"CHECK constraint(s) violated by the write: {bad}")
 
 
+def add_generated_column(
+    path: str,
+    name: str,
+    expr: str,
+    dtype: str,
+    spark: SparkSession | None = None,
+) -> int:
+    """``GENERATED ALWAYS AS (<expr>)`` (the Delta generated-columns
+    feature): record ``name`` → deterministic SQL expression over the
+    row's other columns in table meta; every write path thereafter
+    COMPUTES the column when the batch omits it and VALIDATES it when
+    supplied (a mismatching explicit value is rejected — the Delta
+    contract, which is what lets the optimizer and partition layouts
+    trust the derivation). Metadata-only commit.
+
+    Delta only allows declaring these at table creation; this form is
+    strictly more useful: on a NON-EMPTY table the column must already
+    exist and every existing row is validated against the expression
+    first (one scan, fail-closed), so the invariant is true from the
+    declaring commit onward — never retroactively assumed."""
+    v = current_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    gens = dict(latest_meta(path, "generated") or {})
+    if name in gens:
+        raise ValueError(f"column {name!r} already has a generation expression")
+    schema = latest_meta(path, "schema") or {}
+    if _replay(path, v):
+        if name not in schema:
+            raise ValueError(
+                f"cannot add a generation expression for absent column "
+                f"{name!r} on a non-empty table (a backfill rewrite would "
+                f"be needed; add the column via a write first)"
+            )
+        if spark is None:
+            raise ValueError(
+                "declaring a generation expression on a NON-EMPTY table "
+                "validates every existing row first; pass spark="
+            )
+        bad = (
+            read(spark, path, v, merge_schema=True)
+            .filter(~F.col(name).eqNullSafe(F.expr(expr).cast(schema[name])))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"existing rows violate the generation expression for "
+                f"{name!r}; fix the data before declaring it generated"
+            )
+    gens[name] = {"expr": expr, "type": dtype}
+    _try_commit(
+        path, v + 1, [], [],
+        meta={"op": "add_generated_column", "generated": gens},
+    )
+    return v + 1
+
+
+def add_identity_column(path: str, name: str, start: int = 1, step: int = 1) -> int:
+    """``GENERATED ALWAYS AS IDENTITY`` (the Delta identity-columns
+    feature): appends auto-assign ``name`` from a logged high-water mark.
+    The guarantee is Delta's exactly: values are UNIQUE and move in
+    ``step``'s direction, but are NOT consecutive — each task derives its
+    values from ``monotonically_increasing_id`` (partition-id high bits),
+    so gaps occur, and the watermark advances to the landed maximum
+    (footer stats, no extra scan) plus one step on every commit. Batches
+    that SUPPLY the column are rejected (ALWAYS mode). Declaration is
+    creation-time like Delta's: the table must still be empty of visible
+    files and the name unused."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    v = current_version(path)
+    if v and _replay(path, v):
+        raise ValueError(
+            "identity columns are declared at table creation (Delta "
+            "contract); this table already has visible data files"
+        )
+    schema = latest_meta(path, "schema") or {}
+    idents = dict(latest_meta(path, "identity") or {})
+    if name in schema or name in idents:
+        raise ValueError(f"column {name!r} already exists")
+    idents[name] = {"start": start, "step": step, "next": start}
+    _try_commit(
+        path, v + 1, [], [],
+        meta={"op": "add_identity_column", "identity": idents},
+    )
+    return v + 1
+
+
+def _apply_generated(df: DataFrame, path: str) -> DataFrame:
+    """Compute-or-validate every logged generation expression on a write
+    batch: absent columns are computed; supplied ones must match the
+    expression on EVERY row (NULL-safe compare, fail-closed) — the Delta
+    generated-column write contract, enforced on append/overwrite, the
+    MERGE insert leg, and every rewritten-row frame (so a mutation that
+    breaks the derivation fails loudly instead of poisoning the table)."""
+    gens = latest_meta(path, "generated") or {}
+    for name, g in gens.items():
+        expr = F.expr(g["expr"]).cast(g["type"])
+        if name not in df.columns:
+            df = df.withColumn(name, expr)
+        elif (
+            df.filter(~F.col(name).eqNullSafe(expr)).limit(1).count()
+        ):
+            raise ValueError(
+                f"supplied values for generated column {name!r} do not "
+                f"match its generation expression {g['expr']!r}"
+            )
+    return df
+
+
+def _apply_identity(df: DataFrame, path: str) -> tuple[DataFrame, dict]:
+    """Assign identity values for an append batch from the logged
+    watermark. Returns (frame with the columns, meta watermark update) —
+    the commit loop re-invokes per attempt so a lost race re-reads the
+    winner's watermark. Values bake into the data files; see append's
+    identity re-land note for the conflict path."""
+    idents = latest_meta(path, "identity") or {}
+    if not idents:
+        return df, {}
+    for name in idents:
+        if name in df.columns:
+            raise ValueError(
+                f"{name!r} is GENERATED ALWAYS AS IDENTITY; batches must "
+                f"not supply it"
+            )
+    out = df
+    for name, spec in idents.items():
+        base, step = int(spec["next"]), int(spec["step"])
+        out = out.withColumn(
+            name,
+            (F.lit(base) + F.lit(step) * F.monotonically_increasing_id()).cast(
+                "bigint"
+            ),
+        )
+    return out, {"identity": idents}
+
+
+def _advance_identity(path: str, adds: list[str], idents_meta: dict) -> dict:
+    """Post-land watermark advance: the landed files' footer min/max of
+    each identity column (no data pages read) move ``next`` one step past
+    the batch's extreme — the same footer-stats trick fast_count uses."""
+    if not idents_meta:
+        return {}
+    idents = {k: dict(v) for k, v in idents_meta["identity"].items()}
+    for name, spec in idents.items():
+        step = int(spec["step"])
+        extreme = None
+        for rel in adds:
+            mm = _file_minmax(os.path.join(path, rel), [name]).get(name)
+            if mm is None or mm[0] is None:
+                continue
+            cand = mm[1] if step > 0 else mm[0]
+            if extreme is None or (cand > extreme if step > 0 else cand < extreme):
+                extreme = cand
+        if extreme is not None:
+            spec["next"] = int(extreme) + step
+    return {"identity": idents}
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -1313,7 +1473,14 @@ def append(
     — pair with ``read(merge_schema=True)``); see
     :func:`_validate_append_schema`."""
     _check_bloom_cols(df, bloom_cols)
-    _validate_append_schema(path, df, merge_schema)  # fail BEFORE data lands
+    # identity + generated columns join the batch BEFORE any validation
+    # (they are part of the schema the validations speak about)
+    df, idents_meta = _apply_identity(df, path)
+    df = _apply_generated(df, path)
+    ident_cols = frozenset(idents_meta.get("identity", {}))
+    _validate_append_schema(  # fail BEFORE data lands
+        path, df, merge_schema, system_cols=ident_cols
+    )
     _enforce_constraints(df, path)
     if partition_by:
         missing_p = [c for c in partition_by if c not in df.columns]
@@ -1355,10 +1522,29 @@ def append(
         pstats = _partition_stats(path, adds, phys_types)
         for rel, s in pstats.items():
             stats.setdefault(rel, {}).update(s)
+    ident_advance = _advance_identity(path, adds, idents_meta)
     for _ in range(max_retries):
         # re-resolve against the tip each attempt: a racing writer may have
         # evolved the schema between our validation and our commit
-        schema_meta = _validate_append_schema(path, df, merge_schema)
+        schema_meta = _validate_append_schema(
+            path, df, merge_schema, system_cols=ident_cols
+        )
+        # identity values are BAKED into the landed files from the
+        # watermark read above — if a concurrent identity append advanced
+        # it since, our values would collide with the winner's range.
+        # Surface the conflict (the caller re-runs; an explicit error
+        # beats silently duplicated ids).
+        if idents_meta:
+            cur_id = latest_meta(path, "identity") or {}
+            if any(
+                cur_id.get(k, {}).get("next") != idents_meta["identity"][k]["next"]
+                for k in idents_meta["identity"]
+            ):
+                raise CommitConflict(
+                    "append lost an identity race: the identity watermark "
+                    "moved after this append's values were assigned; "
+                    "re-run the append"
+                )
         # The data files above landed under the column mapping / reserved
         # set read BEFORE this loop. A concurrent rename_column/drop_column
         # that touches THIS append's columns (or any mapping drift while we
@@ -1418,6 +1604,7 @@ def append(
                     "schema": schema_meta,
                     **map_meta,
                     **rt_meta,
+                    **ident_advance,
                     **(meta or {}),
                 },
                 row_bases=row_bases,
@@ -1485,6 +1672,11 @@ def overwrite(
             f"{_ROWID!r} is the reserved row-tracking column; overwritten "
             f"frames must not carry it"
         )
+    # identity continues from the logged watermark (an overwrite replaces
+    # ROWS, it never recycles identities); generated columns compute-or-
+    # validate exactly as on append
+    df, idents_meta = _apply_identity(df, path)
+    df = _apply_generated(df, path)
     _enforce_constraints(df, path)
     removes = [os.path.relpath(p, path) for p in visible_files(path, read_v)]
     # overwrite replaces the WHOLE table: the new files carry the frame's
@@ -1501,6 +1693,7 @@ def overwrite(
         }
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
+    ident_advance = _advance_identity(path, adds, idents_meta)
     # row tracking: full overwrite replaces every row — fresh id ranges
     # for the new files (single-attempt commit, race → conflict)
     rt_meta, row_bases = {}, None
@@ -1520,6 +1713,7 @@ def overwrite(
             "schema": dict(df.dtypes),
             **map_meta,
             **rt_meta,
+            **ident_advance,
             **(meta or {}),
         },
         row_bases=row_bases,
@@ -2094,29 +2288,57 @@ def merge_into(
             f"{_ROWID!r} is the reserved row-tracking column; merge "
             f"sources must not carry it"
         )
+    if ins_clause is not None and (latest_meta(path, "identity", read_v) or {}):
+        raise ValueError(
+            "merge_into cannot INSERT into a table with identity columns "
+            "yet (the watermark race under the merge's retry loop needs "
+            "its own reservation protocol); merge without the insert "
+            "clause and append the not-matched rows separately"
+        )
 
-    # --- phase 1: which files could / do contain source keys ---------------
+    # --- phase 1: which files contain source keys, and which must REWRITE --
+    # Two file sets fall out of one scan of the stats/bloom candidates:
+    # ``matched`` (≥1 key-matched row — the INSERT anti-join must see all
+    # of these, or a source key whose target rows fail every clause
+    # condition would wrongly re-insert) and ``rewrite`` (≥1 key-matched
+    # row where some clause CONDITION fires — only these files change;
+    # a CDC batch re-delivering already-applied rows touches ZERO files).
     candidates, envelope = _merge_candidate_files(spark, path, read_v, source, keys)
     matched: list[str] = []
+    rewrite: list[str] = []
+    on = None
+    for k in keys:
+        leg = F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
+        on = leg if on is None else (on & leg)
     if candidates:
         from urllib.parse import unquote, urlparse
 
-        # the file tag must be a REAL column before the semi-join —
+        def _norm(p: str) -> str:
+            return unquote(urlparse(p).path) if p.startswith("file:") else p
+
+        # the file tag must be a REAL column before the join —
         # input_file_name()/_metadata resolve on the scan stage only, and
         # a post-shuffle evaluation would return "" (wrong files matched)
         raw = _read_data(spark, path, candidates, merge_schema=True, version=read_v)
         raw = raw.select("*", F.col("_metadata.file_path").alias("__fp"))
         scan = _logical_view(raw, path, read_v, passthrough=("__fp",))
-        hits = (
-            scan.join(source.select(*keys), keys, "left_semi")
-            .select("__fp")
-            .distinct()
+        fires = F.lit(False)
+        for _kind, _a, cond in matched_clauses:
+            leg = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(_as_cond(cond), F.lit(False))
+            )
+            fires = fires | leg
+        per_file = (
+            scan.alias("t")
+            .join(source.alias("s"), on, "inner")
+            .groupBy(F.col("t.__fp").alias("__fp"))
+            .agg(F.max(fires.cast("int")).alias("__need"))
             .collect()
         )
-        matched = [
-            unquote(urlparse(r[0]).path) if r[0].startswith("file:") else r[0]
-            for r in hits
-        ]
+        matched = [_norm(r["__fp"]) for r in per_file]
+        rewrite = [_norm(r["__fp"]) for r in per_file if r["__need"]]
     # phantom predicate for the conflict-resolution probe: a concurrent
     # append inside the source's key envelope may hold a row a serial
     # MERGE would have matched → conflict. All-NULL key column → nothing
@@ -2155,14 +2377,21 @@ def merge_into(
     change_legs: list[DataFrame] = []
     rowid_pass = ()
 
-    # --- phase 2: rewrite matched files -------------------------------------
+    # --- phase 2: rewrite the files where a clause fires ---------------------
     tgt_m = None
     if matched:
+        # ALL key-matched files (DV-applied): the insert anti-join's view
+        # of "exists in target" — a superset of the rewrite set when
+        # clause conditions spared some files
         tgt_m = _read_files_with_dvs(spark, path, read_v, matched)
         for name, dtype in table_fields.items():
             if name not in tgt_m.columns:
                 tgt_m = tgt_m.withColumn(name, F.lit(None).cast(dtype))
-    if matched and matched_clauses:
+    if rewrite and matched_clauses:
+        tgt_r = _read_files_with_dvs(spark, path, read_v, rewrite)
+        for name, dtype in table_fields.items():
+            if name not in tgt_r.columns:
+                tgt_r = tgt_r.withColumn(name, F.lit(None).cast(dtype))
         # the Delta nondeterminism rule: >1 source row matching one target
         # row with any when_matched clause has no well-defined result
         dup_keys = (
@@ -2171,17 +2400,13 @@ def merge_into(
             .filter(F.col("__n") > 1)
             .select(*keys)
         )
-        if tgt_m.join(dup_keys, keys, "left_semi").limit(1).count():
+        if tgt_r.join(dup_keys, keys, "left_semi").limit(1).count():
             raise ValueError(
                 "merge_into: multiple source rows match the same target "
                 "row — de-duplicate the source on the merge keys first"
             )
         srcm = source.withColumn("__m", F.lit(True))
-        on = None
-        for k in keys:
-            leg = F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
-            on = leg if on is None else (on & leg)
-        j = tgt_m.alias("t").join(srcm.alias("s"), on, "left_outer")
+        j = tgt_r.alias("t").join(srcm.alias("s"), on, "left_outer")
         is_matched = F.coalesce(F.col("s.__m"), F.lit(False))
         act = None
         for i, (kind, _, cond) in enumerate(matched_clauses):
@@ -2192,7 +2417,7 @@ def merge_into(
         j = j.withColumn("__act", act.otherwise(F.lit(-1)))
 
         def t_val(c):
-            if c in tgt_m.columns:
+            if c in tgt_r.columns:
                 return F.col(f"t.`{c}`")
             return F.lit(None).cast(post_types[c])
 
@@ -2227,7 +2452,11 @@ def merge_into(
         keep = j.filter(~F.col("__act").isin(del_idx)) if del_idx else j
         rewritten = keep.select(*out_vals, *rowid_pass)
         _enforce_constraints(rewritten, path)
-        removes = [os.path.relpath(p, path) for p in matched]
+        # an UPDATE clause that changes a generated column's inputs must
+        # keep the derivation true (assign both consistently) — validated
+        # here, never silently broken into the rewritten files
+        _apply_generated(rewritten, path)
+        removes = [os.path.relpath(p, path) for p in rewrite]
         adds += _write_data_files(_to_physical(rewritten, mapping), path)
         # change record: each clause-hit row's images — updates as their
         # delete+insert pair SHARING the row's stable id, deletes as
@@ -2266,7 +2495,8 @@ def merge_into(
         nm = nm.alias("s")
         if ins_cond is not None:
             nm = nm.filter(F.coalesce(_as_cond(ins_cond), F.lit(False)))
-        ins_cols = []
+        gens = latest_meta(path, "generated", read_v) or {}
+        ins_cols, computed_later = [], []
         for c in post_cols:
             if ins_values is not None:
                 unknown = set(ins_values) - set(post_cols)
@@ -2280,11 +2510,20 @@ def merge_into(
             else:
                 iv = F.col(f"s.`{c}`") if c in source.columns else None
             if iv is None:
+                if c in gens:
+                    # generated column the source does not supply: compute
+                    # from the inserted row (the write contract), never NULL
+                    computed_later.append(c)
+                    continue
                 iv = F.lit(None)
             ins_cols.append(iv.cast(post_types[c]).alias(c))
         inserts = nm.select(*ins_cols)
+        if computed_later:
+            inserts = _apply_generated(inserts, path).select(*post_cols)
         if inserts.limit(1).count():
             _enforce_constraints(inserts, path)
+            if not computed_later:
+                _apply_generated(inserts, path)  # validate supplied values
             ins_adds = _write_data_files(_to_physical(inserts, mapping), path)
             adds += ins_adds
             change_legs.append(
@@ -2707,6 +2946,10 @@ def update_where(
             cols.append(F.col(field.name))
     rewritten = src.select(*cols)
     _enforce_constraints(rewritten, path)
+    # an UPDATE that changes a generated column's inputs must keep the
+    # derivation true (assign both consistently) — fail loudly instead
+    # of baking a violated derivation into the rewritten files
+    _apply_generated(rewritten, path)
     removes = [os.path.relpath(p, path) for p in matched]
     stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
     mapping = _column_mapping(path, read_v)
@@ -2763,6 +3006,14 @@ def overwrite_where(
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    if latest_meta(path, "identity", read_v) or {}:
+        raise ValueError(
+            "overwrite_where cannot land replacement rows into a table "
+            "with identity columns yet (baked watermark values under the "
+            "WriteSerializable retry loop need a reservation protocol); "
+            "delete_where + append instead"
+        )
+    new_df = _apply_generated(new_df, path)
     schema_meta = _validate_append_schema(path, new_df, merge_schema=False)
     _enforce_constraints(new_df, path)
     if isinstance(predicate, str):

@@ -948,6 +948,52 @@ class TestMergeInto:
         )
         assert vs == ["s-null", "t-null"]  # NULL inserts, never updates
 
+    def test_redelivered_batch_is_a_no_op(self, spark, tmp_path):
+        """Condition-aware file pruning: a CDC batch whose changes were
+        already applied (every key matches, NO clause condition fires)
+        must rewrite ZERO files and commit NOTHING — at-least-once
+        upstream delivery becomes exactly-once observable state without
+        a dedup layer. A key-matched-but-spared file must still block
+        re-insertion of its keys through the insert clause."""
+        path = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "U3", 9), (100, "NEW", 9)], "id long, v string, version int"
+        )
+        clauses = [("update", "*", "s.version > t.version")]
+        v1 = txlog.merge_into(
+            spark, path, src, ["id"], when_matched=clauses,
+            when_not_matched=True,
+        )
+        files_after = set(txlog.visible_files(path))
+        # replay the SAME batch: versions are no longer newer, key 100
+        # now exists → no rewrite, no insert, no commit, no file churn
+        v2 = txlog.merge_into(
+            spark, path, src, ["id"], when_matched=clauses,
+            when_not_matched=True,
+        )
+        assert v2 == v1
+        assert set(txlog.visible_files(path)) == files_after
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[3] == "U3" and got[100] == "NEW" and len(got) == 41
+
+    def test_condition_spared_files_stay_byte_identical(self, spark, tmp_path):
+        """A file whose key-matched rows ALL fail the clause conditions is
+        key-matched but not rewritten (it stays referenced byte-identical),
+        while a file with at least one firing row rewrites."""
+        path = self._table(spark, tmp_path)  # 4 band files, ids 0..39
+        pre = set(txlog.visible_files(path))
+        src = spark.createDataFrame(
+            [(3, "hit", 9), (15, "stale", 0)], "id long, v string, version int"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", "*", "s.version > t.version")],
+        )
+        post = set(txlog.visible_files(path))
+        assert len(pre & post) == 3  # band 1 (id 15) spared, band 0 rewrote
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[3] == "hit" and got[15] == "v15"
+
     def test_no_change_is_no_commit(self, spark, tmp_path):
         path = self._table(spark, tmp_path, n_bands=1)
         v = txlog.current_version(path)
@@ -1043,6 +1089,125 @@ class TestMergeInto:
         )
         got = {r.id: r.v for r in txlog.read(spark, path).collect()}
         assert got[1] == "new" and got[2] == "v2"
+
+
+class TestGeneratedAndIdentityColumns:
+    """GENERATED ALWAYS AS expressions (compute-or-validate on every
+    write path) and GENERATED ALWAYS AS IDENTITY (watermark-allocated,
+    unique, gaps allowed — the Delta contracts)."""
+
+    def _base(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame(
+                [(1, 10, 20), (2, 5, 7)], "id long, a long, total long"
+            ),
+            path,
+        )
+        return path
+
+    def test_generated_computes_when_absent_validates_when_supplied(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, 10, 11)], "id long, a long, total long"),
+            path,
+        )
+        txlog.add_generated_column(path, "total", "a + id", "bigint", spark=spark)
+        txlog.append(
+            spark.createDataFrame([(2, 5)], "id long, a long"), path
+        )  # omitted → computed
+        got = {r.id: r.total for r in txlog.read(spark, path).collect()}
+        assert got == {1: 11, 2: 7}
+        txlog.append(
+            spark.createDataFrame([(3, 1, 4)], "id long, a long, total long"),
+            path,
+        )  # supplied and correct
+        with pytest.raises(ValueError, match="generation expression"):
+            txlog.append(
+                spark.createDataFrame(
+                    [(4, 1, 999)], "id long, a long, total long"
+                ),
+                path,
+            )
+
+    def test_generated_declaration_validates_existing_rows(
+        self, spark, tmp_path
+    ):
+        path = self._base(spark, tmp_path)  # totals do NOT equal a+id
+        with pytest.raises(ValueError, match="existing rows violate"):
+            txlog.add_generated_column(path, "total", "a + id", "bigint", spark=spark)
+        with pytest.raises(ValueError, match="pass spark="):
+            txlog.add_generated_column(path, "total", "a + id", "bigint")
+        with pytest.raises(ValueError, match="absent column"):
+            txlog.add_generated_column(path, "nope", "a + id", "bigint", spark=spark)
+
+    def test_update_and_merge_keep_the_derivation_true(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, 10, 11), (2, 5, 7)], "id long, a long, total long"),
+            path,
+        )
+        txlog.add_generated_column(path, "total", "a + id", "bigint", spark=spark)
+        with pytest.raises(ValueError, match="generation expression"):
+            txlog.update_where(spark, path, "id = 1", {"a": F.lit(99)})
+        txlog.update_where(
+            spark, path, "id = 1", {"a": F.lit(99), "total": F.lit(100)}
+        )  # consistent pair passes
+        src = spark.createDataFrame([(3, 30)], "id long, a long")
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", {"a": "s.a", "total": "s.a + t.id"})],
+            when_not_matched=True,
+        )
+        got = {r.id: (r.a, r.total) for r in txlog.read(spark, path).collect()}
+        assert got[1] == (99, 100)
+        assert got[3] == (30, 33)  # merge INSERT computed the derivation
+
+    def test_identity_unique_and_increasing_across_appends(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        txlog.add_identity_column(path, "rid", start=100, step=2)
+        txlog.append(
+            spark.createDataFrame([("a",), ("b",), ("c",)], "v string").repartition(2),
+            path,
+        )
+        first = [r.rid for r in txlog.read(spark, path).collect()]
+        assert len(set(first)) == 3 and min(first) >= 100
+        assert all((r - 100) % 2 == 0 for r in first)
+        txlog.append(
+            spark.createDataFrame([("d",), ("e",)], "v string"), path
+        )
+        rows = {r.v: r.rid for r in txlog.read(spark, path).collect()}
+        assert len(set(rows.values())) == 5
+        assert min(rows[v] for v in "de") > max(first)  # watermark advanced
+        with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+            txlog.append(
+                spark.createDataFrame([("x", 1)], "v string, rid long"), path
+            )
+
+    def test_identity_declaration_is_creation_time(self, spark, tmp_path):
+        path = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="table creation"):
+            txlog.add_identity_column(path, "rid")
+        fresh = str(tmp_path / "t2")
+        txlog.add_identity_column(fresh, "rid")
+        with pytest.raises(ValueError, match="already exists"):
+            txlog.add_identity_column(fresh, "rid")
+
+    def test_identity_overwrite_never_recycles(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        txlog.add_identity_column(path, "rid")
+        txlog.append(spark.createDataFrame([("a",), ("b",)], "v string"), path)
+        old = {r.rid for r in txlog.read(spark, path).collect()}
+        txlog.overwrite(spark.createDataFrame([("z",)], "v string"), path)
+        new = {r.rid for r in txlog.read(spark, path).collect()}
+        assert new and not (new & old)
+        src = spark.createDataFrame([("q",)], "v string")
+        with pytest.raises(ValueError, match="identity columns"):
+            txlog.merge_into(spark, path, src, ["v"], when_not_matched=True)
 
 
 class TestMergeSchemaEvolution:
@@ -2701,11 +2866,11 @@ class TestColumnMapping:
         real = txlog._validate_append_schema
         calls = {"n": 0}
 
-        def hook(path, df, merge_schema):
+        def hook(path, df, merge_schema, **kw):
             calls["n"] += 1
             if calls["n"] == 2:  # first IN-LOOP call: files already landed
                 txlog.rename_column(table, "v", "w")
-            return real(path, df, merge_schema)
+            return real(path, df, merge_schema, **kw)
 
         monkeypatch.setattr(txlog, "_validate_append_schema", hook)
         more = spark.range(100, 110).select(
@@ -3563,11 +3728,11 @@ class TestRowTracking:
         real = txlog._validate_append_schema  # noqa: SLF001
         calls = {"n": 0}
 
-        def hook(p, df, merge_schema):
+        def hook(p, df, merge_schema, **kw):
             calls["n"] += 1
             if calls["n"] == 2:  # first IN-LOOP call: files already landed
                 txlog.enable_row_tracking(path)
-            return real(p, df, merge_schema)
+            return real(p, df, merge_schema, **kw)
 
         monkeypatch.setattr(txlog, "_validate_append_schema", hook)
         txlog.append(_df(spark, [(2, "b", 1)]), path)
