@@ -6473,6 +6473,62 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_merge_bysource",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS sum_price
+    FROM (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice, 2) * 2
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders
+      WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_merge_bysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whenNotMatchedBySource (the full Delta MERGE clause surface) at
+    the driver gate: one atomic merge re-prices the source-named rows
+    (every 3rd order, matched UPDATE) AND ages out the unmatched rows
+    every 5th key names (by-source conditioned DELETE) — the
+    "this snapshot is the keep-list" shape. The oracle replays both
+    clause families as a CASE + WHERE over the raw table, so a row
+    wrongly aged (matched key deleted), wrongly kept, or double-priced
+    hash-mismatches."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        txlog.append(o, path)
+        src = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        txlog.merge_into(
+            spark,
+            path,
+            src,
+            ["o_orderkey"],
+            when_matched=[("update", "*")],
+            when_not_matched=False,
+            when_not_matched_by_source=[("delete", "t.o_orderkey % 5 = 0")],
+        )
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("merge_bysource", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
     "txlog_generated_col",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -10563,6 +10619,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # stalest r4 entries; never-attested round-10 additions are
     # inserted at the very top as they land (displacing the last r4
     # window slots into the tail head, which keeps the tail sorted).
+    "txlog_merge_bysource",
     "txlog_generated_col",
     "txlog_identity_col",
     "dedup_simhash_recall",

@@ -2165,6 +2165,7 @@ def merge_into(
     keys: list[str],
     when_matched: list[tuple] | None = None,
     when_not_matched=True,
+    when_not_matched_by_source: list[tuple] | None = None,
     merge_schema: bool = False,
 ) -> int:
     """Clause-based MERGE INTO (the Delta/SQL:2003 ``MERGE`` contract) as
@@ -2190,6 +2191,15 @@ def merge_into(
       columns the source lacks read NULL), ``("insert", values, cond)``
       (``values`` = ``{col: expr}`` over source columns or None for
       verbatim), or ``None``/``False`` (insert-nothing).
+    - ``when_not_matched_by_source``: ordered ``("update", assignments,
+      cond)`` / ``("delete", cond)`` clauses for TARGET rows with no
+      source match (the Delta ``whenNotMatchedBySource`` surface — "age
+      out everything this snapshot didn't mention"). Conditions and
+      assignments may reference ``t.<col>`` only (there is no source
+      row). COST NOTE: any file may hold unmatched rows, so these
+      clauses scan the whole snapshot and rewrite every file where one
+      fires — inherent to the semantics (Delta's docs say the same);
+      condition-aware pruning still spares files where no clause fires.
 
     Matching rows are found with the same metadata-first ladder as the
     CoW mutations: per-file stats envelope skip + bloom probe
@@ -2235,6 +2245,31 @@ def merge_into(
                 "every when_matched clause except the last needs a "
                 "condition (later clauses would be unreachable)"
             )
+    bys_clauses: list[tuple] = []
+    for cl in when_not_matched_by_source or []:
+        kind = cl[0]
+        if kind == "update":
+            assigns = cl[1]
+            cond = cl[2] if len(cl) > 2 else None
+        elif kind == "delete":
+            assigns = None
+            cond = cl[1] if len(cl) > 1 else None
+        else:
+            raise ValueError(
+                f"unknown when_not_matched_by_source clause kind {kind!r}"
+            )
+        if assigns == "*":
+            raise ValueError(
+                "when_not_matched_by_source UPDATE cannot use '*' — there "
+                "is no source row to copy from"
+            )
+        bys_clauses.append((kind, assigns, cond))
+    for kind, _, cond in bys_clauses[:-1]:
+        if cond is None:
+            raise ValueError(
+                "every when_not_matched_by_source clause except the last "
+                "needs a condition (later clauses would be unreachable)"
+            )
     if when_not_matched is True:
         ins_clause = (None, None)
     elif when_not_matched in (None, False):
@@ -2248,7 +2283,7 @@ def merge_into(
             when_not_matched[1] if len(when_not_matched) > 1 else None,
             when_not_matched[2] if len(when_not_matched) > 2 else None,
         )
-    if not matched_clauses and ins_clause is None:
+    if not matched_clauses and ins_clause is None and not bys_clauses:
         raise ValueError("merge_into with no clauses is a no-op by construction")
 
     def _as_cond(c):
@@ -2310,7 +2345,22 @@ def merge_into(
     for k in keys:
         leg = F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
         on = leg if on is None else (on & leg)
-    if candidates:
+
+    def _or_conds(clauses):
+        fires = F.lit(False)
+        for _kind, _a, cond in clauses:
+            leg = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(_as_cond(cond), F.lit(False))
+            )
+            fires = fires | leg
+        return fires
+
+    # by-source clauses act on rows with NO source match — any file may
+    # hold one, so their scan is the whole snapshot (inherent; see doc)
+    scan_files = visible_files(path, read_v) if bys_clauses else candidates
+    if scan_files:
         from urllib.parse import unquote, urlparse
 
         def _norm(p: str) -> str:
@@ -2319,26 +2369,35 @@ def merge_into(
         # the file tag must be a REAL column before the join —
         # input_file_name()/_metadata resolve on the scan stage only, and
         # a post-shuffle evaluation would return "" (wrong files matched)
-        raw = _read_data(spark, path, candidates, merge_schema=True, version=read_v)
+        raw = _read_data(spark, path, scan_files, merge_schema=True, version=read_v)
         raw = raw.select("*", F.col("_metadata.file_path").alias("__fp"))
         scan = _logical_view(raw, path, read_v, passthrough=("__fp",))
-        fires = F.lit(False)
-        for _kind, _a, cond in matched_clauses:
-            leg = (
-                F.lit(True)
-                if cond is None
-                else F.coalesce(_as_cond(cond), F.lit(False))
+        fires = _or_conds(matched_clauses)
+        if bys_clauses:
+            srcm1 = source.withColumn("__m", F.lit(True))
+            jj = scan.alias("t").join(srcm1.alias("s"), on, "left_outer")
+            m = F.coalesce(F.col("s.__m"), F.lit(False))
+            need = (m & fires) | (~m & _or_conds(bys_clauses))
+            per_file = (
+                jj.groupBy(F.col("t.__fp").alias("__fp"))
+                .agg(
+                    F.max(need.cast("int")).alias("__need"),
+                    F.max(m.cast("int")).alias("__haskey"),
+                )
+                .collect()
             )
-            fires = fires | leg
-        per_file = (
-            scan.alias("t")
-            .join(source.alias("s"), on, "inner")
-            .groupBy(F.col("t.__fp").alias("__fp"))
-            .agg(F.max(fires.cast("int")).alias("__need"))
-            .collect()
-        )
-        matched = [_norm(r["__fp"]) for r in per_file]
-        rewrite = [_norm(r["__fp"]) for r in per_file if r["__need"]]
+            matched = [_norm(r["__fp"]) for r in per_file if r["__haskey"]]
+            rewrite = [_norm(r["__fp"]) for r in per_file if r["__need"]]
+        else:
+            per_file = (
+                scan.alias("t")
+                .join(source.alias("s"), on, "inner")
+                .groupBy(F.col("t.__fp").alias("__fp"))
+                .agg(F.max(fires.cast("int")).alias("__need"))
+                .collect()
+            )
+            matched = [_norm(r["__fp"]) for r in per_file]
+            rewrite = [_norm(r["__fp"]) for r in per_file if r["__need"]]
     # phantom predicate for the conflict-resolution probe: a concurrent
     # append inside the source's key envelope may hold a row a serial
     # MERGE would have matched → conflict. All-NULL key column → nothing
@@ -2351,6 +2410,11 @@ def merge_into(
             else F.lit(False)
         )
         phantom = leg if phantom is None else (phantom & leg)
+    if bys_clauses:
+        # ANY concurrently appended row is "not matched by source" — a
+        # serial merge would have clause-processed it, so every append
+        # inside the window conflicts (conservative and correct)
+        phantom = F.lit(True)
 
     # Column mapping for the landed files. Evolution may re-introduce a
     # logical name whose physical form is RESERVED (dropped earlier, or
@@ -2387,34 +2451,42 @@ def merge_into(
         for name, dtype in table_fields.items():
             if name not in tgt_m.columns:
                 tgt_m = tgt_m.withColumn(name, F.lit(None).cast(dtype))
-    if rewrite and matched_clauses:
+    if rewrite and (matched_clauses or bys_clauses):
         tgt_r = _read_files_with_dvs(spark, path, read_v, rewrite)
         for name, dtype in table_fields.items():
             if name not in tgt_r.columns:
                 tgt_r = tgt_r.withColumn(name, F.lit(None).cast(dtype))
-        # the Delta nondeterminism rule: >1 source row matching one target
-        # row with any when_matched clause has no well-defined result
-        dup_keys = (
-            source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .select(*keys)
-        )
-        if tgt_r.join(dup_keys, keys, "left_semi").limit(1).count():
-            raise ValueError(
-                "merge_into: multiple source rows match the same target "
-                "row — de-duplicate the source on the merge keys first"
+        if matched_clauses:
+            # the Delta nondeterminism rule: >1 source row matching one
+            # target row with any when_matched clause is ill-defined
+            dup_keys = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(*keys)
             )
+            if tgt_r.join(dup_keys, keys, "left_semi").limit(1).count():
+                raise ValueError(
+                    "merge_into: multiple source rows match the same target "
+                    "row — de-duplicate the source on the merge keys first"
+                )
         srcm = source.withColumn("__m", F.lit(True))
         j = tgt_r.alias("t").join(srcm.alias("s"), on, "left_outer")
         is_matched = F.coalesce(F.col("s.__m"), F.lit(False))
-        act = None
-        for i, (kind, _, cond) in enumerate(matched_clauses):
-            c = is_matched
-            if cond is not None:
-                c = c & F.coalesce(_as_cond(cond), F.lit(False))
-            act = F.when(c, F.lit(i)) if act is None else act.when(c, F.lit(i))
-        j = j.withColumn("__act", act.otherwise(F.lit(-1)))
+
+        def _act_chain(clauses, gate):
+            chain = None
+            for i, (kind, _, cond) in enumerate(clauses):
+                c = gate
+                if cond is not None:
+                    c = c & F.coalesce(_as_cond(cond), F.lit(False))
+                chain = (
+                    F.when(c, F.lit(i)) if chain is None else chain.when(c, F.lit(i))
+                )
+            return F.lit(-1) if chain is None else chain.otherwise(F.lit(-1))
+
+        j = j.withColumn("__act", _act_chain(matched_clauses, is_matched))
+        j = j.withColumn("__bact", _act_chain(bys_clauses, ~is_matched))
 
         def t_val(c):
             if c in tgt_r.columns:
@@ -2443,13 +2515,34 @@ def merge_into(
                     v = F.when(
                         F.col("__act") == i, av.cast(post_types[c])
                     ).otherwise(v)
+            for i, (kind, assigns, _) in enumerate(bys_clauses):
+                if kind != "update":
+                    continue
+                unknown = set(assigns) - set(post_cols)
+                if unknown:
+                    raise ValueError(
+                        f"by-source update assignments reference unknown "
+                        f"columns: {sorted(unknown)}"
+                    )
+                av = assigns.get(c)
+                if av is not None:
+                    av = F.expr(av) if isinstance(av, str) else av
+                    v = F.when(
+                        F.col("__bact") == i, av.cast(post_types[c])
+                    ).otherwise(v)
             out_vals.append(v.alias(c))
             pre_vals.append(t_val(c).alias(c))
         del_idx = [i for i, (k, _, _) in enumerate(matched_clauses) if k == "delete"]
         upd_idx = [i for i, (k, _, _) in enumerate(matched_clauses) if k == "update"]
+        bs_del = [i for i, (k, _, _) in enumerate(bys_clauses) if k == "delete"]
+        bs_upd = [i for i, (k, _, _) in enumerate(bys_clauses) if k == "update"]
         if tracking:
             rowid_pass = (F.col(f"t.`{_ROWID}`").alias(_ROWID),)
-        keep = j.filter(~F.col("__act").isin(del_idx)) if del_idx else j
+        keep = j
+        if del_idx:
+            keep = keep.filter(~F.col("__act").isin(del_idx))
+        if bs_del:
+            keep = keep.filter(~F.col("__bact").isin(bs_del))
         rewritten = keep.select(*out_vals, *rowid_pass)
         _enforce_constraints(rewritten, path)
         # an UPDATE clause that changes a generated column's inputs must
@@ -2477,6 +2570,24 @@ def merge_into(
         if del_idx:
             change_legs.append(
                 j.filter(F.col("__act").isin(del_idx))
+                .select(*pre_vals, *rowid_pass)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if bs_upd:
+            hit_b = j.filter(F.col("__bact").isin(bs_upd))
+            change_legs.append(
+                hit_b.select(*pre_vals, *rowid_pass).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+            change_legs.append(
+                hit_b.select(*out_vals, *rowid_pass).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if bs_del:
+            change_legs.append(
+                j.filter(F.col("__bact").isin(bs_del))
                 .select(*pre_vals, *rowid_pass)
                 .withColumn("_change_type", F.lit("delete"))
             )

@@ -948,6 +948,79 @@ class TestMergeInto:
         )
         assert vs == ["s-null", "t-null"]  # NULL inserts, never updates
 
+    def test_when_not_matched_by_source_delete_and_update(
+        self, spark, tmp_path
+    ):
+        """The Delta whenNotMatchedBySource surface: the source snapshot
+        names the rows to KEEP (updated); unmatched target rows age out —
+        delete stale ones, tombstone the rest — in the SAME atomic merge.
+        All three clause families compose: matched update, by-source
+        delete (conditioned), by-source update (fallback)."""
+        path = self._table(spark, tmp_path, n_bands=1)  # ids 0..9
+        src = spark.createDataFrame(
+            [(1, "keep1"), (2, "keep2")], "id long, v string"
+        )
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", {"v": "s.v"})],
+            when_not_matched_by_source=[
+                ("delete", "t.id >= 8"),
+                ("update", {"v": F.lit("tombstone")}),
+            ],
+        )
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got[1] == "keep1" and got[2] == "keep2"
+        assert 8 not in got and 9 not in got  # aged out
+        assert got[0] == got[5] == "tombstone"
+        assert len(got) == 8
+
+    def test_by_source_cdf_and_row_ids(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        txlog.enable_row_tracking(path)
+        ids = {r.id: r.row_id for r in txlog.read_with_row_ids(spark, path).collect()}
+        v0 = txlog.current_version(path)
+        src = spark.createDataFrame([(1, "k")], "id long, v string")
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_matched=[("update", {"v": "s.v"})],
+            when_not_matched_by_source=[("delete", "t.id > 7")],
+        )
+        ch = txlog.table_changes(spark, path, v0, include_row_ids=True).collect()
+        by = {(r.id, r._change_type): r.row_id for r in ch}
+        assert by[(8, "delete")] == ids[8] and by[(9, "delete")] == ids[9]
+        assert by[(1, "delete")] == by[(1, "insert")] == ids[1]
+        assert len(ch) == 4  # one update pair + two aged-out deletes
+        post = {r.id: r.row_id for r in txlog.read_with_row_ids(spark, path).collect()}
+        assert post[1] == ids[1] and post[5] == ids[5]  # survivors stable
+
+    def test_by_source_update_star_rejected(self, spark, tmp_path):
+        path = self._table(spark, tmp_path, n_bands=1)
+        src = spark.createDataFrame([(1, "x")], "id long, v string")
+        with pytest.raises(ValueError, match="no source row"):
+            txlog.merge_into(
+                spark, path, src, ["id"],
+                when_not_matched_by_source=[("update", "*")],
+            )
+
+    def test_by_source_condition_prunes_files(self, spark, tmp_path):
+        """Even the whole-snapshot by-source scan keeps condition-aware
+        pruning: files where no target row satisfies the by-source
+        condition (and no matched clause fires) stay byte-identical."""
+        path = self._table(spark, tmp_path)  # 4 bands, ids 0..39
+        pre = set(txlog.visible_files(path))
+        src = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10, 40)], "id long, v string"
+        )  # bands 1..3 fully matched; band 0 unmatched
+        txlog.merge_into(
+            spark, path, src, ["id"],
+            when_not_matched_by_source=[("delete", "t.id < 5")],
+        )
+        post = set(txlog.visible_files(path))
+        # bands 1..3: matched rows, but NO when_matched clause → spared
+        assert len(pre & post) == 3
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == set(range(5, 40))
+
     def test_redelivered_batch_is_a_no_op(self, spark, tmp_path):
         """Condition-aware file pruning: a CDC batch whose changes were
         already applied (every key matches, NO clause condition fires)
