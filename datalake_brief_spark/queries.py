@@ -6161,7 +6161,11 @@ def txlog_cdf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(path=path, readChangeFeed="true")
         .load()
     )
-    qn = "cdf_fold_sink"
+    import uuid as _uuid
+
+    # unique per invocation: a reused memory-sink name would read a stale
+    # or doubled table if the entry runs twice in one process
+    qn = f"cdf_fold_sink_{_uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
         .queryName(qn)

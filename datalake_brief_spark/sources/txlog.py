@@ -1096,6 +1096,25 @@ def _guard_constraint_refs(path: str, col: str, action: str) -> None:
             f"cannot {action} column {col!r}: referenced by CHECK "
             f"constraint(s) {hits}; drop them first"
         )
+    # same rule for the write-contract derivations: renaming/dropping a
+    # generated column (or an input its expression names) would break
+    # every later write's compute-or-validate; an identity column's
+    # allocation is keyed by name
+    gens = latest_meta(path, "generated") or {}
+    ghits = sorted(
+        n
+        for n, g in gens.items()
+        if n == col or _re.search(rf"\b{_re.escape(col)}\b", g["expr"])
+    )
+    if ghits:
+        raise ValueError(
+            f"cannot {action} column {col!r}: it is (or is referenced by) "
+            f"generated column(s) {ghits}"
+        )
+    if col in (latest_meta(path, "identity") or {}):
+        raise ValueError(
+            f"cannot {action} column {col!r}: it is an identity column"
+        )
 
 
 def rename_column(path: str, old: str, new: str) -> int:
@@ -3248,6 +3267,16 @@ def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
     tgt_schema = latest_meta(path, "schema", version)
     if tgt_schema is not None and tgt_schema != latest_meta(path, "schema"):
         meta["schema"] = tgt_schema
+        # a generation expression declared AFTER the target may derive a
+        # column the restored schema no longer has — keeping it would make
+        # every later append fail schema validation on the auto-computed
+        # column. Identity metadata is deliberately NOT reverted (the
+        # watermark never rolls back — ids stay history-unique, same rule
+        # as row tracking below).
+        gens = latest_meta(path, "generated") or {}
+        kept = {n: g for n, g in gens.items() if n in tgt_schema}
+        if kept != gens:
+            meta["generated"] = kept
     cur_map = _column_mapping(path)
     tgt_map = _column_mapping(path, version)
     if tgt_map != cur_map:
@@ -3864,6 +3893,11 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         "column_mapping",
         "physical_reserved",
         "protocol",
+        # write-contract metadata rides too: a clone losing the identity
+        # watermark would silently stop assigning (column reads NULL), a
+        # clone losing generation expressions would stop enforcing them
+        "identity",
+        "generated",
     ):
         m = latest_meta(src_path, key, version)
         if m is not None:

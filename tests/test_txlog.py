@@ -1261,6 +1261,29 @@ class TestGeneratedAndIdentityColumns:
                 spark.createDataFrame([("x", 1)], "v string, rid long"), path
             )
 
+    def test_rename_drop_guard_derivations(self, spark, tmp_path):
+        """Renaming/dropping a generated column, an input its expression
+        names, or an identity column breaks every later write's contract
+        — refused like constraint-referenced columns."""
+        path = str(tmp_path / "t")
+        txlog.append(
+            spark.createDataFrame([(1, 2, 3)], "id long, a long, total long"),
+            path,
+        )
+        txlog.add_generated_column(path, "total", "a + id", "bigint", spark=spark)
+        for col in ("total", "a", "id"):
+            with pytest.raises(ValueError, match="generated"):
+                txlog.rename_column(path, col, "zzz")
+            with pytest.raises(ValueError, match="generated"):
+                txlog.drop_column(path, col)
+        ident = str(tmp_path / "i")
+        txlog.add_identity_column(ident, "rid")
+        txlog.append(spark.createDataFrame([("a",)], "v string"), ident)
+        with pytest.raises(ValueError, match="identity"):
+            txlog.rename_column(ident, "rid", "zzz")
+        with pytest.raises(ValueError, match="identity"):
+            txlog.drop_column(ident, "rid")
+
     def test_identity_declaration_is_creation_time(self, spark, tmp_path):
         path = self._base(spark, tmp_path)
         with pytest.raises(ValueError, match="table creation"):
@@ -1269,6 +1292,56 @@ class TestGeneratedAndIdentityColumns:
         txlog.add_identity_column(fresh, "rid")
         with pytest.raises(ValueError, match="already exists"):
             txlog.add_identity_column(fresh, "rid")
+
+    def test_clone_carries_identity_and_generated(self, spark, tmp_path):
+        """A shallow clone losing the identity watermark would silently
+        stop assigning; losing generation expressions would stop
+        enforcing them — both ride in the clone commit."""
+        src = str(tmp_path / "src")
+        txlog.add_identity_column(src, "rid", start=10)
+        txlog.append(spark.createDataFrame([("a",), ("b",)], "v string"), src)
+        dst = str(tmp_path / "dst")
+        txlog.clone(src, dst)
+        txlog.append(spark.createDataFrame([("c",)], "v string"), dst)
+        rows = {r.v: r.rid for r in txlog.read(spark, dst).collect()}
+        assert rows["c"] is not None and rows["c"] > max(rows["a"], rows["b"])
+        g_src = str(tmp_path / "gsrc")
+        txlog.append(
+            spark.createDataFrame([(1, 2, 3)], "id long, a long, total long"),
+            g_src,
+        )
+        txlog.add_generated_column(g_src, "total", "a + id", "bigint", spark=spark)
+        g_dst = str(tmp_path / "gdst")
+        txlog.clone(g_src, g_dst)
+        txlog.append(spark.createDataFrame([(4, 5)], "id long, a long"), g_dst)
+        got = {r.id: r.total for r in txlog.read(spark, g_dst).collect()}
+        assert got[4] == 9  # clone computed the derivation
+        with pytest.raises(ValueError, match="generation expression"):
+            txlog.append(
+                spark.createDataFrame([(6, 1, 99)], "id long, a long, total long"),
+                g_dst,
+            )
+
+    def test_restore_prunes_generated_for_reverted_schema(
+        self, spark, tmp_path
+    ):
+        """RESTORE below a generated-column declaration whose column the
+        restored schema lacks must drop the expression — keeping it would
+        auto-compute a column every later append then fails schema
+        validation on."""
+        path = str(tmp_path / "t")
+        txlog.append(spark.createDataFrame([(1, 2)], "id long, a long"), path)
+        v1 = txlog.current_version(path)
+        txlog.overwrite(
+            spark.createDataFrame([(3, 4, 7)], "id long, a long, total long"),
+            path,
+        )
+        txlog.add_generated_column(path, "total", "a + id", "bigint", spark=spark)
+        txlog.restore(path, v1, spark=spark)
+        assert (txlog.latest_meta(path, "generated") or {}) == {}
+        txlog.append(spark.createDataFrame([(5, 6)], "id long, a long"), path)
+        got = {r.id for r in txlog.read(spark, path).collect()}
+        assert got == {1, 5}
 
     def test_identity_overwrite_never_recycles(self, spark, tmp_path):
         path = str(tmp_path / "t")
