@@ -3370,6 +3370,10 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "stats_cols": stat_cols,
         "bloom_cols": bloom_cols,
         "vacuum_retention_floor": vacuum_retention_floor(path),
+        # write-contract features a consumer must know before writing
+        "row_tracking": bool(latest_meta(path, "row_tracking", version)),
+        "generated_columns": latest_meta(path, "generated", version) or {},
+        "identity_columns": latest_meta(path, "identity", version) or {},
     }
 
 

@@ -1193,6 +1193,9 @@ class TestGeneratedAndIdentityColumns:
         )  # omitted → computed
         got = {r.id: r.total for r in txlog.read(spark, path).collect()}
         assert got == {1: 11, 2: 7}
+        d = txlog.describe_detail(path)
+        assert d["generated_columns"] == {"total": {"expr": "a + id", "type": "bigint"}}
+        assert d["identity_columns"] == {} and d["row_tracking"] is False
         txlog.append(
             spark.createDataFrame([(3, 1, 4)], "id long, a long, total long"),
             path,
