@@ -2044,11 +2044,18 @@ def merge(
     10 this is a thin wrapper over the clause-based :func:`merge_into` —
     the updates batch is first reduced to its own per-key winner (one
     window over the UPDATES, cost ∝ |updates|), then merged with
-    ``whenMatched UPDATE`` conditioned on ``s.order >= t.order`` (an
-    update at the same ``order_col`` wins, the deterministic form of the
-    old window tie) plus ``whenNotMatched INSERT`` — so only the files
-    that actually contain updated keys are rewritten, instead of the
-    whole snapshot.
+    ``whenMatched UPDATE`` conditioned on ``s.order > t.order``
+    (STRICTLY newer: an update whose ``order_col`` equals the existing
+    row's is a re-delivery, and condition-aware pruning then rewrites
+    ZERO files and commits NOTHING — the streaming MERGE sink's
+    at-least-once replays become true no-ops, no file churn, no no-op
+    CDF pairs) plus ``whenNotMatched INSERT`` — so only the files that
+    actually contain NEWLY-updated keys are rewritten, instead of the
+    whole snapshot. A same-order update carrying DIFFERENT values is a
+    data bug upstream (order columns must totally order versions, see
+    the sink's fixed-width ``ord`` convention); the old union-window
+    picked one nondeterministically, this form deterministically keeps
+    the existing row.
 
     Additive schema evolution on MERGE (the Delta ``mergeSchema`` upsert
     contract): an updates batch may carry columns the table predates —
@@ -2082,7 +2089,7 @@ def merge(
         for c in post_cols
     }
     newer = F.col(f"t.`{order_col}`").isNull() | (
-        F.col(f"s.`{order_col}`") >= F.col(f"t.`{order_col}`")
+        F.col(f"s.`{order_col}`") > F.col(f"t.`{order_col}`")
     ) if order_col in table_cols else F.lit(True)
     return merge_into(
         spark,

@@ -9,12 +9,13 @@ pre-batch or post-batch snapshot — never a torn batch.
 Effectively-once semantics without a two-phase commit: Structured Streaming
 guarantees at-least-once foreachBatch delivery (an epoch can replay after a
 crash between sink success and checkpoint write). Latest-wins MERGE keyed on
-the business key is IDEMPOTENT — replaying a batch re-asserts rows that are
-already the per-key maximum of ``order_col``, leaving table CONTENT
-unchanged (a replay adds a new version with identical content, which
-table_changes shows as empty). At-least-once delivery + idempotent apply =
-exactly-once observable state, the same argument Delta's idempotent-write
-sink makes.
+the business key is IDEMPOTENT — a replayed batch's rows are no longer
+STRICTLY newer than the table's per-key ``order_col``, so the merge's
+condition-aware pruning rewrites ZERO files and commits NOTHING: no new
+version, no file churn, an empty change-feed window. At-least-once
+delivery + idempotent apply = exactly-once observable state, the same
+argument Delta's idempotent-write sink makes — here with the replay
+costing metadata only.
 """
 
 from __future__ import annotations

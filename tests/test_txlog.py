@@ -948,6 +948,30 @@ class TestMergeInto:
         )
         assert vs == ["s-null", "t-null"]  # NULL inserts, never updates
 
+    def test_latest_wins_replay_commits_nothing(self, spark, tmp_path):
+        """The wrapper's strictly-newer condition makes an at-least-once
+        re-delivery a TRUE no-op: same batch, same order values → zero
+        files rewritten, zero commits, empty CDF window — the streaming
+        MERGE sink's replay story without a dedup layer."""
+        path = str(tmp_path / "t")
+        txlog.append(_df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+        upd = _df(spark, [(2, "b2", 5), (3, "c", 5)])
+        v1 = txlog.merge(spark, path, upd, keys=["id"], order_col="version")
+        files = set(txlog.visible_files(path))
+        v2 = txlog.merge(spark, path, upd, keys=["id"], order_col="version")
+        assert v2 == v1
+        assert set(txlog.visible_files(path)) == files
+        got = {r.id: r.v for r in txlog.read(spark, path).collect()}
+        assert got == {1: "a", 2: "b2", 3: "c"}
+        # a same-order update with different values deterministically
+        # KEEPS the existing row (order columns totally order versions;
+        # equal order = re-delivery by contract)
+        txlog.merge(
+            spark, path, _df(spark, [(2, "SHOULD_LOSE", 5)]),
+            keys=["id"], order_col="version",
+        )
+        assert {r.v for r in txlog.read(spark, path).filter("id = 2").collect()} == {"b2"}
+
     def test_when_not_matched_by_source_delete_and_update(
         self, spark, tmp_path
     ):
