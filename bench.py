@@ -17,6 +17,74 @@ from datalake_brief_spark import get_spark
 from datalake_brief_spark.queries import headline_queries
 
 
+def _checkpoint_sentinel(spark) -> dict[str, float]:
+    """Bounded checkpoint-resolution sentinel (VERDICT r10 ask #7): a
+    synthetic 30k-live-file state (3 commits × 10k adds — past the
+    multi-part spill threshold, so the checkpoint lands as parquet parts
+    + marker) is checkpointed once, then resolution is timed min-of-3
+    through the two read paths every reader rides: ``_load_checkpoint``
+    (driver dict — the `_replay` start state) and
+    ``checkpoint_as_dataframe`` (distributed scan of the parts). Runs on
+    the driver's own schedule so a regression in `_replay` /
+    `_load_checkpoint` / the part layout surfaces in BENCH_r{N}, not
+    only in BASELINE.md's one-off 100k point. Not part of the headline
+    total (denominator stability)."""
+    import tempfile
+    import uuid
+
+    from datalake_brief_spark.sources import txlog
+
+    path = os.path.join(tempfile.mkdtemp(prefix="bench_ckpt_"), "t")
+    os.makedirs(txlog._log_dir(path))  # noqa: SLF001
+    per_commit = 10_000
+    for v in range(1, 4):
+        rels = [
+            f"data/{uuid.uuid4().hex}/part-0.parquet" for _ in range(per_commit)
+        ]
+        commit = {
+            "version": v,
+            "adds": rels,
+            "removes": [],
+            "ts": "2026-08-16T00:00:00+00:00",
+            "rows": {r: 1000 for r in rels},
+            "stats": {r: {"o_orderkey": [1, 9, 0]} for r in rels},
+        }
+        with open(txlog._commit_path(path, v), "w") as f:  # noqa: SLF001
+            json.dump(commit, f)
+    # version 3 is not a checkpoint multiple; force one at the tip
+    old = txlog._CHECKPOINT_EVERY  # noqa: SLF001
+    txlog._CHECKPOINT_EVERY = 1  # noqa: SLF001
+    t0 = time.perf_counter()
+    try:
+        txlog._maybe_checkpoint(path, 3)  # noqa: SLF001
+    finally:
+        txlog._CHECKPOINT_EVERY = old  # noqa: SLF001
+    t_write = time.perf_counter() - t0
+    t_load = min(
+        _timed(lambda: txlog._load_checkpoint(path, 3))  # noqa: SLF001
+        for _ in range(3)
+    )
+    t_scan = min(
+        _timed(
+            lambda: txlog.checkpoint_as_dataframe(spark, path)
+            .selectExpr("count(*) n", "sum(rows) r")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {
+        "checkpoint_write_30k": round(t_write, 4),
+        "checkpoint_resolve_30k": round(t_load, 4),
+        "checkpoint_scan_30k": round(t_scan, 4),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -46,6 +114,8 @@ def main() -> None:
                 break
         timings[name] = round(best, 4)
 
+    sentinels = _checkpoint_sentinel(spark)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -54,6 +124,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # non-headline regression sentinels (excluded from the
+                # total so cross-round denominators stay comparable)
+                "sentinels": sentinels,
                 "sf": sf,
                 # box contention context (the r5/r7 cross-round comparisons
                 # were dominated by it): 1/5/15-min load averages at exit

@@ -7477,14 +7477,44 @@ def txlog_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting can only prune one of these dimensions; the interleave keeps
     BOTH per-file ranges narrow — at 100 TB this is the difference between
     scanning a selectivity-proportional slice and scanning everything for
-    any predicate off the sort key."""
+    any predicate off the sort key.
+
+    Round 11: the build re-clusters through the SCOPED ``OPTIMIZE ZORDER
+    ... WHERE`` path (txlog.optimize_zorder prune_col — VERDICT r10 ask
+    #5): lineitem lands in two l_quantity bands, each band is Morton-
+    rewritten by its own scoped call, and the build ASSERTS the first
+    call left the out-of-band files byte-identical — the re-cluster-one-
+    hot-band-of-100 TB contract — before the second call clusters the
+    rest. Result and oracle are unchanged: scoping is execution-only."""
     def build(path: str) -> None:
+        import os as _os
+
+        l = _t(spark, sf_dir, "lineitem")
         txlog.append(
-            _t(spark, sf_dir, "lineitem"), path,
+            l.filter(F.col("l_quantity") <= 25), path,
             stats_cols=["l_quantity", "l_extendedprice"],
         )
+        txlog.append(
+            l.filter(F.col("l_quantity") > 25), path,
+            stats_cols=["l_quantity", "l_extendedprice"],
+        )
+        pre = {p: _os.path.getmtime(p) for p in txlog.visible_files(path)}
         txlog.optimize_zorder(
-            spark, path, ["l_quantity", "l_extendedprice"], n_files=8
+            spark, path, ["l_quantity", "l_extendedprice"], n_files=4,
+            prune_col="l_quantity", hi=25,
+        )
+        post = txlog.visible_files(path)
+        untouched = [p for p in post if p in pre]
+        if not untouched or any(
+            _os.path.getmtime(p) != pre[p] for p in untouched
+        ):
+            raise AssertionError(
+                "scoped ZORDER rewrote out-of-band files; the WHERE band "
+                "must leave cold history byte-identical"
+            )
+        txlog.optimize_zorder(
+            spark, path, ["l_quantity", "l_extendedprice"], n_files=4,
+            prune_col="l_quantity", lo=26,
         )
 
     path = _lakehouse_table("zordered", sf_dir, build)
@@ -10615,64 +10645,170 @@ def graph_kcore_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band for readability - this list is the only ordering that matters.
 # --------------------------------------------------------------------------
 
+@_register(
+    "txlog_log_retention",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention + the ``_last_checkpoint`` pointer at the driver
+    gate (VERDICT r10 ask #1 — the last unbounded-growth path): orders
+    lands in 12 modulo-band appends (checkpoint at 10, pointer written),
+    then ``expire_log(retain_versions=3)`` reclaims every commit below
+    the version-10 checkpoint. The build ASSERTS the retention contract —
+    floor == 10, the pointer naming the newest checkpoint, tip resolution
+    WITHOUT a log listing, and the deterministic named-floor error for a
+    below-horizon time travel — and the query reads the post-expiry
+    snapshot, which must still equal the full raw relation (an expiry
+    that loses or duplicates any band's rows hash-mismatches here).
+    Cites txlog.expire_log / _LAST_CP; the Delta logRetentionDuration +
+    _last_checkpoint design."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        for b in range(12):
+            txlog.append(
+                o.filter(F.pmod("o_orderkey", F.lit(12)) == b).coalesce(1),
+                path,
+                stats_cols=["o_orderkey"],
+            )
+        reclaimed = txlog.expire_log(path, retain_versions=3)
+        if not reclaimed:
+            raise AssertionError("expire_log reclaimed nothing at tip 12")
+        if txlog._versions(path)[0] != 10:  # noqa: SLF001
+            raise AssertionError("retention floor must be the v10 checkpoint")
+        if txlog._pointer_version(path) != 10:  # noqa: SLF001
+            raise AssertionError("_last_checkpoint must name checkpoint 10")
+        if txlog.current_version(path) != 12:
+            raise AssertionError("tip must resolve through the pointer")
+        try:
+            txlog.read(spark, path, version=5)
+            raise AssertionError("below-horizon read must fail")
+        except FileNotFoundError as e:
+            if "earliest readable version is 10" not in str(e):
+                raise AssertionError(f"wrong floor error: {e}") from e
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("retention", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
+    "txlog_merge_identity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2)     AS sum_price,
+           TRUE AS rid_unique,
+           TRUE AS rid_on_lattice,
+           TRUE AS matched_keep_ids,
+           TRUE AS inserts_fresh
+    FROM (
+      SELECT CASE WHEN o_orderkey % 4 = 0
+                  THEN round(round(o_totalprice, 2) * 2, 2)
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+    )
+    """,
+)
+def txlog_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INSERT into a GENERATED ALWAYS AS IDENTITY table (VERDICT
+    r10 ask #3 — the per-attempt watermark reservation in
+    txlog._identity_insert_factory): the table seeds with the even-key
+    orders under identity column ``rid`` (start 1000, step 7), one merge
+    then re-prices the keys ≡0 (mod 4) (matched UPDATE) and inserts the
+    keys ≡1 (mod 4). The relational half (row set + prices) is oracled
+    against raw orders; the identity half is pinned as driver booleans
+    computed FROM the table and its pre-merge snapshot: ids globally
+    unique, every id on the 1000+7k lattice, matched rows KEEPING their
+    pre-merge ids, and inserted ids strictly above everything pre-merge
+    (fresh allocation, never recycled)."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        txlog.add_identity_column(path, "rid", start=1000, step=7)
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 0),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        src = o.filter(F.pmod("o_orderkey", F.lit(4)) < 2)
+        txlog.merge_into(
+            spark,
+            path,
+            src,
+            keys=["o_orderkey"],
+            when_matched=[("update", {"price": "round(s.price * 2, 2)"})],
+            when_not_matched=True,
+        )
+
+    path = _lakehouse_table("merge_identity", sf_dir, build)
+    cur = txlog.read(spark, path)  # v3: post-merge
+    pre = txlog.read(spark, path, version=2)  # pre-merge seed
+    base = aggregate(
+        cur,
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.count_distinct(F.col("rid")).alias("__n_rid"),
+            F.min(F.pmod(F.col("rid") - 1000, F.lit(7)) == 0).alias(
+                "rid_on_lattice"
+            ),
+        ],
+    )
+    kept = (
+        pre.select("o_orderkey", F.col("rid").alias("__rid_pre"))
+        .join(cur.select("o_orderkey", "rid"), ["o_orderkey"])
+        .agg(F.min(F.col("rid") == F.col("__rid_pre")).alias("matched_keep_ids"))
+    )
+    fresh = (
+        cur.join(pre.select("o_orderkey"), ["o_orderkey"], "left_anti")
+        .agg(F.min("rid").alias("__min_new"))
+        .crossJoin(F.broadcast(pre.agg(F.max("rid").alias("__max_pre"))))
+        .select((F.col("__min_new") > F.col("__max_pre")).alias("inserts_fresh"))
+    )
+    return (
+        base.crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(fresh))
+        .select(
+            "n_rows",
+            "sum_price",
+            (F.col("__n_rid") == F.col("n_rows")).alias("rid_unique"),
+            "rid_on_lattice",
+            "matched_keep_ids",
+            "inserts_fresh",
+        )
+    )
+
+
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-10 rotation (VERDICT r9 ask #2): finish draining the
-    # attestation backlog. Top-50 = the 3 re-attest targets whose
-    # behavior changes this round (merge rewrite path, multi-part
-    # checkpoints, IVF-PQ append), then the full r2+r3 band and the
-    # stalest r4 entries; never-attested round-10 additions are
-    # inserted at the very top as they land (displacing the last r4
-    # window slots into the tail head, which keeps the tail sorted).
-    "txlog_merge_bysource",
-    "txlog_generated_col",
-    "txlog_identity_col",
-    "dedup_simhash_recall",
-    "txlog_cdf_fold",
-    "txlog_merge_rowids",
-    "txlog_merge_upsert",
-    "txlog_checkpoint_read",
-    "knn_ivf_pq",
-    "udtf_ngrams",
-    "join_salted_skew",
-    "join_semi_reduced",
-    "emb_near_dup",
-    "events_resample_fill",
-    "asof_join",
-    "range_join_bands",
-    "window_lag_delta",
-    "text_quality",
-    "text_langid",
-    "text_tfidf_top_terms",
-    "text_chunking",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
-    "decontaminate_ngrams",
-    "multimodal_meta",
-    "knn_bruteforce",
-    "knn_batch",
-    "knn_doc_hybrid",
-    "knn_filtered",
-    "semantic_dedup",
-    "rollup_daily",
-    "cube_status_priority",
-    "grouping_sets_custom",
-    "pivot_status",
-    "unpivot_part",
-    "having_avg",
-    "percentiles",
-    "sql_frontend",
-    "setop_intersect",
-    "array_agg_segments",
-    "describe_table",
-    "na_drop_all",
-    "distinct_count",
-    "math_funcs",
-    "string_funcs",
-    "date_funcs",
-    "json_extract",
-    "case_buckets",
-    "txlog_snapshot_read",
+    # Round-11 rotation (VERDICT r10 ask #2): drain the FINAL stale
+    # band in one window. Top-50 = the two never-attested round-11
+    # gates (txlog_log_retention, txlog_merge_identity), the entire
+    # 39-entry r4 band (18 TPC-H shapes, 9 txlog lifecycle entries,
+    # repeated-spans ×3, dsir_weights, text_gopher_rules, histogram/
+    # correlations/dq_report, incremental_mv, streaming_merge_replay,
+    # sample_token_budget, source_mix_stats), txlog_zorder_pruned
+    # (re-attested through the new SCOPED ZORDER WHERE build), and 8
+    # stalest r5 entries filling the window. Tail = everything else in
+    # non-decreasing latest-attested-round order (pinned in
+    # tests/test_plans.py) so rotation keeps draining oldest-first;
+    # from r12 the <=4-round staleness bound holds everywhere.
+    "txlog_log_retention",
+    "txlog_merge_identity",
     "txlog_time_travel",
     "txlog_cdf",
     "txlog_pruned_read",
@@ -10712,6 +10848,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_histogram",
     "profile_correlations",
     "dq_report",
+    "txlog_zorder_pruned",
     "dedup_incremental",
     "fuzzy_join_sources",
     "events_rolling_stats",
@@ -10738,7 +10875,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_detail",
     "txlog_vacuum_read",
     "txlog_optimize_advisor",
-    "txlog_zorder_pruned",
     "txlog_constraint_gate",
     "txlog_schema_enforce",
     "pq_compact_read",
@@ -10899,6 +11035,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_minhash",
     "dedup_simhash",
     "explode_tokens",
+    "txlog_merge_bysource",
+    "txlog_generated_col",
+    "txlog_identity_col",
+    "dedup_simhash_recall",
+    "txlog_cdf_fold",
+    "txlog_merge_rowids",
+    "txlog_merge_upsert",
+    "txlog_checkpoint_read",
+    "knn_ivf_pq",
+    "udtf_ngrams",
+    "join_salted_skew",
+    "join_semi_reduced",
+    "emb_near_dup",
+    "events_resample_fill",
+    "asof_join",
+    "range_join_bands",
+    "window_lag_delta",
+    "text_quality",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "text_chunking",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "multimodal_meta",
+    "knn_bruteforce",
+    "knn_batch",
+    "knn_doc_hybrid",
+    "knn_filtered",
+    "semantic_dedup",
+    "rollup_daily",
+    "cube_status_priority",
+    "grouping_sets_custom",
+    "pivot_status",
+    "unpivot_part",
+    "having_avg",
+    "percentiles",
+    "sql_frontend",
+    "setop_intersect",
+    "array_agg_segments",
+    "describe_table",
+    "na_drop_all",
+    "distinct_count",
+    "math_funcs",
+    "string_funcs",
+    "date_funcs",
+    "json_extract",
+    "case_buckets",
+    "txlog_snapshot_read",
 ]
 
 

@@ -92,6 +92,18 @@ class LogStore:
         with this store's own puts)."""
         raise NotImplementedError
 
+    def exists(self, abs_path: str) -> bool:
+        """Whether the file exists (a HEAD on an object store). Default
+        derives from :func:`read_text` so third-party stores written
+        before this method keep working; concrete stores should override
+        with a metadata-only probe — the ``_last_checkpoint`` tip
+        resolution probes one commit per tail version."""
+        try:
+            self.read_text(abs_path)
+            return True
+        except FileNotFoundError:
+            return False
+
     def read_bytes(self, abs_path: str) -> bytes:
         """Binary twin of :func:`read_text` (checkpoint part files)."""
         raise NotImplementedError
@@ -141,6 +153,9 @@ class LocalLogStore(LogStore):
     def read_bytes(self, abs_path: str) -> bytes:
         with open(abs_path, "rb") as f:
             return f.read()
+
+    def exists(self, abs_path: str) -> bool:
+        return os.path.exists(abs_path)
 
     def list_dir(self, abs_dir: str) -> list[str]:
         if not os.path.isdir(abs_dir):

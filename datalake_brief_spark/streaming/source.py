@@ -26,7 +26,12 @@ Change-commit semantics (mirrors Delta's source):
   that rewrites the column mapping) FAIL the stream UNCONDITIONALLY —
   ``skipChangeCommits`` skips one commit's rows, but a mapping change
   poisons every later file's column resolution; restart from a fresh
-  checkpoint (Delta's stream-fails-on-schema-change behavior).
+  checkpoint (Delta's stream-fails-on-schema-change behavior). With
+  ``option("schemaTrackingLocation", dir)`` (the Delta analog, VERDICT
+  r10 ask #6) the failure records the post-change schema + mapping in a
+  sidecar first, and a plain RESTART with the SAME checkpoint resumes
+  from the failure offset rendering the backlog under the new logical
+  schema — exactly-once preserved, no fresh checkpoint needed.
 
 CHANGE DATA FEED streaming (``option("readChangeFeed", "true")``): each
 micro-batch emits row-level changes with ``_change_type`` /
@@ -129,6 +134,60 @@ def _table_ddl(path: str) -> str:
     return ", ".join(fields)
 
 
+def _tracking_file(loc: str) -> str:
+    return os.path.join(loc, "txlog_schema.json")
+
+
+def _load_tracking(loc: str) -> dict | None:
+    """The schema-tracking state previously recorded at ``loc`` (None if
+    absent/torn — a fresh stream start snapshots the current schema)."""
+    try:
+        with open(_tracking_file(loc)) as f:
+            d = json.load(f)
+        return d if isinstance(d.get("schema"), dict) else None
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _store_tracking(loc: str, state: dict) -> None:
+    os.makedirs(loc, exist_ok=True)
+    tmp = _tracking_file(loc) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _tracking_file(loc))
+
+
+def _tracked_state(path: str, loc: str) -> dict:
+    """Resolve (or initialize) the stream's schema-tracking state — the
+    Delta ``schemaTrackingLocation`` analog (VERDICT r10 ask #6): the
+    stream's logical schema and column mapping are pinned in a sidecar
+    file instead of being re-derived (and mapping-rejected) at every
+    start. First start records the table's CURRENT logical schema +
+    mapping + version; after a mid-stream rename/drop fails the stream,
+    the updated state is already on file, so a plain RESTART resumes from
+    the checkpointed offset rendering every commit — including the
+    pre-change backlog — under the new logical schema (physical column
+    names are immutable under the mapping, so old files resolve
+    correctly by physical name)."""
+    st = _load_tracking(loc)
+    if st is not None:
+        return st
+    logged = txlog.latest_meta(path, "schema")
+    if not logged:
+        raise ValueError(
+            "schemaTrackingLocation needs a table with a logged schema "
+            "(any append by this engine records one); legacy tables "
+            "stream without tracking"
+        )
+    st = {
+        "version": txlog.current_version(path),
+        "schema": dict(logged),
+        "mapping": dict(txlog._column_mapping(path)),  # noqa: SLF001
+    }
+    _store_tracking(loc, st)
+    return st
+
+
 def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
     """Fail the stream on a mid-stream column-mapping change (ADVICE r8):
     rename_column/drop_column commits carry no adds/removes/dv state, so
@@ -162,13 +221,49 @@ def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
         )
 
 
+def _guard_schema_commit(commit: dict, op: str, v: int, path, tracking) -> None:
+    """Tracking-aware wrapper over :func:`_reject_schema_commit`: without
+    a ``schemaTrackingLocation`` the legacy unconditional failure stands;
+    with one, a schema-layer commit the TRACKED state has already adopted
+    passes silently (the restart path replaying its offset), while a NEW
+    change first persists the post-commit schema + mapping to the
+    tracking sidecar and then fails the stream — so a plain restart
+    (same checkpoint) resumes from this exact offset rendering the
+    backlog under the new logical schema. Exactly-once is preserved: the
+    failed batch never committed its offset."""
+    if tracking is None:
+        _reject_schema_commit(commit, op, v)
+        return
+    meta = commit.get("meta", {})
+    if op not in ("rename_column", "drop_column") and not meta.get(
+        "column_mapping"
+    ):
+        return  # not a schema-layer commit (see the truthiness note above)
+    loc, st = tracking
+    new_map = dict(meta.get("column_mapping") or {})
+    new_schema = dict(txlog.latest_meta(path, "schema", v) or {})
+    if new_map == st["mapping"] and new_schema == st["schema"]:
+        return  # already adopted — the restart drains past the boundary
+    _store_tracking(loc, {"version": v, "schema": new_schema, "mapping": new_map})
+    raise ValueError(
+        f"txlog stream source: version {v} is a {op!r} commit that changes "
+        f"the table's schema/column mapping mid-stream. The post-change "
+        f"schema has been recorded at the schemaTrackingLocation — restart "
+        f"the stream with the SAME checkpoint and option to resume from "
+        f"this offset under the new schema."
+    )
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, columns: list[str], row_base=None):
+    def __init__(self, abs_path: str, columns: list[str], row_base=None, physical=None):
         self.abs_path = abs_path
         self.columns = columns
         #: base row id for this file (row-tracking streams): executor-side
         #: row_id = base + position, no lookup table shipped per row
         self.row_base = row_base
+        #: physical column names parallel to ``columns`` (schema-tracked
+        #: streams over a live column mapping); None → logical == physical
+        self.physical = physical
 
 
 def _read_file_batches(partition: _FilePartition):
@@ -176,13 +271,16 @@ def _read_file_batches(partition: _FilePartition):
     source's column order; columns a file predates materialize as NULL
     (additive evolution). A partition carrying ``row_base`` appends the
     stable ``row_id`` column (base + file position — the same identity
-    txlog.read_with_row_ids resolves)."""
+    txlog.read_with_row_ids resolves). A partition carrying ``physical``
+    selects file bytes by PHYSICAL name and emits them under the logical
+    name (schema-tracked streams across a rename boundary)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.abs_path)
     cols = []
-    for name in partition.columns:
+    phys = partition.physical or partition.columns
+    for name in phys:
         if name in table.column_names:
             cols.append(table.column(name))
         else:
@@ -216,6 +314,19 @@ class _TxlogBatchReader(DataSourceReader):
         return _read_file_batches(partition)
 
 
+def _reader_tracking(path: str, options, columns):
+    """Resolve a stream reader's schema-tracking pair: ``(tracking,
+    physical)`` where ``tracking = (location, state)`` (None without the
+    option) and ``physical`` is the per-column physical-name list under
+    the tracked mapping (None when logical == physical)."""
+    loc = options.get("schemaTrackingLocation")
+    if not loc:
+        return None, None
+    st = _tracked_state(path, loc)
+    physical = [st["mapping"].get(c, c) for c in columns]
+    return (loc, st), (physical if physical != columns else None)
+
+
 class _TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, options, columns, row_ids=False):
         self.path = options["path"]
@@ -227,6 +338,9 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
+        self.tracking, self.physical = _reader_tracking(
+            self.path, options, columns
+        )
 
     def initialOffset(self):
         # startingVersion=N streams commit N onward (Delta's semantics:
@@ -256,7 +370,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             commit = txlog._load_commit(self.path, v)  # noqa: SLF001
             op = commit.get("meta", {}).get("op", "write")
-            _reject_schema_commit(commit, op, v)
+            _guard_schema_commit(commit, op, v, self.path, self.tracking)
             if op in _NO_DATA_CHANGE_OPS:
                 # op label is the authority for byte-rewriting maintenance
                 # (optimize/zorder/constraint DDL): their removes re-land
@@ -313,7 +427,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
                     )
                 parts.append(
                     _FilePartition(
-                        os.path.join(self.path, rel), self.columns, base
+                        os.path.join(self.path, rel),
+                        self.columns,
+                        base,
+                        self.physical,
                     )
                 )
         return parts or [_FilePartition("", self.columns)]
@@ -328,12 +445,15 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
 
 class _CdfPartition(InputPartition):
-    def __init__(self, abs_path, columns, change_type, version, dv_group=None):
+    def __init__(
+        self, abs_path, columns, change_type, version, dv_group=None, physical=None
+    ):
         self.abs_path = abs_path
         self.columns = columns
         self.change_type = change_type
         self.version = version
         self.dv_group = dv_group
+        self.physical = physical  # see _FilePartition.physical
 
 
 def _read_cdf_batches(p: _CdfPartition):
@@ -359,7 +479,7 @@ def _read_cdf_batches(p: _CdfPartition):
         )
         table = table.take(sorted(idx))
     cols = []
-    for name in p.columns:
+    for name in p.physical or p.columns:
         if name in table.column_names:
             cols.append(table.column(name))
         else:
@@ -391,6 +511,9 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
+        self.tracking, self.physical = _reader_tracking(
+            self.path, options, columns
+        )
 
     def initialOffset(self):
         return {"version": max(0, self.starting_version - 1)}
@@ -408,7 +531,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             commit = txlog._load_commit(self.path, v)  # noqa: SLF001
             op = commit.get("meta", {}).get("op", "write")
-            _reject_schema_commit(commit, op, v)
+            _guard_schema_commit(commit, op, v, self.path, self.tracking)
             if op in _NO_DATA_CHANGE_OPS:
                 continue
             if "change_data" in commit:
@@ -418,7 +541,11 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                 # _change_type; cost tracks the changed rows
                 parts += [
                     _CdfPartition(
-                        os.path.join(self.path, rel), self.columns, None, v
+                        os.path.join(self.path, rel),
+                        self.columns,
+                        None,
+                        v,
+                        physical=self.physical,
                     )
                     for rel in commit["change_data"]
                 ]
@@ -444,12 +571,17 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                         "delete",
                         v,
                         dv_group=os.path.join(self.path, group),
+                        physical=self.physical,
                     )
                 )
             for rel in commit.get("adds", []):
                 parts.append(
                     _CdfPartition(
-                        os.path.join(self.path, rel), self.columns, "insert", v
+                        os.path.join(self.path, rel),
+                        self.columns,
+                        "insert",
+                        v,
+                        physical=self.physical,
                     )
                 )
         return parts or [_CdfPartition("", self.columns, "insert", 0)]
@@ -483,7 +615,15 @@ class TxlogDataSource(DataSource):
         return str(self.options.get("rowIds", "false")).lower() in ("true", "1")
 
     def schema(self):
-        ddl = _table_ddl(self.options["path"])
+        loc = self.options.get("schemaTrackingLocation")
+        if loc:
+            # schema tracking pins the stream's logical schema in the
+            # sidecar (and allows live column mappings — partitions read
+            # by physical name); streaming-only, like the other options
+            st = _tracked_state(self.options["path"], loc)
+            ddl = ", ".join(f"{c} {t}" for c, t in st["schema"].items())
+        else:
+            ddl = _table_ddl(self.options["path"])
         if self._row_ids():
             if self._cdf():
                 raise ValueError(

@@ -1378,9 +1378,14 @@ class TestGeneratedAndIdentityColumns:
         txlog.overwrite(spark.createDataFrame([("z",)], "v string"), path)
         new = {r.rid for r in txlog.read(spark, path).collect()}
         assert new and not (new & old)
+        # MERGE INSERT participates in the same never-recycle watermark
+        # (r10 ask #3 lifted the old refusal): the inserted row's id is
+        # fresh above everything ever allocated, old ids never reused
         src = spark.createDataFrame([("q",)], "v string")
-        with pytest.raises(ValueError, match="identity columns"):
-            txlog.merge_into(spark, path, src, ["v"], when_not_matched=True)
+        txlog.merge_into(spark, path, src, ["v"], when_not_matched=True)
+        rows = {r.v: r.rid for r in txlog.read(spark, path).collect()}
+        assert rows["q"] not in old | new
+        assert len(set(rows.values())) == len(rows)
 
 
 class TestMergeSchemaEvolution:
