@@ -1873,7 +1873,34 @@ def latest_meta(path: str, key: str, version: int | None = None):
     instead of the log back to whichever commit last recorded the key —
     O(versions) otherwise, on every logical-view build, for a table
     whose recent commits are all schema-silent mutations. Legacy markers
-    without the fold keep the full walk."""
+    without the fold keep the full walk.
+
+    Pointer-accelerated like _replay: this runs on EVERY logical-view
+    build (read → _logical_view → column mapping), so with a valid
+    ``_last_checkpoint`` the tail walk uses probed versions and the
+    marker comes straight from the pointer — zero log-directory listings
+    on the hot read path."""
+    ptr = _pointer_version(path)
+    if ptr is not None and (version is None or ptr <= version):
+        store = logstore.for_path(path)
+        try:
+            cp = json.loads(store.read_text(_checkpoint_path(path, ptr)))
+        except (FileNotFoundError, ValueError):
+            cp = None  # stale/torn pointer → listing path below
+        if cp is not None:
+            for v in reversed(_probe_tail(path, ptr, version)):
+                m = _load_commit(path, v).get("meta", {})
+                if key in m:
+                    return m[key]
+            if "meta_latest" in cp:
+                return cp["meta_latest"].get(key)
+            for v in reversed(_versions(path)):  # legacy marker: full walk
+                if v > ptr:
+                    continue
+                m = _load_commit(path, v).get("meta", {})
+                if key in m:
+                    return m[key]
+            return None
     cps = [v for v in _checkpoint_versions(path) if version is None or v <= version]
     cp_v = max(cps) if cps else 0
     stop_at = 0 if not cp_v else cp_v
@@ -3655,6 +3682,11 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "row_tracking": bool(latest_meta(path, "row_tracking", version)),
         "generated_columns": latest_meta(path, "generated", version) or {},
         "identity_columns": latest_meta(path, "identity", version) or {},
+        # log lifecycle facts (retention planning): the pointer's target
+        # and the oldest version whose commit record still exists — the
+        # time-travel floor expire_log has moved
+        "last_checkpoint_version": _pointer_version(path),
+        "log_earliest_version": (_versions(path) or [0])[0],
     }
 
 

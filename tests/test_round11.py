@@ -556,3 +556,35 @@ class TestSchemaTrackingRestart:
         rows = self._SINK["r11_cdf3"]
         # the CoW delete renders under the NEW schema: pre-image of k=1
         assert {(r.k, r.v2, r._change_type) for r in rows} == {(1, "a", "delete")}
+
+
+class TestPointerHotPath:
+    def test_latest_meta_rides_pointer_without_listing(self, spark):
+        """latest_meta runs on every logical-view build; with a valid
+        pointer it must resolve meta (tail walk + marker fold) with ZERO
+        log-directory listings."""
+        path = _fresh("r11lm_")
+        for i in range(23):
+            txlog.append(_batch(spark, tag=i), path)
+        store = logstore.for_path(path)
+        real_list = store.list_dir
+        calls = []
+        store.list_dir = lambda d: (calls.append(d), real_list(d))[1]
+        try:
+            schema = txlog.latest_meta(path, "schema")
+            assert schema and "k" in schema
+            assert calls == [], "latest_meta listed the log dir under a pointer"
+        finally:
+            store.list_dir = real_list
+
+    def test_describe_detail_reports_log_lifecycle(self, spark):
+        path = _fresh("r11dd_")
+        for i in range(25):
+            txlog.append(_batch(spark, tag=i), path)
+        d = txlog.describe_detail(path)
+        assert d["last_checkpoint_version"] == 20
+        assert d["log_earliest_version"] == 1
+        txlog.expire_log(path, retain_versions=10)
+        d2 = txlog.describe_detail(path)
+        assert d2["log_earliest_version"] == 10
+        assert d2["num_rows"] == d["num_rows"]
