@@ -314,6 +314,47 @@ class _TxlogBatchReader(DataSourceReader):
         return _read_file_batches(partition)
 
 
+def _load_commit_or_horizon_error(path: str, v: int) -> dict:
+    """One stream-planning commit read, with the expired-log contract: a
+    checkpointed offset that fell below an ``expire_log`` horizon (a
+    consumer down longer than the log retention) must fail with the
+    named floor and recovery guidance, not a raw missing-file error —
+    the same determinism the batch readers give below the horizon."""
+    try:
+        return txlog._load_commit(path, v)  # noqa: SLF001
+    except FileNotFoundError as e:
+        vs = txlog._versions(path)  # noqa: SLF001
+        if vs and vs[0] > 1 and v < vs[0]:
+            raise ValueError(
+                f"txlog stream source: offset version {v} is below the "
+                f"expired-log horizon (expire_log reclaimed its commit "
+                f"records); earliest readable version is {vs[0]}. Reset "
+                f"the checkpoint or restart with startingVersion="
+                f"{vs[0]} — the skipped changes are unrecoverable, as "
+                f"for any log retention."
+            ) from e
+        raise
+
+
+def _cap_offset_by_files(path: str, last_offered: int, cur: int, max_files: int) -> int:
+    """Bound the offered end-offset so the next micro-batch's commits add
+    at most ``max_files`` files — the Delta ``maxFilesPerTrigger``
+    contract on the version-offset axis (``maxVersionsPerTrigger`` bounds
+    commits; this bounds the DATA those commits carry, the knob that
+    matters when commit sizes vary 1000×). Always offers at least one
+    commit so the stream makes progress; change-data files count too (a
+    CDF batch reads them). O(offered window) tiny commit-JSON reads."""
+    files = 0
+    v = last_offered
+    while v < cur:
+        c = _load_commit_or_horizon_error(path, v + 1)
+        files += len(c.get("adds", [])) + len(c.get("change_data") or [])
+        v += 1
+        if files >= max_files:
+            break
+    return v
+
+
 def _reader_tracking(path: str, options, columns):
     """Resolve a stream reader's schema-tracking pair: ``(tracking,
     physical)`` where ``tracking = (location, state)`` (None without the
@@ -337,6 +378,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self.max_files = int(options.get("maxFilesPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
@@ -359,6 +401,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
         cur = txlog.current_version(self.path)
         if self.max_versions > 0:
             cur = min(cur, self._last_offered + self.max_versions)
+        if self.max_files > 0:
+            cur = _cap_offset_by_files(
+                self.path, self._last_offered, cur, self.max_files
+            )
         self._last_offered = max(self._last_offered, cur)
         return {"version": cur}
 
@@ -368,7 +414,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._last_offered = max(self._last_offered, int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            commit = txlog._load_commit(self.path, v)  # noqa: SLF001
+            commit = _load_commit_or_horizon_error(self.path, v)
             op = commit.get("meta", {}).get("op", "write")
             _guard_schema_commit(commit, op, v, self.path, self.tracking)
             if op in _NO_DATA_CHANGE_OPS:
@@ -510,6 +556,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1")
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
+        self.max_files = int(options.get("maxFilesPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
@@ -522,6 +569,10 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         cur = txlog.current_version(self.path)
         if self.max_versions > 0:
             cur = min(cur, self._last_offered + self.max_versions)
+        if self.max_files > 0:
+            cur = _cap_offset_by_files(
+                self.path, self._last_offered, cur, self.max_files
+            )
         self._last_offered = max(self._last_offered, cur)
         return {"version": cur}
 
@@ -529,7 +580,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         self._last_offered = max(self._last_offered, int(start["version"]))
         parts = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            commit = txlog._load_commit(self.path, v)  # noqa: SLF001
+            commit = _load_commit_or_horizon_error(self.path, v)
             op = commit.get("meta", {}).get("op", "write")
             _guard_schema_commit(commit, op, v, self.path, self.tracking)
             if op in _NO_DATA_CHANGE_OPS:

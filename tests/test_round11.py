@@ -588,3 +588,75 @@ class TestPointerHotPath:
         d2 = txlog.describe_detail(path)
         assert d2["log_earliest_version"] == 10
         assert d2["num_rows"] == d["num_rows"]
+
+
+class TestStreamBelowHorizon:
+    def test_stream_offset_below_expiry_horizon_names_floor(self, spark):
+        """A consumer down longer than the log retention: its checkpointed
+        offset points below the expire_log horizon — the stream must fail
+        with the named floor + recovery guidance, never a raw missing-file
+        error."""
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = _fresh("r11sbh_")
+        for i in range(25):
+            txlog.append(_batch(spark, tag=i), path)
+        txlog.expire_log(path, retain_versions=10)
+        got = (
+            spark.readStream.format("txlog")
+            .option("path", path)
+            .option("startingVersion", 3)  # below the horizon (floor=10)
+            .load()
+        )
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r11_below_horizon")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        q.stop()
+        assert exc is not None
+        assert "earliest readable version is 10" in str(exc)
+        assert "startingVersion" in str(exc)
+
+
+class TestMaxFilesPerTrigger:
+    def test_backlog_drains_in_file_bounded_batches(self, spark):
+        """maxFilesPerTrigger (the Delta knob): a backlog of 6 commits x 3
+        files drains in batches of at most ~4 files (>= 1 commit per batch
+        for progress) — bounding DATA per trigger, not just commit count."""
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = _fresh("r11mft_")
+        ck = tempfile.mkdtemp(prefix="r11mftck_")
+        for i in range(6):
+            txlog.append(_batch(spark, n=9, tag=i).repartition(3), path)
+        stream = (
+            spark.readStream.format("txlog")
+            .options(path=path, maxFilesPerTrigger="4")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("r11_mft")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT count(*) c FROM r11_mft").collect()[0]["c"]
+            assert got == 54  # nothing lost
+            batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            # 6 commits / 2-commit cap (3 files + next commit reaches 4)
+            assert len(batches) >= 3
+            assert max(p["numInputRows"] for p in batches) <= 18  # <= 2 commits
+        finally:
+            q.stop()
