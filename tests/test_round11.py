@@ -660,3 +660,49 @@ class TestMaxFilesPerTrigger:
             assert max(p["numInputRows"] for p in batches) <= 18  # <= 2 commits
         finally:
             q.stop()
+
+
+class TestIdentityMergeCrossFeatures:
+    def test_identity_insert_on_row_tracking_table(self, spark):
+        """ins_factory + row tracking: the factory's per-attempt insert
+        files must get row-base allocations (fresh stable ids) alongside
+        their identity values, and matched rows keep BOTH identities."""
+        path = _fresh("r11idrt_")
+        txlog.add_identity_column(path, "rid", start=5, step=2)
+        txlog.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k int, val string"), path
+        )
+        txlog.enable_row_tracking(path)
+        pre = {
+            r.k: (r.rid, r.row_id)
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        txlog.merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(2, "B"), (3, "c")], "k int, val string"),
+            keys=["k"],
+            when_matched=[("update", {"val": "s.val"})],
+            when_not_matched=True,
+        )
+        post = {
+            r.k: (r.rid, r.row_id, r.val)
+            for r in txlog.read_with_row_ids(spark, path).collect()
+        }
+        assert post[2][:2] == pre[2][:2] and post[2][2] == "B"  # both ids stable
+        assert post[1][:2] == pre[1][:2]
+        rids = [v[0] for v in post.values()]
+        rowids = [v[1] for v in post.values()]
+        assert len(set(rids)) == 3 and len(set(rowids)) == 3
+        assert post[3][0] not in {v[0] for v in pre.values()}
+        assert post[3][1] not in {v[1] for v in pre.values()}
+        assert (post[3][0] - 5) % 2 == 0  # identity lattice holds
+
+    def test_restore_above_expiry_floor_still_works(self, spark):
+        path = _fresh("r11rst_")
+        for i in range(25):
+            txlog.append(_batch(spark, tag=i), path)
+        txlog.expire_log(path, retain_versions=10)
+        v = txlog.restore(path, 12, spark)
+        assert v == 26
+        assert txlog.read(spark, path).count() == 120
