@@ -373,6 +373,28 @@ def _maybe_checkpoint(path: str, version: int) -> None:
     original log."""
     if version % _CHECKPOINT_EVERY != 0:
         return
+    _write_checkpoint(path, version)
+
+
+def checkpoint_now(path: str) -> int:
+    """Force a checkpoint at the CURRENT tip regardless of the cadence —
+    the operational lever under :func:`expire_log`: the retention horizon
+    can only ever be a checkpoint, so a table with a long un-checkpointed
+    tail (or one whose cadence-aligned checkpoints all sit inside the
+    retention window) cannot expire until one lands. Idempotent: an
+    existing checkpoint at the tip is reused. Returns the checkpointed
+    version (0 on an empty log). Racing writers produce identical
+    deterministic content — safe, like every checkpoint write."""
+    v = current_version(path)
+    if v == 0:
+        return 0
+    if logstore.for_path(path).exists(_checkpoint_path(path, v)):
+        return v
+    _write_checkpoint(path, v)
+    return v
+
+
+def _write_checkpoint(path: str, version: int) -> None:
     store = logstore.for_path(path)
     live = _replay(path, version)
     # Fold the commit-meta state in too (the Delta checkpoints-carry-

@@ -706,3 +706,43 @@ class TestIdentityMergeCrossFeatures:
         v = txlog.restore(path, 12, spark)
         assert v == 26
         assert txlog.read(spark, path).count() == 120
+
+
+class TestCheckpointNow:
+    def test_manual_checkpoint_enables_expiry_anywhere(self, spark):
+        """checkpoint_now: the retention horizon can only be a checkpoint;
+        a forced one at the tip lets expire_log reclaim a long
+        un-checkpointed tail on demand."""
+        path = _fresh("r11cn_")
+        for i in range(17):  # cadence checkpoint at 10 only
+            txlog.append(_batch(spark, tag=i), path)
+        assert txlog.checkpoint_now(path) == 17
+        assert txlog._pointer_version(path) == 17
+        assert txlog.checkpoint_now(path) == 17  # idempotent
+        txlog.expire_log(path, retain_versions=1)
+        assert txlog._versions(path)[0] == 17
+        assert txlog.read(spark, path).count() == 170
+        assert txlog.checkpoint_now(_fresh("r11cn0_")) == 0  # empty log
+
+    def test_pointer_resolves_multipart_checkpoint(self, spark):
+        """The pointer fast path must load a MULTI-PART checkpoint (marker
+        + parquet parts) exactly like the listing path."""
+        path = _fresh("r11mp_")
+        for i in range(3):
+            txlog.append(_batch(spark, n=50, tag=i).repartition(2), path)
+        old = txlog._CHECKPOINT_MULTIPART_MIN_FILES
+        txlog._CHECKPOINT_MULTIPART_MIN_FILES = 1  # force parts
+        try:
+            assert txlog.checkpoint_now(path) == 3
+        finally:
+            txlog._CHECKPOINT_MULTIPART_MIN_FILES = old
+        store = logstore.for_path(path)
+        real_list = store.list_dir
+        calls = []
+        store.list_dir = lambda d: (calls.append(d), real_list(d))[1]
+        try:
+            assert txlog.read(spark, path).count() == 150
+            assert txlog.fast_count(path) == 150
+            assert calls == []
+        finally:
+            store.list_dir = real_list
