@@ -230,8 +230,16 @@ def _replay(path: str, version: int | None = None) -> dict:
         except (FileNotFoundError, ValueError, KeyError):
             live = None  # stale/torn pointer → listing path
         if live is not None:
-            for v in _probe_tail(path, ptr, version):
-                _apply_commit(live, _load_commit(path, v))
+            # read-until-miss instead of exists-probe + read: halves the
+            # per-tail-commit IO on the hottest path in the engine
+            v = ptr + 1
+            while version is None or v <= version:
+                try:
+                    commit = _load_commit(path, v)
+                except FileNotFoundError:
+                    break
+                _apply_commit(live, commit)
+                v += 1
             return live
     live = {}
     start_after = 0
