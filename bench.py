@@ -51,14 +51,10 @@ def _checkpoint_sentinel(spark) -> dict[str, float]:
         }
         with open(txlog._commit_path(path, v), "w") as f:  # noqa: SLF001
             json.dump(commit, f)
-    # version 3 is not a checkpoint multiple; force one at the tip
-    old = txlog._CHECKPOINT_EVERY  # noqa: SLF001
-    txlog._CHECKPOINT_EVERY = 1  # noqa: SLF001
+    # version 3 is not a checkpoint multiple; force one at the tip via
+    # the public on-demand API (idempotent, no private-knob mutation)
     t0 = time.perf_counter()
-    try:
-        txlog._maybe_checkpoint(path, 3)  # noqa: SLF001
-    finally:
-        txlog._CHECKPOINT_EVERY = old  # noqa: SLF001
+    txlog.checkpoint_now(path)
     t_write = time.perf_counter() - t0
     t_load = min(
         _timed(lambda: txlog._load_checkpoint(path, 3))  # noqa: SLF001

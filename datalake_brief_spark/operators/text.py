@@ -191,6 +191,71 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed bag of query terms — the classic
+    lexical scorer (Robertson–Spärck Jones; Lucene/Elasticsearch's
+    default) and the lexical leg of a hybrid BM25+embedding retrieval
+    stack over a training corpus:
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1)
+                       / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))   (Lucene
+                   form — always positive)
+
+    Shuffle budget at corpus scale: ONE explode feeds two partial-
+    aggregated groupBys — per-doc length over all tokens, and per-(doc,
+    term) counts where the exploded stream is FILTERED to the query bag
+    first, so the second exchange moves O(docs × |query|) rows, never
+    O(tokens). df/N/avgdl are scalar broadcasts. The final top-k is a
+    global orderBy(…).limit(k) — TakeOrderedAndProject, partition-local
+    heaps + one k-row merge at the driver, no global sort. Ranking uses
+    the ROUNDED score with an id tie-break so the k-boundary selection
+    is reproducible cross-engine (raw float ordering is ulp-sensitive)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

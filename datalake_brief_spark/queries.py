@@ -10685,8 +10685,14 @@ def txlog_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("retention floor must be the v10 checkpoint")
         if txlog._pointer_version(path) != 10:  # noqa: SLF001
             raise AssertionError("_last_checkpoint must name checkpoint 10")
-        if txlog.current_version(path) != 12:
-            raise AssertionError("tip must resolve through the pointer")
+        # 12 appends + the protocol commit the first expiry writes to
+        # declare the log-retention READER FEATURE (r11 ADVICE: gate the
+        # irreversible layout change like DVs/column-mapping do)
+        if txlog.current_version(path) != 13:
+            raise AssertionError("tip must be 12 appends + feature commit")
+        feats = txlog.table_protocol(path).get("reader_features", [])
+        if "log-retention" not in feats:
+            raise AssertionError("first expiry must declare log-retention")
         try:
             txlog.read(spark, path, version=5)
             raise AssertionError("below-horizon read must fail")
@@ -10794,69 +10800,186 @@ def txlog_merge_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "txlog_auto_compact",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-commit AUTO-COMPACTION at the driver gate (round 12 — the
+    companion of r11's expire_log: that bounded LOG growth, this bounds
+    DATA-FILE-COUNT growth, the other unbounded accretion of a
+    per-few-seconds CDC append stream): orders lands in 24 single-file
+    modulo-band appends with ``auto_compact=True`` (trigger: ≥8 files
+    under half the 128 MB target). The build ASSERTS the bound — the
+    snapshot holds <12 visible files where the raw stream left 24, at
+    least two best-effort compaction commits fired, and stats-pruning
+    still works on the rewritten files — and the query reads the
+    compacted snapshot, which must equal the full raw relation (a
+    compaction that drops or duplicates any band hash-mismatches here).
+    Cites txlog.append(auto_compact)/_auto_compact_after_commit; the
+    Delta autoCompact design."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        for band in range(24):
+            txlog.append(
+                o.filter(F.pmod("o_orderkey", F.lit(24)) == band).coalesce(1),
+                path,
+                stats_cols=["o_orderkey"],
+                auto_compact=True,
+                auto_compact_min_files=8,
+            )
+        n_files = len(txlog.visible_files(path))
+        if n_files >= 12:
+            raise AssertionError(
+                f"auto-compact left {n_files} visible files (24 raw)"
+            )
+        ops = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")  # noqa: SLF001
+            for v in txlog._versions(path)  # noqa: SLF001
+        ]
+        if ops.count("optimize") < 2:
+            raise AssertionError("expected repeated post-commit compactions")
+        if txlog.read_pruned(spark, path, "o_orderkey", lo=1, hi=1).count() != 1:
+            raise AssertionError("compaction must keep data skipping alive")
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("auto_compact", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
+    "txlog_widen_type",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)   AS n_rows,
+           CAST(sum(units) AS BIGINT) AS sum_units
+    FROM (SELECT o_orderstatus,
+                 CAST(round(o_totalprice, 0) AS INT) AS units
+          FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY TYPE WIDENING at the driver gate (round 12 — the
+    Delta type-widening design): the even-key half of orders lands with
+    ``units int``, one ``widen_column_type`` commit flips the logged
+    schema to bigint, then the odd-key half keeps appending at the
+    NARROW int type (the frozen-producer CDC steady state). The build
+    ASSERTS the contract — the widening commit adds/removes zero files
+    and the visible file set is unchanged (petabyte rewrite avoided by
+    construction), the ``type-widening`` reader feature is declared,
+    time travel below the widen still reads int, and the post-widen
+    narrow append records the WIDE logged type — and the query reads
+    the mixed-physical-type snapshot (int32 pages upcast under the
+    bigint scan schema), which must equal the full raw relation.
+    Cites txlog.widen_column_type/_validate_append_schema/_read_data."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 0).cast("int").alias("units"),
+        )
+        half = F.pmod("o_orderkey", F.lit(2))
+        txlog.append(o.filter(half == 0), path, stats_cols=["o_orderkey"])
+        pre_files = sorted(txlog.visible_files(path))
+        v = txlog.widen_column_type(path, "units", "bigint")
+        c = txlog._load_commit(path, v)  # noqa: SLF001
+        if c["adds"] or c["removes"] or sorted(txlog.visible_files(path)) != pre_files:
+            raise AssertionError("widen must rewrite zero data files")
+        if "type-widening" not in txlog.table_protocol(path).get(
+            "reader_features", []
+        ):
+            raise AssertionError("first widen must declare the reader feature")
+        if dict(txlog.read(spark, path, version=1).dtypes)["units"] != "int":
+            raise AssertionError("time travel below the widen must see int")
+        txlog.append(o.filter(half == 1), path, stats_cols=["o_orderkey"])
+        if (txlog.latest_meta(path, "schema") or {})["units"] != "bigint":
+            raise AssertionError(
+                "post-widen narrow append must record the wide type"
+            )
+
+    df = txlog.read(spark, _lakehouse_table("widen_type", sf_dir, build))
+    if dict(df.dtypes)["units"] != "bigint":
+        raise AssertionError("widened table must scan at bigint")
+    return aggregate(
+        df,
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("units").cast("bigint").alias("sum_units"),
+        ],
+    )
+
+
+@_register(
+    "text_bm25",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE token IN ('merge', 'window', 'hash')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query bag {merge, window, hash} over the
+    documents corpus — the lexical leg of a hybrid retrieval stack (see
+    operators.text.bm25_topk for the shuffle budget: the exploded token
+    stream is filtered to the query bag BEFORE the per-doc aggregate, and
+    the top-k is TakeOrderedAndProject, never a global sort). Ranking
+    uses the rounded score + doc_id tie-break so both engines select the
+    same k-boundary."""
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["merge", "window", "hash"], k=20
+    )
+
+
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-11 rotation (VERDICT r10 ask #2): drain the FINAL stale
-    # band in one window. Top-50 = the two never-attested round-11
-    # gates (txlog_log_retention, txlog_merge_identity), the entire
-    # 39-entry r4 band (18 TPC-H shapes, 9 txlog lifecycle entries,
-    # repeated-spans ×3, dsir_weights, text_gopher_rules, histogram/
-    # correlations/dq_report, incremental_mv, streaming_merge_replay,
-    # sample_token_budget, source_mix_stats), txlog_zorder_pruned
-    # (re-attested through the new SCOPED ZORDER WHERE build), and 8
-    # stalest r5 entries filling the window. Tail = everything else in
-    # non-decreasing latest-attested-round order (pinned in
-    # tests/test_plans.py) so rotation keeps draining oldest-first;
-    # from r12 the <=4-round staleness bound holds everywhere.
-    "txlog_log_retention",
-    "txlog_merge_identity",
-    "txlog_time_travel",
-    "txlog_cdf",
-    "txlog_pruned_read",
-    "txlog_point_read",
-    "txlog_update",
-    "txlog_replace_where",
-    "txlog_fast_count",
-    "txlog_null_skip",
-    "txlog_schema_evolution",
-    "incremental_mv",
-    "streaming_merge_replay",
-    "text_gopher_rules",
-    "source_mix_stats",
-    "sample_token_budget",
-    "dsir_weights",
-    "dedup_repeated_spans",
-    "dedup_strip_spans",
-    "dedup_strip_spans_keep_first",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_predicates",
-    "q20_excess_suppliers",
-    "q22_dormant_customers",
-    "profile_histogram",
-    "profile_correlations",
-    "dq_report",
-    "txlog_zorder_pruned",
-    "dedup_incremental",
-    "fuzzy_join_sources",
-    "events_rolling_stats",
-    "events_trailing_hour",
-    "dq_fk_integrity",
-    "profile_join_skew",
-    "profile_drift",
-    "csv_infer_roundtrip",
+    # Round-12 rotation: the r4 band fully drained at r11, so from here
+    # the window is REGENERATED each round as (new never-attested
+    # entries) + (stalest attested entries, ascending latest-round,
+    # stable on prior order) — the <=4-round staleness bound now holds
+    # registry-wide. This round: 3 new gates (auto-compact, type
+    # widening, BM25) + every remaining r5 entry + the stalest r7 slice.
+    # Tail = everything else in non-decreasing latest-attested-round
+    # order (pinned in tests/test_plans.py).
+    "txlog_auto_compact",
+    "txlog_widen_type",
+    "text_bm25",
     "csv_quoted_roundtrip",
     "jsonl_roundtrip",
     "orc_roundtrip",
@@ -11085,6 +11208,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "json_extract",
     "case_buckets",
     "txlog_snapshot_read",
+    "txlog_log_retention",
+    "txlog_merge_identity",
+    "txlog_time_travel",
+    "txlog_cdf",
+    "txlog_pruned_read",
+    "txlog_point_read",
+    "txlog_update",
+    "txlog_replace_where",
+    "txlog_fast_count",
+    "txlog_null_skip",
+    "txlog_schema_evolution",
+    "incremental_mv",
+    "streaming_merge_replay",
+    "text_gopher_rules",
+    "source_mix_stats",
+    "sample_token_budget",
+    "dsir_weights",
+    "dedup_repeated_spans",
+    "dedup_strip_spans",
+    "dedup_strip_spans_keep_first",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_predicates",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    "profile_histogram",
+    "profile_correlations",
+    "dq_report",
+    "txlog_zorder_pruned",
+    "dedup_incremental",
+    "fuzzy_join_sources",
+    "events_rolling_stats",
+    "events_trailing_hour",
+    "dq_fk_integrity",
+    "profile_join_skew",
+    "profile_drift",
+    "csv_infer_roundtrip",
 ]
 
 

@@ -247,8 +247,20 @@ def _replay(path: str, version: int | None = None) -> dict:
     if cps:
         start_after = max(cps)
         live = _load_checkpoint(path, start_after)
+    vs = _versions(path)
+    if start_after == 0 and vs and vs[0] > 1:
+        # No checkpoint anchors this resolution and the commit sequence
+        # does not start at 1: the base state below the first surviving
+        # commit is unknown. A legitimate post-expiry read always has a
+        # checkpoint at or below its target (expire_log only reclaims
+        # strictly below the newest checkpoint), so this fires exactly on
+        # (a) time travel below the retention horizon and (b) the
+        # crash-mid-expiry window where a PREFIX of commits vanished
+        # before their checkpoint was anchored — replaying from empty at
+        # vs[0] would be a silently partial snapshot; fail loudly instead.
+        raise _expired_read_error(path, version if version is not None else vs[0])
     expect = None
-    for v in _versions(path):
+    for v in vs:
         if v <= start_after:
             continue
         if version is not None and v > version:
@@ -266,10 +278,6 @@ def _replay(path: str, version: int | None = None) -> dict:
             raise _expired_read_error(path, version if version is not None else v)
         expect = v + 1
         _apply_commit(live, _load_commit(path, v))
-    if version is not None and start_after == 0:
-        vs = _versions(path)
-        if vs and vs[0] > 1 and version < vs[0]:
-            raise _expired_read_error(path, version)
     return live
 
 
@@ -1052,6 +1060,24 @@ def _try_commit(
     _maybe_checkpoint(path, version)
 
 
+# Widening lattice (the Delta type-widening surface): strictly-wider moves
+# along ONE chain are metadata-only safe — parquet pages at any narrower
+# type on the chain read natively at the wider one under an explicit scan
+# schema, so neither history nor new narrow appends ever need a rewrite.
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def _widens_to(frm: str, to: str) -> bool:
+    """True iff ``frm`` → ``to`` is a strict widening on one chain."""
+    for chain in _WIDEN_CHAINS:
+        if frm in chain and to in chain:
+            return chain.index(frm) < chain.index(to)
+    return False
+
+
 def _validate_append_schema(
     path: str, df: DataFrame, merge_schema: bool, system_cols=frozenset()
 ) -> dict[str, str]:
@@ -1077,13 +1103,26 @@ def _validate_append_schema(
     cur = dict(df.dtypes)
     if logged is None:
         return cur
-    conflicts = {
-        c: (logged[c], cur[c]) for c in cur if c in logged and logged[c] != cur[c]
-    }
+    conflicts = {}
+    widened = {}
+    for c in cur:
+        if c in logged and logged[c] != cur[c]:
+            if _widens_to(cur[c], logged[c]):
+                # the incoming frame is NARROWER on a widening chain (the
+                # table was widened after this producer's schema froze —
+                # the steady state of every CDC source feeding a widened
+                # table): legal. Files land at the narrow physical type
+                # and the commit keeps recording the logged WIDE type —
+                # the explicit-schema scan upcasts narrow pages natively,
+                # exactly as it does for pre-widen history.
+                widened[c] = logged[c]
+            else:
+                conflicts[c] = (logged[c], cur[c])
     if conflicts:
         raise TypeError(
             f"append schema conflicts with the table schema (column: "
-            f"(table type, append type)): {conflicts}"
+            f"(table type, append type)): {conflicts}; only widening "
+            f"upcasts are metadata-safe — see widen_column_type"
         )
     added = set(cur) - set(logged) - set(system_cols)
     if added and not merge_schema:
@@ -1092,7 +1131,7 @@ def _validate_append_schema(
             f"({sorted(added)}); pass merge_schema=True to evolve the "
             f"schema additively"
         )
-    return {**logged, **cur}
+    return {**logged, **cur, **widened}
 
 
 # ---------------------------------------------------------------------------
@@ -1106,7 +1145,12 @@ def _validate_append_schema(
 # below a feature's introduction needs nothing.
 # ---------------------------------------------------------------------------
 
-_READER_FEATURES = {"deletion-vectors", "column-mapping"}
+_READER_FEATURES = {
+    "deletion-vectors",
+    "column-mapping",
+    "log-retention",
+    "type-widening",
+}
 
 
 def table_protocol(path: str, version: int | None = None) -> dict:
@@ -1357,6 +1401,70 @@ def drop_column(path: str, name: str) -> int:
     return read_v + 1
 
 
+def widen_column_type(path: str, col: str, to_type: str) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` restricted to WIDENING
+    upcasts — the Delta type-widening design as a METADATA-ONLY commit:
+    the logged schema flips to the wider type and ZERO data files are
+    rewritten at any table size. Every txlog read already scans with the
+    logged schema translated to physical names (see :func:`_read_data`),
+    and the parquet reader upcasts narrower physical pages natively
+    (int32 pages render as bigint), so pre-widen history, change files,
+    and post-widen appends that still land the narrow type (see
+    :func:`_validate_append_schema`) all read at the wide type with no
+    rewrite and no read-side special case. The operational shape at
+    100 TB: an id/count column outgrowing ``int`` needs one tiny commit,
+    not a petabyte rewrite — and CDC producers whose source schema froze
+    at the narrow type keep appending unchanged.
+
+    Legal moves are strict widenings along one chain of
+    ``_WIDEN_CHAINS`` (tinyint→smallint→int→bigint, float→double);
+    same-type is a no-op, anything else is rejected (narrowing or
+    cross-chain changes would corrupt or lose precision silently).
+    Schema is version-resolved, so time travel below the widening sees
+    the old type. The first widening folds the ``type-widening`` READER
+    FEATURE into the protocol: this engine's readers upcast natively,
+    but builds or integrations that resolve types from data-file footers
+    would see mixed physical types — Delta gates its own typeWidening
+    identically.
+
+    Cites: Delta Lake type widening (public docs/protocol); the
+    reference has no ALTER surface (SURVEY §2.13)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    schema = latest_meta(path, "schema")
+    if schema is None:
+        raise ValueError(
+            "table has no logged schema; widening requires schema-"
+            "recording commits (append/overwrite since schemas were "
+            "logged)"
+        )
+    if col not in schema:
+        raise ValueError(f"no column {col!r} (have {sorted(schema)})")
+    cur_t = schema[col]
+    if cur_t == to_type:
+        return read_v  # no-op: already that type
+    if not _widens_to(cur_t, to_type):
+        raise ValueError(
+            f"cannot change {col!r} from {cur_t!r} to {to_type!r}: only "
+            f"strict widenings along {_WIDEN_CHAINS} are metadata-only "
+            f"safe"
+        )
+    new_schema = {k: (to_type if k == col else t) for k, t in schema.items()}
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta=_with_feature(path, {
+            "op": "widen_column_type",
+            "widened": [col, cur_t, to_type],
+            "schema": new_schema,
+        }, "type-widening"),
+    )
+    return read_v + 1
+
+
 def add_constraint(
     spark: SparkSession, path: str, name: str, check_sql: str
 ) -> int:
@@ -1602,6 +1710,9 @@ def append(
     meta: dict | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    auto_compact: bool = False,
+    auto_compact_min_files: int = 16,
+    auto_compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Blind append: always merges cleanly under races (adds only — no
     read-set to validate), so a conflict just re-targets the new tip.
@@ -1637,10 +1748,18 @@ def append(
     file lands) — see ``_check_bloom_cols``.
 
     Writer-side schema enforcement: the commit records the table schema in
-    its meta, a type change on an existing column is always rejected, and
-    added/missing columns require ``merge_schema=True`` (additive evolution
-    — pair with ``read(merge_schema=True)``); see
-    :func:`_validate_append_schema`."""
+    its meta, a type change on an existing column is rejected unless it is
+    a widening-lattice upcast of the logged type (see
+    :func:`widen_column_type`), and added/missing columns require
+    ``merge_schema=True`` (additive evolution — pair with
+    ``read(merge_schema=True)``); see :func:`_validate_append_schema`.
+
+    ``auto_compact=True`` runs a best-effort post-commit compaction when
+    at least ``auto_compact_min_files`` visible files are under half
+    ``auto_compact_target_bytes`` — the Delta autoCompact shape that keeps
+    a high-cadence append stream's file count bounded without a scheduled
+    OPTIMIZE; see :func:`_auto_compact_after_commit`. The returned version
+    is the APPEND's commit; a compaction that fires lands one more."""
     _check_bloom_cols(df, bloom_cols)
     # identity + generated columns join the batch BEFORE any validation
     # (they are part of the schema the validations speak about)
@@ -1778,6 +1897,16 @@ def append(
                 },
                 row_bases=row_bases,
             )
+            if auto_compact:
+                # post-commit, best-effort (the Delta autoCompact shape):
+                # the append above is already durable at version v; the
+                # compaction lands as its own commit or not at all
+                _auto_compact_after_commit(
+                    df.sparkSession,
+                    path,
+                    auto_compact_min_files,
+                    auto_compact_target_bytes,
+                )
             return v
         except CommitConflict:
             continue
@@ -4158,6 +4287,43 @@ def optimize(
     return read_v + 1
 
 
+def _auto_compact_after_commit(
+    spark: SparkSession,
+    path: str,
+    min_files: int,
+    target_bytes: int,
+) -> int | None:
+    """Post-commit auto-compaction (the Delta autoCompact design): bound
+    the table's small-file count at write cadence instead of waiting for
+    a scheduled OPTIMIZE. Round 11 bounded LOG growth (expire_log); this
+    bounds DATA-FILE-COUNT growth — the other unbounded accretion a
+    per-few-seconds CDC append stream produces, and the one that degrades
+    every scan (per-file open/footer costs) rather than just metadata ops.
+
+    Trigger is metadata-cheap: count visible files under half the target
+    size (log listing + size stats, no data read); below ``min_files``
+    small files, do nothing. Best-effort like Delta's: the triggering
+    append is already durable, so a compaction that loses its commit race
+    simply yields — the racer's own post-commit hook (or the next
+    append's) sees the same small files and retries. Any error other
+    than the benign race propagates."""
+    small_bytes = target_bytes // 2
+    n_small = sum(
+        1 for p in visible_files(path) if os.path.getsize(p) < small_bytes
+    )
+    if n_small < min_files:
+        return None
+    try:
+        return optimize(
+            spark,
+            path,
+            target_file_bytes=target_bytes,
+            small_file_bytes=small_bytes,
+        )
+    except CommitConflict:
+        return None
+
+
 def optimize_zorder(
     spark: SparkSession,
     path: str,
@@ -4475,6 +4641,12 @@ def expire_log(
     VACUUM, choose retention generous enough that no reader still
     replays below it (Delta defaults to 30 days for the same reason).
 
+    The first effective expiry writes a metadata-only commit folding the
+    ``log-retention`` READER FEATURE into the table protocol (same gate
+    mechanism as deletion vectors / column mapping): engine builds that
+    predate the expiry floor checks refuse the table with an unknown-
+    feature error instead of mis-reading a reclaimed log.
+
     Returns the reclaimed log-file basenames; ``dry_run=True`` previews
     without deleting."""
     if retain_versions is None and retain_age is None:
@@ -4503,6 +4675,33 @@ def expire_log(
     horizon = max((c for c in cps if vs[0] <= c <= bound), default=None)
     if horizon is None or horizon <= vs[0]:
         return []  # nothing expirable yet (young table / tight retention)
+    if not dry_run and "log-retention" not in set(
+        table_protocol(path).get("reader_features", [])
+    ):
+        # Declare the reader feature BEFORE reclaiming anything: engine
+        # builds that predate the expiry floor/density checks then refuse
+        # the table outright (unknown feature) instead of silently
+        # replaying a partial snapshot from the surviving prefix — the
+        # same irreversible-layout gate DVs and column mapping use.
+        # Protocol is version-resolved, so time travel below this
+        # declaring commit is not gated (Delta's protocol upgrades share
+        # that shape); the retention-generosity guidance above is the
+        # complementary defense.
+        declare = tip + 1
+        while True:
+            try:
+                _try_commit(
+                    path,
+                    declare,
+                    [],
+                    [],
+                    meta=_with_feature(
+                        path, {"op": "expire_log"}, "log-retention"
+                    ),
+                )
+                break
+            except CommitConflict:
+                declare = current_version(path) + 1
     store = logstore.for_path(path)
     reclaimed: list[str] = []
     # commits first (ascending), checkpoints after: at every intermediate

@@ -145,6 +145,45 @@ class TestExpireLog:
         txlog.expire_log(path2, retain_versions=5)
         assert txlog.read(spark, path2).count() == 250
 
+    def test_first_expiry_declares_log_retention_reader_feature(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r11: expiry is an irreversible layout change — gate it
+        with a reader feature like DVs/column-mapping so pre-floor-check
+        builds refuse the table instead of replaying a partial prefix."""
+        path = self._table(spark)
+        assert "log-retention" not in set(
+            txlog.table_protocol(path).get("reader_features", [])
+        )
+        tip = txlog.current_version(path)
+        assert txlog.expire_log(path, retain_versions=10)
+        feats = set(txlog.table_protocol(path).get("reader_features", []))
+        assert "log-retention" in feats
+        assert txlog.current_version(path) == tip + 1  # one declaring commit
+        # idempotent: a second effective expiry adds no protocol commit
+        assert txlog.expire_log(path, retain_versions=5)
+        assert txlog.current_version(path) == tip + 1
+        assert txlog.read(spark, path).count() == 250
+        # an "old build" (feature absent from its supported set) refuses
+        # the whole table rather than mis-reading the reclaimed log
+        monkeypatch.setattr(
+            txlog,
+            "_READER_FEATURES",
+            txlog._READER_FEATURES - {"log-retention"},
+        )
+        with pytest.raises(ValueError, match="log-retention"):
+            txlog.read(spark, path)
+
+    def test_dry_run_and_noop_expiry_declare_nothing(self, spark):
+        path = self._table(spark)
+        tip = txlog.current_version(path)
+        txlog.expire_log(path, retain_versions=10, dry_run=True)
+        assert txlog.expire_log(path, retain_versions=25) == []  # no-op
+        assert txlog.current_version(path) == tip
+        assert "log-retention" not in set(
+            txlog.table_protocol(path).get("reader_features", [])
+        )
+
     def test_young_table_without_checkpoint_is_noop(self, spark):
         path = _fresh("r11young_")
         for i in range(4):
@@ -161,11 +200,37 @@ class TestExpireLog:
             txlog.expire_log(path, retain_versions=0)
 
     def test_crash_mid_expire_fails_loudly_not_stale(self, spark):
-        """A hole in the commit sequence (crashed expire) must raise the
-        floor error, never silently resolve a stale snapshot."""
+        """A crashed expire_log leaves an ascending PREFIX of deleted
+        commits (it reclaims commits in ascending order). A read inside
+        the surviving un-anchored band — above the first surviving
+        commit but below every surviving checkpoint — must raise the
+        floor error, never silently replay from empty state at vs[0]
+        (the round-11 advisor reproduced exactly that partial snapshot:
+        commits 1-5 gone, checkpoint at 10, read(version=8) returned 3
+        files instead of 8)."""
         path = self._table(spark, n_commits=15)
-        # simulate a crash: delete ONLY commit 3 (listing path has a hole
-        # between checkpoint-less start and the tail)
+        for v in range(1, 6):
+            os.remove(txlog._commit_path(path, v))
+        # un-anchored band: no checkpoint at-or-below 6..9
+        with pytest.raises(FileNotFoundError, match="expired-log horizon"):
+            txlog.read(spark, path, version=8)
+        with pytest.raises(FileNotFoundError, match="expired-log horizon"):
+            txlog.read(spark, path, version=6)
+        # anchored reads are unaffected: checkpoint 10 covers >= 10
+        assert txlog.read(spark, path, version=10).count() == 100
+        assert txlog.read(spark, path).count() == 150
+        # crash even earlier — before any checkpoint anchor survives:
+        # a LATEST read must also fail loudly, not return 10 commits of
+        # state as if they were the whole table
+        os.remove(txlog._last_checkpoint_path(path))
+        os.remove(txlog._checkpoint_path(path, 10))
+        with pytest.raises(FileNotFoundError, match="expired-log horizon"):
+            txlog.read(spark, path)
+
+    def test_interior_hole_still_fails_loudly(self, spark):
+        """Defense in depth: an interior hole (not a shape expire_log
+        produces, but e.g. manual tampering) keeps raising too."""
+        path = self._table(spark, n_commits=15)
         os.remove(txlog._commit_path(path, 3))
         os.remove(txlog._last_checkpoint_path(path))
         os.remove(txlog._checkpoint_path(path, 10))
@@ -703,8 +768,9 @@ class TestIdentityMergeCrossFeatures:
         for i in range(25):
             txlog.append(_batch(spark, tag=i), path)
         txlog.expire_log(path, retain_versions=10)
+        # 25 appends + the feature-declaring commit (26) + restore (27)
         v = txlog.restore(path, 12, spark)
-        assert v == 26
+        assert v == 27
         assert txlog.read(spark, path).count() == 120
 
 

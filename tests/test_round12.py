@@ -1,0 +1,226 @@
+"""Round-12 additions: post-commit AUTO-COMPACTION (the Delta autoCompact
+shape — bounds data-file-count growth at CDC cadence, the companion of
+round 11's expire_log which bounded LOG growth) and METADATA-ONLY TYPE
+WIDENING (the Delta type-widening design: ALTER COLUMN TYPE as one tiny
+commit, zero data files rewritten, narrow producers keep appending)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.sources import txlog
+
+
+def _fresh(prefix="r12_"):
+    return os.path.join(tempfile.mkdtemp(prefix=prefix), "t")
+
+
+def _ops(path):
+    return [
+        txlog._load_commit(path, v).get("meta", {}).get("op")
+        for v in txlog._versions(path)
+    ]
+
+
+class TestAutoCompact:
+    def test_bounds_file_count_and_preserves_content(self, spark):
+        path = _fresh("r12ac_")
+        for i in range(24):
+            txlog.append(
+                spark.range(10)
+                .withColumnRenamed("id", "k")
+                .withColumn("batch", F.lit(i).cast("int"))
+                .coalesce(1),
+                path,
+                stats_cols=["k"],
+                auto_compact=True,
+                auto_compact_min_files=8,
+            )
+        # without compaction this snapshot would hold 24 one-file groups;
+        # the hook keeps the visible count bounded by the trigger
+        assert len(txlog.visible_files(path)) < 10
+        assert txlog.read(spark, path).count() == 240
+        assert (
+            txlog.read(spark, path).groupBy().agg(F.sum("batch")).collect()[0][0]
+            == sum(range(24)) * 10
+        )
+        assert _ops(path).count("optimize") >= 2
+        # data skipping survives: the rewrite recollects stats
+        assert txlog.read_pruned(spark, path, "k", lo=3, hi=3).count() == 24
+
+    def test_below_threshold_is_noop(self, spark):
+        path = _fresh("r12acn_")
+        for i in range(4):
+            txlog.append(
+                spark.range(5).coalesce(1),
+                path,
+                auto_compact=True,
+                auto_compact_min_files=8,
+            )
+        assert txlog.current_version(path) == 4
+        assert "optimize" not in _ops(path)
+
+    def test_lost_compaction_race_is_benign(self, spark, monkeypatch):
+        """Best-effort contract: the append is durable before the hook
+        runs; a compaction losing its commit race must not fail the
+        append."""
+        path = _fresh("r12acr_")
+        for i in range(8):
+            txlog.append(spark.range(5).coalesce(1), path)
+
+        def lose_race(*a, **k):
+            raise txlog.CommitConflict("simulated racer owns the version")
+
+        monkeypatch.setattr(txlog, "optimize", lose_race)
+        v = txlog.append(
+            spark.range(5).coalesce(1),
+            path,
+            auto_compact=True,
+            auto_compact_min_files=2,
+        )
+        assert v == 9
+        assert txlog.read(spark, path).count() == 45
+
+
+class TestWidenColumnType:
+    def _table(self, spark):
+        path = _fresh("r12w_")
+        txlog.append(
+            spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float"),
+            path,
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+        return path
+
+    def test_widen_is_metadata_only_and_reads_wide(self, spark):
+        path = self._table(spark)
+        pre_files = sorted(txlog.visible_files(path))
+        v = txlog.widen_column_type(path, "k", "bigint")
+        assert v == 2
+        c = txlog._load_commit(path, v)
+        assert c["adds"] == [] and c["removes"] == []  # metadata-only
+        assert sorted(txlog.visible_files(path)) == pre_files  # no rewrite
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["k"] == "bigint"
+        assert sorted(r.k for r in df.collect()) == [1, 2]
+        # float chain too
+        txlog.widen_column_type(path, "x", "double")
+        assert dict(txlog.read(spark, path).dtypes)["x"] == "double"
+
+    def test_narrow_appends_keep_landing_after_widen(self, spark):
+        """The CDC steady state: a producer whose schema froze at int
+        keeps appending after the table widened — files land narrow, the
+        commit records the WIDE logged type, the scan upcasts."""
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(3, 3.5)], "k int, x float"), path
+        )
+        txlog.append(
+            spark.createDataFrame([(4, 4.5)], "k bigint, x float"), path
+        )
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["k"] == "bigint"
+        assert sorted(r.k for r in df.collect()) == [1, 2, 3, 4]
+        assert (txlog.latest_meta(path, "schema") or {})["k"] == "bigint"
+        # widening the OTHER way on append is still rejected: an int
+        # table does not silently become bigint because one frame was
+        path2 = self._table(spark)
+        with pytest.raises(TypeError, match="widen_column_type"):
+            txlog.append(
+                spark.createDataFrame([(9, 9.5)], "k bigint, x float"), path2
+            )
+
+    def test_time_travel_sees_the_old_type(self, spark):
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        assert dict(txlog.read(spark, path, version=1).dtypes)["k"] == "int"
+
+    def test_illegal_moves_rejected_and_same_type_noop(self, spark):
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path, "k", "int")  # narrowing
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path, "x", "bigint")  # cross-chain
+        with pytest.raises(ValueError, match="no column"):
+            txlog.widen_column_type(path, "zz", "bigint")
+        v = txlog.current_version(path)
+        assert txlog.widen_column_type(path, "k", "bigint") == v  # no-op
+        assert txlog.current_version(path) == v
+
+    def test_reader_feature_gate(self, spark, monkeypatch):
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        assert "type-widening" in txlog.table_protocol(path)["reader_features"]
+        monkeypatch.setattr(
+            txlog,
+            "_READER_FEATURES",
+            txlog._READER_FEATURES - {"type-widening"},
+        )
+        with pytest.raises(ValueError, match="type-widening"):
+            txlog.read(spark, path)
+
+    def test_skipping_survives_widen(self, spark):
+        """Stats and blooms collected at the narrow type keep pruning
+        after the widen (value-level comparisons are representation-
+        independent)."""
+        path = _fresh("r12wp_")
+        for i in range(4):
+            txlog.append(
+                spark.createDataFrame(
+                    [(i * 10 + j, float(i)) for j in range(10)],
+                    "k int, x float",
+                ).coalesce(1),
+                path,
+                stats_cols=["k"],
+                bloom_cols=["k"],
+            )
+        txlog.widen_column_type(path, "k", "bigint")
+        got = txlog.read_pruned(spark, path, "k", lo=15, hi=17)
+        assert sorted(r.k for r in got.collect()) == [15, 16, 17]
+        assert txlog.read_point(spark, path, "k", 23).count() == 1
+        assert txlog.fast_count(path) == 40
+
+    def test_mutations_and_cdf_across_widen(self, spark):
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.update_where(
+            spark, path, F.col("k") == 2, {"x": F.lit(9.5).cast("float")}
+        )
+        rows = {r.k: r.x for r in txlog.read(spark, path).collect()}
+        assert rows == {1: 1.5, 2: 9.5}
+        ch = txlog.table_changes(spark, path, 2, 3)  # window is (from, to]
+        assert dict(ch.dtypes)["k"] == "bigint"
+        # this engine's CDF records an UPDATE as its delete+insert pair
+        got = sorted((r["_change_type"], r.k, r.x) for r in ch.collect())
+        assert got == [("delete", 2, 2.5), ("insert", 2, 9.5)]
+
+    def test_widen_after_rename_uses_logical_name(self, spark):
+        path = self._table(spark)
+        txlog.rename_column(path, "k", "key")
+        txlog.widen_column_type(path, "key", "bigint")
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["key"] == "bigint"
+        assert sorted(r.key for r in df.collect()) == [1, 2]
+
+    def test_merge_with_narrow_source_after_widen(self, spark):
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        src = spark.createDataFrame([(2, 7.5), (3, 3.5)], "k int, x float")
+        txlog.merge_into(
+            spark,
+            path,
+            src,
+            keys=["k"],
+            when_matched=[("update", {"x": "s.x"})],
+            when_not_matched=True,
+        )
+        rows = {r.k: r.x for r in txlog.read(spark, path).collect()}
+        assert rows == {1: 1.5, 2: 7.5, 3: 3.5}
+        assert dict(txlog.read(spark, path).dtypes)["k"] == "bigint"
