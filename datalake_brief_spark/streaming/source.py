@@ -22,8 +22,9 @@ Change-commit semantics (mirrors Delta's source):
   non-append-only: the stream FAILS with a clear error unless
   ``skipChangeCommits=true`` (then the whole commit is skipped;
   downstream sees inserts-only, Delta's ``skipChangeCommits`` contract).
-- Schema-layer commits (``rename_column``/``drop_column``, or any commit
-  that rewrites the column mapping) FAIL the stream UNCONDITIONALLY —
+- Schema-layer commits (``rename_column``/``drop_column``/
+  ``widen_column_type``, or any commit that rewrites the column mapping)
+  FAIL the stream UNCONDITIONALLY —
   ``skipChangeCommits`` skips one commit's rows, but a mapping change
   poisons every later file's column resolution; restart from a fresh
   checkpoint (Delta's stream-fails-on-schema-change behavior). With
@@ -188,7 +189,25 @@ def _tracked_state(path: str, loc: str) -> dict:
     return st
 
 
-def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
+def _schema_covered(new_schema: dict, declared: dict) -> bool:
+    """True iff every column type in ``new_schema`` is equal to or
+    NARROWER (on the widening lattice) than the stream's declared type —
+    i.e. the declared schema already renders it. Historical
+    ``widen_column_type`` commits below the stream's start schema are
+    covered; a widen BEYOND the declared types is not (its later files
+    may carry values the frozen schema cannot hold)."""
+    for c, t in new_schema.items():
+        d = declared.get(c)
+        if d is None:
+            continue  # column this stream does not project
+        if d != t and not txlog._widens_to(t, d):  # noqa: SLF001
+            return False
+    return True
+
+
+def _reject_schema_commit(
+    commit: dict, op: str, v: int, declared: dict | None = None
+) -> None:
     """Fail the stream on a mid-stream column-mapping change (ADVICE r8):
     rename_column/drop_column commits carry no adds/removes/dv state, so
     the change-commit guards let them pass silently — but every LATER
@@ -202,18 +221,31 @@ def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
     unconditionally (Delta's stream-fails-on-schema-change behavior);
     restart from a fresh checkpoint (the source re-validates the
     mapping at start)."""
-    if op in ("rename_column", "drop_column") or commit.get("meta", {}).get(
-        "column_mapping"
-    ):
+    if op == "widen_column_type" and declared:
+        # a widen at-or-below the stream's declared types is benign —
+        # the stream already renders the wide type (executor reads cast
+        # narrow pages up); only a widen BEYOND the declared schema is
+        # poison for this stream
+        if _schema_covered(
+            commit.get("meta", {}).get("schema") or {}, declared
+        ):
+            return
+    if op in (
+        "rename_column",
+        "drop_column",
+        "widen_column_type",
+    ) or commit.get("meta", {}).get("column_mapping"):
         # (truthiness, not presence: an overwrite RESETS the mapping by
         # writing column_mapping {} — from that commit on every file
         # resolves logical == physical, so a stream STARTED at/after the
         # reset is sound and must not be killed by the benign marker)
         raise ValueError(
             f"txlog stream source: version {v} is a {op!r} commit that "
-            f"changes the table's column mapping mid-stream; later files "
-            f"resolve columns under the new physical layout, so skipping "
-            f"it would silently corrupt the stream. Restart the stream "
+            f"changes the table's schema/column mapping mid-stream; later "
+            f"files land under the new layout (a widened table's appends "
+            f"may carry the WIDER physical type this stream's frozen "
+            f"schema cannot hold), so skipping it would silently corrupt "
+            f"the stream. Restart the stream "
             f"from a fresh checkpoint (skipChangeCommits does not apply "
             f"to schema-layer commits); for a HISTORICAL mapping change "
             f"already undone by a later overwrite, startingVersion past "
@@ -221,7 +253,9 @@ def _reject_schema_commit(commit: dict, op: str, v: int) -> None:
         )
 
 
-def _guard_schema_commit(commit: dict, op: str, v: int, path, tracking) -> None:
+def _guard_schema_commit(
+    commit: dict, op: str, v: int, path, tracking, declared: dict | None = None
+) -> None:
     """Tracking-aware wrapper over :func:`_reject_schema_commit`: without
     a ``schemaTrackingLocation`` the legacy unconditional failure stands;
     with one, a schema-layer commit the TRACKED state has already adopted
@@ -232,18 +266,32 @@ def _guard_schema_commit(commit: dict, op: str, v: int, path, tracking) -> None:
     backlog under the new logical schema. Exactly-once is preserved: the
     failed batch never committed its offset."""
     if tracking is None:
-        _reject_schema_commit(commit, op, v)
+        _reject_schema_commit(commit, op, v, declared)
         return
     meta = commit.get("meta", {})
-    if op not in ("rename_column", "drop_column") and not meta.get(
-        "column_mapping"
-    ):
+    if op not in (
+        "rename_column",
+        "drop_column",
+        "widen_column_type",
+    ) and not meta.get("column_mapping"):
         return  # not a schema-layer commit (see the truthiness note above)
     loc, st = tracking
-    new_map = dict(meta.get("column_mapping") or {})
+    # a widen commit carries no column_mapping key — the mapping is
+    # unchanged, only the schema widened; keep the tracked mapping
+    new_map = (
+        dict(meta["column_mapping"])
+        if "column_mapping" in meta
+        else dict(st["mapping"])
+    )
     new_schema = dict(txlog.latest_meta(path, "schema", v) or {})
-    if new_map == st["mapping"] and new_schema == st["schema"]:
-        return  # already adopted — the restart drains past the boundary
+    if new_map == st["mapping"] and (
+        new_schema == st["schema"]
+        or (
+            op == "widen_column_type"
+            and _schema_covered(new_schema, st["schema"])
+        )
+    ):
+        return  # already adopted/covered — the restart drains past it
     _store_tracking(loc, {"version": v, "schema": new_schema, "mapping": new_map})
     raise ValueError(
         f"txlog stream source: version {v} is a {op!r} commit that changes "
@@ -254,8 +302,44 @@ def _guard_schema_commit(commit: dict, op: str, v: int, path, tracking) -> None:
     )
 
 
+#: DDL → arrow alias for the widenable numeric types: a file may carry any
+#: NARROWER physical type on the widening chain than the stream's declared
+#: schema (pre-widen history, or post-widen narrow-producer appends — see
+#: txlog.widen_column_type), so executor reads cast to the DECLARED type.
+#: Other types pass through untouched.
+_DDL_TO_ARROW = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float",
+    "double": "double",
+}
+
+
+def _cast_declared(col, ddl: str | None):
+    """Cast one arrow column to its DECLARED numeric type (no-op for
+    non-widenable types or when the file already matches). Upcasts only
+    in practice — wider-than-declared files cannot exist, because the
+    stream fails at the widening commit before any wide file lands."""
+    import pyarrow as pa
+
+    want = _DDL_TO_ARROW.get(ddl or "")
+    if want is None:
+        return col
+    t = pa.type_for_alias(want)
+    return col if col.type == t else col.cast(t)
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, columns: list[str], row_base=None, physical=None):
+    def __init__(
+        self,
+        abs_path: str,
+        columns: list[str],
+        row_base=None,
+        physical=None,
+        ddl_types=None,
+    ):
         self.abs_path = abs_path
         self.columns = columns
         #: base row id for this file (row-tracking streams): executor-side
@@ -264,6 +348,9 @@ class _FilePartition(InputPartition):
         #: physical column names parallel to ``columns`` (schema-tracked
         #: streams over a live column mapping); None → logical == physical
         self.physical = physical
+        #: declared DDL type per column (parallel to ``columns``); files
+        #: narrower on the widening chain cast up to it executor-side
+        self.ddl_types = ddl_types
 
 
 def _read_file_batches(partition: _FilePartition):
@@ -273,16 +360,19 @@ def _read_file_batches(partition: _FilePartition):
     stable ``row_id`` column (base + file position — the same identity
     txlog.read_with_row_ids resolves). A partition carrying ``physical``
     selects file bytes by PHYSICAL name and emits them under the logical
-    name (schema-tracked streams across a rename boundary)."""
+    name (schema-tracked streams across a rename boundary). Every column
+    casts to its DECLARED type (``ddl_types``) so widened tables' mixed
+    physical types render uniformly."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.abs_path)
     cols = []
     phys = partition.physical or partition.columns
-    for name in phys:
+    types = partition.ddl_types or [None] * len(phys)
+    for name, ddl in zip(phys, types):
         if name in table.column_names:
-            cols.append(table.column(name))
+            cols.append(_cast_declared(table.column(name), ddl))
         else:
             cols.append(pa.nulls(table.num_rows))
     out = pa.table(dict(zip(partition.columns, cols)))
@@ -296,17 +386,19 @@ def _read_file_batches(partition: _FilePartition):
 
 
 class _TxlogBatchReader(DataSourceReader):
-    def __init__(self, options, columns):
+    def __init__(self, options, columns, ddl_types=None):
         self.path = options["path"]
         self.columns = columns
         self.version = options.get("version")
+        self.ddl_types = ddl_types
 
     def partitions(self):
         v = int(self.version) if self.version is not None else None
         files = txlog.visible_files(self.path, v)
-        return [_FilePartition(f, self.columns) for f in files] or [
-            _FilePartition("", self.columns)
-        ]
+        return [
+            _FilePartition(f, self.columns, ddl_types=self.ddl_types)
+            for f in files
+        ] or [_FilePartition("", self.columns)]
 
     def read(self, partition):
         if not partition.abs_path:
@@ -369,10 +461,11 @@ def _reader_tracking(path: str, options, columns):
 
 
 class _TxlogStreamReader(DataSourceStreamReader):
-    def __init__(self, options, columns, row_ids=False):
+    def __init__(self, options, columns, row_ids=False, ddl_types=None):
         self.path = options["path"]
         self.columns = columns
         self.row_ids = row_ids
+        self.ddl_types = ddl_types
         self.skip_change = str(
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
@@ -383,6 +476,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
         )
+        self.declared = dict(zip(columns, ddl_types or []))
 
     def initialOffset(self):
         # startingVersion=N streams commit N onward (Delta's semantics:
@@ -416,7 +510,9 @@ class _TxlogStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             commit = _load_commit_or_horizon_error(self.path, v)
             op = commit.get("meta", {}).get("op", "write")
-            _guard_schema_commit(commit, op, v, self.path, self.tracking)
+            _guard_schema_commit(
+                commit, op, v, self.path, self.tracking, self.declared
+            )
             if op in _NO_DATA_CHANGE_OPS:
                 # op label is the authority for byte-rewriting maintenance
                 # (optimize/zorder/constraint DDL): their removes re-land
@@ -477,6 +573,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
                         self.columns,
                         base,
                         self.physical,
+                        self.ddl_types,
                     )
                 )
         return parts or [_FilePartition("", self.columns)]
@@ -492,7 +589,14 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
 class _CdfPartition(InputPartition):
     def __init__(
-        self, abs_path, columns, change_type, version, dv_group=None, physical=None
+        self,
+        abs_path,
+        columns,
+        change_type,
+        version,
+        dv_group=None,
+        physical=None,
+        ddl_types=None,
     ):
         self.abs_path = abs_path
         self.columns = columns
@@ -500,6 +604,7 @@ class _CdfPartition(InputPartition):
         self.version = version
         self.dv_group = dv_group
         self.physical = physical  # see _FilePartition.physical
+        self.ddl_types = ddl_types  # see _FilePartition.ddl_types
 
 
 def _read_cdf_batches(p: _CdfPartition):
@@ -525,9 +630,11 @@ def _read_cdf_batches(p: _CdfPartition):
         )
         table = table.take(sorted(idx))
     cols = []
-    for name in p.physical or p.columns:
+    phys = p.physical or p.columns
+    types = p.ddl_types or [None] * len(phys)
+    for name, ddl in zip(phys, types):
         if name in table.column_names:
-            cols.append(table.column(name))
+            cols.append(_cast_declared(table.column(name), ddl))
         else:
             cols.append(pa.nulls(table.num_rows))
     out = pa.table(dict(zip(p.columns, cols)))
@@ -548,9 +655,10 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
     changes instead of failing on them (for the commit shapes the log can
     answer position-exactly)."""
 
-    def __init__(self, options, columns):
+    def __init__(self, options, columns, ddl_types=None):
         self.path = options["path"]
         self.columns = columns  # data columns only (no _change_type pair)
+        self.ddl_types = ddl_types
         self.skip_change = str(
             options.get("skipChangeCommits", "false")
         ).lower() in ("true", "1")
@@ -561,6 +669,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
         )
+        self.declared = dict(zip(columns, ddl_types or []))
 
     def initialOffset(self):
         return {"version": max(0, self.starting_version - 1)}
@@ -582,7 +691,9 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             commit = _load_commit_or_horizon_error(self.path, v)
             op = commit.get("meta", {}).get("op", "write")
-            _guard_schema_commit(commit, op, v, self.path, self.tracking)
+            _guard_schema_commit(
+                commit, op, v, self.path, self.tracking, self.declared
+            )
             if op in _NO_DATA_CHANGE_OPS:
                 continue
             if "change_data" in commit:
@@ -597,6 +708,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                         None,
                         v,
                         physical=self.physical,
+                        ddl_types=self.ddl_types,
                     )
                     for rel in commit["change_data"]
                 ]
@@ -623,6 +735,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                         v,
                         dv_group=os.path.join(self.path, group),
                         physical=self.physical,
+                        ddl_types=self.ddl_types,
                     )
                 )
             for rel in commit.get("adds", []):
@@ -633,6 +746,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                         "insert",
                         v,
                         physical=self.physical,
+                        ddl_types=self.ddl_types,
                     )
                 )
         return parts or [_CdfPartition("", self.columns, "insert", 0)]
@@ -699,6 +813,16 @@ class TxlogDataSource(DataSource):
             if f.name not in ("_change_type", "_commit_version", "row_id")
         ]
 
+    def _ddl_types(self, schema) -> list[str]:
+        """Declared DDL type per data column (parallel to _columns):
+        executor reads cast every file to these, so widened tables'
+        mixed narrow/wide physical pages render uniformly."""
+        return [
+            f.dataType.simpleString()
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version", "row_id")
+        ]
+
     def reader(self, schema):
         if self._cdf():
             raise ValueError(
@@ -710,13 +834,18 @@ class TxlogDataSource(DataSource):
                 "rowIds is a STREAMING option; batch id reads are "
                 "txlog.read_with_row_ids(spark, path)"
             )
-        return _TxlogBatchReader(self.options, self._columns(schema))
+        return _TxlogBatchReader(
+            self.options, self._columns(schema), self._ddl_types(schema)
+        )
 
     def streamReader(self, schema):
         cols = self._columns(schema)
+        types = self._ddl_types(schema)
         if self._cdf():
-            return _TxlogCdfStreamReader(self.options, cols)
-        return _TxlogStreamReader(self.options, cols, row_ids=self._row_ids())
+            return _TxlogCdfStreamReader(self.options, cols, ddl_types=types)
+        return _TxlogStreamReader(
+            self.options, cols, row_ids=self._row_ids(), ddl_types=types
+        )
 
 
 def register_txlog_source(spark) -> None:

@@ -209,6 +209,147 @@ class TestWidenColumnType:
         assert dict(df.dtypes)["key"] == "bigint"
         assert sorted(r.key for r in df.collect()) == [1, 2]
 
+    def test_stream_started_after_widen_upcasts_backlog(self, spark):
+        """A stream starting on a widened table declares the WIDE schema
+        but its backlog holds narrow physical files — the executor-side
+        cast renders them uniformly (pre-round-12 this crashed on the
+        arrow/declared type mismatch)."""
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(3, 3.5)], "k int, x float"), path
+        )  # narrow post-widen
+        txlog.append(
+            spark.createDataFrame([(4, 4.5)], "k bigint, x float"), path
+        )  # wide post-widen
+        got = (
+            spark.readStream.format("txlog").option("path", path).load()
+        )
+        assert dict(got.dtypes)["k"] == "bigint"
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r12_widen_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT k FROM r12_widen_stream").collect()
+        assert sorted(r.k for r in rows) == [1, 2, 3, 4]
+
+    def test_cdf_stream_started_after_widen_upcasts(self, spark):
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(3, 3.5)], "k int, x float"), path
+        )
+        got = (
+            spark.readStream.format("txlog")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        assert dict(got.dtypes)["k"] == "bigint"
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r12_widen_cdf")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT k, _change_type FROM r12_widen_cdf"
+        ).collect()
+        assert sorted((r.k, r._change_type) for r in rows) == [
+            (1, "insert"),
+            (2, "insert"),
+            (3, "insert"),
+        ]
+
+    def test_mid_stream_widen_fails_without_tracking(self, spark):
+        """A running stream's declared schema froze narrow; post-widen
+        appends may land the WIDER physical type, so the widen commit
+        must fail the stream like rename/drop (never silently downcast)."""
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = self._table(spark)
+        got = (
+            spark.readStream.format("txlog").option("path", path).load()
+        )  # schema frozen at k int
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(2**40, 9.5)], "k bigint, x float"), path
+        )
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r12_widen_mid")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        q.stop()
+        assert exc is not None and "widen_column_type" in str(exc)
+
+    def test_mid_stream_widen_tracking_restart_resumes_wide(self, spark):
+        """With schemaTrackingLocation the widen failure records the wide
+        schema; a plain restart drains the backlog — including the
+        out-of-int32-range row — at bigint. Mirrors the rename-restart
+        contract (round 11)."""
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = self._table(spark)
+        loc = tempfile.mkdtemp(prefix="r12wloc_")
+        ck = tempfile.mkdtemp(prefix="r12wck_")
+        rows: list = []
+
+        def drain(sink):
+            got = (
+                spark.readStream.format("txlog")
+                .option("path", path)
+                .option("schemaTrackingLocation", loc)
+                .load()
+            )
+            q = (
+                got.writeStream.foreachBatch(
+                    lambda df, _eid: sink.extend(df.collect())
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass
+            exc = q.exception()
+            q.stop()
+            return exc
+
+        assert drain(rows) is None
+        assert sorted(r.k for r in rows) == [1, 2]
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(2**40, 9.5)], "k bigint, x float"), path
+        )
+        mid: list = []
+        exc = drain(mid)
+        assert exc is not None and "schemaTrackingLocation" in str(exc)
+        assert mid == []  # the failed batch committed nothing
+        post: list = []
+        assert drain(post) is None
+        assert sorted(r.k for r in post) == [2**40]
+
     def test_merge_with_narrow_source_after_widen(self, spark):
         path = self._table(spark)
         txlog.widen_column_type(path, "k", "bigint")
