@@ -210,47 +210,63 @@ def bm25_topk(
         idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))   (Lucene
                    form — always positive)
 
-    Shuffle budget at corpus scale: ONE explode feeds two partial-
-    aggregated groupBys — per-doc length over all tokens, and per-(doc,
-    term) counts where the exploded stream is FILTERED to the query bag
-    first, so the second exchange moves O(docs × |query|) rows, never
-    O(tokens). df/N/avgdl are scalar broadcasts. The final top-k is a
-    global orderBy(…).limit(k) — TakeOrderedAndProject, partition-local
-    heaps + one k-row merge at the driver, no global sort. Ranking uses
-    the ROUNDED score with an id tie-break so the k-boundary selection
-    is reproducible cross-engine (raw float ordering is ulp-sensitive)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    Shuffle budget at corpus scale — ZERO keyed exchanges: for a fixed
+    (small) query bag, per-term frequencies and doc length are
+    scan-stage array expressions over ONE tokenization
+    (``size(filter(toks, = term))`` — the repeated ``toks`` subtrees
+    collapse under subexpression elimination), never an explode. The
+    corpus scans twice: once for the scalar statistics (N, avgdl,
+    per-term document frequencies — ONE global agg, broadcast back) and
+    once to score. The final top-k is a global orderBy(…).limit(k) —
+    TakeOrderedAndProject, partition-local heaps + one k-row merge at
+    the driver, no global sort. Ranking uses the ROUNDED score with an
+    id tie-break so the k-boundary selection is reproducible
+    cross-engine (raw float ordering is ulp-sensitive)."""
+    toks = tokens(text_col)
+    nt = len(query_terms)
+
+    def _eq(term):
+        # closure factory, NOT a default arg: F.filter treats a 2-param
+        # lambda as (element, index)
+        return lambda x: x == F.lit(term)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term))).alias(f"__tf{i}")
+            for i, term in enumerate(query_terms)
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(list(query_terms)))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = base.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(nt)
+        ],
     )
-    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    per_term = (
-        tf.join(F.broadcast(dfq), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "s",
+    j = base.crossJoin(F.broadcast(stats))
+    norm = k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(nt):
+        tf_i = F.col(f"__tf{i}")
+        s_i = F.when(
+            tf_i > 0,
             F.log(
                 F.lit(1.0)
-                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + (F.col("n") - F.col(f"__df{i}") + 0.5)
+                / (F.col(f"__df{i}") + 0.5)
             )
-            * F.col("tf")
+            * tf_i
             * (k1 + 1.0)
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
+            / (tf_i + norm),
+        ).otherwise(F.lit(0.0))
+        score = s_i if score is None else score + s_i
+    matched = sum(F.col(f"__tf{i}") for i in range(nt))
     return (
-        per_term.groupBy(id_col)
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        j.filter(matched > 0)  # only docs containing a query term rank
+        .select(F.col(id_col), F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )

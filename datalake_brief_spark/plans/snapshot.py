@@ -11,6 +11,14 @@ from datalake_brief_spark.plans import formatted_plan
 from datalake_brief_spark.queries import headline_queries
 
 COMMENT = {
+    "text_bm25": (
+        "ZERO keyed exchanges: doc length and per-term frequencies are "
+        "scan-stage array expressions over one tokenization (the repeated "
+        "token subtrees collapse under subexpression elimination); one "
+        "global agg broadcasts N/avgdl/df back; TakeOrderedAndProject for "
+        "the top-20 (no total sort, no explode). Two corpus scans total — "
+        "the stats pass and the scoring pass."
+    ),
     "dedup_segments_corpus": (
         "One Generate (posexplode of the chunk transform) over a scan that "
         "materializes the token array ONCE, a single window exchange on the "

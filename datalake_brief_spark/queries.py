@@ -10954,6 +10954,7 @@ def txlog_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bm25 DESC, doc_id
     LIMIT 20
     """,
+    headline=True,
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for the fixed query bag {merge, window, hash} over the

@@ -57,6 +57,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1060,21 +1061,47 @@ def _try_commit(
     _maybe_checkpoint(path, version)
 
 
-# Widening lattice (the Delta type-widening surface): strictly-wider moves
-# along ONE chain are metadata-only safe — parquet pages at any narrower
-# type on the chain read natively at the wider one under an explicit scan
-# schema, so neither history nor new narrow appends ever need a rewrite.
-_WIDEN_CHAINS = (
-    ["tinyint", "smallint", "int", "bigint"],
-    ["float", "double"],
-)
+# Widening lattice (the Delta type-widening GA rules): moves where every
+# value of the source type is exactly representable in the target, so the
+# parquet reader renders narrower physical pages at the wider type natively
+# under an explicit scan schema — neither history nor new narrow appends
+# ever need a rewrite. Spark 4's vectorized reader supports the whole
+# lattice (it was built for exactly this feature).
+_INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+#: max base-10 digits an integer type needs in a decimal's integral part
+#: (Delta's own requirements: byte→dec(3+,·), short→5, int→10, long→20)
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
 
 
 def _widens_to(frm: str, to: str) -> bool:
-    """True iff ``frm`` → ``to`` is a strict widening on one chain."""
-    for chain in _WIDEN_CHAINS:
-        if frm in chain and to in chain:
-            return chain.index(frm) < chain.index(to)
+    """True iff ``frm`` → ``to`` is a strict, lossless widening:
+    tinyint→smallint→int→bigint; float→double; tinyint/smallint/int→double;
+    any integer→decimal with enough integral digits; decimal→decimal when
+    the integral part and the scale both grow-or-hold (and something
+    grows). Everything else — narrowing, cross-family, float→decimal —
+    is not metadata-only safe."""
+    if frm in _INT_CHAIN and to in _INT_CHAIN:
+        return _INT_CHAIN.index(frm) < _INT_CHAIN.index(to)
+    if frm == "float" and to == "double":
+        return True
+    if frm in ("tinyint", "smallint", "int") and to == "double":
+        # every int32 is exact in a float64 (53-bit mantissa); bigint is
+        # NOT (precision loss above 2^53), matching Delta's rule
+        return True
+    m_to = _DECIMAL_RE.match(to or "")
+    if m_to:
+        p2, s2 = int(m_to.group(1)), int(m_to.group(2))
+        if frm in _INT_CHAIN:
+            return p2 - s2 >= _INT_DIGITS[frm]
+        m_frm = _DECIMAL_RE.match(frm or "")
+        if m_frm:
+            p1, s1 = int(m_frm.group(1)), int(m_frm.group(2))
+            return (
+                (p2, s2) != (p1, s1)
+                and s2 >= s1
+                and p2 - s2 >= p1 - s1
+            )
     return False
 
 
@@ -1416,10 +1443,13 @@ def widen_column_type(path: str, col: str, to_type: str) -> int:
     not a petabyte rewrite — and CDC producers whose source schema froze
     at the narrow type keep appending unchanged.
 
-    Legal moves are strict widenings along one chain of
-    ``_WIDEN_CHAINS`` (tinyint→smallint→int→bigint, float→double);
-    same-type is a no-op, anything else is rejected (narrowing or
-    cross-chain changes would corrupt or lose precision silently).
+    Legal moves are the Delta type-widening GA lattice (see
+    :func:`_widens_to`): tinyint→smallint→int→bigint, float→double,
+    tinyint/smallint/int→double, any integer→decimal with enough
+    integral digits, and decimal growth (integral part and scale each
+    hold-or-grow). Same-type is a no-op; anything else is rejected
+    (narrowing or cross-family changes would corrupt or lose precision
+    silently).
     Schema is version-resolved, so time travel below the widening sees
     the old type. The first widening folds the ``type-widening`` READER
     FEATURE into the protocol: this engine's readers upcast natively,
@@ -1447,8 +1477,8 @@ def widen_column_type(path: str, col: str, to_type: str) -> int:
     if not _widens_to(cur_t, to_type):
         raise ValueError(
             f"cannot change {col!r} from {cur_t!r} to {to_type!r}: only "
-            f"strict widenings along {_WIDEN_CHAINS} are metadata-only "
-            f"safe"
+            f"strict widenings (int chain, float->double, int->double, "
+            f"integer->decimal, decimal growth) are metadata-only safe"
         )
     new_schema = {k: (to_type if k == col else t) for k, t in schema.items()}
     _try_commit(

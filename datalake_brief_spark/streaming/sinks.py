@@ -51,7 +51,11 @@ def apply_merge_batch(
 
 
 def apply_append_batch(
-    batch_df: DataFrame, path: str, txn_app_id: str, epoch_id: int
+    batch_df: DataFrame,
+    path: str,
+    txn_app_id: str,
+    epoch_id: int,
+    auto_compact: bool = False,
 ) -> bool:
     """Idempotently append ONE micro-batch: the commit carries
     ``txn:<app_id> = epoch_id`` in its meta, and a batch whose epoch is at
@@ -65,11 +69,23 @@ def apply_append_batch(
 
     Single-writer-per-app-id (Structured Streaming's checkpoint guarantee);
     different app ids interleave freely — each key is tracked independently
-    in the log. Returns True when the batch landed, False when skipped."""
+    in the log. Returns True when the batch landed, False when skipped.
+
+    ``auto_compact=True`` forwards to :func:`txlog.append`'s post-commit
+    best-effort compaction — THE shape a per-few-seconds append stream
+    needs, keeping its small-file count bounded without a separately
+    scheduled OPTIMIZE. Replay safety is unaffected: the epoch watermark
+    rides in the APPEND commit; the compaction commit is maintenance
+    (dataChange=false) and invisible to downstream streams."""
     last = txlog.latest_meta(path, f"txn:{txn_app_id}")
     if last is not None and int(last) >= int(epoch_id):
         return False
-    txlog.append(batch_df, path, meta={f"txn:{txn_app_id}": int(epoch_id)})
+    txlog.append(
+        batch_df,
+        path,
+        meta={f"txn:{txn_app_id}": int(epoch_id)},
+        auto_compact=auto_compact,
+    )
     return True
 
 
@@ -79,15 +95,19 @@ def append_stream_to_txlog(
     checkpoint_dir: str,
     txn_app_id: str,
     available_now: bool = True,
+    auto_compact: bool = False,
 ) -> StreamingQuery:
     """Exactly-once APPEND of a stream into a txlog table: each micro-batch
     is one atomic commit tagged with its epoch; replays are detected from
     the log and skipped (see apply_append_batch). The ever-growing-fact-
-    table shape — pair with txlog.optimize for small-file compaction off
-    the write path."""
+    table shape — ``auto_compact=True`` bounds the small-file count at
+    write cadence; otherwise pair with txlog.optimize off the write
+    path."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_append_batch(batch_df, path, txn_app_id, epoch_id)
+        apply_append_batch(
+            batch_df, path, txn_app_id, epoch_id, auto_compact=auto_compact
+        )
 
     writer = (
         stream.writeStream.outputMode("append")

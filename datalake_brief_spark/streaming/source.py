@@ -321,14 +321,22 @@ def _cast_declared(col, ddl: str | None):
     """Cast one arrow column to its DECLARED numeric type (no-op for
     non-widenable types or when the file already matches). Upcasts only
     in practice — wider-than-declared files cannot exist, because the
-    stream fails at the widening commit before any wide file lands."""
+    stream fails at the widening commit before any wide file lands.
+    Decimal targets parse their (precision, scale) from the DDL (the
+    integer→decimal and decimal-growth widening moves)."""
+    import re
+
     import pyarrow as pa
 
     want = _DDL_TO_ARROW.get(ddl or "")
-    if want is None:
-        return col
-    t = pa.type_for_alias(want)
-    return col if col.type == t else col.cast(t)
+    if want is not None:
+        t = pa.type_for_alias(want)
+        return col if col.type == t else col.cast(t)
+    m = re.match(r"^decimal\((\d+),(\d+)\)$", ddl or "")
+    if m:
+        t = pa.decimal128(int(m.group(1)), int(m.group(2)))
+        return col if col.type == t else col.cast(t)
+    return col
 
 
 class _FilePartition(InputPartition):

@@ -64,6 +64,49 @@ class TestAutoCompact:
         assert txlog.current_version(path) == 4
         assert "optimize" not in _ops(path)
 
+    def test_streaming_append_sink_auto_compacts_and_replays_safely(
+        self, spark
+    ):
+        """The CDC motivation end-to-end: a foreachBatch append stream with
+        auto_compact keeps the table's file count bounded, replayed
+        epochs stay no-ops, and a DOWNSTREAM txlog stream never re-emits
+        compacted rows (optimize commits are dataChange=false)."""
+        from datalake_brief_spark.streaming.sinks import apply_append_batch
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        path = _fresh("r12acs_")
+        for epoch in range(20):
+            assert apply_append_batch(
+                spark.range(epoch * 10, epoch * 10 + 10)
+                .withColumnRenamed("id", "k")
+                .coalesce(1),
+                path,
+                "r12app",
+                epoch,
+                auto_compact=True,
+            )
+        # replay of an already-landed epoch: skipped before any write
+        v = txlog.current_version(path)
+        assert not apply_append_batch(
+            spark.range(5).coalesce(1), path, "r12app", 7, auto_compact=True
+        )
+        assert txlog.current_version(path) == v
+        assert len(txlog.visible_files(path)) < 16  # bounded (20 raw)
+        assert txlog.read(spark, path).count() == 200
+        assert _ops(path).count("optimize") >= 1
+        # downstream consumer: compaction commits are invisible
+        register_txlog_source(spark)
+        got = spark.readStream.format("txlog").option("path", path).load()
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r12_ac_downstream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT count(*) c FROM r12_ac_downstream").collect()[0]["c"]
+        assert n == 200  # every row exactly once, none re-emitted
+
     def test_lost_compaction_race_is_benign(self, spark, monkeypatch):
         """Best-effort contract: the append is durable before the hook
         runs; a compaction losing its commit race must not fail the
@@ -349,6 +392,78 @@ class TestWidenColumnType:
         post: list = []
         assert drain(post) is None
         assert sorted(r.k for r in post) == [2**40]
+
+    def test_extended_lattice_int_to_double_and_decimal(self, spark):
+        """The full Delta type-widening GA lattice: int→double,
+        integer→decimal (enough integral digits), decimal growth —
+        all metadata-only, all readable over narrow physical pages."""
+        path = _fresh("r12wx_")
+        txlog.append(
+            spark.range(3)
+            .selectExpr(
+                "CAST(id AS INT) k",
+                "CAST(id * 10 AS INT) d",
+                "CAST(id + 0.25 AS DECIMAL(10,2)) m",
+            ),
+            path,
+            stats_cols=["k"],
+        )
+        txlog.widen_column_type(path, "k", "double")
+        txlog.widen_column_type(path, "d", "decimal(12,2)")
+        txlog.widen_column_type(path, "m", "decimal(20,4)")
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes) == {
+            "k": "double",
+            "d": "decimal(12,2)",
+            "m": "decimal(20,4)",
+        }
+        import decimal
+
+        rows = sorted((r.k, r.d, r.m) for r in df.collect())
+        assert rows[1] == (
+            1.0,
+            decimal.Decimal("10.00"),
+            decimal.Decimal("1.2500"),
+        )
+        # pruning on the int->double column still skips from old int stats
+        assert txlog.read_pruned(spark, path, "k", lo=1, hi=1).count() == 1
+        # refusals: lossy or cross-family moves
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path, "m", "decimal(20,2)")  # scale shrink
+        path2 = _fresh("r12wx2_")
+        txlog.append(
+            spark.range(2).selectExpr("CAST(id AS BIGINT) k", "CAST(id AS FLOAT) f"),
+            path2,
+        )
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path2, "k", "double")  # bigint->double lossy
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path2, "k", "decimal(18,0)")  # too few digits
+        with pytest.raises(ValueError, match="widening"):
+            txlog.widen_column_type(path2, "f", "decimal(20,4)")  # float->decimal
+        assert txlog.widen_column_type(path2, "k", "decimal(21,1)") > 0
+
+    def test_stream_over_int_to_double_widened_table(self, spark):
+        from datalake_brief_spark.streaming.source import register_txlog_source
+
+        register_txlog_source(spark)
+        path = _fresh("r12wsd_")
+        txlog.append(
+            spark.range(2).selectExpr("CAST(id AS INT) k"), path
+        )
+        txlog.widen_column_type(path, "k", "double")
+        txlog.append(spark.range(2, 4).selectExpr("CAST(id AS INT) k"), path)
+        got = spark.readStream.format("txlog").option("path", path).load()
+        assert dict(got.dtypes)["k"] == "double"
+        q = (
+            got.writeStream.format("memory")
+            .queryName("r12_wsd")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT k FROM r12_wsd").collect()
+        assert sorted(r.k for r in rows) == [0.0, 1.0, 2.0, 3.0]
 
     def test_merge_with_narrow_source_after_widen(self, spark):
         path = self._table(spark)
