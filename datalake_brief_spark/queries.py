@@ -10969,18 +10969,100 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "txlog_table_properties",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TBLPROPERTIES at the driver gate (round 12): one
+    ``set_table_properties`` commit flips ``autoCompact=true`` (with a
+    minFiles=8 override) and every PLAIN append thereafter — no per-call
+    flag — runs the post-commit compaction, the Delta
+    ``delta.autoOptimize.autoCompact`` design where the policy lives
+    with the table instead of each pipeline. The build ASSERTS the
+    contract — properties visible in DESCRIBE DETAIL, ≥1 property-driven
+    compaction commit, bounded visible-file count, an explicit
+    ``auto_compact=False`` call overriding the property (no new optimize
+    commit), and property time travel (version 1 predates the map) —
+    and the query reads the final snapshot, which must equal the full
+    raw relation. Cites txlog.set_table_properties/table_properties;
+    sources/txlog.py append's None-defers-to-property resolution."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(16)) == 0).coalesce(1),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        txlog.set_table_properties(
+            path, {"autoCompact": "true", "autoCompact.minFiles": 8}
+        )
+        for band in range(1, 15):
+            txlog.append(
+                o.filter(F.pmod("o_orderkey", F.lit(16)) == band).coalesce(1),
+                path,
+                stats_cols=["o_orderkey"],
+            )
+        ops = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")  # noqa: SLF001
+            for v in txlog._versions(path)  # noqa: SLF001
+        ]
+        if ops.count("optimize") < 1:
+            raise AssertionError("property-driven compaction never fired")
+        if len(txlog.visible_files(path)) >= 12:
+            raise AssertionError("autoCompact property left the count unbounded")
+        d = txlog.describe_detail(path)
+        if d["properties"].get("autoCompact") != "true":
+            raise AssertionError("DESCRIBE DETAIL must surface the property map")
+        if txlog.table_properties(path, version=1):
+            raise AssertionError("properties must be version-resolved")
+        n_opt = ops.count("optimize")
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(16)) == 15).coalesce(1),
+            path,
+            stats_cols=["o_orderkey"],
+            auto_compact=False,  # per-call override beats the property
+        )
+        ops2 = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")  # noqa: SLF001
+            for v in txlog._versions(path)  # noqa: SLF001
+        ]
+        if ops2.count("optimize") != n_opt:
+            raise AssertionError("explicit auto_compact=False must override")
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("tbl_props", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
 _DRIVER_WINDOW_PRIORITY = [
     # Round-12 rotation: the r4 band fully drained at r11, so from here
     # the window is REGENERATED each round as (new never-attested
     # entries) + (stalest attested entries, ascending latest-round,
     # stable on prior order) — the <=4-round staleness bound now holds
-    # registry-wide. This round: 3 new gates (auto-compact, type
-    # widening, BM25) + every remaining r5 entry + the stalest r7 slice.
-    # Tail = everything else in non-decreasing latest-attested-round
-    # order (pinned in tests/test_plans.py).
+    # registry-wide. This round: 4 new gates (auto-compact, type
+    # widening, BM25, TBLPROPERTIES) + every remaining r5 entry + the
+    # stalest r7 slice. Tail = everything else in non-decreasing
+    # latest-attested-round order (pinned in tests/test_plans.py).
     "txlog_auto_compact",
     "txlog_widen_type",
     "text_bm25",
+    "txlog_table_properties",
     "csv_quoted_roundtrip",
     "jsonl_roundtrip",
     "orc_roundtrip",

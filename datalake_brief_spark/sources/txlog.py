@@ -1495,6 +1495,68 @@ def widen_column_type(path: str, col: str, to_type: str) -> int:
     return read_v + 1
 
 
+def table_properties(path: str, version: int | None = None) -> dict[str, str]:
+    """The table's property map at ``version`` (``{}`` when none set) —
+    the ``TBLPROPERTIES`` surface. Version-resolved like every meta key:
+    time travel sees the properties in force at that version."""
+    return latest_meta(path, "properties", version) or {}
+
+
+def set_table_properties(path: str, props: dict) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` as ONE metadata-only commit
+    merging ``props`` into the logged property map (values stringify —
+    the Delta convention). Unknown keys store verbatim as application
+    metadata; keys the ENGINE honors:
+
+    - ``autoCompact`` = 'true'/'false' — appends (and the streaming
+      append sink) with ``auto_compact=None`` (the default) run the
+      post-commit best-effort compaction when 'true'; the per-call
+      argument always overrides. This is the table-level home for the
+      policy (Delta's ``delta.autoOptimize.autoCompact``): every writer
+      of a CDC table inherits it, instead of each call site remembering
+      a flag.
+    - ``autoCompact.minFiles`` (int, default 16) and
+      ``autoCompact.targetBytes`` (int, default 128 MiB) — the trigger
+      and output sizing for property-driven compaction.
+
+    Racing writers: the merge base is the CURRENT map, so two concurrent
+    sets of DIFFERENT keys serialize via the commit race (the loser's
+    retry is the caller's re-run, same contract as the other DDL)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    cur = dict(table_properties(path))
+    cur.update({str(k): str(v) for k, v in props.items()})
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={"op": "set_properties", "properties": cur},
+    )
+    return read_v + 1
+
+
+def unset_table_properties(path: str, keys: list[str]) -> int:
+    """``ALTER TABLE ... UNSET TBLPROPERTIES`` — metadata-only commit
+    removing ``keys`` (missing keys are ignored, like Delta's
+    IF EXISTS)."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    cur = dict(table_properties(path))
+    for k in keys:
+        cur.pop(str(k), None)
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={"op": "unset_properties", "properties": cur},
+    )
+    return read_v + 1
+
+
 def add_constraint(
     spark: SparkSession, path: str, name: str, check_sql: str
 ) -> int:
@@ -1740,7 +1802,7 @@ def append(
     meta: dict | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
-    auto_compact: bool = False,
+    auto_compact: bool | None = None,
     auto_compact_min_files: int = 16,
     auto_compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> int:
@@ -1788,8 +1850,12 @@ def append(
     at least ``auto_compact_min_files`` visible files are under half
     ``auto_compact_target_bytes`` — the Delta autoCompact shape that keeps
     a high-cadence append stream's file count bounded without a scheduled
-    OPTIMIZE; see :func:`_auto_compact_after_commit`. The returned version
-    is the APPEND's commit; a compaction that fires lands one more."""
+    OPTIMIZE; see :func:`_auto_compact_after_commit`. The default ``None``
+    defers to the table's ``autoCompact`` TBLPROPERTY (with
+    ``autoCompact.minFiles`` / ``autoCompact.targetBytes`` overrides) so
+    every writer inherits the table's policy; an explicit ``False`` opts
+    this call out. The returned version is the APPEND's commit; a
+    compaction that fires lands one more."""
     _check_bloom_cols(df, bloom_cols)
     # identity + generated columns join the batch BEFORE any validation
     # (they are part of the schema the validations speak about)
@@ -1927,15 +1993,25 @@ def append(
                 },
                 row_bases=row_bases,
             )
-            if auto_compact:
+            ac = auto_compact
+            ac_min, ac_target = auto_compact_min_files, auto_compact_target_bytes
+            if ac is None:
+                # table-level policy (TBLPROPERTIES): None defers to the
+                # autoCompact property so every writer of the table
+                # inherits the setting; an explicit True/False overrides
+                props = table_properties(path)
+                ac = props.get("autoCompact", "").lower() == "true"
+                if ac:
+                    ac_min = int(props.get("autoCompact.minFiles", ac_min))
+                    ac_target = int(
+                        props.get("autoCompact.targetBytes", ac_target)
+                    )
+            if ac:
                 # post-commit, best-effort (the Delta autoCompact shape):
                 # the append above is already durable at version v; the
                 # compaction lands as its own commit or not at all
                 _auto_compact_after_commit(
-                    df.sparkSession,
-                    path,
-                    auto_compact_min_files,
-                    auto_compact_target_bytes,
+                    df.sparkSession, path, ac_min, ac_target
                 )
             return v
         except CommitConflict:
@@ -3862,6 +3938,7 @@ def describe_detail(path: str, version: int | None = None) -> dict:
         "num_rows": fast_count(path, version),
         "schema": latest_meta(path, "schema", version),
         "constraints": latest_meta(path, "constraints", version) or {},
+        "properties": table_properties(path, version),
         "column_mapping": _column_mapping(path, version),
         "protocol": table_protocol(path, version),
         "stats_cols": stat_cols,

@@ -55,7 +55,7 @@ def apply_append_batch(
     path: str,
     txn_app_id: str,
     epoch_id: int,
-    auto_compact: bool = False,
+    auto_compact: bool | None = None,
 ) -> bool:
     """Idempotently append ONE micro-batch: the commit carries
     ``txn:<app_id> = epoch_id`` in its meta, and a batch whose epoch is at
@@ -71,10 +71,12 @@ def apply_append_batch(
     different app ids interleave freely — each key is tracked independently
     in the log. Returns True when the batch landed, False when skipped.
 
-    ``auto_compact=True`` forwards to :func:`txlog.append`'s post-commit
+    ``auto_compact`` forwards to :func:`txlog.append`'s post-commit
     best-effort compaction — THE shape a per-few-seconds append stream
     needs, keeping its small-file count bounded without a separately
-    scheduled OPTIMIZE. Replay safety is unaffected: the epoch watermark
+    scheduled OPTIMIZE; the default ``None`` defers to the table's
+    ``autoCompact`` TBLPROPERTY, so the policy lives with the table, not
+    the pipeline code. Replay safety is unaffected: the epoch watermark
     rides in the APPEND commit; the compaction commit is maintenance
     (dataChange=false) and invisible to downstream streams."""
     last = txlog.latest_meta(path, f"txn:{txn_app_id}")
@@ -95,7 +97,7 @@ def append_stream_to_txlog(
     checkpoint_dir: str,
     txn_app_id: str,
     available_now: bool = True,
-    auto_compact: bool = False,
+    auto_compact: bool | None = None,
 ) -> StreamingQuery:
     """Exactly-once APPEND of a stream into a txlog table: each micro-batch
     is one atomic commit tagged with its epoch; replays are detected from

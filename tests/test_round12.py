@@ -465,6 +465,28 @@ class TestWidenColumnType:
         rows = spark.sql("SELECT k FROM r12_wsd").collect()
         assert sorted(r.k for r in rows) == [0.0, 1.0, 2.0, 3.0]
 
+    def test_widen_survives_checkpoint_and_expiry(self, spark):
+        """The widened schema must resolve from a CHECKPOINT's folded
+        meta after the widening commit itself is reclaimed by
+        expire_log — the long-lived-table shape."""
+        path = _fresh("r12wck_")
+        txlog.append(
+            spark.range(5).selectExpr("CAST(id AS INT) k"), path,
+            stats_cols=["k"],
+        )
+        txlog.widen_column_type(path, "k", "bigint")
+        for i in range(1, 12):  # checkpoints at 10 land past the widen
+            txlog.append(
+                spark.range(i * 5, i * 5 + 5).selectExpr("CAST(id AS INT) k"),
+                path,
+            )
+        txlog.expire_log(path, retain_versions=3)
+        assert txlog._versions(path)[0] == 10  # widen commit (v2) reclaimed
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["k"] == "bigint"
+        assert df.count() == 60
+        assert "type-widening" in txlog.table_protocol(path)["reader_features"]
+
     def test_merge_with_narrow_source_after_widen(self, spark):
         path = self._table(spark)
         txlog.widen_column_type(path, "k", "bigint")
@@ -480,3 +502,82 @@ class TestWidenColumnType:
         rows = {r.k: r.x for r in txlog.read(spark, path).collect()}
         assert rows == {1: 1.5, 2: 7.5, 3: 3.5}
         assert dict(txlog.read(spark, path).dtypes)["k"] == "bigint"
+
+
+class TestTableProperties:
+    def _seed(self, spark):
+        path = _fresh("r12tp_")
+        txlog.append(spark.range(5).coalesce(1), path)
+        return path
+
+    def test_set_unset_describe_and_time_travel(self, spark):
+        path = self._seed(spark)
+        v = txlog.set_table_properties(
+            path, {"autoCompact": "true", "owner": "team-data", "ttl": 30}
+        )
+        assert txlog.table_properties(path) == {
+            "autoCompact": "true",
+            "owner": "team-data",
+            "ttl": "30",  # values stringify (Delta convention)
+        }
+        assert txlog.table_properties(path, version=v - 1) == {}
+        assert (
+            txlog.describe_detail(path)["properties"]["owner"] == "team-data"
+        )
+        c = txlog._load_commit(path, v)
+        assert c["adds"] == [] and c["removes"] == []  # metadata-only
+        txlog.set_table_properties(path, {"owner": "team-ml"})  # merge
+        assert txlog.table_properties(path)["owner"] == "team-ml"
+        assert txlog.table_properties(path)["autoCompact"] == "true"
+        txlog.unset_table_properties(path, ["ttl", "missing-key"])
+        assert "ttl" not in txlog.table_properties(path)
+
+    def test_property_drives_auto_compact_and_call_overrides(self, spark):
+        path = self._seed(spark)
+        txlog.set_table_properties(
+            path, {"autoCompact": "true", "autoCompact.minFiles": 6}
+        )
+        for i in range(10):  # plain appends — no per-call flag
+            txlog.append(spark.range(5).coalesce(1), path)
+        ops = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")
+            for v in txlog._versions(path)
+        ]
+        assert ops.count("optimize") >= 1
+        assert len(txlog.visible_files(path)) < 8
+        # explicit False overrides the property
+        n_opt = ops.count("optimize")
+        for i in range(8):
+            txlog.append(spark.range(5).coalesce(1), path, auto_compact=False)
+        ops2 = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")
+            for v in txlog._versions(path)
+        ]
+        assert ops2.count("optimize") == n_opt
+        # flipping the property off stops the hook for plain appends too
+        txlog.set_table_properties(path, {"autoCompact": "false"})
+        for i in range(4):
+            txlog.append(spark.range(5).coalesce(1), path)
+        ops3 = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")
+            for v in txlog._versions(path)
+        ]
+        assert ops3.count("optimize") == n_opt
+
+    def test_sink_inherits_table_policy(self, spark):
+        from datalake_brief_spark.streaming.sinks import apply_append_batch
+
+        path = self._seed(spark)
+        txlog.set_table_properties(
+            path, {"autoCompact": "true", "autoCompact.minFiles": 6}
+        )
+        for epoch in range(10):
+            apply_append_batch(
+                spark.range(5).coalesce(1), path, "r12tp", epoch
+            )
+        ops = [
+            txlog._load_commit(path, v).get("meta", {}).get("op")
+            for v in txlog._versions(path)
+        ]
+        assert ops.count("optimize") >= 1
+        assert txlog.read(spark, path).count() == 55
