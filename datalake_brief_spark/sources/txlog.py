@@ -1480,17 +1480,33 @@ def widen_column_type(path: str, col: str, to_type: str) -> int:
             f"strict widenings (int chain, float->double, int->double, "
             f"integer->decimal, decimal growth) are metadata-only safe"
         )
-    new_schema = {k: (to_type if k == col else t) for k, t in schema.items()}
+    meta = {
+        "op": "widen_column_type",
+        "widened": [col, cur_t, to_type],
+        "schema": {
+            k: (to_type if k == col else t) for k, t in schema.items()
+        },
+    }
+    if cur_t in _INT_CHAIN and to_type not in _INT_CHAIN:
+        # Bloom hashing is value-REPRESENTATION-sensitive: stored blooms
+        # hashed the column's INT bits, but probes against a double/
+        # decimal column hash the repr — consulting them would silently
+        # FALSE-SKIP files (wrong results, not just wasted IO). Within
+        # the int chain probes stay python ints and hash identically, so
+        # only chain-leaving moves are affected: the widening commit
+        # RETIRES the column's blooms (visible_blooms stops serving
+        # them), trading its point-skipping for correctness. Stats-range
+        # pruning is numeric and unaffected.
+        pcol = _phys_name(path, read_v, col)
+        if any(pcol in bl for bl in visible_blooms(path, read_v).values()):
+            retired = set(latest_meta(path, "bloom_retired") or [])
+            meta["bloom_retired"] = sorted(retired | {pcol})
     _try_commit(
         path,
         read_v + 1,
         [],
         [],
-        meta=_with_feature(path, {
-            "op": "widen_column_type",
-            "widened": [col, cur_t, to_type],
-            "schema": new_schema,
-        }, "type-widening"),
+        meta=_with_feature(path, meta, "type-widening"),
     )
     return read_v + 1
 
@@ -3289,12 +3305,23 @@ def read_pruned_multi(
 def visible_blooms(path: str, version: int | None = None) -> dict[str, dict[str, str]]:
     """Per-file bloom filters for the snapshot, resolved like the file
     list (checkpoint-accelerated). Files committed without ``bloom_cols``
-    have no entry (reader must keep them)."""
-    return {
-        rel: e["blooms"]
-        for rel, e in _replay(path, version).items()
-        if e.get("blooms")
-    }
+    have no entry (reader must keep them). Columns RETIRED by a
+    chain-leaving type widening (``bloom_retired`` meta — their stored
+    hashes use the old integer representation) are filtered out, so
+    point reads conservatively keep those files instead of false-
+    skipping on a representation-mismatched probe."""
+    retired = set(latest_meta(path, "bloom_retired", version) or [])
+    out = {}
+    for rel, e in _replay(path, version).items():
+        bl = e.get("blooms")
+        if not bl:
+            continue
+        if retired:
+            bl = {c: b for c, b in bl.items() if c not in retired}
+            if not bl:
+                continue
+        out[rel] = bl
+    return out
 
 
 def read_point(

@@ -581,3 +581,49 @@ class TestTableProperties:
         ]
         assert ops.count("optimize") >= 1
         assert txlog.read(spark, path).count() == 55
+
+
+class TestWidenBloomInteraction:
+    def _table(self, spark, n=4):
+        path = _fresh("r12wb_")
+        for i in range(n):
+            txlog.append(
+                spark.range(i * 10, (i + 1) * 10)
+                .selectExpr("CAST(id AS INT) k")
+                .coalesce(1),
+                path,
+                stats_cols=["k"],
+                bloom_cols=["k"],
+            )
+        return path
+
+    def test_chain_leaving_widen_retires_blooms_no_false_skip(self, spark):
+        """Stored blooms hash INT bits; a probe at double/decimal hashes
+        the repr — consulting them would silently false-skip. The widen
+        commit retires the column's blooms instead: point reads keep the
+        files (correct, conservatively unskipped)."""
+        path = self._table(spark)
+        assert any(
+            "k" in bl for bl in txlog.visible_blooms(path).values()
+        )
+        txlog.widen_column_type(path, "k", "double")
+        assert not any(
+            "k" in bl for bl in txlog.visible_blooms(path).values()
+        )
+        got = txlog.read_point(spark, path, "k", 23.0)
+        assert [r.k for r in got.collect()] == [23.0]
+        # time travel below the widen still serves the blooms
+        assert any(
+            "k" in bl for bl in txlog.visible_blooms(path, version=4).values()
+        )
+
+    def test_int_chain_widen_keeps_blooms_skipping(self, spark):
+        """Within the int chain probes stay python ints and hash
+        identically — blooms keep skipping after the widen."""
+        path = self._table(spark)
+        txlog.widen_column_type(path, "k", "bigint")
+        assert any(
+            "k" in bl for bl in txlog.visible_blooms(path).values()
+        )
+        got = txlog.read_point(spark, path, "k", 23)
+        assert [r.k for r in got.collect()] == [23]
