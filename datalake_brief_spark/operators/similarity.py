@@ -100,6 +100,43 @@ def cosine_topk(
     )
 
 
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 20,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) — the standard
+    hybrid-retrieval combiner (Elasticsearch/OpenSearch/Vespa default):
+    ``score(d) = Σ_r 1/(c + rank_r(d))`` over the input rank lists; a
+    document absent from a list contributes nothing from it. Rank-based,
+    so BM25 scores and cosine similarities fuse without calibration —
+    exactly why it is the default way to combine a lexical and a vector
+    leg over a training corpus.
+
+    Scale shape: each input is already a top-k list (tiny — the
+    expensive work happened in the rankers), so this is a union of
+    k·|rankings| rows, ONE keyed aggregate, and a TakeOrderedAndProject.
+    Ties break on the rounded score + id, cross-engine reproducible."""
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias("__s"),
+        )
+        for r in rankings
+    ]
+    fused = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_batch(
     corpus: DataFrame,
     queries: DataFrame,

@@ -11050,6 +11050,91 @@ def txlog_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hybrid_search_rrf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE token IN ('merge', 'window', 'hash')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    sc AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv, qv))) AS score
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+    ),
+    ck AS (SELECT doc_id, score FROM cs ORDER BY score DESC, doc_id LIMIT 50),
+    cr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM ck
+    ),
+    u AS (
+      SELECT doc_id, 1.0 / (60.0 + r) AS s FROM bmr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + r) AS s FROM cr
+    )
+    SELECT doc_id, round(sum(s), 6) AS rrf FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — BM25 lexical leg + exact-cosine vector leg fused
+    by reciprocal-rank fusion (similarity.rrf_fuse; the Elasticsearch/
+    OpenSearch default combiner): top-50 from each ranker, score(d) =
+    Σ 1/(60 + rank), top-20 fused. Rank-based fusion needs no score
+    calibration across legs — the standard way a training-data pipeline
+    combines its lexical and embedding retrievers. The rank windows run
+    over the ALREADY-top-k lists (≤50 rows — documented in the plan-lint
+    allow-list); the heavy work stays in the rankers, each with its own
+    scale-audited plan (text_bm25, knn_bruteforce)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, ["merge", "window", "hash"], k=50)
+    lex = lex.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        ),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    vec = similarity.cosine_topk(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([lex.select("doc_id", "rank"), vec], k=20)
+
+
 _DRIVER_WINDOW_PRIORITY = [
     # Round-12 rotation: the r4 band fully drained at r11, so from here
     # the window is REGENERATED each round as (new never-attested
@@ -11063,6 +11148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "txlog_widen_type",
     "text_bm25",
     "txlog_table_properties",
+    "hybrid_search_rrf",
     "csv_quoted_roundtrip",
     "jsonl_roundtrip",
     "orc_roundtrip",

@@ -1553,6 +1553,65 @@ def set_table_properties(path: str, props: dict) -> int:
     return read_v + 1
 
 
+def maintain(spark: SparkSession, path: str) -> dict:
+    """One-call, PROPERTY-DRIVEN table maintenance — the operational
+    surface a 100 TB deployment schedules: one cron entry per table runs
+    whatever that table's TBLPROPERTIES ask for, in the dependency-safe
+    order compact → checkpoint → expire → vacuum (the retention horizon
+    can only be a checkpoint, so the forced checkpoint precedes expiry;
+    expiry and vacuum compose in either order but expiring first lets
+    vacuum's sweep skip reclaimed log objects). Policies live with the
+    TABLE, not in pipeline code.
+
+    Honored properties (all optional; absent → that step is a no-op):
+
+    - ``autoCompact`` = 'true' (+ ``autoCompact.minFiles`` /
+      ``autoCompact.targetBytes``) — run the small-file compaction if
+      trip-wired (same trigger as the post-commit hook; a lost commit
+      race yields benignly).
+    - ``checkpoint.onMaintain`` = 'true' — force an idempotent
+      checkpoint at the tip (``checkpoint_now``), making the table
+      expirable regardless of the 10-commit cadence.
+    - ``logRetention.versions`` (int) and/or ``logRetention.ageSeconds``
+      (int) — ``expire_log`` with those constraints.
+    - ``vacuum.retainVersions`` (int) — ``vacuum`` with that floor.
+
+    Returns a report dict: ``{'compacted_to', 'checkpointed',
+    'log_expired', 'files_vacuumed'}`` (None/0 for skipped steps)."""
+    props = table_properties(path)
+    report: dict = {
+        "compacted_to": None,
+        "checkpointed": None,
+        "log_expired": 0,
+        "files_vacuumed": 0,
+    }
+    if props.get("autoCompact", "").lower() == "true":
+        report["compacted_to"] = _auto_compact_after_commit(
+            spark,
+            path,
+            int(props.get("autoCompact.minFiles", 16)),
+            int(props.get("autoCompact.targetBytes", 128 * 1024 * 1024)),
+        )
+    if props.get("checkpoint.onMaintain", "").lower() == "true":
+        report["checkpointed"] = checkpoint_now(path)
+    rv = props.get("logRetention.versions")
+    ra = props.get("logRetention.ageSeconds")
+    if rv is not None or ra is not None:
+        report["log_expired"] = len(
+            expire_log(
+                path,
+                retain_versions=int(rv) if rv is not None else None,
+                retain_age=(
+                    _dt.timedelta(seconds=int(ra)) if ra is not None else None
+                ),
+            )
+        )
+    vr = props.get("vacuum.retainVersions")
+    if vr is not None:
+        report["files_vacuumed"] = len(vacuum(path, retain_versions=int(vr)))
+    return report
+
+
 def unset_table_properties(path: str, keys: list[str]) -> int:
     """``ALTER TABLE ... UNSET TBLPROPERTIES`` — metadata-only commit
     removing ``keys`` (missing keys are ignored, like Delta's

@@ -244,6 +244,9 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
     # distinct-frequency spectrum of text.vocab_coverage (text.py:1183):
     # O(√total_tokens) rows by the Zipf bound documented in its docstring
     "text_vocab_coverage": 3,
+    # rank assignment over the ALREADY-top-50 BM25 list (similarity
+    # rrf_fuse inputs are k-bounded; the heavy work is in the rankers)
+    "hybrid_search_rrf": 1,
 }
 
 

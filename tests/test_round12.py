@@ -627,3 +627,57 @@ class TestWidenBloomInteraction:
         )
         got = txlog.read_point(spark, path, "k", 23)
         assert [r.k for r in got.collect()] == [23]
+
+
+class TestMaintain:
+    def test_property_driven_full_cycle(self, spark):
+        """compact -> checkpoint -> expire -> vacuum from TBLPROPERTIES
+        alone — one scheduler call per table."""
+        path = _fresh("r12mn_")
+        txlog.append(spark.range(5).coalesce(1), path, stats_cols=["id"])
+        txlog.set_table_properties(
+            path,
+            {
+                "autoCompact": "true",
+                "autoCompact.minFiles": 6,
+                "checkpoint.onMaintain": "true",
+                "logRetention.versions": 3,
+                "vacuum.retainVersions": 1,
+            },
+        )
+        for i in range(12):
+            # plain appends; the property already auto-compacts inline,
+            # so spread data for maintain() to have work left: disable
+            # per-call to accumulate small files
+            txlog.append(
+                spark.range(i * 5, i * 5 + 5).coalesce(1),
+                path,
+                auto_compact=False,
+            )
+        expect = txlog.read(spark, path).count()
+        rep = txlog.maintain(spark, path)
+        assert rep["compacted_to"] is not None  # small files trip-wired
+        # the checkpoint lands at the post-compaction tip (15); the FIRST
+        # expiry then writes the log-retention feature commit (16)
+        assert rep["checkpointed"] == rep["compacted_to"]
+        assert txlog.current_version(path) == rep["checkpointed"] + 1
+        assert rep["log_expired"] > 0  # commits below the horizon reclaimed
+        assert rep["files_vacuumed"] > 0  # superseded data files swept
+        assert txlog.read(spark, path).count() == expect
+        assert txlog._versions(path)[0] > 1
+        # idempotent-ish: a second run finds nothing to compact/expire
+        rep2 = txlog.maintain(spark, path)
+        assert rep2["compacted_to"] is None and rep2["log_expired"] == 0
+
+    def test_no_properties_is_noop(self, spark):
+        path = _fresh("r12mn0_")
+        txlog.append(spark.range(5).coalesce(1), path)
+        v = txlog.current_version(path)
+        rep = txlog.maintain(spark, path)
+        assert rep == {
+            "compacted_to": None,
+            "checkpointed": None,
+            "log_expired": 0,
+            "files_vacuumed": 0,
+        }
+        assert txlog.current_version(path) == v
