@@ -100,6 +100,39 @@ def cosine_topk(
     )
 
 
+def cosine_topk_single(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Exact top-k cosine for ONE query vector — the global-ranking twin
+    of :func:`cosine_topk`. With a single query, a rank window's
+    partition key is constant, so the whole scored corpus would funnel
+    through ONE reducer; instead the top-k comes from orderBy+limit
+    (TakeOrderedAndProject: partition-local heaps, one k-row merge at
+    the driver) and ranks are assigned on the ≤k survivors only.
+    ``exclude_id`` drops that corpus id (self-exclusion when the query
+    is drawn from the corpus)."""
+    qv = query.select(as_double_array(F.col(vec_col)).alias("__qvec")).limit(1)
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+    )
+    scored = c.crossJoin(F.broadcast(qv)).withColumn(
+        "score", cosine(F.col("__cvec"), F.col("__qvec"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     k: int = 20,

@@ -11126,10 +11126,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
         ),
     )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.lit(0).alias("query_id"), "embedding"
-    )
-    vec = similarity.cosine_topk(emb, q, k=50).select(
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    vec = similarity.cosine_topk_single(emb, q, k=50, exclude_id=0).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return similarity.rrf_fuse([lex.select("doc_id", "rank"), vec], k=20)

@@ -244,9 +244,11 @@ _UNPARTITIONED_WINDOW_ALLOWED = {
     # distinct-frequency spectrum of text.vocab_coverage (text.py:1183):
     # O(√total_tokens) rows by the Zipf bound documented in its docstring
     "text_vocab_coverage": 3,
-    # rank assignment over the ALREADY-top-50 BM25 list (similarity
-    # rrf_fuse inputs are k-bounded; the heavy work is in the rankers)
-    "hybrid_search_rrf": 1,
+    # rank assignment over the ALREADY-top-50 lists (lexical BM25 top-50
+    # + cosine_topk_single's post-limit top-50; rrf_fuse inputs are
+    # k-bounded — the heavy work is in the rankers, and the vector leg's
+    # corpus ranking is TakeOrderedAndProject, never a window)
+    "hybrid_search_rrf": 2,
 }
 
 
