@@ -548,6 +548,7 @@ def _read_data(
     files: list[str],
     merge_schema: bool = False,
     version: int | None = None,
+    type_overrides: dict | None = None,
 ):
     """Scan an explicit list of the table's data files — the ONE way any
     txlog code touches data bytes. Partitioned appends keep every column
@@ -568,6 +569,12 @@ def _read_data(
     footer path survives only for tables that predate logged schemas."""
     schema = latest_meta(path, "schema", version)
     if schema:
+        if type_overrides:
+            # widening-aware cross-epoch scans (_snapshot_diff): a file
+            # list spanning a type widening may carry physical pages
+            # WIDER than this version's logical type — scan at the
+            # covering (wider) type so nothing downcasts or fails
+            schema = {c: type_overrides.get(c, t) for c, t in schema.items()}
         mapping = _column_mapping(path, version)
         parts = [f"`{mapping.get(c, c)}` {t}" for c, t in schema.items()]
         if row_tracking_enabled(path, version):
@@ -4148,7 +4155,29 @@ def table_changes(
                 )
                 cd = cd.withColumn("row_id", rid)
                 passthrough.append("row_id")
-            cd = _logical_view(cd, path, to_v, passthrough=tuple(passthrough))
+            # render at to_v's schema, EXCEPT columns whose stored change
+            # file is WIDER (a restore below a type widening records the
+            # removed wide rows losslessly — casting them to the narrow
+            # post-restore type would overflow exactly those rows)
+            sch = latest_meta(path, "schema", to_v)
+            if sch is not None:
+                mapping = _column_mapping(path, to_v)
+                dd = dict(cd.dtypes)
+                render = {
+                    c: (
+                        dd[mapping.get(c, c)]
+                        if _widens_to(t, dd.get(mapping.get(c, c), t))
+                        else t
+                    )
+                    for c, t in sch.items()
+                }
+                cd = _to_logical(
+                    cd, render, mapping, passthrough=tuple(passthrough)
+                )
+            else:
+                cd = _logical_view(
+                    cd, path, to_v, passthrough=tuple(passthrough)
+                )
             legs.append(
                 cd.withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -4272,12 +4301,27 @@ def _snapshot_diff(
     bounded by changed-file rows). Used per-commit by
     :func:`table_changes` for commits without a stored change record and
     by :func:`restore` to MATERIALIZE its record. Columns resolve to the
-    logical schema at ``schema_v``. Returns ``None`` when the snapshots
-    are provably identical (no file or DV difference)."""
+    logical schema at ``schema_v``, except that a column WIDENED in
+    either snapshot relative to ``schema_v`` renders at the covering
+    (wider) type: a restore below a type widening removes files whose
+    physical pages the narrow type cannot hold — scanning narrow would
+    fail (or silently wrap) on exactly the rows the record must report,
+    so the record stays lossless at the wide type. Returns ``None`` when
+    the snapshots are provably identical (no file or DV difference)."""
     f_from = set(visible_files(path, v_from))
     f_to = set(visible_files(path, v_to))
     added = sorted(f_to - f_from)
     removed = sorted(f_from - f_to)
+    sv = latest_meta(path, "schema", schema_v) or {}
+    type_overrides: dict = {}
+    for other_v in (v_from, v_to):
+        if other_v == schema_v:
+            continue
+        so = latest_meta(path, "schema", other_v) or {}
+        for c, t in so.items():
+            base = type_overrides.get(c, sv.get(c))
+            if base is not None and t != base and _widens_to(base, t):
+                type_overrides[c] = t
 
     # Deletion-vector awareness: a DV commit changes no files, so the
     # file-set diff alone would miss (or double-report) logical deletes.
@@ -4302,12 +4346,26 @@ def _snapshot_diff(
         return spark.read.parquet(*paths).select("file_name", "row_index")
 
     def _read_minus_dvs(files, dv_map):
-        df = _read_data(spark, path, files, version=schema_v).select(
+        df = _read_data(
+            spark, path, files, version=schema_v,
+            type_overrides=type_overrides or None,
+        ).select(
             "*",
             _file_name_col().alias("__fn"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        df = _logical_view(df, path, schema_v, passthrough=("__fn", "__ri"))
+        # render at schema_v's logical names but the COVERING types (the
+        # narrow logged type would downcast-overflow the wide rows this
+        # record exists to report)
+        render = latest_meta(path, "schema", schema_v)
+        if render is not None and type_overrides:
+            render = {**render, **type_overrides}
+        df = _to_logical(
+            df,
+            render,
+            _column_mapping(path, schema_v),
+            passthrough=("__fn", "__ri"),
+        )
         pos = _positions(dv_map, files)
         if pos is not None:
             pos = pos.select(

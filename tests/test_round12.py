@@ -681,3 +681,67 @@ class TestMaintain:
             "files_vacuumed": 0,
         }
         assert txlog.current_version(path) == v
+
+
+class TestWidenRestoreOptimizeClone:
+    def _widened(self, spark, big=2**40):
+        path = _fresh("r12wr_")
+        txlog.append(
+            spark.createDataFrame([(1,)], "k int"), path, stats_cols=["k"]
+        )
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(spark.createDataFrame([(big,)], "k bigint"), path)
+        return path
+
+    def test_restore_below_widen_narrows_back_and_records_losslessly(
+        self, spark
+    ):
+        """RESTORE below the widening reverts the schema (Delta restores
+        metadata) and its change record reports the removed WIDE rows at
+        the covering type — never a downcast overflow or a silent wrap."""
+        path = self._widened(spark)
+        v = txlog.restore(path, 1, spark)
+        df = txlog.read(spark, path)
+        assert dict(df.dtypes)["k"] == "int"  # schema reverted with data
+        assert [r.k for r in df.collect()] == [1]
+        ch = txlog.table_changes(spark, path, v - 1, v)
+        assert dict(ch.dtypes)["k"] == "bigint"  # lossless record
+        assert sorted((r["_change_type"], r.k) for r in ch.collect()) == [
+            ("delete", 2**40)
+        ]
+        # and the same via the read-time diff (session-less restore)
+        path2 = self._widened(spark)
+        v2 = txlog.restore(path2, 1)
+        ch2 = txlog.table_changes(spark, path2, v2 - 1, v2)
+        assert sorted((r["_change_type"], r.k) for r in ch2.collect()) == [
+            ("delete", 2**40)
+        ]
+
+    def test_optimize_after_widen_lands_wide_files(self, spark):
+        import pyarrow.parquet as pq
+
+        path = _fresh("r12wo_")
+        for i in range(3):
+            txlog.append(
+                spark.createDataFrame([(i,)], "k int").coalesce(1),
+                path,
+                stats_cols=["k"],
+            )
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.optimize(spark, path, target_file_bytes=1 << 30)
+        files = txlog.visible_files(path)
+        assert len(files) == 1
+        assert str(pq.ParquetFile(files[0]).schema_arrow.field("k").type) == "int64"
+        assert sorted(r.k for r in txlog.read(spark, path).collect()) == [0, 1, 2]
+        assert txlog.read_pruned(spark, path, "k", lo=1, hi=1).count() == 1
+
+    def test_clone_carries_widened_schema_and_protocol(self, spark):
+        path = self._widened(spark)
+        dst = _fresh("r12wc_")
+        txlog.clone(path, dst)
+        assert dict(txlog.read(spark, dst).dtypes)["k"] == "bigint"
+        assert "type-widening" in txlog.table_protocol(dst)["reader_features"]
+        assert sorted(r.k for r in txlog.read(spark, dst).collect()) == [
+            1,
+            2**40,
+        ]
