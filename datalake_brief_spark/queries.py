@@ -11133,6 +11133,82 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([lex.select("doc_id", "rank"), vec], k=20)
 
 
+@_register(
+    "txlog_maintain",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-driven one-call MAINTENANCE at the driver gate (round
+    12): orders lands in 18 single-file band appends with per-call
+    compaction disabled, then ONE ``txlog.maintain(spark, path)`` runs
+    the table's TBLPROPERTIES policy — compact (trip-wired), checkpoint
+    at the tip, expire the log below retention, vacuum superseded data
+    files — in the dependency-safe order. The build ASSERTS every step
+    fired (report fields), the post-maintenance floor moved, and a
+    second maintain is a no-op; the query reads the maintained
+    snapshot, which must still equal the full raw relation (a cycle
+    that loses or duplicates any band hash-mismatches). Cites
+    txlog.maintain; the operational story: ONE scheduler entry per
+    table at 100 TB, policies live with the data."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        txlog.append(
+            o.filter(F.pmod("o_orderkey", F.lit(18)) == 0).coalesce(1),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        txlog.set_table_properties(
+            path,
+            {
+                "autoCompact": "true",
+                "autoCompact.minFiles": 8,
+                "checkpoint.onMaintain": "true",
+                "logRetention.versions": 3,
+                "vacuum.retainVersions": 1,
+            },
+        )
+        for band in range(1, 18):
+            txlog.append(
+                o.filter(F.pmod("o_orderkey", F.lit(18)) == band).coalesce(1),
+                path,
+                stats_cols=["o_orderkey"],
+                auto_compact=False,  # accumulate work for maintain()
+            )
+        rep = txlog.maintain(spark, path)
+        if rep["compacted_to"] is None:
+            raise AssertionError("maintain must trip the compaction")
+        if rep["checkpointed"] != rep["compacted_to"]:
+            raise AssertionError("maintain must checkpoint the new tip")
+        if rep["log_expired"] <= 0:
+            raise AssertionError("maintain must expire the log tail")
+        if rep["files_vacuumed"] <= 0:
+            raise AssertionError("maintain must vacuum superseded files")
+        if txlog._versions(path)[0] <= 1:  # noqa: SLF001
+            raise AssertionError("retention floor must have moved")
+        rep2 = txlog.maintain(spark, path)
+        if rep2["compacted_to"] is not None or rep2["log_expired"] > 0:
+            raise AssertionError("second maintain must find nothing to do")
+
+    return aggregate(
+        txlog.read(spark, _lakehouse_table("maintain", sf_dir, build)),
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
 _DRIVER_WINDOW_PRIORITY = [
     # Round-12 rotation: the r4 band fully drained at r11, so from here
     # the window is REGENERATED each round as (new never-attested
@@ -11147,6 +11223,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_bm25",
     "txlog_table_properties",
     "hybrid_search_rrf",
+    "txlog_maintain",
     "csv_quoted_roundtrip",
     "jsonl_roundtrip",
     "orc_roundtrip",

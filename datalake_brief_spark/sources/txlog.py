@@ -4952,6 +4952,10 @@ def expire_log(
                 )
                 break
             except CommitConflict:
+                if "log-retention" in set(
+                    table_protocol(path).get("reader_features", [])
+                ):
+                    break  # a racing expiry declared it — nothing to add
                 declare = current_version(path) + 1
     store = logstore.for_path(path)
     reclaimed: list[str] = []
