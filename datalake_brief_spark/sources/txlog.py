@@ -201,12 +201,25 @@ def _apply_commit(live: dict, commit: dict) -> None:
 
 def _expired_read_error(path: str, version: int) -> "FileNotFoundError":
     """The deterministic below-horizon error (same contract as vacuum's):
-    names the earliest version whose log records still exist."""
+    names the earliest version a reader can actually resolve — the
+    earliest surviving commit that has a checkpoint anchor at or below
+    it (in the healthy post-expiry state that IS the first surviving
+    commit; in a crash-mid-expiry window they can diverge, and with no
+    surviving checkpoint at all NO version resolves from the log alone)."""
     vs = _versions(path)
+    cps = _checkpoint_versions(path)
+    anchored = [v for v in vs if any(c <= v for c in cps)]
+    if anchored:
+        floor = f"earliest readable version is {anchored[0]}"
+    else:
+        floor = (
+            "no surviving checkpoint anchors ANY version — the log alone "
+            "cannot resolve this table (crash-mid-expiry window; restore "
+            "the reclaimed log objects from backup)"
+        )
     return FileNotFoundError(
         f"version {version} of table at {path!r} is below the expired-log "
-        f"horizon (expire_log reclaimed its commit records); earliest "
-        f"readable version is {vs[0] if vs else 'none'}"
+        f"horizon (expire_log reclaimed its commit records); {floor}"
     )
 
 
@@ -241,6 +254,15 @@ def _replay(path: str, version: int | None = None) -> dict:
                     break
                 _apply_commit(live, commit)
                 v += 1
+            if version is not None and v <= version:
+                # the tail above the pointer is dense by construction
+                # (expiry reclaims only below the newest checkpoint), so
+                # a missing commit here means the requested version does
+                # not exist yet — same contract as the listing path
+                raise ValueError(
+                    f"version {version} is beyond the latest commit "
+                    f"({v - 1}) of table at {path!r}"
+                )
             return live
     live = {}
     start_after = 0
@@ -279,6 +301,22 @@ def _replay(path: str, version: int | None = None) -> dict:
             raise _expired_read_error(path, version if version is not None else v)
         expect = v + 1
         _apply_commit(live, _load_commit(path, v))
+    if version is not None and version > start_after:
+        # Completeness check for ANCHORED reads: the loop must have
+        # applied the dense run start_after+1..version. A crash-mid-
+        # expiry can reclaim commits ABOVE an older surviving checkpoint
+        # (commits delete ascending toward a NEWER horizon, checkpoints
+        # only after) — without this, read(version=12) over checkpoints
+        # {10, 20} with commits 11..12 reclaimed would return the
+        # checkpoint-10 state silently labeled as version 12.
+        applied_through = (expect - 1) if expect is not None else start_after
+        if applied_through != version:
+            if vs and version > vs[-1]:
+                raise ValueError(
+                    f"version {version} is beyond the latest commit "
+                    f"({vs[-1]}) of table at {path!r}"
+                )
+            raise _expired_read_error(path, version)
     return live
 
 
@@ -919,16 +957,26 @@ def _bloom_positions(values, n_bits: int, seed_base: int = 0x9E3779B9):
 _BLOOM_OK_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
 
 
-def _check_bloom_cols(df: DataFrame, bloom_cols: list[str] | None) -> None:
+def _check_bloom_cols(
+    df: DataFrame, bloom_cols: list[str] | None, path: str | None = None
+) -> None:
     if not bloom_cols:
         return
     types = dict(df.dtypes)
+    if path is not None:
+        # validate against the LOGGED type where one exists: after a
+        # chain-leaving widen (int→double) a narrow producer's frame is
+        # still int, but probes against the now-double LOGICAL column
+        # hash the repr — a bloom built from this frame would false-skip
+        logged = latest_meta(path, "schema") or {}
+        types = {c: logged.get(c, t) for c, t in types.items()}
     bad = {c: types[c] for c in bloom_cols if types.get(c) not in _BLOOM_OK_TYPES}
     if bad:
         raise TypeError(
             f"bloom_cols supports integer/string/boolean columns only "
-            f"(value hashing is representation-sensitive); got {bad}. "
-            f"Use stats_cols for range-prunable float/decimal/temporal columns."
+            f"(value hashing is representation-sensitive; the TABLE's "
+            f"logged type is the contract); got {bad}. Use stats_cols "
+            f"for range-prunable float/decimal/temporal columns."
         )
 
 
@@ -1938,7 +1986,7 @@ def append(
     every writer inherits the table's policy; an explicit ``False`` opts
     this call out. The returned version is the APPEND's commit; a
     compaction that fires lands one more."""
-    _check_bloom_cols(df, bloom_cols)
+    _check_bloom_cols(df, bloom_cols, path)
     # identity + generated columns join the batch BEFORE any validation
     # (they are part of the schema the validations speak about)
     df, idents_meta = _apply_identity(df, path)
@@ -4199,13 +4247,26 @@ def table_changes(
             and not commit.get("dv_set")
             and op != "restore"
         ):
-            # pure append: its added files ARE the change record
+            # pure append: its added files ARE the change record. The
+            # files carry the types at THIS commit's version — when a
+            # column was WIDER at v than at to_v (a restore below a type
+            # widening sits inside the window), scan and render at the
+            # covering type, or the explicit narrow scan schema fails on
+            # the wide pages (the same fix as _snapshot_diff's)
+            sch_to = latest_meta(path, "schema", to_v) or {}
+            sch_at_v = latest_meta(path, "schema", v) or {}
+            cdf_overrides = {
+                c: t
+                for c, t in sch_at_v.items()
+                if c in sch_to and t != sch_to[c] and _widens_to(sch_to[c], t)
+            }
             raw = _read_data(
                 spark,
                 path,
                 [os.path.join(path, r) for r in commit["adds"]],
                 merge_schema=True,
                 version=to_v,
+                type_overrides=cdf_overrides or None,
             )
             passthrough = ()
             if include_row_ids:
@@ -4235,7 +4296,15 @@ def table_changes(
                     .drop("__fn", "__ri", "__base")
                 )
                 passthrough = ("row_id",)
-            rows = _logical_view(raw, path, to_v, passthrough=passthrough)
+            if cdf_overrides:
+                rows = _to_logical(
+                    raw,
+                    {**sch_to, **cdf_overrides},
+                    _column_mapping(path, to_v),
+                    passthrough=passthrough,
+                )
+            else:
+                rows = _logical_view(raw, path, to_v, passthrough=passthrough)
             legs.append(
                 rows.withColumn("_change_type", F.lit("insert")).withColumn(
                     "_commit_version", F.lit(v).cast("bigint")
@@ -4559,9 +4628,16 @@ def _auto_compact_after_commit(
     append's) sees the same small files and retries. Any error other
     than the benign race propagates."""
     small_bytes = target_bytes // 2
-    n_small = sum(
-        1 for p in visible_files(path) if os.path.getsize(p) < small_bytes
-    )
+
+    def _size(p: str) -> int:
+        try:
+            return os.path.getsize(p)
+        except FileNotFoundError:
+            # a concurrent optimize+vacuum reclaimed a file between our
+            # snapshot resolution and this stat — it is not small anymore
+            return target_bytes
+
+    n_small = sum(1 for p in visible_files(path) if _size(p) < small_bytes)
     if n_small < min_files:
         return None
     try:
@@ -4571,7 +4647,10 @@ def _auto_compact_after_commit(
             target_file_bytes=target_bytes,
             small_file_bytes=small_bytes,
         )
-    except CommitConflict:
+    except (CommitConflict, FileNotFoundError):
+        # best-effort, and the APPEND is already durable: a lost commit
+        # race or a concurrently-reclaimed file must not make a landed
+        # append look failed — the next append's hook retries
         return None
 
 
@@ -4689,6 +4768,15 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         # clone losing generation expressions would stop enforcing them
         "identity",
         "generated",
+        # the clone copies the raw blooms, so the retirement list MUST
+        # ride with them — a chain-leaving-widened source's int-hashed
+        # blooms would otherwise resurrect on the clone's (double/
+        # decimal) column and false-skip point reads
+        "bloom_retired",
+        # TBLPROPERTIES travel with the table (Delta clones carry them):
+        # a clone silently losing autoCompact/retention policy breaks
+        # the policies-live-with-the-data story
+        "properties",
     ):
         m = latest_meta(src_path, key, version)
         if m is not None:

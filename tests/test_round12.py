@@ -745,3 +745,96 @@ class TestWidenRestoreOptimizeClone:
             1,
             2**40,
         ]
+
+
+class TestReviewHardeningRound12:
+    """Regression pins for the round-12 adversarial review findings."""
+
+    def test_anchored_read_inside_reclaimed_band_fails_loudly(self, spark):
+        """Crash-mid-expiry toward a NEWER horizon can reclaim commits
+        ABOVE an older surviving checkpoint; an anchored read whose tail
+        was reclaimed must raise, never return the checkpoint state
+        silently labeled as the requested version."""
+        path = _fresh("r12anc_")
+        for i in range(25):
+            txlog.append(spark.range(10).coalesce(1), path)
+        # crash window: commits 11-12 reclaimed, checkpoints 10+20 intact
+        os.remove(txlog._commit_path(path, 11))
+        os.remove(txlog._commit_path(path, 12))
+        with pytest.raises(FileNotFoundError, match="expired-log horizon"):
+            txlog.read(spark, path, version=12)
+        with pytest.raises(FileNotFoundError, match="expired-log horizon"):
+            txlog.read(spark, path, version=15)  # density check band
+        # anchored-and-complete reads stay fine
+        assert txlog.read(spark, path, version=10).count() == 100
+        assert txlog.read(spark, path).count() == 250  # pointer path
+        assert txlog.read(spark, path, version=20).count() == 200
+
+    def test_read_beyond_latest_raises_not_silently_tip(self, spark):
+        path = _fresh("r12beyond_")
+        for i in range(3):
+            txlog.append(spark.range(5).coalesce(1), path)
+        with pytest.raises(ValueError, match="beyond the latest"):
+            txlog.read(spark, path, version=9)
+        # and through the pointer fast path too
+        path2 = _fresh("r12beyond2_")
+        for i in range(12):
+            txlog.append(spark.range(5).coalesce(1), path2)
+        assert txlog._pointer_version(path2) == 10
+        with pytest.raises(ValueError, match="beyond the latest"):
+            txlog.read(spark, path2, version=99)
+
+    def test_bloom_rejected_on_narrow_append_after_chain_leaving_widen(
+        self, spark
+    ):
+        """The LOGGED type is the bloom contract: after int->double, a
+        narrow producer's int frame must not land an int-hashed bloom on
+        the logically-double column (probes would false-skip)."""
+        path = _fresh("r12bw_")
+        txlog.append(spark.createDataFrame([(1,)], "k int"), path)
+        txlog.widen_column_type(path, "k", "double")
+        with pytest.raises(TypeError, match="logged type"):
+            txlog.append(
+                spark.createDataFrame([(2,)], "k int"), path, bloom_cols=["k"]
+            )
+        # int-chain widen keeps blooms legal (probes hash identically)
+        path2 = _fresh("r12bw2_")
+        txlog.append(spark.createDataFrame([(1,)], "k int"), path2)
+        txlog.widen_column_type(path2, "k", "bigint")
+        txlog.append(
+            spark.createDataFrame([(2,)], "k int"), path2, bloom_cols=["k"]
+        )
+        assert txlog.read_point(spark, path2, "k", 2).count() == 1
+
+    def test_clone_carries_bloom_retirement_and_properties(self, spark):
+        src = _fresh("r12clsrc_")
+        for i in range(2):
+            txlog.append(
+                spark.createDataFrame([(i * 10 + 3,)], "k int").coalesce(1),
+                src,
+                stats_cols=["k"],
+                bloom_cols=["k"],
+            )
+        txlog.widen_column_type(src, "k", "double")  # retires blooms
+        txlog.set_table_properties(src, {"autoCompact": "true"})
+        dst = _fresh("r12cldst_")
+        txlog.clone(src, dst)
+        assert not any("k" in bl for bl in txlog.visible_blooms(dst).values())
+        assert [r.k for r in txlog.read_point(spark, dst, "k", 13.0).collect()] == [
+            13.0
+        ]
+        assert txlog.table_properties(dst)["autoCompact"] == "true"
+
+    def test_cdf_append_leg_across_narrowing_restore(self, spark):
+        """A pure-append commit of WIDE pages inside a window whose to_v
+        schema is narrower (restore below the widen) must scan and render
+        at the covering type, not fail or wrap."""
+        path = _fresh("r12cdfw_")
+        txlog.append(spark.createDataFrame([(1,)], "k int"), path)
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.append(spark.createDataFrame([(2**40,)], "k bigint"), path)
+        v = txlog.restore(path, 1)  # session-less: read-time diff
+        ch = txlog.table_changes(spark, path, 1, v)
+        got = sorted((r["_change_type"], r.k, r["_commit_version"]) for r in ch.collect())
+        assert got == [("delete", 2**40, 4), ("insert", 2**40, 3)]
+        assert dict(ch.dtypes)["k"] == "bigint"
