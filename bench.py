@@ -81,6 +81,66 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _merge_sentinel(spark, sf_dir: str) -> dict[str, float]:
+    """Fixed-band MERGE tripwire (VERDICT r12 ask #6): orders lands once
+    in 8 key-banded files with stats, then a 1-band re-price merge runs
+    min-of-3 — each attempt against a fresh zero-copy SHALLOW CLONE so
+    every run measures the identical (prebuilt-table, fixed-band) merge,
+    never a mutated snapshot. Catches regressions in the candidate-
+    pruning ladder, the phase-1 tag scan, and the commit path that the
+    headline merges (which rebuild their tables inside the timed query)
+    can mask. Excluded from the headline total like the checkpoint
+    sentinels."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_brief_spark.catalog import load_table
+    from datalake_brief_spark.sources import txlog
+
+    base = os.path.join(tempfile.mkdtemp(prefix="bench_merge_"), "t")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    m = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    step = m // 8 + 1
+    for i in range(8):
+        # contiguous key bands: the source (band 0) stats-prunes the scan
+        # to one file, so the sentinel times the LADDER, not a full scan
+        band = o.filter(
+            (F.col("o_orderkey") >= i * step)
+            & (F.col("o_orderkey") < (i + 1) * step)
+        )
+        txlog.append(band.coalesce(1), base, stats_cols=["o_orderkey"])
+    src = (
+        o.filter(F.col("o_orderkey") < step)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        )
+        .persist()
+    )
+    src.count()
+
+    def one() -> float:
+        dst = os.path.join(tempfile.mkdtemp(prefix="bench_merge_c_"), "t")
+        txlog.clone(base, dst)
+        return _timed(
+            lambda: txlog.merge_into(
+                spark,
+                dst,
+                src,
+                keys=["o_orderkey"],
+                when_matched=[("update", "*")],
+                when_not_matched=False,
+            )
+        )
+
+    best = min(one() for _ in range(3))
+    src.unpersist()
+    return {"merge_fixed_band": round(best, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -111,6 +171,7 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     sentinels = _checkpoint_sentinel(spark)
+    sentinels.update(_merge_sentinel(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     print(

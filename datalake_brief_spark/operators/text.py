@@ -222,6 +222,11 @@ def bm25_topk(
     the driver, no global sort. Ranking uses the ROUNDED score with an
     id tie-break so the k-boundary selection is reproducible
     cross-engine (raw float ordering is ulp-sensitive)."""
+    if not query_terms:
+        # an empty bag would leave score=None (F.round(None) raises) and
+        # matched=0 (a Python int passed to filter) — fail with the real
+        # contract violation instead of the downstream symptom
+        raise ValueError("query_terms must be non-empty")
     toks = tokens(text_col)
     nt = len(query_terms)
 

@@ -6477,6 +6477,99 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_merge_dv",
+    """
+    SELECT rev, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2)   AS sum_price
+    FROM (
+      SELECT CASE WHEN o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4
+                                      FROM orders)
+                  THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS rev,
+             CASE WHEN o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4
+                                      FROM orders)
+                  THEN round(o_totalprice * 2, 2)
+                  ELSE round(o_totalprice, 2) END AS o_totalprice
+      FROM orders
+    )
+    GROUP BY rev
+    """,
+    headline=True,
+)
+def txlog_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR-backed MERGE (txlog.merge_into use_dvs=True): the
+    same banded re-price relation as ``txlog_merge_upsert``, but the
+    matched UPDATE clause lands its pre-images as DV sidecar positions +
+    appends ONLY the rewritten rows — merge cost ∝ touched ROWS, never
+    touched FILES (Delta's merge-with-DVs MOR shape; a CDC merge hitting
+    1 row in each of 1,000 files writes one sidecar + one file group
+    instead of 1,000 rewrites). The build ASSERTS the MOR contract:
+    EVERY pre-merge file (including the matched band's) stays referenced
+    byte-identical, the sidecar landed, and the CDF delete+insert pair
+    for a sampled key shares one stable row id. read_mor supplies the
+    result; a wrong price, resurrected pre-image, or double-counted row
+    hash-mismatches the oracle."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders")
+        m = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+        cut = m // 4
+        base = o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.lit(1).cast("long").alias("rev"),
+        )
+        bounds = [0, cut, 2 * cut, 3 * cut, m]
+        for i in range(4):
+            band = base.filter(
+                (F.col("o_orderkey") > bounds[i])
+                & (F.col("o_orderkey") <= bounds[i + 1])
+            )
+            txlog.append(band.coalesce(2), path, stats_cols=["o_orderkey"])
+        txlog.enable_row_tracking(path)
+        pre = set(txlog.visible_files(path))
+        upd = o.filter(F.col("o_orderkey") <= cut).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("rev"),
+        )
+        # when_not_matched=True: the banded build starts at key 1 (orders
+        # keys are 0-based), so key 0 arrives via the INSERT leg — same
+        # total relation as the oracle's full-table CASE
+        v = txlog.merge_into(
+            spark,
+            path,
+            upd,
+            keys=["o_orderkey"],
+            when_matched=[("update", "*")],
+            when_not_matched=True,
+            use_dvs=True,
+        )
+        post = set(txlog.visible_files(path))
+        if not pre <= post:
+            raise AssertionError(
+                f"DV merge removed {len(pre - post)} data files; matched "
+                f"files must stay referenced byte-identical (MOR contract)"
+            )
+        if not txlog.visible_dvs(path, v):
+            raise AssertionError("DV merge landed no deletion-vector sidecar")
+        ch = txlog.table_changes(spark, path, v - 1, v, include_row_ids=True)
+        probe = ch.filter(F.col("o_orderkey") == 1).collect()
+        ids = {r["_change_type"]: r["row_id"] for r in probe}
+        if ids.get("delete") != ids.get("insert") or ids.get("delete") is None:
+            raise AssertionError(
+                f"CDF update pair must share one stable row id, got {ids}"
+            )
+
+    return aggregate(
+        txlog.read_mor(spark, _lakehouse_table("merge_dv", sf_dir, build)),
+        ["rev"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@_register(
     "txlog_merge_bysource",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
@@ -7485,32 +7578,64 @@ def txlog_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten by its own scoped call, and the build ASSERTS the first
     call left the out-of-band files byte-identical — the re-cluster-one-
     hot-band-of-100 TB contract — before the second call clusters the
-    rest. Result and oracle are unchanged: scoping is execution-only."""
+    rest. Result and oracle are unchanged: scoping is execution-only.
+
+    Round 13 (VERDICT r12 ask #4): the hot band's re-cluster now runs
+    PROPERTY-DRIVEN through ``maintain()`` — the l_quantity<=25 band
+    lands as four overlapping unclustered appends (the CDC-tail decay
+    shape), ``clustering.columns``/``clustering.auto`` TBLPROPERTIES are
+    set, and maintain()'s ``clustering_decay`` advisor (per-file stats
+    overlap fraction, metadata-only) detects the decayed band and runs
+    the scoped ZORDER itself; the build asserts the advisor fired, the
+    cold band stayed byte-identical, and a second maintain() is a
+    no-op."""
     def build(path: str) -> None:
         import os as _os
 
         l = _t(spark, sf_dir, "lineitem")
-        txlog.append(
-            l.filter(F.col("l_quantity") <= 25), path,
-            stats_cols=["l_quantity", "l_extendedprice"],
-        )
+        hot = l.filter(F.col("l_quantity") <= 25)
+        for i in range(4):
+            # four overlapping hot-band appends: each spans the band's
+            # full (quantity, price) envelope — the unclustered CDC tail
+            txlog.append(
+                hot.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == i), path,
+                stats_cols=["l_quantity", "l_extendedprice"],
+            )
         txlog.append(
             l.filter(F.col("l_quantity") > 25), path,
             stats_cols=["l_quantity", "l_extendedprice"],
         )
-        pre = {p: _os.path.getmtime(p) for p in txlog.visible_files(path)}
-        txlog.optimize_zorder(
-            spark, path, ["l_quantity", "l_extendedprice"], n_files=4,
-            prune_col="l_quantity", hi=25,
+        txlog.set_table_properties(
+            path,
+            {
+                "clustering.columns": "l_quantity,l_extendedprice",
+                "clustering.auto": "true",
+                "clustering.minFiles": "4",
+                "clustering.nFiles": "4",
+            },
         )
+        decay = txlog.clustering_decay(path)
+        if not decay["recommended"]:
+            raise AssertionError(
+                f"unclustered hot-band appends must trip the decay "
+                f"advisor, got {decay}"
+            )
+        pre = {p: _os.path.getmtime(p) for p in txlog.visible_files(path)}
+        report = txlog.maintain(spark, path)
+        if report["reclustered_to"] is None:
+            raise AssertionError("maintain() skipped the advised re-cluster")
         post = txlog.visible_files(path)
         untouched = [p for p in post if p in pre]
         if not untouched or any(
             _os.path.getmtime(p) != pre[p] for p in untouched
         ):
             raise AssertionError(
-                "scoped ZORDER rewrote out-of-band files; the WHERE band "
-                "must leave cold history byte-identical"
+                "property-driven scoped ZORDER rewrote out-of-band files; "
+                "the decayed band must leave cold history byte-identical"
+            )
+        if txlog.maintain(spark, path)["reclustered_to"] is not None:
+            raise AssertionError(
+                "second maintain() re-clustered a just-clustered band"
             )
         txlog.optimize_zorder(
             spark, path, ["l_quantity", "l_extendedprice"], n_files=4,
@@ -11218,6 +11343,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # widening, BM25, TBLPROPERTIES) + every remaining r5 entry + the
     # stalest r7 slice. Tail = everything else in non-decreasing
     # latest-attested-round order (pinned in tests/test_plans.py).
+    "txlog_merge_dv",
     "txlog_auto_compact",
     "txlog_widen_type",
     "text_bm25",

@@ -29,9 +29,14 @@ PUTs are atomic on every store), and reads are plain GETs against a
 strongly-consistent listing (S3 is read-after-write consistent since
 2020).
 
-Object-store strategies (documented contract for the port; no cloud SDK
-ships in this repo, so the classes below raise until one is injected
-via :func:`set_log_store`):
+Object-store implementations (SHIPPED as of round 13 —
+:class:`S3ConditionalLogStore` for S3/ABFS and
+:class:`GcsGenerationLogStore` for GCS, each over a five-call object
+client protocol; no cloud SDK ships in this repo, so a deployment
+injects its ~10-line boto3/azure/gcs client adapter via
+:func:`set_log_store`, and the contract tests run the stores against
+:class:`InMemoryObjectClient` / :class:`FilesystemObjectClient` with
+forced lost races, torn puts, and stale-list anomalies):
 
 - **S3**: ``put_if_absent`` = ``PutObject`` with ``If-None-Match: *``
   (S3 conditional writes, GA 2024) — the request fails with HTTP 412 if
@@ -172,6 +177,268 @@ class LocalLogStore(LogStore):
         shutil.rmtree(abs_dir, ignore_errors=True)
 
 
+class PreconditionFailed(Exception):
+    """Object-store conditional-write failure — HTTP 412 (S3
+    ``If-None-Match``, ABFS etag) / 412 generation mismatch (GCS
+    ``x-goog-if-generation-match``). The store maps it to
+    :class:`FileExistsError` for the commit protocol."""
+
+
+class NoSuchKey(FileNotFoundError):
+    """Object-store 404. Subclasses FileNotFoundError so un-adapted
+    clients compose with callers that catch the POSIX error."""
+
+
+class InMemoryObjectClient:
+    """In-memory object store modeling the exact request semantics the
+    conditional-write LogStores ride on, with FAULT INJECTION for the
+    contract tests:
+
+    - ``put_object(key, body, if_none_match='*')`` — server-side atomic
+      create-if-absent (the S3 conditional write / ABFS etag form);
+      raises :class:`PreconditionFailed` when the key exists.
+    - ``put_object(key, body, if_generation_match=0)`` — the GCS form:
+      generation 0 means "no live object"; any live generation fails the
+      precondition. Non-zero values must match the live generation
+      (compare-and-swap puts).
+    - ``tear_next_put()`` — the next put raises ``ConnectionError``
+      mid-upload and the object does NOT appear (single-key PUTs are
+      atomic: a torn upload is indistinguishable from no upload — there
+      is no partial-payload state to model, which is itself the
+      assertion).
+    - ``race_hook`` — invoked at the top of every conditional put,
+      BEFORE the precondition evaluates (re-entrant: the hook may put).
+      Simulates losing the race at the worst possible instant.
+    - ``freeze_listing()`` / ``thaw_listing()`` — list_prefix serves the
+      snapshot taken at freeze time (an eventual-list anomaly: puts and
+      deletes stay invisible to LIST while GET/HEAD see them). Mutual
+      exclusion must never depend on LIST."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._generation: dict[str, int] = {}
+        self._gen_counter = 0
+        self._lock = threading.RLock()
+        self._tear_next = False
+        self._frozen_keys: list[str] | None = None
+        self.race_hook = None
+
+    def tear_next_put(self) -> None:
+        self._tear_next = True
+
+    def freeze_listing(self) -> None:
+        with self._lock:
+            self._frozen_keys = sorted(self._objects)
+
+    def thaw_listing(self) -> None:
+        self._frozen_keys = None
+
+    def put_object(
+        self,
+        key: str,
+        body: bytes,
+        if_none_match: str | None = None,
+        if_generation_match: int | None = None,
+    ) -> None:
+        if (self.race_hook is not None) and (
+            if_none_match is not None or if_generation_match is not None
+        ):
+            hook, self.race_hook = self.race_hook, None
+            hook()
+        with self._lock:
+            if self._tear_next:
+                self._tear_next = False
+                # atomic single-key PUT: the failed upload leaves NOTHING
+                raise ConnectionError("simulated torn upload (connection reset)")
+            if if_none_match == "*" and key in self._objects:
+                raise PreconditionFailed(f"412: {key!r} exists (If-None-Match: *)")
+            if if_generation_match is not None:
+                live = self._generation.get(key, 0)
+                if live != if_generation_match:
+                    raise PreconditionFailed(
+                        f"412: generation {live} != {if_generation_match} "
+                        f"for {key!r}"
+                    )
+            self._objects[key] = bytes(body)
+            self._gen_counter += 1
+            self._generation[key] = self._gen_counter
+
+    def get_object(self, key: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[key]
+            except KeyError:
+                raise NoSuchKey(f"404: {key!r}") from None
+
+    def head_object(self, key: str) -> bool:
+        with self._lock:
+            return key in self._objects
+
+    def delete_object(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+            self._generation.pop(key, None)  # deletes reset GCS generation
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        with self._lock:
+            keys = (
+                self._frozen_keys
+                if self._frozen_keys is not None
+                else sorted(self._objects)
+            )
+            return [k for k in keys if k.startswith(prefix)]
+
+
+class FilesystemObjectClient:
+    """The same object-client protocol over the local filesystem — objects
+    ARE files at their key paths. This is the routing fake: register
+    ``S3ConditionalLogStore(FilesystemObjectClient())`` for the local
+    scheme and the ENTIRE txlog suite runs through conditional-write
+    semantics while Spark keeps reading/writing the data and checkpoint
+    parquet at the same paths natively. The conditional create is a
+    check-then-write under a process-wide lock — deliberately NOT
+    ``O_EXCL``, so the tests prove the LogStore's own precondition logic
+    provides the mutual exclusion, not a POSIX crutch the real object
+    store lacks."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.RLock()
+        self.race_hook = None
+
+    def put_object(
+        self,
+        key: str,
+        body: bytes,
+        if_none_match: str | None = None,
+        if_generation_match: int | None = None,
+    ) -> None:
+        if (self.race_hook is not None) and (
+            if_none_match is not None or if_generation_match is not None
+        ):
+            hook, self.race_hook = self.race_hook, None
+            hook()
+        with self._lock:
+            exists = os.path.exists(key)
+            if if_none_match == "*" and exists:
+                raise PreconditionFailed(f"412: {key!r} exists (If-None-Match: *)")
+            if if_generation_match == 0 and exists:
+                raise PreconditionFailed(f"412: {key!r} has a live generation")
+            os.makedirs(os.path.dirname(key), exist_ok=True)
+            tmp = f"{key}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(body)
+            os.replace(tmp, key)
+
+    def get_object(self, key: str) -> bytes:
+        try:
+            with open(key, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            raise NoSuchKey(f"404: {key!r}") from None
+        except IsADirectoryError:
+            raise NoSuchKey(f"404: {key!r} is a prefix") from None
+
+    def head_object(self, key: str) -> bool:
+        return os.path.isfile(key)
+
+    def delete_object(self, key: str) -> None:
+        try:
+            os.remove(key)
+        except (FileNotFoundError, IsADirectoryError):
+            pass
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        root = prefix.rstrip("/")
+        out: list[str] = []
+        if os.path.isdir(root):
+            for dirpath, _, files in os.walk(root):
+                for fn in files:
+                    out.append(os.path.join(dirpath, fn))
+        return sorted(k for k in out if k.startswith(prefix))
+
+
+class S3ConditionalLogStore(LogStore):
+    """SHIPPED object-store LogStore: put-if-absent rides the store's
+    native conditional write — S3 ``PutObject`` + ``If-None-Match: *``
+    (GA Aug 2024; the delta-io "S3 conditional writes" LogStore shape)
+    and, byte-identically, the ABFS blob-endpoint etag form. The 412
+    precondition failure maps to :class:`FileExistsError`, which the
+    commit protocol maps to the version conflict — mutual exclusion
+    comes from the SERVER's atomic compare, never from LIST (which may
+    lag) or client-side locking.
+
+    ``client`` is anything with the five-call object protocol
+    (``put_object(key, body, if_none_match=...)`` raising
+    :class:`PreconditionFailed`, ``get_object`` raising
+    :class:`NoSuchKey`, ``head_object``, ``delete_object``,
+    ``list_prefix``) — :class:`InMemoryObjectClient` /
+    :class:`FilesystemObjectClient` for tests; a boto3 adapter is ~10
+    lines (map ``put_object(Bucket=..., Key=..., Body=...,
+    IfNoneMatch="*")``'s 412 ClientError to PreconditionFailed and
+    ``NoSuchKey`` to NoSuchKey)."""
+
+    def __init__(self, client) -> None:
+        self.client = client
+
+    # -- the precondition seam subclasses override ---------------------
+    def _create_exclusive(self, key: str, payload: bytes) -> None:
+        self.client.put_object(key, payload, if_none_match="*")
+
+    def put_if_absent(self, abs_path: str, payload: str) -> None:
+        try:
+            self._create_exclusive(abs_path, payload.encode("utf-8"))
+        except PreconditionFailed as e:
+            raise FileExistsError(str(e)) from e
+
+    def put_atomic(self, abs_path: str, payload: str) -> None:
+        # single-key PUT is atomic on every object store: no reader can
+        # observe a torn payload, last-writer-wins on deterministic content
+        self.client.put_object(abs_path, payload.encode("utf-8"))
+
+    def put_atomic_bytes(self, abs_path: str, payload: bytes) -> None:
+        self.client.put_object(abs_path, payload)
+
+    def read_text(self, abs_path: str) -> str:
+        return self.client.get_object(abs_path).decode("utf-8")
+
+    def read_bytes(self, abs_path: str) -> bytes:
+        return self.client.get_object(abs_path)
+
+    def exists(self, abs_path: str) -> bool:
+        return self.client.head_object(abs_path)
+
+    def list_dir(self, abs_dir: str) -> list[str]:
+        prefix = abs_dir.rstrip("/") + "/"
+        seen = set()
+        for key in self.client.list_prefix(prefix):
+            head = key[len(prefix) :].split("/", 1)[0]
+            if head:
+                seen.add(head)
+        return sorted(seen)
+
+    def delete(self, abs_path: str) -> None:
+        self.client.delete_object(abs_path)
+
+    def delete_tree(self, abs_dir: str) -> None:
+        prefix = abs_dir.rstrip("/") + "/"
+        for key in self.client.list_prefix(prefix):
+            self.client.delete_object(key)
+
+
+class GcsGenerationLogStore(S3ConditionalLogStore):
+    """GCS variant: the exclusive create is a conditional PUT with
+    ``x-goog-if-generation-match: 0`` (generation 0 = "no live object").
+    Everything else is byte-identical to the S3 store — single-key PUT
+    atomicity, strongly-consistent GET/HEAD."""
+
+    def _create_exclusive(self, key: str, payload: bytes) -> None:
+        self.client.put_object(key, payload, if_generation_match=0)
+
+
 #: scheme → store. Local paths ("" scheme, and "file") ship working; the
 #: object-store schemes are registered as documented-but-not-shipped so a
 #: misconfigured path fails with the porting instructions, never by
@@ -182,15 +449,16 @@ _STORES: dict[str, LogStore] = {
 }
 
 _DOCUMENTED_SCHEMES = {
-    "s3": "PutObject + If-None-Match:* (S3 conditional writes), or the "
-    "S3DynamoDBLogStore arbiter on older stacks",
-    "s3a": "PutObject + If-None-Match:* (S3 conditional writes), or the "
-    "S3DynamoDBLogStore arbiter on older stacks",
-    "abfs": "create-if-not-exists / etag If-None-Match:* on the blob "
-    "endpoint; atomic HNS rename for put_atomic",
-    "abfss": "create-if-not-exists / etag If-None-Match:* on the blob "
-    "endpoint; atomic HNS rename for put_atomic",
-    "gs": "x-goog-if-generation-match: 0 conditional PUT",
+    "s3": "S3ConditionalLogStore(client) — PutObject + If-None-Match:* "
+    "(S3 conditional writes); inject your boto3 client adapter",
+    "s3a": "S3ConditionalLogStore(client) — PutObject + If-None-Match:* "
+    "(S3 conditional writes); inject your boto3 client adapter",
+    "abfs": "S3ConditionalLogStore(client) — the blob-endpoint etag "
+    "If-None-Match:* form is byte-identical; inject your azure adapter",
+    "abfss": "S3ConditionalLogStore(client) — the blob-endpoint etag "
+    "If-None-Match:* form is byte-identical; inject your azure adapter",
+    "gs": "GcsGenerationLogStore(client) — x-goog-if-generation-match: 0 "
+    "conditional PUT; inject your gcs adapter",
 }
 
 
@@ -218,8 +486,7 @@ def for_path(path: str) -> LogStore:
     hint = _DOCUMENTED_SCHEMES.get(scheme)
     if hint:
         raise NotImplementedError(
-            f"no LogStore registered for {scheme!r}: implement LogStore "
-            f"with put_if_absent = {hint}, then "
+            f"no LogStore registered for {scheme!r}: use {hint}, then "
             f"set_log_store({scheme!r}, store)"
         )
     raise ValueError(f"no LogStore registered for scheme {scheme!r} ({path!r})")

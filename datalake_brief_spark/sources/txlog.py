@@ -208,7 +208,11 @@ def _expired_read_error(path: str, version: int) -> "FileNotFoundError":
     surviving checkpoint at all NO version resolves from the log alone)."""
     vs = _versions(path)
     cps = _checkpoint_versions(path)
-    anchored = [v for v in vs if any(c <= v for c in cps)]
+    # checkpoint versions are themselves readable even when their commit
+    # record was reclaimed (the snapshot loads straight from the
+    # checkpoint with an empty replay tail), so they are floor candidates
+    # alongside surviving commit records
+    anchored = [v for v in sorted(set(vs) | set(cps)) if any(c <= v for c in cps)]
     if anchored:
         floor = f"earliest readable version is {anchored[0]}"
     else:
@@ -1620,6 +1624,17 @@ def maintain(spark: SparkSession, path: str) -> dict:
 
     Honored properties (all optional; absent → that step is a no-op):
 
+    - ``clustering.columns`` = 'a,b' + ``clustering.auto`` = 'true' —
+      consult :func:`clustering_decay` (per-file stats overlap fraction
+      on the clustered dims, metadata-only) and, when ≥
+      ``clustering.minFiles`` (default 4) files have decayed past
+      ``clustering.maxOverlap`` (default 0.5), run a SCOPED
+      ``optimize_zorder(..., WHERE cols[0] in the decayed band)`` — the
+      unclustered CDC tail re-clusters, every cold file stays referenced
+      byte-identical. Runs FIRST: the clustered rewrite already compacts
+      its band, so compaction never wastes a rewrite the Z-order is
+      about to redo. Output file count comes from the band's bytes at
+      ``autoCompact.targetBytes`` (or ``clustering.nFiles``).
     - ``autoCompact`` = 'true' (+ ``autoCompact.minFiles`` /
       ``autoCompact.targetBytes``) — run the small-file compaction if
       trip-wired (same trigger as the post-commit hook; a lost commit
@@ -1631,15 +1646,63 @@ def maintain(spark: SparkSession, path: str) -> dict:
       (int) — ``expire_log`` with those constraints.
     - ``vacuum.retainVersions`` (int) — ``vacuum`` with that floor.
 
-    Returns a report dict: ``{'compacted_to', 'checkpointed',
-    'log_expired', 'files_vacuumed'}`` (None/0 for skipped steps)."""
+    Returns a report dict: ``{'reclustered_to', 'compacted_to',
+    'checkpointed', 'log_expired', 'files_vacuumed'}`` (None/0 for
+    skipped steps)."""
     props = table_properties(path)
     report: dict = {
+        "reclustered_to": None,
         "compacted_to": None,
         "checkpointed": None,
         "log_expired": 0,
         "files_vacuumed": 0,
     }
+    ccols = [
+        c.strip()
+        for c in props.get("clustering.columns", "").split(",")
+        if c.strip()
+    ]
+    if ccols and props.get("clustering.auto", "").lower() == "true":
+        decay = clustering_decay(
+            path,
+            ccols,
+            max_overlap=float(props.get("clustering.maxOverlap", 0.5)),
+            min_files=int(props.get("clustering.minFiles", 4)),
+        )
+        if decay["recommended"] and decay["band"] is not None:
+            lo, hi = decay["band"]
+            target_bytes = int(
+                props.get("autoCompact.targetBytes", 128 * 1024 * 1024)
+            )
+            # size the rewrite from the band's bytes (metadata-only)
+            cur = current_version(path)
+            pcol0 = _phys_name(path, cur, ccols[0])
+            fstats = visible_stats(path, cur)
+            c_lo, c_hi = _canon_bound(lo), _canon_bound(hi)
+            band_bytes = sum(
+                os.path.getsize(p)
+                for p in visible_files(path, cur)
+                if not _range_excludes(
+                    fstats.get(os.path.relpath(p, path), {}).get(pcol0),
+                    c_lo,
+                    c_hi,
+                )
+            )
+            n_files = int(
+                props.get(
+                    "clustering.nFiles", max(1, -(-band_bytes // target_bytes))
+                )
+            )
+            report["reclustered_to"] = optimize_zorder(
+                spark,
+                path,
+                ccols,
+                n_files=n_files,
+                stats_cols=ccols,
+                prune_col=ccols[0],
+                lo=lo,
+                hi=hi,
+            )
     if props.get("autoCompact", "").lower() == "true":
         report["compacted_to"] = _auto_compact_after_commit(
             spark,
@@ -2225,6 +2288,13 @@ def overwrite(
                 _physical_reserved(path, read_v) | set(dict(df.dtypes))
             ),
         }
+    if latest_meta(path, "bloom_retired", read_v):
+        # a full overwrite removes every file whose blooms a chain-leaving
+        # widen retired (they hashed the old integer representation); the
+        # replacement files' blooms hash the CURRENT schema's values, so
+        # keeping the retirement would silently filter fresh, valid blooms
+        # out of visible_blooms forever — clear it with the mapping reset
+        map_meta["bloom_retired"] = []
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     ident_advance = _advance_identity(path, adds, idents_meta)
@@ -2735,6 +2805,7 @@ def merge_into(
     when_not_matched=True,
     when_not_matched_by_source: list[tuple] | None = None,
     merge_schema: bool = False,
+    use_dvs: bool | None = None,
 ) -> int:
     """Clause-based MERGE INTO (the Delta/SQL:2003 ``MERGE`` contract) as
     one atomic, FILE-PRUNED commit: only files that contain source keys
@@ -2788,12 +2859,32 @@ def merge_into(
     Concurrency: WriteSerializable via :func:`_commit_serializable` with
     the key envelope as the phantom predicate — a concurrent append
     inside the source's key range conflicts, disjoint appends re-target.
-    Returns the new version (the current one when nothing changed)."""
+    Returns the new version (the current one when nothing changed).
+
+    ``use_dvs=True`` (or the ``deletionVectors`` = 'true' TBLPROPERTY,
+    overridable per call) switches the matched UPDATE/DELETE clauses to
+    MERGE-ON-READ: clause-hit rows' pre-image POSITIONS land in a
+    deletion-vector sidecar and ONLY the rewritten update outputs append
+    as a new file group — ZERO matched data files rewrite, so a CDC
+    merge touching 1 row in each of 1,000 files writes one sidecar + one
+    small file group instead of 1,000 file rewrites (cost ∝ touched
+    ROWS, not touched FILES — the Delta merge-with-DVs shape). The
+    contract surface is identical to the CoW path: same clause
+    semantics, same CDF delete+insert pairs sharing stable row ids, same
+    WriteSerializable conflicts; readers must use :func:`read_mor` (plain
+    :func:`read` sees pre-merge rows — the delete_where_dv contract),
+    and OPTIMIZE/REORG PURGE materialize later. Default (``None``)
+    consults the table property and falls back to copy-on-write."""
     read_v = current_version(path)
     if read_v == 0:
         raise FileNotFoundError(f"no table at {path!r} (empty log)")
     if not keys:
         raise ValueError("merge_into needs at least one key column")
+    if use_dvs is None:
+        use_dvs = (
+            table_properties(path, read_v).get("deletionVectors", "").lower()
+            == "true"
+        )
     # --- normalize clauses -------------------------------------------------
     matched_clauses: list[tuple] = []
     for cl in when_matched or []:
@@ -3033,6 +3124,8 @@ def merge_into(
             }
     adds: list[str] = []
     removes: list[str] = []
+    dv_adds: dict[str, str] = {}
+    _sweep: list[str] = []  # pre-landed groups a losing writer must reclaim
     change_legs: list[DataFrame] = []
     rowid_pass = ()
 
@@ -3053,7 +3146,13 @@ def merge_into(
                 if name not in tgt_m.columns:
                     tgt_m = tgt_m.withColumn(name, F.lit(None).cast(dtype))
         if rewrite and (matched_clauses or bys_clauses):
-            tgt_r = _read_files_with_dvs(spark, path, read_v, rewrite)
+            if use_dvs:
+                # merge-on-read input: DV-applied rows WITH their (file,
+                # row_index) position tags — clause hits land as sidecar
+                # positions instead of file rewrites
+                tgt_r = _tagged_live_frame(spark, path, read_v, rewrite)
+            else:
+                tgt_r = _read_files_with_dvs(spark, path, read_v, rewrite)
             for name, dtype in table_fields.items():
                 if name not in tgt_r.columns:
                     tgt_r = tgt_r.withColumn(name, F.lit(None).cast(dtype))
@@ -3088,11 +3187,22 @@ def merge_into(
 
             j = j.withColumn("__act", _act_chain(matched_clauses, is_matched))
             j = j.withColumn("__bact", _act_chain(bys_clauses, ~is_matched))
-            # persist: this joined frame feeds the rewritten output AND up
+            # persist: the joined frame feeds the rewritten output AND up
             # to five change-feed legs — without it each leg re-scans and
             # re-joins the matched files (a 2–4× constant of redundant
-            # work per merge, bounded by the touched band but pure waste)
-            j = j.persist()
+            # work per merge, bounded by the touched band but pure waste).
+            # CoW must cache ALL rows of the touched files (they all
+            # re-land); the DV path's every output — sidecar positions,
+            # appended update rows, change legs — derives from CLAUSE-HIT
+            # rows only, so it caches exactly those: ONE scan of the
+            # candidate band materializes a hit-row-sized cache, and all
+            # later actions are O(hits), never O(band).
+            if use_dvs:
+                j = j.filter(
+                    (F.col("__act") >= 0) | (F.col("__bact") >= 0)
+                ).persist()
+            else:
+                j = j.persist()
             _cached.append(j)
 
             def t_val(c):
@@ -3145,24 +3255,83 @@ def merge_into(
             bs_upd = [i for i, (k, _, _) in enumerate(bys_clauses) if k == "update"]
             if tracking:
                 rowid_pass = (F.col(f"t.`{_ROWID}`").alias(_ROWID),)
-            keep = j
-            if del_idx:
-                keep = keep.filter(~F.col("__act").isin(del_idx))
-            if bs_del:
-                keep = keep.filter(~F.col("__bact").isin(bs_del))
-            rewritten = keep.select(*out_vals, *rowid_pass)
-            _enforce_constraints(rewritten, path)
-            # an UPDATE clause that changes a generated column's inputs must
-            # keep the derivation true (assign both consistently) — validated
-            # here, never silently broken into the rewritten files
-            _apply_generated(rewritten, path)
-            removes = [os.path.relpath(p, path) for p in rewrite]
-            adds += _write_data_files(_to_physical(rewritten, mapping), path)
+            phase2_live = True
+            if use_dvs:
+                # merge-on-read: every clause-hit row's PRE-IMAGE position
+                # lands in one DV sidecar group (hiding it from read_mor);
+                # only the UPDATE outputs append. No candidate file is
+                # rewritten — cost ∝ hit rows, never file count.
+                dv_group = os.path.join(_DV_DIR, uuid.uuid4().hex)
+                dv_target = os.path.join(path, dv_group)
+                # j is already the persisted clause-hit subset here
+                j.select(
+                    F.col("t.__fn").alias("file_name"),
+                    F.col("t.__ri").alias("row_index"),
+                ).write.mode("error").parquet(dv_target)
+                touched = [
+                    r.file_name
+                    for r in spark.read.parquet(dv_target)
+                    .select("file_name")
+                    .distinct()
+                    .collect()
+                ]
+                if not touched:
+                    # every phase-1 hit row was already DV-dead (phase 1
+                    # scans raw files): phase 2 contributes nothing — the
+                    # redelivered-batch no-op shape
+                    logstore.for_path(path).delete_tree(dv_target)
+                    phase2_live = False
+                else:
+                    _sweep.append(dv_target)
+                    by_base = {
+                        os.path.basename(p): os.path.relpath(p, path)
+                        for p in visible_files(path, read_v)
+                    }
+                    dv_adds = {
+                        by_base[fn]: dv_group for fn in touched if fn in by_base
+                    }
+                    upd_hit = F.lit(False)
+                    if upd_idx:
+                        upd_hit = upd_hit | F.col("__act").isin(upd_idx)
+                    if bs_upd:
+                        upd_hit = upd_hit | F.col("__bact").isin(bs_upd)
+                    if upd_idx or bs_upd:
+                        rewritten = j.filter(upd_hit).select(
+                            *out_vals, *rowid_pass
+                        )
+                        if rewritten.limit(1).count():
+                            _enforce_constraints(rewritten, path)
+                            _apply_generated(rewritten, path)
+                            new_adds = _write_data_files(
+                                _to_physical(rewritten, mapping), path
+                            )
+                            adds += new_adds
+                            if new_adds:
+                                _sweep.append(
+                                    os.path.dirname(
+                                        os.path.join(path, new_adds[0])
+                                    )
+                                )
+            else:
+                keep = j
+                if del_idx:
+                    keep = keep.filter(~F.col("__act").isin(del_idx))
+                if bs_del:
+                    keep = keep.filter(~F.col("__bact").isin(bs_del))
+                rewritten = keep.select(*out_vals, *rowid_pass)
+                _enforce_constraints(rewritten, path)
+                # an UPDATE clause that changes a generated column's inputs
+                # must keep the derivation true (assign both consistently) —
+                # validated here, never silently broken into the files
+                _apply_generated(rewritten, path)
+                removes = [os.path.relpath(p, path) for p in rewrite]
+                adds += _write_data_files(_to_physical(rewritten, mapping), path)
             # change record: each clause-hit row's images — updates as their
             # delete+insert pair SHARING the row's stable id, deletes as
-            # pre-images. No-hit and unmatched rows re-land byte-identical:
-            # not a change, not recorded.
-            if upd_idx:
+            # pre-images. No-hit and unmatched rows re-land byte-identical
+            # (CoW) or stay untouched in place (DV): not a change, not
+            # recorded.
+            if phase2_live and upd_idx:
                 hit_u = j.filter(F.col("__act").isin(upd_idx))
                 change_legs.append(
                     hit_u.select(*pre_vals, *rowid_pass).withColumn(
@@ -3174,13 +3343,13 @@ def merge_into(
                         "_change_type", F.lit("insert")
                     )
                 )
-            if del_idx:
+            if phase2_live and del_idx:
                 change_legs.append(
                     j.filter(F.col("__act").isin(del_idx))
                     .select(*pre_vals, *rowid_pass)
                     .withColumn("_change_type", F.lit("delete"))
                 )
-            if bs_upd:
+            if phase2_live and bs_upd:
                 hit_b = j.filter(F.col("__bact").isin(bs_upd))
                 change_legs.append(
                     hit_b.select(*pre_vals, *rowid_pass).withColumn(
@@ -3192,7 +3361,7 @@ def merge_into(
                         "_change_type", F.lit("insert")
                     )
                 )
-            if bs_del:
+            if phase2_live and bs_del:
                 change_legs.append(
                     j.filter(F.col("__bact").isin(bs_del))
                     .select(*pre_vals, *rowid_pass)
@@ -3267,43 +3436,69 @@ def merge_into(
                         inserts.withColumn("_change_type", F.lit("insert"))
                     )
 
-        if not removes and not ins_adds and ins_frame is None:
+        if not removes and not dv_adds and not ins_adds and ins_frame is None:
             return read_v  # nothing matched, nothing to insert: no empty commit
         if change_legs:
             change = change_legs[0]
             for leg in change_legs[1:]:
                 change = change.unionByName(leg, allowMissingColumns=True)
             change_data = _write_change_files(_to_physical(change, mapping), path)
+            if use_dvs and change_data:
+                _sweep.append(
+                    os.path.dirname(os.path.join(path, change_data[0]))
+                )
         else:
             # identity-insert-only merge: the change record rides with the
             # per-attempt factory files (appended at commit time)
             change_data = []
-        stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, removes)
+        # skipping channels: CoW recollects what the removed files carried;
+        # the DV path removes nothing, so its appended update outputs keep
+        # the TABLE's live channels alive (the update_where_dv contract)
+        skip_src = removes
+        if dv_adds:
+            skip_src = [
+                os.path.relpath(p, path) for p in visible_files(path, read_v)
+            ]
+        stat_cols, bloom_cols = _removed_skipping_cols(path, read_v, skip_src)
         stats = _collect_stats(path, adds, stat_cols or None)
         blooms = _collect_blooms(path, adds, bloom_cols or None)
         if ins_frame is not None:
             ins_factory = _identity_insert_factory(
                 path, ins_frame, post_cols, mapping, stat_cols, bloom_cols
             )
-        return _commit_serializable(
-            spark,
-            path,
-            read_v,
-            adds,
-            removes,
-            stats,
-            blooms,
-            {
-                "op": "merge",
-                "schema": {c: post_types[c] for c in post_cols},
-                **mapping_meta,
-            },
-            predicate=phantom,
-            change_data=change_data,
-            alloc_row_bases_for=(ins_adds if tracking else None) or None,
-            ins_factory=ins_factory,
-            ins_factory_alloc=tracking,
-        )
+        merge_meta = {
+            "op": "merge",
+            "schema": {c: post_types[c] for c in post_cols},
+            **mapping_meta,
+        }
+        if dv_adds:
+            # irreversible-layout gate, same as delete_where_dv: pre-DV
+            # engine builds must refuse the table, not resurrect rows
+            merge_meta = _with_feature(path, merge_meta, "deletion-vectors")
+        try:
+            return _commit_serializable(
+                spark,
+                path,
+                read_v,
+                adds,
+                removes,
+                stats,
+                blooms,
+                merge_meta,
+                predicate=phantom,
+                change_data=change_data,
+                dv_adds=dv_adds or None,
+                alloc_row_bases_for=(ins_adds if tracking else None) or None,
+                ins_factory=ins_factory,
+                ins_factory_alloc=tracking,
+            )
+        except CommitConflict:
+            # losing DV writer sweeps its pre-landed groups (sidecar +
+            # update outputs + change record), mirroring update_where_dv;
+            # the CoW path keeps its historical leave-to-vacuum behavior
+            for g in _sweep:
+                logstore.for_path(path).delete_tree(g)
+            raise
     finally:
         for _df in _cached:
             _df.unpersist()
@@ -5027,7 +5222,12 @@ def expire_log(
         # that shape); the retention-generosity guidance above is the
         # complementary defense.
         declare = tip + 1
-        while True:
+        # bounded retry: every other DDL surfaces CommitConflict to the
+        # caller (loser's-retry-is-the-caller's-re-run); under sustained
+        # append contention an unbounded loop would let a maintenance
+        # sweep spin indefinitely. A handful of attempts absorbs the
+        # benign transient races; past that the caller re-runs.
+        for attempt in range(5):
             try:
                 _try_commit(
                     path,
@@ -5044,6 +5244,8 @@ def expire_log(
                     table_protocol(path).get("reader_features", [])
                 ):
                     break  # a racing expiry declared it — nothing to add
+                if attempt == 4:
+                    raise
                 declare = current_version(path) + 1
     store = logstore.for_path(path)
     reclaimed: list[str] = []
@@ -5126,6 +5328,137 @@ def needs_optimize(
         ),
         "reorg_recommended": n_dv_rows > DV_BROADCAST_MAX_ROWS,
     }
+
+
+def clustering_decay(
+    path: str,
+    cols: list[str] | None = None,
+    max_overlap: float = 0.5,
+    min_files: int = 4,
+    version: int | None = None,
+) -> dict:
+    """Clustering-decay advisor — the Z-order complement of
+    :func:`needs_optimize`: unclustered appends (CDC tails, backfills)
+    silently widen per-file ranges until multi-dimension pruning stops
+    skipping anything, and nothing on the write path reports it. This
+    check is METADATA-ONLY (per-file stats from the log; no data page
+    read) and O(n·d log n) via a per-dimension interval sweep.
+
+    Decay signal: each file's OVERLAP FRACTION on the clustered dims —
+    for every dimension, the fraction of other files whose [lo, hi]
+    stats interval intersects this file's, then the MIN across
+    dimensions (an upper bound on joint overlap: Z-order clusters
+    jointly, so a file well-separated on ANY dim still prunes). A
+    well-clustered snapshot scores near 1/n_files; an unclustered append
+    spanning the key space scores ~1.0. Files with missing stats on a
+    clustered dim conservatively score 1.0 (they defeat pruning by
+    construction).
+
+    ``cols`` defaults to the ``clustering.columns`` TBLPROPERTY. Returns
+    ``{'columns', 'n_files', 'n_decayed', 'decayed_fraction',
+    'recommended', 'band'}`` where ``band`` is the decayed files'
+    combined [lo, hi] on ``cols[0]`` — the scope to hand
+    ``optimize_zorder(..., prune_col=cols[0], lo, hi)`` so the rewrite
+    touches the DECAYED BAND only and every cold file stays referenced
+    byte-identical. ``recommended`` trips at ``min_files`` files above
+    ``max_overlap``.
+
+    The fraction is TABLE-GLOBAL: it detects the dominant decay shape —
+    unclustered appends spanning the clustered key space (every CDC
+    tail, backfill, or un-sorted bulk load does) — at any table size,
+    because such files overlap ~everything. A tail confined to a narrow
+    band of a very large table dilutes below a global threshold; lower
+    ``clustering.maxOverlap`` proportionally for such tables, or run a
+    scoped ``optimize_zorder`` on the known-hot band directly."""
+    import bisect
+
+    if cols is None:
+        raw = table_properties(path, version).get("clustering.columns", "")
+        cols = [c.strip() for c in raw.split(",") if c.strip()]
+    if not cols:
+        raise ValueError(
+            "clustering_decay needs cluster columns (argument or the "
+            "clustering.columns TBLPROPERTY)"
+        )
+    cur = version if version is not None else current_version(path)
+    files = visible_files(path, cur) if cur else []
+    out = {
+        "columns": list(cols),
+        "n_files": len(files),
+        "n_decayed": 0,
+        "decayed_fraction": 0.0,
+        "recommended": False,
+        "band": None,
+    }
+    if len(files) < 2:
+        return out
+    stats = visible_stats(path, cur)
+    rels = [os.path.relpath(p, path) for p in files]
+    pcols = [_phys_name(path, cur, c) for c in cols]
+    n = len(rels)
+    # per-dim interval sweep: overlap count for file i on dim d =
+    # |{j : lo_j <= hi_i}| - |{j : hi_j < lo_i}| - 1 (two bisects over
+    # the sorted endpoint arrays — O(n log n), never pairwise)
+    scores = [1.0] * n  # min across dims; statless stays 1.0
+    for pcol in pcols:
+        ivals = []
+        for rel in rels:
+            s = stats.get(rel, {}).get(pcol)
+            if s is None or s[0] is None or s[1] is None:
+                ivals.append(None)
+            else:
+                ivals.append((_canon_stat(s[0], True), _canon_stat(s[1], False)))
+        known = [iv for iv in ivals if iv is not None]
+        if len(known) < 2:
+            continue  # dim carries no usable stats: no evidence either way
+        strs = [x for iv in known for x in iv if isinstance(x, str)]
+        if strs and len(strs) != 2 * len(known):
+            continue  # mixed str/numeric stats (type chaos): no evidence
+        if strs and len(set(map(len, strs))) > 1:
+            # mixed-width date/timestamp strings: unify ONCE against the
+            # widest form so plain lexicographic bisect stays correct
+            ref = max(strs, key=len)
+
+            def _u(x):
+                return _unify_stat_strs(x, ref)[0] if isinstance(x, str) else x
+
+            ivals = [
+                None if iv is None else (_u(iv[0]), _u(iv[1])) for iv in ivals
+            ]
+            known = [iv for iv in ivals if iv is not None]
+        los = sorted(lo for lo, _ in known)
+        his = sorted(hi for _, hi in known)
+        m = len(known)
+        for i, iv in enumerate(ivals):
+            if iv is None:
+                continue  # statless: score stays 1.0 (prune-defeating)
+            lo_i, hi_i = iv
+            cnt = (
+                bisect.bisect_right(los, hi_i)
+                - bisect.bisect_left(his, lo_i)
+                - 1
+            )
+            frac = cnt / (m - 1) if m > 1 else 0.0
+            scores[i] = min(scores[i], frac)
+    decayed_idx = [i for i, s in enumerate(scores) if s > max_overlap]
+    out["n_decayed"] = len(decayed_idx)
+    out["decayed_fraction"] = round(len(decayed_idx) / n, 4)
+    out["recommended"] = len(decayed_idx) >= min_files
+    if decayed_idx:
+        # scope on the FIRST clustered column: raw stat values (not the
+        # canon forms) so the band feeds optimize_zorder's bounds verbatim
+        p0 = pcols[0]
+        bounds = [
+            stats.get(rels[i], {}).get(p0)
+            for i in decayed_idx
+            if stats.get(rels[i], {}).get(p0) is not None
+        ]
+        bounds = [b for b in bounds if b[0] is not None and b[1] is not None]
+        if bounds:
+            lo = min((b[0] for b in bounds), key=lambda x: _canon_stat(x, True))
+            hi = max((b[1] for b in bounds), key=lambda x: _canon_stat(x, False))
+            out["band"] = [lo, hi]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -5213,6 +5546,43 @@ def _read_files_with_dvs(
     if "__rid" in out.columns:
         out = out.withColumnRenamed("__rid", _ROWID)
     return out
+
+
+def _tagged_live_frame(
+    spark: SparkSession, path: str, read_v: int, files: list[str]
+) -> DataFrame:
+    """Like :func:`_read_files_with_dvs` but KEEPING the position tags
+    (``__fn`` file basename / ``__ri`` row index) — the input for
+    merge-on-read mutations, which land the live hit positions as
+    deletion-vector sidecar rows instead of rewriting files. Existing DV
+    positions are anti-joined out here, so a caller can never re-delete
+    (or resurrect) an already-dead row. On a row-tracking table the
+    stable id rides in ``__row_id`` like the CoW twin's frame."""
+    if row_tracking_enabled(path, read_v):
+        tagged = _rid_frame(spark, path, read_v, files)
+        tagged = tagged.withColumnRenamed("__rid", _ROWID)
+    else:
+        raw = _read_data(spark, path, files, merge_schema=True, version=read_v)
+        tagged = raw.select(
+            "*",
+            _file_name_col().alias("__fn"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        tagged = _logical_view(tagged, path, read_v, passthrough=("__fn", "__ri"))
+    dvs = visible_dvs(path, read_v)
+    rels = {os.path.relpath(f, path) for f in files}
+    dv_paths = sorted({p for rel, ps in dvs.items() if rel in rels for p in ps})
+    if dv_paths:
+        dv = spark.read.parquet(*dv_paths).select(
+            F.col("file_name").alias("__fn"), F.col("row_index").alias("__ri")
+        )
+        build = (
+            F.broadcast(dv)
+            if _dv_rows_from_footers(dv_paths) <= DV_BROADCAST_MAX_ROWS
+            else dv
+        )
+        tagged = tagged.join(build, ["__fn", "__ri"], "left_anti")
+    return tagged
 
 
 def delete_where_dv(

@@ -194,3 +194,180 @@ class TestProtocolThroughSeam:
             (2, "delete", 3),
             (2, "insert", 3),
         ]
+
+
+class TestS3ConditionalContract:
+    """The shipped object-store LogStore (round-13 VERDICT ask #2):
+    mutual exclusion rides the server-side conditional write (S3
+    If-None-Match:* / ABFS etag / GCS generation-match), never LIST or
+    client locks — proven against the in-memory fake with forced lost
+    races, torn puts, and stale-list anomalies."""
+
+    def _store(self):
+        client = logstore.InMemoryObjectClient()
+        return logstore.S3ConditionalLogStore(client), client
+
+    def test_put_if_absent_maps_412_to_exists(self):
+        store, _ = self._store()
+        store.put_if_absent("s3://b/t/_txlog/00001.json", "winner")
+        with pytest.raises(FileExistsError, match="If-None-Match"):
+            store.put_if_absent("s3://b/t/_txlog/00001.json", "loser")
+        assert store.read_text("s3://b/t/_txlog/00001.json") == "winner"
+
+    def test_gcs_generation_match_twin(self):
+        client = logstore.InMemoryObjectClient()
+        store = logstore.GcsGenerationLogStore(client)
+        store.put_if_absent("gs://b/t/_txlog/00001.json", "winner")
+        with pytest.raises(FileExistsError, match="generation"):
+            store.put_if_absent("gs://b/t/_txlog/00001.json", "loser")
+        assert store.read_text("gs://b/t/_txlog/00001.json") == "winner"
+        # non-zero generation CAS: deletes reset the generation to absent
+        store.delete("gs://b/t/_txlog/00001.json")
+        store.put_if_absent("gs://b/t/_txlog/00001.json", "fresh")
+
+    def test_lost_race_at_the_worst_instant(self):
+        """race_hook fires BEFORE the precondition evaluates — the
+        adversarial interleaving a check-then-write client would lose
+        silently. The conditional put loses LOUDLY instead."""
+        store, client = self._store()
+        key = "s3://b/t/_txlog/00007.json"
+        client.race_hook = lambda: client.put_object(key, b"sneaky-winner")
+        with pytest.raises(FileExistsError):
+            store.put_if_absent(key, "late-loser")
+        assert store.read_text(key) == "sneaky-winner"
+
+    def test_torn_put_leaves_no_partial_object(self):
+        store, client = self._store()
+        key = "s3://b/t/_txlog/00002.json"
+        client.tear_next_put()
+        with pytest.raises(ConnectionError):
+            store.put_if_absent(key, "half-uploaded")
+        # single-key PUT atomicity: the failed upload is invisible
+        assert not store.exists(key)
+        store.put_if_absent(key, "retried")  # the retry wins cleanly
+        assert store.read_text(key) == "retried"
+
+    def test_stale_list_cannot_break_mutual_exclusion(self):
+        """Eventual-list anomaly: both writers resolve the tip from a
+        STALE listing (missing the newest commit), so both target the
+        same version — the conditional write still yields exactly one
+        winner. ACID never rides LIST."""
+        store, client = self._store()
+        path = "s3://bucket/table"
+        logstore.set_log_store("s3", store)
+        try:
+            # metadata-only commits: the in-memory client holds no real
+            # parquet, and the LOG protocol is what is under test
+            txlog._try_commit(path, 1, [], [], meta={"op": "write", "n": 1})
+            txlog._try_commit(path, 2, [], [], meta={"op": "write", "n": 2})
+            client.freeze_listing()
+            txlog._try_commit(path, 3, [], [], meta={"op": "write", "n": 3})
+            # stale LIST hides commit 3 from both writers
+            assert txlog.current_version(path) == 2
+            with pytest.raises(txlog.CommitConflict):
+                txlog._try_commit(path, 3, [], [], meta={"op": "write", "n": 99})
+            client.thaw_listing()
+            assert txlog.current_version(path) == 3
+            assert txlog._load_commit(path, 3)["meta"]["n"] == 3
+        finally:
+            logstore.set_log_store("s3", None)
+
+    def test_list_dir_returns_direct_children(self):
+        store, _ = self._store()
+        store.put_if_absent("s3://b/t/_txlog/00001.json", "x")
+        store.put_if_absent("s3://b/t/_txlog/00002.json", "y")
+        store.put_if_absent("s3://b/t/_dv/g1/part-0.parquet", "z")
+        assert store.list_dir("s3://b/t/_txlog") == ["00001.json", "00002.json"]
+        assert store.list_dir("s3://b/t/_dv") == ["g1"]
+        assert store.list_dir("s3://b/t/absent") == []
+        store.delete_tree("s3://b/t/_txlog")
+        assert store.list_dir("s3://b/t/_txlog") == []
+
+
+@pytest.fixture()
+def s3_routed():
+    """Route the local scheme through the shipped conditional-write store
+    (filesystem-backed client: Spark still reads/writes the parquet at
+    the same paths natively, the LOG rides pure object semantics)."""
+    client = logstore.FilesystemObjectClient()
+    store = logstore.S3ConditionalLogStore(client)
+    logstore.set_log_store("", store)
+    try:
+        yield client
+    finally:
+        logstore.set_log_store("", LocalLogStore())
+
+
+class TestLifecycleThroughS3Store:
+    def test_full_txlog_lifecycle(self, spark, tmp_path, s3_routed):
+        """End-to-end through the object-store seam: append → checkpoint
+        → DV merge → delete → time travel → expire → vacuum all work with
+        commits landed by conditional writes only."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        for i in range(4):
+            txlog.append(
+                spark.range(i * 10, (i + 1) * 10)
+                .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")),
+                path,
+                stats_cols=["k"],
+            )
+        txlog.checkpoint_now(path)
+        src = spark.createDataFrame([(5, -1.0), (99, 9.0)], "k long, v double")
+        txlog.merge_into(
+            spark, path, src, ["k"],
+            when_matched=[("update", "*")], when_not_matched=True,
+            use_dvs=True,
+        )
+        assert txlog.visible_dvs(path)
+        assert txlog.read_mor(spark, path).filter("k = 5").collect()[0]["v"] == -1.0
+        assert txlog.read_mor(spark, path).count() == 41
+        txlog.delete_where(spark, path, "k >= 30 and k < 40")
+        assert txlog.read_mor(spark, path).count() == 31
+        # time travel below the merge still resolves
+        assert txlog.read(spark, path, version=4).count() == 40
+        txlog.checkpoint_now(path)
+        reclaimed = txlog.expire_log(path, retain_versions=2)
+        assert reclaimed
+        txlog.vacuum(spark, path, retain_versions=1)
+        assert txlog.read_mor(spark, path).count() == 31
+
+    def test_append_retries_through_conditional_conflict(
+        self, spark, tmp_path, s3_routed
+    ):
+        path = str(tmp_path / "t")
+        txlog.append(spark.range(5), path)
+        v = txlog.current_version(path)
+        # adversary steals our exact target version at the worst instant
+        s3_routed.race_hook = lambda: logstore.for_path(path).put_if_absent(
+            txlog._commit_path(path, v + 1),
+            '{"version": %d, "adds": [], "removes": [], '
+            '"ts": "2026-08-16T00:00:00+00:00"}' % (v + 1),
+        )
+        txlog.append(spark.range(5, 10), path)  # blind append retries past it
+        assert txlog.current_version(path) == v + 2
+        assert txlog.read(spark, path).count() == 10
+
+    def test_torn_commit_is_invisible_and_retryable(
+        self, spark, tmp_path, s3_routed, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        txlog.append(spark.range(5), path)
+        client = s3_routed
+        orig = client.put_object
+        state = {"torn": False}
+
+        def tearing(key, body, **kw):
+            if kw.get("if_none_match") and not state["torn"]:
+                state["torn"] = True
+                raise ConnectionError("simulated torn upload")
+            return orig(key, body, **kw)
+
+        monkeypatch.setattr(client, "put_object", tearing)
+        with pytest.raises(ConnectionError):
+            txlog.append(spark.range(5, 10), path)
+        assert txlog.current_version(path) == 1  # nothing half-visible
+        assert txlog.read(spark, path).count() == 5
+        txlog.append(spark.range(5, 10), path)  # clean retry
+        assert txlog.read(spark, path).count() == 10

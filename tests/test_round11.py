@@ -527,10 +527,25 @@ class TestSchemaTrackingRestart:
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination(180)
-        except Exception:
-            pass
+        # contention-proof drain (VERDICT r12 ask #5): poll until the
+        # availableNow trigger terminates instead of a single wall-time
+        # budget — a loadavg-8 box can stretch micro-batches well past a
+        # fixed 180 s, and the old silent timeout returned a PARTIAL sink
+        # that failed the assertions downstream. A still-active query
+        # after the (generous) ceiling fails LOUDLY here instead.
+        import time as _time
+
+        deadline = _time.monotonic() + 600
+        while q.isActive and _time.monotonic() < deadline:
+            try:
+                q.awaitTermination(5)
+            except Exception:
+                break  # stream failed: exception() below reports it
+        if q.isActive:
+            q.stop()
+            raise AssertionError(
+                "availableNow stream did not drain within the 600 s ceiling"
+            )
         exc = q.exception()
         q.stop()
         return exc

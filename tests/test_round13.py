@@ -1,0 +1,469 @@
+"""Round-13 regressions for the round-12 ADVICE items: bm25 empty-query
+guard, checkpoint-anchored floor in the expired-read error, bounded
+feature-declaration retries in expire_log, and bloom-retirement reset on
+full overwrite."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.operators import text as T
+from datalake_brief_spark.sources import txlog
+
+
+def _fresh(prefix="r13_"):
+    return os.path.join(tempfile.mkdtemp(prefix=prefix), "t")
+
+
+class TestBm25EmptyQuery:
+    def test_empty_query_terms_raise_the_contract_error(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+        )
+        # previously failed opaquely downstream: score stayed None so
+        # F.round(None, 6) raised, and matched became the Python int 0
+        # passed to DataFrame.filter
+        with pytest.raises(ValueError, match="query_terms must be non-empty"):
+            T.bm25_topk(df, [], k=5)
+
+
+class TestExpiredFloorNamesCheckpointVersions:
+    def test_floor_includes_directly_readable_checkpoint(self, spark):
+        """Crash-mid-expiry shape: commits reclaim ascending BEFORE old
+        checkpoints, so a surviving checkpoint can outlive its own commit
+        record. That version is readable straight from the checkpoint
+        (empty replay tail) — the floor message must name IT, not the
+        first surviving commit record."""
+        path = _fresh("r13floor_")
+        for i in range(3):
+            txlog.append(spark.range(5).withColumn("b", F.lit(i)), path)
+        txlog.checkpoint_now(path)  # checkpoint @3
+        for i in range(3, 6):
+            txlog.append(spark.range(5).withColumn("b", F.lit(i)), path)
+        txlog.checkpoint_now(path)  # checkpoint @6
+        txlog.append(spark.range(5).withColumn("b", F.lit(6)), path)  # v7
+        # expire_log deletes commit records ascending toward the horizon
+        # (6) first, checkpoints after; crash right before checkpoint 3's
+        # deletion leaves checkpoint 3 alive with commits 1..5 gone
+        for v in range(1, 6):
+            os.remove(txlog._commit_path(path, v))
+        # version 3 == a surviving checkpoint: readable directly
+        assert txlog.read(spark, path, version=3).count() == 15
+        # version 4 is genuinely gone; the error names 3 as the floor
+        with pytest.raises(FileNotFoundError, match="earliest readable version is 3"):
+            txlog.read(spark, path, version=4).count()
+        # versions at/above the horizon resolve normally
+        assert txlog.read(spark, path, version=7).count() == 35
+
+
+class TestExpireLogBoundedRetry:
+    def test_sustained_conflict_surfaces_instead_of_spinning(self, spark, monkeypatch):
+        """The feature-declaring commit now matches every other DDL's
+        loser's-retry-is-the-caller's-re-run contract: a bounded handful
+        of retries, then CommitConflict surfaces."""
+        path = _fresh("r13retry_")
+        for i in range(6):
+            txlog.append(spark.range(3).withColumn("b", F.lit(i)), path)
+        txlog.checkpoint_now(path)
+        txlog.append(spark.range(3).withColumn("b", F.lit(9)), path)
+
+        real = txlog._try_commit
+        calls = {"n": 0}
+
+        def contended(path_, version, *a, **kw):
+            meta = kw.get("meta") or (a[4] if len(a) > 4 else None) or {}
+            if isinstance(meta, dict) and meta.get("op") == "expire_log":
+                calls["n"] += 1
+                raise txlog.CommitConflict(
+                    f"version {version} already committed (simulated appender)"
+                )
+            return real(path_, version, *a, **kw)
+
+        monkeypatch.setattr(txlog, "_try_commit", contended)
+        before = sorted(os.listdir(txlog._log_dir(path)))
+        with pytest.raises(txlog.CommitConflict):
+            txlog.expire_log(path, retain_versions=1)
+        assert calls["n"] == 5  # bounded, not infinite
+        # the declare happens BEFORE any reclaim: nothing was deleted
+        assert sorted(os.listdir(txlog._log_dir(path))) == before
+        monkeypatch.setattr(txlog, "_try_commit", real)
+        # the caller's re-run (uncontended) succeeds
+        assert txlog.expire_log(path, retain_versions=1)
+
+
+class TestBloomRetirementClearedByOverwrite:
+    def test_fresh_blooms_serve_after_overwrite(self, spark):
+        path = _fresh("r13bloom_")
+        df = spark.range(100).select(F.col("id").cast("int").alias("k")).coalesce(1)
+        txlog.append(df, path, bloom_cols=["k"])
+        assert txlog.visible_blooms(path)
+        # chain-leaving widen (int chain -> double) retires k's blooms
+        txlog.widen_column_type(path, "k", "double")
+        assert txlog.latest_meta(path, "bloom_retired") == ["k"]
+        assert not txlog.visible_blooms(path)
+        # full overwrite replaces every retired-bloom carrier; the new
+        # files' blooms hash the current representation and must serve
+        new = (
+            spark.range(50)
+            .select(F.col("id").cast("int").alias("k"))
+            .coalesce(1)
+        )
+        txlog.overwrite(new, path)
+        txlog.append(
+            spark.range(50, 60).select(F.col("id").cast("int").alias("k")).coalesce(1),
+            path,
+            bloom_cols=["k"],
+        )
+        assert txlog.latest_meta(path, "bloom_retired") == []
+        blooms = txlog.visible_blooms(path)
+        assert blooms, "post-overwrite blooms were silently filtered out"
+        # and point reads actually skip on them
+        probe = txlog.read_point(spark, path, "k", 55)
+        assert probe.count() == 1
+
+    def test_time_travel_below_overwrite_still_retired(self, spark):
+        """The clear is version-resolved like every meta key: reads below
+        the overwrite still see the retirement (their visible files are
+        the old-representation carriers)."""
+        path = _fresh("r13bloomtt_")
+        txlog.append(
+            spark.range(20).select(F.col("id").cast("int").alias("k")).coalesce(1),
+            path,
+            bloom_cols=["k"],
+        )
+        v_widen = txlog.widen_column_type(path, "k", "double")
+        txlog.overwrite(
+            spark.range(5).select(F.col("id").cast("double").alias("k")), path
+        )
+        assert txlog.latest_meta(path, "bloom_retired", v_widen) == ["k"]
+        assert not txlog.visible_blooms(path, v_widen)
+
+
+def _banded(spark, n=400, bands=4, files_per_band=1):
+    """n rows keyed 1..n in `bands` stat-ruled file groups."""
+    return [
+        spark.range(lo + 1, lo + n // bands + 1)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10.0).alias("v"),
+            F.lit(i).cast("int").alias("band"),
+        )
+        .coalesce(files_per_band)
+        for i, lo in enumerate(range(0, n, n // bands))
+    ]
+
+
+def _twin(spark, prefix, n=400, tracking=False):
+    """Two identical banded tables: (cow_path, dv_path)."""
+    out = []
+    for side in ("cow", "dv"):
+        path = _fresh(f"{prefix}{side}_")
+        for band in _banded(spark, n):
+            txlog.append(band, path, stats_cols=["k"])
+        if tracking:
+            txlog.enable_row_tracking(path)
+        out.append(path)
+    return out
+
+
+def _rows(df, cols=("k", "v", "band")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestMergeDV:
+    """DV-backed MERGE: matched clauses land deletion-vector positions +
+    append only the rewritten rows — ZERO candidate files rewritten, cost
+    tracks touched rows. Every clause shape must equal its CoW twin."""
+
+    def _run_both(self, spark, cow, dv, source, **kw):
+        v1 = txlog.merge_into(spark, cow, source, ["k"], use_dvs=False, **kw)
+        pre = set(txlog.visible_files(dv))
+        v2 = txlog.merge_into(spark, dv, source, ["k"], use_dvs=True, **kw)
+        post = set(txlog.visible_files(dv))
+        # the DV contract: no file the merge touched was rewritten —
+        # every pre-merge file stays referenced byte-identical
+        assert pre <= post, "DV merge removed files (CoW leak)"
+        return v1, v2, post - pre
+
+    def test_update_insert_equals_cow_zero_rewrites(self, spark):
+        cow, dv = _twin(spark, "r13updins_")
+        src = spark.createDataFrame(
+            [(k, float(k), 99) for k in (5, 105, 205, 401, 402)],
+            "k long, v double, band int",
+        )
+        _, v2, new = self._run_both(
+            spark, cow, dv, src,
+            when_matched=[("update", "*")], when_not_matched=True,
+        )
+        assert txlog.visible_dvs(dv, v2), "no DV sidecar landed"
+        # new files: ONE update-output group + ONE insert group
+        assert _rows(txlog.read_mor(spark, dv)) == _rows(txlog.read(spark, cow))
+
+    def test_matched_delete_with_condition(self, spark):
+        cow, dv = _twin(spark, "r13del_")
+        src = spark.createDataFrame(
+            [(k,) for k in (1, 2, 3, 101, 102)], "k long"
+        )
+        kw = dict(
+            when_matched=[("delete", "t.k % 2 = 1")], when_not_matched=False
+        )
+        self._run_both(spark, cow, dv, src, **kw)
+        assert _rows(txlog.read_mor(spark, dv)) == _rows(txlog.read(spark, cow))
+        # deletes-only DV merge appends NO data file group: the commit is
+        # sidecar + change record only
+        last = txlog._load_commit(dv, txlog.current_version(dv))
+        assert last.get("meta", {}).get("op") == "merge"
+        assert not last.get("adds") and not last.get("removes")
+        assert last.get("dv_adds")
+
+    def test_clause_order_first_true_wins(self, spark):
+        cow, dv = _twin(spark, "r13order_")
+        src = spark.createDataFrame(
+            [(k, -1.0, 7) for k in range(1, 50)], "k long, v double, band int"
+        )
+        kw = dict(
+            when_matched=[
+                ("delete", "t.k <= 10"),
+                ("update", {"v": "t.v + s.v"}, "t.k <= 30"),
+                ("update", {"band": F.lit(77).cast("int")}),
+            ],
+            when_not_matched=False,
+        )
+        self._run_both(spark, cow, dv, src, **kw)
+        assert _rows(txlog.read_mor(spark, dv)) == _rows(txlog.read(spark, cow))
+
+    def test_by_source_clauses(self, spark):
+        cow, dv = _twin(spark, "r13bys_")
+        src = spark.createDataFrame(
+            [(k, 0.5, 1) for k in range(1, 201)], "k long, v double, band int"
+        )
+        kw = dict(
+            when_matched=[("update", {"v": "t.v * 2"})],
+            when_not_matched=False,
+            when_not_matched_by_source=[
+                ("delete", "t.k > 380"),
+                ("update", {"band": F.lit(-5).cast("int")}, "t.k > 360"),
+            ],
+        )
+        self._run_both(spark, cow, dv, src, **kw)
+        assert _rows(txlog.read_mor(spark, dv)) == _rows(txlog.read(spark, cow))
+
+    def test_redelivered_batch_is_noop(self, spark):
+        _, dv = _twin(spark, "r13redel_")
+        src = spark.createDataFrame(
+            [(k, 123.0, 9) for k in (7, 8, 9)], "k long, v double, band int"
+        )
+        kw = dict(
+            when_matched=[("update", "*", "t.v <> s.v")], when_not_matched=True
+        )
+        v1 = txlog.merge_into(spark, dv, src, ["k"], use_dvs=True, **kw)
+        # phase 1 sees the DV-dead pre-images in the raw files, but the
+        # DV-applied phase-2 join finds no live clause hit: no commit
+        v2 = txlog.merge_into(spark, dv, src, ["k"], use_dvs=True, **kw)
+        assert v2 == v1
+        assert (
+            txlog.read_mor(spark, dv).filter(F.col("k") == 7).collect()[0]["v"]
+            == 123.0
+        )
+
+    def test_cdf_update_pair_shares_row_id(self, spark):
+        cow, dv = _twin(spark, "r13rid_", tracking=True)
+        src = spark.createDataFrame(
+            [(k, -2.0, 3) for k in (11, 12)], "k long, v double, band int"
+        )
+        kw = dict(when_matched=[("update", {"v": "s.v"})], when_not_matched=False)
+        _, v2, _ = self._run_both(spark, cow, dv, src, **kw)
+        ch = txlog.table_changes(spark, dv, v2 - 1, v2, include_row_ids=True)
+        pairs = ch.filter(F.col("k").isin([11, 12])).collect()
+        by_k = {}
+        for r in pairs:
+            by_k.setdefault(r["k"], {})[r["_change_type"]] = r["row_id"]
+        for k, d in by_k.items():
+            assert d["delete"] == d["insert"], f"row id broke for k={k}"
+        # ids preserved on the MOR read too
+        ids = txlog.read_with_row_ids(spark, dv)
+        assert ids.filter(F.col("k") == 11).count() == 1
+
+    def test_optimize_materializes_dv_merge(self, spark):
+        _, dv = _twin(spark, "r13mat_")
+        src = spark.createDataFrame(
+            [(k, 0.0, 0) for k in range(1, 100, 7)], "k long, v double, band int"
+        )
+        txlog.merge_into(
+            spark, dv, src, ["k"], use_dvs=True,
+            when_matched=[("update", {"v": "s.v"})], when_not_matched=False,
+        )
+        before = _rows(txlog.read_mor(spark, dv))
+        txlog.reorg_purge(spark, dv)
+        assert not txlog.visible_dvs(dv)
+        assert _rows(txlog.read(spark, dv)) == before  # plain read now equal
+
+    def test_table_property_enables_dv_merge(self, spark):
+        _, dv = _twin(spark, "r13prop_")
+        txlog.set_table_properties(dv, {"deletionVectors": "true"})
+        pre = set(txlog.visible_files(dv))
+        txlog.merge_into(
+            spark, dv,
+            spark.createDataFrame([(3, 1.0, 1)], "k long, v double, band int"),
+            ["k"],
+            when_matched=[("update", "*")], when_not_matched=False,
+        )
+        assert pre <= set(txlog.visible_files(dv))
+        assert txlog.visible_dvs(dv)
+
+    def test_multiple_source_rows_matching_still_raise(self, spark):
+        _, dv = _twin(spark, "r13dup_")
+        src = spark.createDataFrame(
+            [(5, 1.0, 1), (5, 2.0, 1)], "k long, v double, band int"
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            txlog.merge_into(
+                spark, dv, src, ["k"], use_dvs=True,
+                when_matched=[("update", "*")], when_not_matched=False,
+            )
+
+    def test_schema_evolution_dv(self, spark):
+        cow, dv = _twin(spark, "r13evo_")
+        src = spark.createDataFrame(
+            [(2, 5.0, 1, "x"), (999, 6.0, 9, "y")],
+            "k long, v double, band int, tag string",
+        )
+        kw = dict(
+            when_matched=[("update", "*")], when_not_matched=True,
+            merge_schema=True,
+        )
+        self._run_both(spark, cow, dv, src, **kw)
+        assert _rows(
+            txlog.read_mor(spark, dv), ("k", "v", "band", "tag")
+        ) == _rows(txlog.read(spark, cow), ("k", "v", "band", "tag"))
+
+    def test_dv_merge_on_already_dvd_table(self, spark):
+        """Composition: a delete_where_dv'd table then DV-merged — prior
+        positions are never re-added, resurrected, or double-counted."""
+        cow, dv = _twin(spark, "r13compose_")
+        txlog.delete_where(spark, cow, "k <= 20")
+        txlog.delete_where_dv(spark, dv, "k <= 20")
+        src = spark.createDataFrame(
+            [(k, 7.0, 2) for k in range(15, 31)], "k long, v double, band int"
+        )
+        kw = dict(when_matched=[("update", "*")], when_not_matched=True)
+        self._run_both(spark, cow, dv, src, **kw)
+        assert _rows(txlog.read_mor(spark, dv)) == _rows(txlog.read(spark, cow))
+
+
+class TestClusteringMaintenance:
+    """Property-driven clustering maintenance (VERDICT r12 ask #4):
+    `clustering.columns` + `clustering.auto` TBLPROPERTIES, the
+    metadata-only clustering_decay advisor, and maintain()'s scoped
+    re-cluster of exactly the decayed band."""
+
+    def _decayed_table(self, spark):
+        path = _fresh("r13clust_")
+        # cold, well-clustered history: disjoint a-bands 100.. upward
+        for i in range(1, 5):
+            txlog.append(
+                spark.range(i * 100, (i + 1) * 100)
+                .select(
+                    F.col("id").alias("a"),
+                    F.pmod(F.col("id") * 7, F.lit(1000)).alias("b"),
+                )
+                .coalesce(1),
+                path,
+                stats_cols=["a", "b"],
+            )
+        txlog.set_table_properties(
+            path,
+            {
+                "clustering.columns": "a,b",
+                "clustering.auto": "true",
+                "clustering.minFiles": "4",
+                "clustering.nFiles": "4",
+            },
+        )
+        return path
+
+    def test_healthy_layout_not_recommended(self, spark):
+        path = self._decayed_table(spark)
+        d = txlog.clustering_decay(path)
+        assert d["n_files"] == 4 and d["n_decayed"] == 0
+        assert not d["recommended"]
+        assert txlog.maintain(spark, path)["reclustered_to"] is None
+
+    def test_unclustered_tail_trips_and_maintain_reclusters_band_only(
+        self, spark
+    ):
+        path = self._decayed_table(spark)
+        # the CDC tail: 7 unsorted appends confined to the hot band
+        # a in [0, 100) but each spanning it fully (and all of b) — 7 of
+        # 11 files makes the min-across-dims overlap fraction 6/10 > 0.5
+        for i in range(7):
+            txlog.append(
+                spark.range(0, 100)
+                .select(
+                    F.col("id").alias("a"),
+                    F.pmod(F.col("id") * 13 + i, F.lit(1000)).alias("b"),
+                )
+                .coalesce(1),
+                path,
+                stats_cols=["a", "b"],
+            )
+        d = txlog.clustering_decay(path)
+        assert d["recommended"] and d["n_decayed"] == 7
+        lo, hi = d["band"]
+        assert lo >= 0 and hi <= 99
+        cold = {
+            p: os.path.getmtime(p)
+            for p in txlog.visible_files(path)
+            if txlog.visible_stats(path)[os.path.relpath(p, path)]["a"][0] >= 100
+        }
+        before_rows = sorted(
+            tuple(r) for r in txlog.read(spark, path).collect()
+        )
+        report = txlog.maintain(spark, path)
+        assert report["reclustered_to"] is not None
+        # cold files stay referenced AND byte-identical
+        post = set(txlog.visible_files(path))
+        assert set(cold) <= post
+        assert all(os.path.getmtime(p) == cold[p] for p in cold)
+        # content identical; band now prunable on BOTH dims
+        assert (
+            sorted(tuple(r) for r in txlog.read(spark, path).collect())
+            == before_rows
+        )
+        pruned = txlog.read_pruned_multi(
+            spark, path, {"a": (0, 40), "b": (0, 300)}
+        )
+        assert len(pruned.inputFiles()) < len(post)
+        # second run: the just-clustered band no longer decays
+        assert txlog.clustering_decay(path)["recommended"] is False
+        assert txlog.maintain(spark, path)["reclustered_to"] is None
+
+    def test_decay_requires_columns(self, spark):
+        path = _fresh("r13clustnone_")
+        txlog.append(spark.range(5).withColumnRenamed("id", "a"), path)
+        with pytest.raises(ValueError, match="clustering.columns"):
+            txlog.clustering_decay(path)
+
+    def test_statless_files_score_decayed(self, spark):
+        path = _fresh("r13clustnostat_")
+        for i in range(2):
+            txlog.append(
+                spark.range(i * 50, (i + 1) * 50)
+                .select(F.col("id").alias("a"), F.lit(i).alias("b"))
+                .coalesce(1),
+                path,
+                stats_cols=["a", "b"],
+            )
+        for _ in range(4):  # statless appends defeat pruning by construction
+            txlog.append(
+                spark.range(10)
+                .select(F.col("id").alias("a"), F.lit(9).alias("b"))
+                .coalesce(1),
+                path,
+            )
+        d = txlog.clustering_decay(path, ["a", "b"])
+        assert d["n_decayed"] >= 4 and d["recommended"]

@@ -1,0 +1,105 @@
+"""Round-13 scale evidence: DV-backed MERGE cost tracks touched ROWS,
+not touched FILES.
+
+The CDC worst case for a copy-on-write merge: a batch touching 1 row in
+each of F files rewrites F whole files — wall time grows linearly in F
+even though the touched-row count is constant. With deletion vectors the
+same merge lands ONE sidecar group + ONE small file group of rewritten
+rows, so wall time stays flat as F grows ×10.
+
+Protocol: a base table of `N_FILES` key-banded files (`ROWS_PER_FILE`
+rows each, stats on k). For touched-file counts F in (4, 40) the source
+holds exactly one key per touched file (constant total rows per F ratio
+step is intentionally NOT held — the DV path's cost ∝ rows means 40 rows
+vs 4 rows is still ~flat, while CoW pays 10× the rewritten bytes).
+Each measurement merges into a fresh zero-copy clone, so both modes see
+the identical prebuilt snapshot. min-of-3 per point.
+
+Usage: PYTHONPATH=. python tools/r13_scale_check.py
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datalake_brief_spark.session import get_spark
+from datalake_brief_spark.sources import txlog
+
+N_FILES = 40
+ROWS_PER_FILE = 400_000  # ~8 MB/file: rewritten bytes dominate fixed cost
+
+
+def fresh(tag: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"r13scale_{tag}_"), "t")
+
+
+def build_base(spark) -> str:
+    path = fresh("base")
+    for i in range(N_FILES):
+        lo = i * ROWS_PER_FILE
+        df = (
+            spark.range(lo, lo + ROWS_PER_FILE)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+                F.lit(i).cast("int").alias("band"),
+            )
+            .coalesce(1)
+        )
+        txlog.append(df, path, stats_cols=["k"])
+    return path
+
+
+def one_merge(spark, base: str, touched_files: int, use_dvs: bool) -> float:
+    # one key per touched file: k = band * ROWS_PER_FILE + 7
+    keys = [i * ROWS_PER_FILE + 7 for i in range(touched_files)]
+    src = spark.createDataFrame(
+        [(k, -1.0, 99) for k in keys], "k long, v double, band int"
+    )
+    best = float("inf")
+    for _ in range(3):
+        dst = fresh("dst")
+        txlog.clone(base, dst)
+        t0 = time.perf_counter()
+        txlog.merge_into(
+            spark,
+            dst,
+            src,
+            keys=["k"],
+            when_matched=[("update", "*")],
+            when_not_matched=False,
+            use_dvs=use_dvs,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("r13-scale")
+    base = build_base(spark)
+    print(f"base: {N_FILES} files x {ROWS_PER_FILE} rows")
+    results = {}
+    for mode, use_dvs in (("cow", False), ("dv", True)):
+        for fcount in (4, 40):
+            t = one_merge(spark, base, fcount, use_dvs)
+            results[(mode, fcount)] = t
+            print(f"{mode:>3} merge touching {fcount:>3} files: {t:7.3f}s")
+    cow_ratio = results[("cow", 40)] / results[("cow", 4)]
+    dv_ratio = results[("dv", 40)] / results[("dv", 4)]
+    print(
+        f"x10 touched-file scaling: CoW {cow_ratio:.2f}x vs DV {dv_ratio:.2f}x "
+        f"(DV flat = merge cost tracks touched rows)"
+    )
+    # the claim this tool exists to evidence: DV scales materially better
+    # than CoW in touched-file count
+    assert dv_ratio < cow_ratio, (cow_ratio, dv_ratio)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
