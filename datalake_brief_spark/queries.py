@@ -11344,56 +11344,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # stalest r7 slice. Tail = everything else in non-decreasing
     # latest-attested-round order (pinned in tests/test_plans.py).
     "txlog_merge_dv",
-    "txlog_auto_compact",
-    "txlog_widen_type",
-    "text_bm25",
-    "txlog_table_properties",
-    "hybrid_search_rrf",
-    "txlog_maintain",
-    "csv_quoted_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "multimodal_features",
-    "multimodal_audio",
-    "sketch_set_overlap",
-    "sketch_merge_quantiles",
-    "events_partition_pruned",
-    "q16_supplier_cnt",
-    "text_c4_rules",
-    "corpus_seeded_shuffle",
-    "corpus_shard_assignment",
-    "join_bucketed_colocated",
-    "agg_bucketed_local",
-    "txlog_history",
-    "txlog_detail",
-    "txlog_vacuum_read",
-    "txlog_optimize_advisor",
-    "txlog_constraint_gate",
-    "txlog_schema_enforce",
-    "pq_compact_read",
-    "events_funnel",
-    "events_retention",
-    "graph_pagerank_copurchase",
-    "sketch_merge_distinct",
-    "approx_distinct",
-    "text_pack_chunks",
-    "multimodal_frames",
-    "sample_stratified",
-    "ml_lr_predict",
-    "heavy_hitter_tokens",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "window_distribution_suite",
-    "dedup_latest_by_key",
-    "scd2_intervals",
-    "gaps_islands",
-    "graph_degree_stats",
-    "graph_triangles",
-    "ts_zscore_anomaly",
-    "ts_interpolate_linear",
-    "ml_one_hot",
     "ml_split_stratified",
     "text_ttr",
     "dedup_segments_corpus",
@@ -11628,6 +11578,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "profile_join_skew",
     "profile_drift",
     "csv_infer_roundtrip",
+    "txlog_auto_compact",
+    "txlog_widen_type",
+    "text_bm25",
+    "txlog_table_properties",
+    "hybrid_search_rrf",
+    "txlog_maintain",
+    "csv_quoted_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "multimodal_features",
+    "multimodal_audio",
+    "sketch_set_overlap",
+    "sketch_merge_quantiles",
+    "events_partition_pruned",
+    "q16_supplier_cnt",
+    "text_c4_rules",
+    "corpus_seeded_shuffle",
+    "corpus_shard_assignment",
+    "join_bucketed_colocated",
+    "agg_bucketed_local",
+    "txlog_history",
+    "txlog_detail",
+    "txlog_vacuum_read",
+    "txlog_optimize_advisor",
+    "txlog_constraint_gate",
+    "txlog_schema_enforce",
+    "pq_compact_read",
+    "events_funnel",
+    "events_retention",
+    "graph_pagerank_copurchase",
+    "sketch_merge_distinct",
+    "approx_distinct",
+    "text_pack_chunks",
+    "multimodal_frames",
+    "sample_stratified",
+    "ml_lr_predict",
+    "heavy_hitter_tokens",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "window_distribution_suite",
+    "dedup_latest_by_key",
+    "scd2_intervals",
+    "gaps_islands",
+    "graph_degree_stats",
+    "graph_triangles",
+    "ts_zscore_anomaly",
+    "ts_interpolate_linear",
+    "ml_one_hot",
 ]
 
 

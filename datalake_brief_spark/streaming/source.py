@@ -455,6 +455,34 @@ def _cap_offset_by_files(path: str, last_offered: int, cur: int, max_files: int)
     return v
 
 
+def _cap_offset_by_bytes(path: str, last_offered: int, cur: int, max_bytes: int) -> int:
+    """``maxBytesPerTrigger`` twin of :func:`_cap_offset_by_files`
+    (closing Delta's rate-limit knob trio): bound the next micro-batch by
+    the BYTES its commits' files carry — added data files plus change-
+    record files, the IO the batch will actually schedule. File counts
+    under-rate-limit when file sizes vary 1000× (one 1 GB compaction
+    output vs a thousand 1 MB CDC appends); bytes is the knob that maps
+    to executor memory and batch latency. Always offers at least one
+    commit so the stream makes progress even when a single commit
+    exceeds the cap (the Delta contract). Cost: one fstat per file over
+    the offered window — metadata only, never a data page; a file
+    already reclaimed by vacuum (possible for aged change records)
+    contributes nothing rather than failing the poll."""
+    total = 0
+    v = last_offered
+    while v < cur:
+        c = _load_commit_or_horizon_error(path, v + 1)
+        for rel in list(c.get("adds", [])) + list(c.get("change_data") or []):
+            try:
+                total += os.path.getsize(os.path.join(path, rel))
+            except OSError:
+                pass
+        v += 1
+        if total >= max_bytes:
+            break
+    return v
+
+
 def _reader_tracking(path: str, options, columns):
     """Resolve a stream reader's schema-tracking pair: ``(tracking,
     physical)`` where ``tracking = (location, state)`` (None without the
@@ -480,6 +508,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self.max_files = int(options.get("maxFilesPerTrigger", 0))
+        self.max_bytes = int(options.get("maxBytesPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
@@ -506,6 +535,11 @@ class _TxlogStreamReader(DataSourceStreamReader):
         if self.max_files > 0:
             cur = _cap_offset_by_files(
                 self.path, self._last_offered, cur, self.max_files
+            )
+        if self.max_bytes > 0:
+            # caps compose monotonically: each can only tighten the offer
+            cur = _cap_offset_by_bytes(
+                self.path, self._last_offered, cur, self.max_bytes
             )
         self._last_offered = max(self._last_offered, cur)
         return {"version": cur}
@@ -673,6 +707,7 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingVersion", 1))
         self.max_versions = int(options.get("maxVersionsPerTrigger", 0))
         self.max_files = int(options.get("maxFilesPerTrigger", 0))
+        self.max_bytes = int(options.get("maxBytesPerTrigger", 0))
         self._last_offered = max(0, self.starting_version - 1)
         self.tracking, self.physical = _reader_tracking(
             self.path, options, columns
@@ -689,6 +724,11 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
         if self.max_files > 0:
             cur = _cap_offset_by_files(
                 self.path, self._last_offered, cur, self.max_files
+            )
+        if self.max_bytes > 0:
+            # caps compose monotonically: each can only tighten the offer
+            cur = _cap_offset_by_bytes(
+                self.path, self._last_offered, cur, self.max_bytes
             )
         self._last_offered = max(self._last_offered, cur)
         return {"version": cur}

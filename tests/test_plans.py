@@ -341,6 +341,19 @@ def test_rotation_tail_sorted_by_staleness():
         "rotation tail out of staleness order: a fresher-attested entry "
         "queues ahead of a staler one"
     )
+    # VERDICT r12 ask #3: the window must take the GLOBALLY stalest band
+    # — no attested entry inside the 50-slot window may be fresher than
+    # any attested entry queued behind it (ties across the boundary are
+    # fine; the regen script's stable sort resolves them by prior order).
+    window_rounds = [
+        latest[n] for n in _DRIVER_WINDOW_PRIORITY[:50] if n in latest
+    ]
+    if window_rounds and tail_rounds:
+        assert max(window_rounds) <= min(tail_rounds), (
+            f"window holds an entry attested at r{max(window_rounds)} "
+            f"while a staler r{min(tail_rounds)} entry waits in the tail "
+            f"— the regen must drain oldest-first (tools/regen_window.py)"
+        )
 
 
 def test_repetition_ngrams_do_not_retokenize_per_position(spark):
