@@ -349,7 +349,18 @@ class FilesystemObjectClient:
         try:
             os.remove(key)
         except (FileNotFoundError, IsADirectoryError):
-            pass
+            return
+        # object stores have no directories: deleting the last object
+        # under a prefix makes the prefix vanish. Emulate by pruning
+        # now-empty parents (rmdir only ever removes empty dirs), so
+        # directory-shaped assertions behave as they would on S3.
+        d = os.path.dirname(key)
+        while d and d != "/":
+            try:
+                os.rmdir(d)
+            except OSError:
+                break
+            d = os.path.dirname(d)
 
     def list_prefix(self, prefix: str) -> list[str]:
         root = prefix.rstrip("/")

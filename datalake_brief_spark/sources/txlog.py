@@ -1593,6 +1593,18 @@ def set_table_properties(path: str, props: dict) -> int:
     - ``autoCompact.minFiles`` (int, default 16) and
       ``autoCompact.targetBytes`` (int, default 128 MiB) — the trigger
       and output sizing for property-driven compaction.
+    - ``deletionVectors`` = 'true' — ``merge_into`` defaults to the
+      MERGE-ON-READ path (clause hits land DV sidecar positions +
+      rewritten-row appends; zero candidate files rewritten); the
+      per-call ``use_dvs`` argument always overrides.
+    - ``clustering.columns`` = 'a,b' + ``clustering.auto`` = 'true'
+      (with ``clustering.maxOverlap``/``clustering.minFiles``/
+      ``clustering.nFiles``) — :func:`maintain` consults
+      :func:`clustering_decay` and re-clusters the decayed band via
+      scoped ``optimize_zorder``.
+    - ``checkpoint.onMaintain``, ``logRetention.versions`` /
+      ``logRetention.ageSeconds``, ``vacuum.retainVersions`` — the
+      :func:`maintain` lifecycle steps.
 
     Racing writers: the merge base is the CURRENT map, so two concurrent
     sets of DIFFERENT keys serialize via the commit race (the loser's

@@ -330,7 +330,7 @@ class TestLifecycleThroughS3Store:
         txlog.checkpoint_now(path)
         reclaimed = txlog.expire_log(path, retain_versions=2)
         assert reclaimed
-        txlog.vacuum(spark, path, retain_versions=1)
+        txlog.vacuum(path, retain_versions=1)
         assert txlog.read_mor(spark, path).count() == 31
 
     def test_append_retries_through_conditional_conflict(
