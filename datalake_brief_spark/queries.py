@@ -7722,6 +7722,84 @@ def txlog_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_drop_feature",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderkey % 100 = 57 THEN -1.0
+                          ELSE o_totalprice END), 2) AS sum_price,
+           TRUE AS declared_below_drop,
+           TRUE AS dropped_by_downgrade,
+           TRUE AS downgrade_metadata_only,
+           TRUE AS redeclared_at_tip
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def txlog_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP FEATURE — the protocol ladder DOWN, full
+    round-trip at the driver gate. A DV delete declares the
+    ``deletion-vectors`` reader feature; ``reorg_purge`` materializes the
+    sidecars (the verified-non-use precondition); ``drop_feature`` lands
+    a METADATA-ONLY downgrade commit (zero files move — old engine
+    builds can read the tip again); a later DV update then re-declares
+    the feature automatically (the ladder works both ways, pinned by the
+    ``redeclared_at_tip`` gate). The protocol stays version-resolved:
+    below the drop it still demands the feature. The surviving relation
+    (band-3 keys DV-deleted, then re-priced keys ending in 57) is
+    recomputed by the oracle from raw orders, so a drop that silently
+    resurrected DV-deleted rows — THE failure mode of a downgrade that
+    lied about non-use — hash-mismatches. pytest covers the per-feature
+    refusal matrix (live DVs / narrow files / non-identity mapping /
+    expired history) and the racing-mutation conflict
+    (tests/test_round13.py TestDropFeature)."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        txlog.append(o, path)
+        txlog.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 3)
+        txlog.reorg_purge(spark, path)
+        txlog.drop_feature(path, "deletion-vectors")
+        txlog.update_where_dv(
+            spark,
+            path,
+            F.col("o_orderkey") % 100 == 57,
+            {"o_totalprice": F.lit(-1.0)},
+        )
+
+    path = _lakehouse_table("drop_feature", sf_dir, build)
+    hist = {h["op"]: h for h in txlog.history(path)}
+    v_drop = hist["drop_feature"]["version"]
+    feats_below = txlog.table_protocol(path, v_drop - 1).get(
+        "reader_features", []
+    )
+    feats_at_drop = txlog.table_protocol(path, v_drop).get(
+        "reader_features", []
+    )
+    feats_tip = txlog.table_protocol(path).get("reader_features", [])
+    meta_only = (
+        hist["drop_feature"]["n_added"] == 0
+        and hist["drop_feature"]["n_removed"] == 0
+    )
+    return aggregate(
+        txlog.read_mor(spark, path),
+        [],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit("deletion-vectors" in feats_below).alias("declared_below_drop"),
+        F.lit("deletion-vectors" not in feats_at_drop).alias(
+            "dropped_by_downgrade"
+        ),
+        F.lit(meta_only).alias("downgrade_metadata_only"),
+        F.lit("deletion-vectors" in feats_tip).alias("redeclared_at_tip"),
+    )
+
+
+@_register(
     "pq_compact_read",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -11343,6 +11421,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # widening, BM25, TBLPROPERTIES) + every remaining r5 entry + the
     # stalest r7 slice. Tail = everything else in non-decreasing
     # latest-attested-round order (pinned in tests/test_plans.py).
+    "txlog_drop_feature",
     "txlog_merge_dv",
     "ml_split_stratified",
     "text_ttr",

@@ -1269,6 +1269,181 @@ def _with_feature(path: str, meta: dict, feature: str) -> dict:
     return meta
 
 
+def _arrow_spark_type(t) -> str:
+    """Arrow footer type → Spark simpleString, for the primitive types the
+    widening lattice and the schema contract speak. Complex/unknown types
+    return their arrow repr — never equal to a Spark string, so callers
+    treat them as "not provably clean" rather than silently passing."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+def drop_feature(path: str, feature: str) -> int:
+    """``ALTER TABLE ... DROP FEATURE`` — the protocol ladder DOWN. A
+    reader feature, once declared, locks out engine builds that predate
+    it; when the live state no longer needs the feature, dropping it lets
+    those readers back in. The drop VERIFIES non-use first (fail-closed —
+    a drop that lied would make old readers silently mis-read, e.g.
+    resurrect DV-deleted rows), then lands one metadata-only commit whose
+    protocol omits the feature. History stays safe on both sides: the
+    protocol is version-resolved, so time travel BELOW the drop still
+    demands the feature from whoever reads it, and any later operation
+    that re-needs the feature (a ``use_dvs`` merge, a rename, a widen, a
+    RESTORE to a pre-drop snapshot) re-declares it automatically via
+    :func:`_with_feature` — the ladder works both ways.
+
+    Per-feature droppability (each error names the remediation):
+
+    - ``deletion-vectors``: no live file carries a DV sidecar
+      (``reorg_purge`` materializes them) and the ``deletionVectors``
+      TBLPROPERTY is not 'true' (the next merge would re-declare
+      immediately — unset the policy first, Delta's rule).
+    - ``type-widening``: every live file's footer already stores each
+      column at the logged (widened) type — a narrower file would read
+      wrong on a build without the upcasting scan. ``optimize`` rewrites
+      narrow files at the declared type.
+    - ``column-mapping``: the live mapping must be IDENTITY and no live
+      footer may carry a column outside the logical schema (dropped-
+      column residue purges on any rewrite — ``reorg_purge``). A
+      non-identity mapping has no un-mapping rewrite; it is not
+      droppable (Delta's restriction).
+    - ``log-retention``: the commit log must be complete from version 1
+      (nothing ever expired) — once history is reclaimed, the floor
+      checks this feature gates are load-bearing forever.
+
+    Returns the drop commit's version. Raises ``ValueError`` when the
+    feature is unknown/undeclared or verification fails; a racing commit
+    surfaces as :class:`CommitConflict` (re-run, like every DDL)."""
+    if feature not in _READER_FEATURES:
+        raise ValueError(
+            f"unknown feature {feature!r} (supported: {sorted(_READER_FEATURES)})"
+        )
+    cur = set(table_protocol(path).get("reader_features", []))
+    if feature not in cur:
+        raise ValueError(
+            f"feature {feature!r} is not declared on {path!r} "
+            f"(declared: {sorted(cur)})"
+        )
+    read_v = current_version(path)
+    live = _replay(path, read_v)
+    if feature == "deletion-vectors":
+        if (
+            table_properties(path, read_v).get("deletionVectors", "").lower()
+            == "true"
+        ):
+            raise ValueError(
+                "cannot drop 'deletion-vectors': the deletionVectors "
+                "TBLPROPERTY is 'true', so the next merge would re-declare "
+                "it — unset the property first"
+            )
+        dv_files = sorted(rel for rel, e in live.items() if e.get("dvs"))
+        if dv_files:
+            raise ValueError(
+                f"cannot drop 'deletion-vectors': {len(dv_files)} live "
+                f"file(s) carry deletion vectors, e.g. {dv_files[0]!r} — "
+                f"run reorg_purge() to materialize them first"
+            )
+    elif feature == "type-widening":
+        import pyarrow.parquet as _pq
+
+        schema = latest_meta(path, "schema", read_v) or {}
+        mapping = _column_mapping(path, read_v)
+        phys_type = {mapping.get(c, c): t for c, t in schema.items()}
+        narrow = []
+        for rel in sorted(live):
+            fs = _pq.read_schema(os.path.join(path, rel))
+            for name, logged in phys_type.items():
+                idx = fs.get_field_index(name)
+                if idx < 0:
+                    continue
+                ft = _arrow_spark_type(fs.field(idx).type)
+                if ft != logged and _widens_to(ft, logged):
+                    narrow.append((rel, name, ft, logged))
+        if narrow:
+            rel, name, ft, logged = narrow[0]
+            raise ValueError(
+                f"cannot drop 'type-widening': {len(narrow)} live file/"
+                f"column(s) still store a pre-widen type, e.g. {rel!r} has "
+                f"{name!r} as {ft} vs logged {logged} — run optimize() to "
+                f"rewrite them at the declared type first"
+            )
+    elif feature == "column-mapping":
+        import pyarrow.parquet as _pq
+
+        schema = latest_meta(path, "schema", read_v) or {}
+        mapping = _column_mapping(path, read_v)
+        renamed = {c: p for c, p in mapping.items() if c != p}
+        if renamed:
+            raise ValueError(
+                f"cannot drop 'column-mapping': {len(renamed)} column(s) "
+                f"map to a different physical name, e.g. "
+                f"{sorted(renamed)[0]!r} — a non-identity mapping has no "
+                f"un-mapping rewrite and is not droppable"
+            )
+        allowed = set(schema) | {_ROWID}
+        residue = []
+        for rel in sorted(live):
+            extra = [
+                n
+                for n in _pq.read_schema(os.path.join(path, rel)).names
+                if n not in allowed
+            ]
+            if extra:
+                residue.append((rel, extra[0]))
+        if residue:
+            rel, name = residue[0]
+            raise ValueError(
+                f"cannot drop 'column-mapping': {len(residue)} live "
+                f"file(s) still carry dropped-column bytes, e.g. {rel!r} "
+                f"has {name!r} — run reorg_purge() to purge them first"
+            )
+    elif feature == "log-retention":
+        vs = _versions(path)
+        if not vs or vs[0] != 1 or vs != list(range(1, vs[-1] + 1)):
+            raise ValueError(
+                "cannot drop 'log-retention': history below the expiry "
+                "horizon is already reclaimed, so the floor checks this "
+                "feature gates are load-bearing forever"
+            )
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={
+            "op": "drop_feature",
+            "feature": feature,
+            "protocol": {"reader_features": sorted(cur - {feature})},
+        },
+    )
+    return read_v + 1
+
+
 # ---------------------------------------------------------------------------
 # Column mapping (the Delta column-mapping "name" mode): RENAME/DROP COLUMN
 # as metadata-only commits — no data file is rewritten. Data files keep each
@@ -2181,6 +2356,39 @@ def append(
             row_bases, wm = _alloc_row_bases(path, adds)
             rt_meta = {"row_id_watermark": wm}
         v = current_version(path) + 1
+        commit_meta = {
+            "op": "append",
+            "schema": schema_meta,
+            **map_meta,
+            **rt_meta,
+            **ident_advance,
+            **(meta or {}),
+        }
+        # a NARROW producer on a widened column lands files the scan must
+        # upcast — normally the widen declared 'type-widening' already,
+        # but after drop_feature the protocol no longer carries it: fold
+        # it back in (re-checked per attempt, so a concurrent drop is
+        # also healed on retry)
+        need = set()
+        if any(
+            schema_meta.get(c) != t
+            and c in schema_meta
+            and _widens_to(t, schema_meta[c])
+            for c, t in df.dtypes
+        ):
+            need.add("type-widening")
+        # same ladder rule for a freshly GENERATED physical mapping (a
+        # reserved name re-introduced after drop_column): post-drop_feature
+        # the protocol may no longer declare column-mapping, and a reader
+        # without it would surface the generated physical name
+        if generated:
+            need.add("column-mapping")
+        cur_feats = set(table_protocol(path).get("reader_features", []))
+        if need - cur_feats:
+            commit_meta = {
+                **commit_meta,
+                "protocol": {"reader_features": sorted(cur_feats | need)},
+            }
         try:
             _try_commit(
                 path,
@@ -2189,14 +2397,7 @@ def append(
                 [],
                 stats,
                 blooms,
-                meta={
-                    "op": "append",
-                    "schema": schema_meta,
-                    **map_meta,
-                    **rt_meta,
-                    **ident_advance,
-                    **(meta or {}),
-                },
+                meta=commit_meta,
                 row_bases=row_bases,
             )
             ac = auto_compact
@@ -3054,6 +3255,19 @@ def merge_into(
     # condition would wrongly re-insert) and ``rewrite`` (≥1 key-matched
     # row where some clause CONDITION fires — only these files change;
     # a CDC batch re-delivering already-applied rows touches ZERO files).
+    # Materialize the source ONCE for the whole merge (Delta's
+    # merge.materializeSource): the envelope agg, the bloom probe, the
+    # dup-keys guard, and every join build below each run as their own
+    # job, and each would otherwise re-evaluate the source plan from
+    # scratch — a Python-created (LogicalRDD) CDC batch re-pays its
+    # Python-worker evaluation PER JOB (measured seconds each, dwarfing
+    # the actual merge work), and a non-deterministic source could even
+    # change between phases. First evaluation fills the cache; every
+    # later job reads it. Released in the finally with the joined frame.
+    _src_persisted = False
+    if not (source.storageLevel.useMemory or source.storageLevel.useDisk):
+        source = source.persist()
+        _src_persisted = True
     candidates, envelope, n_src = _merge_candidate_files(
         spark, path, read_v, source, keys
     )
@@ -3213,7 +3427,20 @@ def merge_into(
                         "row — de-duplicate the source on the merge keys first"
                     )
             srcm = source.withColumn("__m", F.lit(True))
-            j = tgt_r.alias("t").join(_src_b(srcm.alias("s")), on, "left_outer")
+            # the DV path only ever consumes CLAUSE-HIT rows (sidecar
+            # positions, appended updates, change legs) — with no
+            # by-source clauses every hit is key-MATCHED, so the band
+            # joins INNER: the probe streams the candidate scan but
+            # materializes only the hits, instead of the left-outer
+            # materializing every band row (tags, source columns, clause
+            # CASE chains) just to filter ~all of them back out. At a
+            # 16M-row band with 40 hits this is the difference between
+            # the join costing ~the scan and costing 8x the scan. CoW
+            # (and by-source clauses) still needs the unmatched rows —
+            # survivors re-land in the rewritten files — so it keeps the
+            # left outer join.
+            jtype = "inner" if (use_dvs and not bys_clauses) else "left_outer"
+            j = tgt_r.alias("t").join(_src_b(srcm.alias("s")), on, jtype)
             is_matched = F.coalesce(F.col("s.__m"), F.lit(False))
 
             def _act_chain(clauses, gate):
@@ -3544,6 +3771,8 @@ def merge_into(
     finally:
         for _df in _cached:
             _df.unpersist()
+        if _src_persisted:
+            source.unpersist()
 
 
 def _identity_insert_factory(
@@ -3724,6 +3953,11 @@ _SNAPSHOT_OPS = {
     "drop_column",
     "reorg_purge",
     "add_constraint",
+    # a mutation re-targeting past a concurrent protocol DOWNGRADE could
+    # land dv_adds/widened state the new tip's protocol no longer
+    # declares (its _with_feature fold was computed against the
+    # pre-drop protocol) — surface the conflict; the re-run re-folds
+    "drop_feature",
 }
 
 
@@ -4215,6 +4449,16 @@ def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
     # its mapping would mis-resolve renamed columns. The reservation list
     # only ever grows (files from both epochs remain on disk).
     meta = {"op": "restore", "restored_version": version}
+    # a feature dropped AFTER the target may be load-bearing in the
+    # restored state (live DVs, pre-widen files, a mapping) — re-declare
+    # by unioning the target version's protocol back in (conservative:
+    # the target's protocol provably sufficed to read the target state;
+    # a user who still wants the feature gone re-runs drop_feature, whose
+    # verification pass then judges the RESTORED state)
+    cur_feats = set(table_protocol(path).get("reader_features", []))
+    tgt_feats = set(table_protocol(path, version).get("reader_features", []))
+    if tgt_feats - cur_feats:
+        meta["protocol"] = {"reader_features": sorted(cur_feats | tgt_feats)}
     tgt_schema = latest_meta(path, "schema", version)
     if tgt_schema is not None and tgt_schema != latest_meta(path, "schema"):
         meta["schema"] = tgt_schema

@@ -610,3 +610,220 @@ class TestMaxBytesPerTrigger:
         assert exc is not None
         assert "expired-log horizon" in str(exc) or "earliest readable" in str(exc)
         assert rows3 == []
+
+
+class TestDropFeature:
+    """drop_feature — the protocol ladder DOWN (Delta's ALTER TABLE ...
+    DROP FEATURE): verified non-use, one metadata-only downgrade commit,
+    version-resolved history on both sides, automatic re-declaration by
+    any later operation that re-needs the feature."""
+
+    def _dv_table(self, spark, prefix="r13df_"):
+        path = _fresh(prefix)
+        for i in range(3):
+            txlog.append(
+                spark.range(i * 10, (i + 1) * 10)
+                .select(F.col("id").alias("k"), F.lit(i).cast("int").alias("b"))
+                .coalesce(1),
+                path,
+                stats_cols=["k"],
+            )
+        txlog.delete_where_dv(spark, path, F.col("k") % 10 == 3)
+        return path
+
+    def test_unknown_and_undeclared_features_refuse(self, spark):
+        path = _fresh("r13dfu_")
+        txlog.append(spark.range(5).coalesce(1), path)
+        with pytest.raises(ValueError, match="unknown feature"):
+            txlog.drop_feature(path, "no-such-feature")
+        with pytest.raises(ValueError, match="not declared"):
+            txlog.drop_feature(path, "deletion-vectors")
+
+    def test_dv_drop_refuses_live_dvs_then_succeeds_after_purge(self, spark):
+        path = self._dv_table(spark)
+        assert "deletion-vectors" in txlog.table_protocol(path)[
+            "reader_features"
+        ]
+        with pytest.raises(ValueError, match="reorg_purge"):
+            txlog.drop_feature(path, "deletion-vectors")
+        txlog.reorg_purge(spark, path)
+        pre_drop_v = txlog.current_version(path)
+        v = txlog.drop_feature(path, "deletion-vectors")
+        assert v == pre_drop_v + 1
+        # tip protocol no longer demands the feature; history below the
+        # drop still does (version-resolved — old readers of old
+        # versions stay locked out)
+        assert "deletion-vectors" not in txlog.table_protocol(path).get(
+            "reader_features", []
+        )
+        assert "deletion-vectors" in txlog.table_protocol(path, pre_drop_v)[
+            "reader_features"
+        ]
+        # data unchanged through the ladder
+        assert sorted(r.k for r in txlog.read(spark, path).collect()) == [
+            k for k in range(30) if k % 10 != 3
+        ]
+        # history records the downgrade
+        ops = [h["op"] for h in txlog.history(path)]
+        assert "drop_feature" in ops
+
+    def test_dv_drop_refuses_while_property_demands_dvs(self, spark):
+        path = self._dv_table(spark, "r13dfp_")
+        txlog.reorg_purge(spark, path)
+        txlog.set_table_properties(path, {"deletionVectors": "true"})
+        with pytest.raises(ValueError, match="TBLPROPERTY"):
+            txlog.drop_feature(path, "deletion-vectors")
+        txlog.unset_table_properties(path, ["deletionVectors"])
+        txlog.drop_feature(path, "deletion-vectors")
+
+    def test_later_dv_mutation_redeclares(self, spark):
+        path = self._dv_table(spark, "r13dfr_")
+        txlog.reorg_purge(spark, path)
+        txlog.drop_feature(path, "deletion-vectors")
+        txlog.update_where_dv(
+            spark, path, F.col("k") == 5, {"b": F.lit(99)}
+        )
+        assert "deletion-vectors" in txlog.table_protocol(path)[
+            "reader_features"
+        ]
+        assert (
+            txlog.read_mor(spark, path).filter("k = 5").collect()[0].b == 99
+        )
+
+    def test_restore_below_drop_redeclares(self, spark):
+        path = self._dv_table(spark, "r13dfre_")
+        dv_v = txlog.current_version(path)
+        txlog.reorg_purge(spark, path)
+        txlog.drop_feature(path, "deletion-vectors")
+        txlog.restore(path, dv_v)
+        # the restored snapshot carries live DVs again — the restore
+        # commit must re-declare the feature or old readers resurrect
+        # the deleted rows
+        assert "deletion-vectors" in txlog.table_protocol(path)[
+            "reader_features"
+        ]
+        assert sorted(r.k for r in txlog.read_mor(spark, path).collect()) == [
+            k for k in range(30) if k % 10 != 3
+        ]
+
+    def test_widening_drop_refuses_narrow_files_then_succeeds(self, spark):
+        path = _fresh("r13dfw_")
+        txlog.append(
+            spark.range(10)
+            .select(F.col("id").cast("int").alias("k"))
+            .coalesce(1),
+            path,
+        )
+        txlog.widen_column_type(path, "k", "bigint")
+        with pytest.raises(ValueError, match="pre-widen type"):
+            txlog.drop_feature(path, "type-widening")
+        # a full rewrite lands every file at the declared (wide) type
+        txlog.overwrite(
+            txlog.read(spark, path).select(F.col("k").cast("bigint")), path
+        )
+        # the protocol never auto-drops — the rewrite only makes the
+        # explicit downgrade legal
+        txlog.drop_feature(path, "type-widening")
+        assert "type-widening" not in txlog.table_protocol(path).get(
+            "reader_features", []
+        )
+
+    def test_narrow_append_after_drop_redeclares(self, spark):
+        path = _fresh("r13dfn_")
+        txlog.append(
+            spark.range(10)
+            .select(F.col("id").cast("int").alias("k"))
+            .coalesce(1),
+            path,
+        )
+        txlog.widen_column_type(path, "k", "bigint")
+        txlog.overwrite(
+            txlog.read(spark, path).select(F.col("k").cast("bigint")), path
+        )
+        txlog.drop_feature(path, "type-widening")
+        # a narrow producer whose schema froze before the widen appends
+        # int files onto the bigint column — the scan must upcast, so
+        # the append itself must put the feature back
+        txlog.append(
+            spark.range(100, 105)
+            .select(F.col("id").cast("int").alias("k"))
+            .coalesce(1),
+            path,
+        )
+        assert "type-widening" in txlog.table_protocol(path)[
+            "reader_features"
+        ]
+        got = sorted(r.k for r in txlog.read(spark, path).collect())
+        assert got == list(range(10)) + list(range(100, 105))
+
+    def test_mapping_drop_refuses_rename_then_succeeds_when_identity(
+        self, spark
+    ):
+        path = _fresh("r13dfm_")
+        txlog.append(
+            spark.range(10).select(F.col("id").alias("a")).coalesce(1), path
+        )
+        txlog.rename_column(path, "a", "b")
+        with pytest.raises(ValueError, match="different physical name"):
+            txlog.drop_feature(path, "column-mapping")
+        # renaming back restores the identity mapping (physical name was
+        # 'a' all along), making the feature droppable
+        txlog.rename_column(path, "b", "a")
+        txlog.drop_feature(path, "column-mapping")
+        assert "column-mapping" not in txlog.table_protocol(path).get(
+            "reader_features", []
+        )
+        assert txlog.read(spark, path).columns == ["a"]
+
+    def test_mapping_drop_refuses_dropped_column_residue(self, spark):
+        path = _fresh("r13dfd_")
+        txlog.append(
+            spark.range(10)
+            .select(F.col("id").alias("a"), (F.col("id") * 2).alias("c"))
+            .coalesce(1),
+            path,
+        )
+        txlog.drop_column(path, "c")
+        with pytest.raises(ValueError, match="dropped-column bytes"):
+            txlog.drop_feature(path, "column-mapping")
+        txlog.reorg_purge(spark, path)
+        txlog.drop_feature(path, "column-mapping")
+        assert txlog.read(spark, path).columns == ["a"]
+
+    def test_log_retention_drop_always_refuses_after_expiry(self, spark):
+        path = _fresh("r13dfl_")
+        for i in range(12):
+            txlog.append(spark.range(3).coalesce(1), path)
+        txlog.checkpoint_now(path)
+        assert txlog.expire_log(path, retain_versions=2)
+        with pytest.raises(ValueError, match="load-bearing"):
+            txlog.drop_feature(path, "log-retention")
+
+    def test_racing_mutation_surfaces_conflict_not_silent_retarget(
+        self, spark
+    ):
+        """A mutation whose commit races a drop_feature must surface
+        CommitConflict (drop_feature is a snapshot-level op): its feature
+        fold was computed against the pre-drop protocol."""
+        path = self._dv_table(spark, "r13dfc_")
+        txlog.reorg_purge(spark, path)
+        real_try = txlog._try_commit
+        state = {"fired": False}
+
+        def racing(p, version, *a, **kw):
+            if not state["fired"] and kw.get("meta", {}).get("op") == "delete_dv":
+                state["fired"] = True
+                txlog.drop_feature(path, "deletion-vectors")
+            return real_try(p, version, *a, **kw)
+
+        txlog._try_commit = racing
+        try:
+            with pytest.raises(txlog.CommitConflict, match="drop_feature"):
+                txlog.delete_where_dv(spark, path, F.col("k") == 7)
+        finally:
+            txlog._try_commit = real_try
+        # the loser's re-run lands and re-declares
+        txlog.delete_where_dv(spark, path, F.col("k") == 7)
+        assert "deletion-vectors" in txlog.table_protocol(path)[
+            "reader_features"
+        ]

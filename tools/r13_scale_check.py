@@ -58,9 +58,13 @@ def build_base(spark) -> str:
 def one_merge(spark, base: str, touched_files: int, use_dvs: bool) -> float:
     # one key per touched file: k = band * ROWS_PER_FILE + 7
     keys = [i * ROWS_PER_FILE + 7 for i in range(touched_files)]
+    # repartition(1), never coalesce(1): coalesce would stack the 32
+    # python-eval slices of the local frame into ONE task that computes
+    # them serially (~5 s of pure worker round-trips); repartition
+    # evaluates them in parallel and shuffles down to one partition
     src = spark.createDataFrame(
         [(k, -1.0, 99) for k in keys], "k long, v double, band int"
-    )
+    ).repartition(1)
     best = float("inf")
     for _ in range(3):
         dst = fresh("dst")
