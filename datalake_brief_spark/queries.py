@@ -7800,6 +7800,79 @@ def txlog_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txlog_default_column",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           src,
+           TRUE AS backfill_metadata_only,
+           TRUE AS feature_declared
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'bulk' ELSE 'live' END
+                 AS src
+        FROM orders
+    )
+    WHERE NOT (src = 'bulk' AND o_orderkey % 10 = 4)
+    GROUP BY src
+    """,
+)
+def txlog_default_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN with Iceberg-v3 DEFAULT semantics at the driver gate.
+    Half the orders land BEFORE the column exists; ``add_column(...,
+    default="'bulk'")`` backfills them METADATA-ONLY (the build asserts
+    the add commit moves zero files — at 100 TB the alternative is a
+    full-table rewrite); the other half lands with explicit values; a
+    row-level DELETE then keys on the defaulted column, so the predicate
+    must resolve through the backfill (per-FILE, never coalesce-over-
+    NULL: an explicit post-add NULL stays NULL — pinned in pytest). The
+    oracle recomputes the whole relation from raw orders with the
+    default as a CASE — a backfill that leaked NULLs, applied to the
+    wrong file group, or missed the delete hash-mismatches. pytest
+    covers write-default fills, clones (explicit pre-add file lists),
+    restore, rename/drop re-keying, streaming + CDF rendering, and the
+    reorg_purge → drop_feature migration path
+    (tests/test_round13.py TestColumnDefaults)."""
+    def build(path: str) -> None:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        txlog.append(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        txlog.add_column(spark, path, "src", "string", default="'bulk'")
+        txlog.append(
+            o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+                "src", F.lit("live")
+            ),
+            path,
+        )
+        txlog.delete_where(
+            spark,
+            path,
+            (F.col("src") == "bulk") & (F.col("o_orderkey") % 10 == 4),
+        )
+
+    path = _lakehouse_table("default_col", sf_dir, build)
+    hist = {h["op"]: h for h in txlog.history(path)}
+    add = hist["add_column"]
+    meta_only = add["n_added"] == 0 and add["n_removed"] == 0
+    declared = "column-defaults" in txlog.table_protocol(path).get(
+        "reader_features", []
+    )
+    return aggregate(
+        txlog.read(spark, path),
+        ["src"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+    ).select(
+        "n_rows",
+        "sum_price",
+        "src",
+        F.lit(meta_only).alias("backfill_metadata_only"),
+        F.lit(declared).alias("feature_declared"),
+    )
+
+
+@_register(
     "pq_compact_read",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -11422,6 +11495,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # stalest r7 slice. Tail = everything else in non-decreasing
     # latest-attested-round order (pinned in tests/test_plans.py).
     "txlog_drop_feature",
+    "txlog_default_column",
     "txlog_merge_dv",
     "ml_split_stratified",
     "text_ttr",

@@ -619,9 +619,52 @@ def _read_data(
             schema = {c: type_overrides.get(c, t) for c, t in schema.items()}
         mapping = _column_mapping(path, version)
         parts = [f"`{mapping.get(c, c)}` {t}" for c, t in schema.items()]
-        if row_tracking_enabled(path, version):
+        tracking = row_tracking_enabled(path, version)
+        if tracking:
             parts.append(f"`{_ROWID}` bigint")
-        return spark.read.schema(", ".join(parts)).parquet(*files)
+        reader_schema = ", ".join(parts)
+        # initial column defaults (Iceberg v3): files that PREDATE a
+        # defaulted column render the default, not NULL — split the file
+        # list into groups by which defaulted columns each file predates
+        # and union the group scans (pruning/pushdown stay per-group;
+        # tables without initial defaults take the single-scan path with
+        # zero extra work beyond one meta lookup)
+        cds = latest_meta(path, "column_defaults", version) or {}
+        init = {
+            c: d
+            for c, d in cds.items()
+            if d.get("initial") is not None and c in schema
+        }
+        if init and files:
+            groups = _default_file_groups(path, files, init, mapping)
+            if any(groups):
+                dfs = []
+                for predated, fl in groups.items():
+                    g = spark.read.schema(reader_schema).parquet(*fl)
+                    if predated:
+                        # the STORED evaluated value is authoritative
+                        # (Iceberg semantics: the default is evaluated
+                        # once at declaration) — batch, stream, and CDF
+                        # render bit-identical backfill
+                        sel = [
+                            (
+                                F.lit(init[c]["initial_value"])
+                                .cast(t)
+                                .alias(mapping.get(c, c))
+                                if c in predated
+                                else F.col(f"`{mapping.get(c, c)}`")
+                            )
+                            for c, t in schema.items()
+                        ]
+                        if tracking:
+                            sel.append(F.col(f"`{_ROWID}`"))
+                        g = g.select(*sel)
+                    dfs.append(g)
+                out = dfs[0]
+                for g in dfs[1:]:
+                    out = out.unionByName(g)
+                return out
+        return spark.read.schema(reader_schema).parquet(*files)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -1236,6 +1279,7 @@ _READER_FEATURES = {
     "column-mapping",
     "log-retention",
     "type-widening",
+    "column-defaults",
 }
 
 
@@ -1335,6 +1379,10 @@ def drop_feature(path: str, feature: str) -> int:
     - ``log-retention``: the commit log must be complete from version 1
       (nothing ever expired) — once history is reclaimed, the floor
       checks this feature gates are load-bearing forever.
+    - ``column-defaults``: no live file may still PREDATE any column's
+      initial default (a feature-less reader would read NULL where the
+      table says the default); ``reorg_purge`` migrates the backfill
+      into the files.
 
     Returns the drop commit's version. Raises ``ValueError`` when the
     feature is unknown/undeclared or verification fails; a racing commit
@@ -1430,6 +1478,27 @@ def drop_feature(path: str, feature: str) -> int:
                 "horizon is already reclaimed, so the floor checks this "
                 "feature gates are load-bearing forever"
             )
+    elif feature == "column-defaults":
+        cds = latest_meta(path, "column_defaults", read_v) or {}
+        init = {
+            c: d for c, d in cds.items() if d.get("initial") is not None
+        }
+        if init:
+            groups = _default_file_groups(
+                path, visible_files(path, read_v), init
+            )
+            blocked = sorted(
+                {c for key in groups for c in key if key}
+            )
+            if blocked:
+                raise ValueError(
+                    f"cannot drop 'column-defaults': live file(s) still "
+                    f"predate the initial default of column(s) "
+                    f"{blocked} — a reader without the feature would "
+                    f"read NULL where the table says the default; "
+                    f"run reorg_purge() to migrate the backfill into "
+                    f"the files first"
+                )
     _try_commit(
         path,
         read_v + 1,
@@ -1608,6 +1677,13 @@ def rename_column(path: str, old: str, new: str) -> int:
     if new != phys:
         mapping[new] = phys
     new_schema = {(new if k == old else k): t for k, t in schema.items()}
+    extra = {}
+    cds = latest_meta(path, "column_defaults") or {}
+    if old in cds:
+        # defaults are keyed by LOGICAL name — they follow the rename
+        extra["column_defaults"] = {
+            (new if k == old else k): d for k, d in cds.items()
+        }
     _try_commit(
         path,
         read_v + 1,
@@ -1616,6 +1692,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         meta=_with_feature(path, {
             "op": "rename_column",
             "renamed": [old, new],
+            **extra,
             "schema": new_schema,
             "column_mapping": mapping,
             "physical_reserved": sorted(reserved | {phys}),
@@ -1646,6 +1723,13 @@ def drop_column(path: str, name: str) -> int:
     phys = mapping.pop(name, name)
     reserved = _physical_reserved(path) | {phys}
     new_schema = {k: t for k, t in schema.items() if k != name}
+    extra = {}
+    cds = latest_meta(path, "column_defaults") or {}
+    if name in cds:
+        # the column's defaults die with it (a later re-add starts fresh)
+        extra["column_defaults"] = {
+            k: d for k, d in cds.items() if k != name
+        }
     _try_commit(
         path,
         read_v + 1,
@@ -1655,6 +1739,7 @@ def drop_column(path: str, name: str) -> int:
             "op": "drop_column",
             "dropped": name,
             "schema": new_schema,
+            **extra,
             "column_mapping": mapping,
             "physical_reserved": sorted(reserved),
         }, "column-mapping"),
@@ -1743,6 +1828,228 @@ def widen_column_type(path: str, col: str, to_type: str) -> int:
         meta=_with_feature(path, meta, "type-widening"),
     )
     return read_v + 1
+
+
+def _eval_default(spark: SparkSession, expr_sql: str, dtype: str):
+    """Validate a default expression: must be a CONSTANT (no column
+    references — evaluated over a zero-column one-row frame), castable to
+    ``dtype``, and its value JSON-representable (primitives; temporal and
+    decimal values canonicalize to strings the arrow/Spark casts round-
+    trip). Returns the evaluated plain-Python value."""
+    try:
+        row = spark.range(1).select().select(
+            F.expr(expr_sql).cast(dtype).alias("v")
+        ).collect()
+    except Exception as e:  # noqa: BLE001 - analysis errors vary by expr
+        raise ValueError(
+            f"default {expr_sql!r} is not a constant expression castable "
+            f"to {dtype}: {e}"
+        ) from e
+    v = row[0]["v"]
+    if v is None:
+        raise ValueError(
+            f"default {expr_sql!r} evaluates to NULL under CAST to "
+            f"{dtype} — a NULL default is spelled by omitting the default"
+        )
+    import decimal
+
+    # EXACT canonical forms (unlike the stats channel, which widens
+    # decimals outward for skip-safety): the stored value IS the default
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return _canon_ts(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if not isinstance(v, (int, float, str, bool)):
+        raise ValueError(
+            f"default {expr_sql!r} has unsupported type for a column "
+            f"default (primitives only): {type(v).__name__}"
+        )
+    return v
+
+
+def add_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    dtype: str,
+    default: str | None = None,
+) -> int:
+    """``ALTER TABLE ADD COLUMN`` — metadata-only at any table size, with
+    the Iceberg-v3 default-value semantics when ``default`` (a constant
+    SQL expression string) is given:
+
+    - **initial default**: every row written BEFORE the column existed
+      reads ``default`` — a metadata-only backfill (at 100 TB the
+      alternative is a full-table rewrite). Resolution is per FILE: a
+      live file predates the column iff it was visible at the add
+      commit, so post-add NULLs are never confused with backfill.
+    - **write default**: a later write that OMITS the column gets
+      ``default`` filled in at write time (appends, the MERGE insert
+      leg, replaceWhere frames). Changeable via
+      :func:`set_column_default`; the initial default is immutable,
+      and while one exists the write default cannot be CLEARED — that
+      invariant ("post-add files always carry the column") is what lets
+      per-file backfill ride on column ABSENCE in the streaming readers.
+
+    Without ``default`` this is plain additive evolution as an explicit
+    DDL (the column reads NULL everywhere), no reader feature needed;
+    with one, the commit declares the ``column-defaults`` reader feature
+    — a build that ignored it would read NULL where the table says
+    ``default``. A re-introduced name that is still physically RESERVED
+    (dropped earlier) maps to a fresh physical name, exactly like the
+    append path. Returns the new version."""
+    read_v = current_version(path)
+    if read_v == 0:
+        raise FileNotFoundError(f"no table at {path!r} (empty log)")
+    schema = latest_meta(path, "schema", read_v)
+    if schema is None:
+        raise ValueError(
+            "add_column needs a table with a logged schema (any append "
+            "by this engine records one)"
+        )
+    if name in schema:
+        raise ValueError(f"column {name!r} already exists")
+    # probe the type string itself (independent of the default)
+    try:
+        spark.range(1).select().select(F.lit(None).cast(dtype))
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"invalid column type {dtype!r}: {e}") from e
+    meta: dict = {
+        "op": "add_column",
+        "added": [name, dtype],
+        "schema": {**schema, name: dtype},
+    }
+    reserved = _physical_reserved(path, read_v)
+    mapping = dict(_column_mapping(path, read_v))
+    if name in reserved:
+        phys = f"{name}__c{uuid.uuid4().hex[:8]}"
+        mapping[name] = phys
+        meta["column_mapping"] = mapping
+        meta["physical_reserved"] = sorted(reserved | {phys})
+        meta = _with_feature(path, meta, "column-mapping")
+    if default is not None:
+        value = _eval_default(spark, default, dtype)
+        cds = dict(latest_meta(path, "column_defaults", read_v) or {})
+        cds[name] = {
+            "initial": default,
+            "initial_value": value,
+            "write": default,
+            "v_add": read_v + 1,
+        }
+        meta["column_defaults"] = cds
+        meta = _with_feature(path, meta, "column-defaults")
+    _try_commit(path, read_v + 1, [], [], meta=meta)
+    return read_v + 1
+
+
+def set_column_default(
+    spark: SparkSession, path: str, name: str, write_default: str | None
+) -> int:
+    """``ALTER TABLE ALTER COLUMN ... SET/DROP DEFAULT`` — change the
+    WRITE default (what fills the column when a write omits it). The
+    INITIAL default (the pre-add backfill) is immutable, and while one
+    exists the write default may change but never clear (see
+    :func:`add_column`'s invariant). Setting a first-ever write default
+    on an existing column is allowed and needs no reader feature (write
+    defaults are writer-side — the files carry real values)."""
+    read_v = current_version(path)
+    schema = latest_meta(path, "schema", read_v) or {}
+    if name not in schema:
+        raise ValueError(f"no column {name!r} (have {sorted(schema)})")
+    cds = dict(latest_meta(path, "column_defaults", read_v) or {})
+    cur = dict(cds.get(name, {}))
+    if write_default is None:
+        if cur.get("initial") is not None:
+            raise ValueError(
+                f"cannot clear the write default of {name!r}: its initial "
+                f"default requires every post-add file to carry the "
+                f"column (the per-file backfill invariant)"
+            )
+        if name in cds:
+            cur["write"] = None
+            cds[name] = cur
+    else:
+        _eval_default(spark, write_default, schema[name])
+        cur.setdefault("initial", None)
+        cur.setdefault("initial_value", None)
+        cur.setdefault("v_add", read_v + 1)
+        cur["write"] = write_default
+        cds[name] = cur
+    _try_commit(
+        path,
+        read_v + 1,
+        [],
+        [],
+        meta={
+            "op": "set_column_default",
+            "column": name,
+            "column_defaults": cds,
+        },
+    )
+    return read_v + 1
+
+
+def _apply_write_defaults(df: DataFrame, path: str) -> DataFrame:
+    """Fill every column the batch OMITS that carries a write default
+    (the Iceberg write-default contract) — before identity/generated/
+    constraint processing, so a generated expression or CHECK referencing
+    a defaulted column sees the filled value."""
+    cds = latest_meta(path, "column_defaults") or {}
+    if not cds:
+        return df
+    schema = latest_meta(path, "schema") or {}
+    for c, d in cds.items():
+        if (
+            d.get("write") is not None
+            and c in schema
+            and c not in df.columns
+        ):
+            df = df.withColumn(c, F.expr(d["write"]).cast(schema[c]))
+    return df
+
+
+def _default_file_groups(
+    path: str, files: list[str], init: dict, mapping: dict | None = None
+) -> dict[frozenset, list[str]]:
+    """Group an absolute-path file list by WHICH initial-defaulted
+    columns each file predates. Membership is per column: the files
+    visible at the add commit (metadata resolution — the add was
+    metadata-only, so that set IS the pre-add population), or the
+    explicit ``pre_files`` list a clone recorded (a clone's log cannot
+    resolve the source's versions). Restores re-adding pre-add files
+    stay correctly grouped — membership, not version intervals."""
+    pre_sets = {}
+    for c, d in init.items():
+        if d.get("pre_files") is not None:
+            pre_sets[c] = {os.path.join(path, p) for p in d["pre_files"]}
+        else:
+            pre_sets[c] = set(visible_files(path, d["v_add"]))
+    cdc_prefix = os.path.join(path, _CDC_DIR) + os.sep
+    groups: dict[frozenset, list[str]] = {}
+    footer_names: dict[str, set] | None = None
+    for f in files:
+        if f.startswith(cdc_prefix):
+            # CHANGE-DATA files are never in any snapshot's visible set —
+            # but they obey the same invariant (post-add change files
+            # derive from filled/logical frames, so they CARRY defaulted
+            # columns): footer truth decides, bounded by the CDC window
+            if footer_names is None:
+                footer_names = {}
+            if f not in footer_names:
+                import pyarrow.parquet as _pq
+
+                footer_names[f] = set(_pq.read_schema(f).names)
+            key = frozenset(
+                c
+                for c in init
+                if (mapping or {}).get(c, c) not in footer_names[f]
+            )
+        else:
+            key = frozenset(c for c, s in pre_sets.items() if f in s)
+        groups.setdefault(key, []).append(f)
+    return groups
 
 
 def table_properties(path: str, version: int | None = None) -> dict[str, str]:
@@ -2238,8 +2545,11 @@ def append(
     this call out. The returned version is the APPEND's commit; a
     compaction that fires lands one more."""
     _check_bloom_cols(df, bloom_cols, path)
-    # identity + generated columns join the batch BEFORE any validation
-    # (they are part of the schema the validations speak about)
+    # write defaults, then identity + generated columns join the batch
+    # BEFORE any validation (they are part of the schema the validations
+    # speak about; defaults first so generated/CHECK expressions see the
+    # filled values)
+    df = _apply_write_defaults(df, path)
     df, idents_meta = _apply_identity(df, path)
     df = _apply_generated(df, path)
     ident_cols = frozenset(idents_meta.get("identity", {}))
@@ -2509,6 +2819,16 @@ def overwrite(
         # keeping the retirement would silently filter fresh, valid blooms
         # out of visible_blooms forever — clear it with the mapping reset
         map_meta["bloom_retired"] = []
+    cds = latest_meta(path, "column_defaults", read_v) or {}
+    if cds:
+        # no pre-add file survives a full replacement: INITIAL defaults
+        # clear (the read path stops grouping); WRITE defaults survive
+        # for the columns the new schema keeps
+        map_meta["column_defaults"] = {
+            c: {**d, "initial": None, "initial_value": None}
+            for c, d in cds.items()
+            if c in dict(df.dtypes)
+        }
     adds = _write_data_files(df, path)
     stats = _collect_stats(path, adds, stats_cols)
     ident_advance = _advance_identity(path, adds, idents_meta)
@@ -3677,7 +3997,13 @@ def merge_into(
                         # from the inserted row (the write contract), never NULL
                         computed_later.append(c)
                         continue
-                    iv = F.lit(None)
+                    # a write-defaulted column the source omits fills the
+                    # default (the Iceberg write-default contract), same
+                    # as the append path
+                    wd = (
+                        latest_meta(path, "column_defaults", read_v) or {}
+                    ).get(c, {}).get("write")
+                    iv = F.expr(wd) if wd is not None else F.lit(None)
                 ins_cols.append(iv.cast(post_types[c]).alias(c))
             inserts = nm.select(*ins_cols)
             if computed_later and not idents:
@@ -4328,6 +4654,7 @@ def overwrite_where(
             "WriteSerializable retry loop need a reservation protocol); "
             "delete_where + append instead"
         )
+    new_df = _apply_write_defaults(new_df, path)
     new_df = _apply_generated(new_df, path)
     schema_meta = _validate_append_schema(path, new_df, merge_schema=False)
     _enforce_constraints(new_df, path)
@@ -4479,6 +4806,12 @@ def restore(path: str, version: int, spark: SparkSession | None = None) -> int:
         meta["physical_reserved"] = sorted(
             _physical_reserved(path) | _physical_reserved(path, version)
         )
+    # column defaults revert WITH the schema (a restore below an
+    # add_column must stop rendering the default; one above a later
+    # set_column_default must restore the write default then in force)
+    tgt_cds = latest_meta(path, "column_defaults", version) or {}
+    if tgt_cds != (latest_meta(path, "column_defaults") or {}):
+        meta["column_defaults"] = tgt_cds
     change_data = None
     if spark is not None:
         d = _snapshot_diff(spark, path, cur_v, version, schema_v=version)
@@ -4707,6 +5040,22 @@ def table_changes(
                 cd = _logical_view(
                     cd, path, to_v, passthrough=tuple(passthrough)
                 )
+            # change files from commits BELOW a column's initial-default
+            # add render the backfill, like every data-file read (the
+            # commit version is the exact predates test here — all of
+            # this commit's change files share it)
+            cds_meta = latest_meta(path, "column_defaults", to_v) or {}
+            sch_to = latest_meta(path, "schema", to_v) or {}
+            for c, d in cds_meta.items():
+                if (
+                    d.get("initial") is not None
+                    and c in sch_to
+                    and v < d["v_add"]
+                    and c not in cd.columns
+                ):
+                    cd = cd.withColumn(
+                        c, F.lit(d["initial_value"]).cast(sch_to[c])
+                    )
             legs.append(
                 cd.withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -5262,6 +5611,30 @@ def clone(src_path: str, dst_path: str, version: int | None = None) -> int:
         m = latest_meta(src_path, key, version)
         if m is not None:
             meta[key] = m
+    # column defaults ride along, but a clone's one-commit log cannot
+    # resolve the SOURCE's add-commit versions — record each initial
+    # default's pre-add population as an explicit dst-relative file list
+    # (bounded by the clone's own file count, like the stats it already
+    # serializes). Clone-of-clone re-keys the list it inherited.
+    cds = latest_meta(src_path, "column_defaults", version)
+    if cds is not None:
+        out_cds = {}
+        for c, d in cds.items():
+            d = dict(d)
+            if d.get("initial") is not None:
+                if d.get("pre_files") is not None:
+                    pre_abs = {
+                        os.path.join(src_path, p) for p in d["pre_files"]
+                    }
+                else:
+                    pre_abs = set(visible_files(src_path, d["v_add"]))
+                d["pre_files"] = sorted(
+                    os.path.relpath(os.path.join(src_path, rel), dst_path)
+                    for rel in live
+                    if os.path.join(src_path, rel) in pre_abs
+                )
+            out_cds[c] = d
+        meta["column_defaults"] = out_cds
     # live deletion vectors ride along (dv_set — replay-time replacement),
     # each sidecar group re-keyed dst-relative exactly like the data files:
     # without this a shallow clone would resurrect every DV-deleted row.
@@ -6299,6 +6672,17 @@ def reorg_purge(
                     continue
                 if retired & set(pq.ParquetFile(p).schema_arrow.names):
                     targets.add(p)
+    # files that PREDATE an initial-defaulted column carry legacy layout
+    # too — their backfill lives in metadata; the purge rewrite reads
+    # through the logical view (defaults materialized) and migrates it
+    # into the bytes, which is what lets drop_feature('column-defaults')
+    # verify non-use afterwards
+    cds = latest_meta(path, "column_defaults", read_v) or {}
+    init = {c: d for c, d in cds.items() if d.get("initial") is not None}
+    if init:
+        for key, fl in _default_file_groups(path, all_files, init).items():
+            if key:
+                targets.update(fl)
     if not targets:
         return read_v
     rewritten = _read_files_with_dvs(spark, path, read_v, sorted(targets))

@@ -339,6 +339,67 @@ def _cast_declared(col, ddl: str | None):
     return col
 
 
+def _arrow_target(ddl: str | None):
+    """Arrow type for a Spark DDL string — the default-materialization
+    resolver (wider coverage than the widening-cast map). None when the
+    DDL has no arrow mapping here (caller falls back to inference)."""
+    import re
+
+    import pyarrow as pa
+
+    base = _DDL_TO_ARROW.get(ddl or "")
+    if base is not None:
+        return pa.type_for_alias(base)
+    if ddl == "string":
+        return pa.string()
+    if ddl == "boolean":
+        return pa.bool_()
+    if ddl == "date":
+        return pa.date32()
+    if ddl == "timestamp":
+        return pa.timestamp("us")
+    m = re.match(r"^decimal\((\d+),(\d+)\)$", ddl or "")
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return None
+
+
+def _default_column(value, ddl: str | None, n: int):
+    """Materialize one initial-default column for ``n`` rows: the stored
+    canonical value (JSON primitive; temporal/decimal canonicalize to
+    strings) parsed into the column's declared arrow type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = _arrow_target(ddl)
+    if t is None:
+        return pa.array([value] * n)
+    if isinstance(value, str) and not pa.types.is_string(t):
+        # canonical string forms (date/timestamp/decimal) parse via a
+        # string array cast; numeric strings too
+        return pa.array([value] * n, pa.string()).cast(t)
+    arr = pa.array([value] * n)
+    return arr if arr.type == t else pc.cast(arr, t)
+
+
+def _initial_default_values(path: str, columns: list[str]) -> list | None:
+    """Per-column INITIAL default values aligned to ``columns`` (None
+    where a column has none) — what a stream partition ships so a file
+    that predates the column renders the default instead of NULL. The
+    write-default invariant (add_column) guarantees every post-add file
+    carries its defaulted columns, so column ABSENCE in a file footer is
+    exactly "predates the column". Returns None when the table has no
+    initial defaults (the zero-overhead common path)."""
+    cds = txlog.latest_meta(path, "column_defaults") or {}
+    vals = [
+        cds.get(c, {}).get("initial_value")
+        if cds.get(c, {}).get("initial") is not None
+        else None
+        for c in columns
+    ]
+    return vals if any(v is not None for v in vals) else None
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -347,6 +408,7 @@ class _FilePartition(InputPartition):
         row_base=None,
         physical=None,
         ddl_types=None,
+        defaults=None,
     ):
         self.abs_path = abs_path
         self.columns = columns
@@ -359,6 +421,9 @@ class _FilePartition(InputPartition):
         #: declared DDL type per column (parallel to ``columns``); files
         #: narrower on the widening chain cast up to it executor-side
         self.ddl_types = ddl_types
+        #: initial default value per column (parallel to ``columns``);
+        #: a file MISSING the column materializes this instead of NULL
+        self.defaults = defaults
 
 
 def _read_file_batches(partition: _FilePartition):
@@ -378,9 +443,15 @@ def _read_file_batches(partition: _FilePartition):
     cols = []
     phys = partition.physical or partition.columns
     types = partition.ddl_types or [None] * len(phys)
-    for name, ddl in zip(phys, types):
+    dflts = partition.defaults or [None] * len(phys)
+    for name, ddl, dv in zip(phys, types, dflts):
         if name in table.column_names:
             cols.append(_cast_declared(table.column(name), ddl))
+        elif dv is not None:
+            # the file predates this column's initial default (post-add
+            # files always carry defaulted columns — the write-default
+            # invariant), so the backfill renders here
+            cols.append(_default_column(dv, ddl, table.num_rows))
         else:
             cols.append(pa.nulls(table.num_rows))
     out = pa.table(dict(zip(partition.columns, cols)))
@@ -399,12 +470,16 @@ class _TxlogBatchReader(DataSourceReader):
         self.columns = columns
         self.version = options.get("version")
         self.ddl_types = ddl_types
+        self.defaults = _initial_default_values(self.path, columns)
 
     def partitions(self):
         v = int(self.version) if self.version is not None else None
         files = txlog.visible_files(self.path, v)
         return [
-            _FilePartition(f, self.columns, ddl_types=self.ddl_types)
+            _FilePartition(
+                f, self.columns, ddl_types=self.ddl_types,
+                defaults=self.defaults,
+            )
             for f in files
         ] or [_FilePartition("", self.columns)]
 
@@ -514,6 +589,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
             self.path, options, columns
         )
         self.declared = dict(zip(columns, ddl_types or []))
+        self.defaults = _initial_default_values(self.path, columns)
 
     def initialOffset(self):
         # startingVersion=N streams commit N onward (Delta's semantics:
@@ -616,6 +692,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
                         base,
                         self.physical,
                         self.ddl_types,
+                        defaults=self.defaults,
                     )
                 )
         return parts or [_FilePartition("", self.columns)]
@@ -647,6 +724,7 @@ class _CdfPartition(InputPartition):
         self.dv_group = dv_group
         self.physical = physical  # see _FilePartition.physical
         self.ddl_types = ddl_types  # see _FilePartition.ddl_types
+        self.defaults = None  # see _FilePartition.defaults (set post-init)
 
 
 def _read_cdf_batches(p: _CdfPartition):
@@ -674,9 +752,12 @@ def _read_cdf_batches(p: _CdfPartition):
     cols = []
     phys = p.physical or p.columns
     types = p.ddl_types or [None] * len(phys)
-    for name, ddl in zip(phys, types):
+    dflts = p.defaults or [None] * len(phys)
+    for name, ddl, dv in zip(phys, types, dflts):
         if name in table.column_names:
             cols.append(_cast_declared(table.column(name), ddl))
+        elif dv is not None:
+            cols.append(_default_column(dv, ddl, table.num_rows))
         else:
             cols.append(pa.nulls(table.num_rows))
     out = pa.table(dict(zip(p.columns, cols)))
@@ -797,6 +878,9 @@ class _TxlogCdfStreamReader(DataSourceStreamReader):
                         ddl_types=self.ddl_types,
                     )
                 )
+        dflts = _initial_default_values(self.path, self.columns)
+        for prt in parts:
+            prt.defaults = dflts
         return parts or [_CdfPartition("", self.columns, "insert", 0)]
 
     def read(self, partition):

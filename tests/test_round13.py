@@ -827,3 +827,258 @@ class TestDropFeature:
         assert "deletion-vectors" in txlog.table_protocol(path)[
             "reader_features"
         ]
+
+
+class TestColumnDefaults:
+    """ADD COLUMN with Iceberg-v3 default values: initial default =
+    metadata-only backfill for pre-add files (per-file resolution, never
+    coalesce-over-NULL), write default = filled when a write omits the
+    column; the column-defaults reader feature gates it all."""
+
+    def _base(self, spark, prefix="r13cd_", n=5):
+        path = _fresh(prefix)
+        txlog.append(
+            spark.range(n).select(F.col("id").alias("k")).repartition(1),
+            path,
+        )
+        return path
+
+    def test_initial_default_backfills_pre_add_rows_metadata_only(
+        self, spark
+    ):
+        path = self._base(spark)
+        files_before = set(txlog.visible_files(path))
+        txlog.add_column(spark, path, "src", "string", default="'legacy'")
+        assert set(txlog.visible_files(path)) == files_before  # zero rewrites
+        got = {r.k: r.src for r in txlog.read(spark, path).collect()}
+        assert got == {i: "legacy" for i in range(5)}
+        assert "column-defaults" in txlog.table_protocol(path)[
+            "reader_features"
+        ]
+
+    def test_write_default_fills_omissions_null_and_values_preserved(
+        self, spark
+    ):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "n", "int", default="7")
+        txlog.append(
+            spark.range(5, 7).select(F.col("id").alias("k")).repartition(1),
+            path,
+        )
+        txlog.append(
+            spark.range(7, 9)
+            .select(F.col("id").alias("k"), F.lit(None).cast("int").alias("n"))
+            .repartition(1),
+            path,
+        )
+        txlog.append(
+            spark.range(9, 10)
+            .select(F.col("id").alias("k"), F.lit(42).alias("n"))
+            .repartition(1),
+            path,
+        )
+        got = {r.k: r.n for r in txlog.read(spark, path).collect()}
+        assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 7, 6: 7,
+                       7: None, 8: None, 9: 42}
+
+    def test_time_travel_below_add_sees_no_column(self, spark):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'x'")
+        assert txlog.read(spark, path, version=1).columns == ["k"]
+        assert "column-defaults" not in txlog.table_protocol(path, 1).get(
+            "reader_features", []
+        )
+
+    def test_set_column_default_changes_but_never_clears_under_initial(
+        self, spark
+    ):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'a'")
+        txlog.set_column_default(spark, path, "src", "'b'")
+        txlog.append(
+            spark.range(5, 6).select(F.col("id").alias("k")).repartition(1),
+            path,
+        )
+        got = {r.k: r.src for r in txlog.read(spark, path).collect()}
+        assert got[0] == "a" and got[5] == "b"  # initial immutable
+        with pytest.raises(ValueError, match="cannot clear"):
+            txlog.set_column_default(spark, path, "src", None)
+        # a plain (no-initial) column CAN set and clear a write default
+        txlog.add_column(spark, path, "m", "int")
+        txlog.set_column_default(spark, path, "m", "3")
+        txlog.set_column_default(spark, path, "m", None)
+
+    def test_add_column_validations(self, spark):
+        path = self._base(spark)
+        with pytest.raises(ValueError, match="already exists"):
+            txlog.add_column(spark, path, "k", "int")
+        with pytest.raises(ValueError, match="not a constant"):
+            txlog.add_column(spark, path, "b", "int", default="k + 1")
+        with pytest.raises(ValueError, match="NULL default"):
+            txlog.add_column(spark, path, "b", "int", default="NULL")
+        with pytest.raises(ValueError, match="invalid column type"):
+            txlog.add_column(spark, path, "b", "intt")
+
+    def test_predicates_see_the_default(self, spark):
+        """A DELETE keyed on the defaulted column must hit pre-add rows
+        through the backfill — the read path IS the mutation scan."""
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'old'")
+        txlog.append(
+            spark.range(5, 8)
+            .select(F.col("id").alias("k"), F.lit("new").alias("src"))
+            .repartition(1),
+            path,
+        )
+        txlog.delete_where(spark, path, F.col("src") == "old")
+        got = sorted(r.k for r in txlog.read(spark, path).collect())
+        assert got == [5, 6, 7]
+
+    def test_merge_insert_leg_fills_write_default(self, spark):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'old'")
+        src = spark.createDataFrame(
+            [(3, ), (99, )], "k bigint"
+        ).repartition(1)
+        txlog.merge_into(
+            spark, path, src, keys=["k"],
+            when_matched=False, when_not_matched=True,
+        )
+        got = {r.k: r.src for r in txlog.read(spark, path).collect()}
+        assert got[99] == "old" and got[3] == "old"
+
+    def test_reorg_purge_materializes_then_feature_drops(self, spark):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'x'")
+        with pytest.raises(ValueError, match="predate"):
+            txlog.drop_feature(path, "column-defaults")
+        txlog.reorg_purge(spark, path)
+        txlog.drop_feature(path, "column-defaults")
+        assert "column-defaults" not in txlog.table_protocol(path).get(
+            "reader_features", []
+        )
+        got = {r.k: r.src for r in txlog.read(spark, path).collect()}
+        assert got == {i: "x" for i in range(5)}  # values now IN the files
+
+    def test_restore_below_add_reverts_defaults(self, spark):
+        path = self._base(spark)
+        v1 = txlog.current_version(path)
+        txlog.add_column(spark, path, "src", "string", default="'x'")
+        txlog.restore(path, v1)
+        assert txlog.read(spark, path).columns == ["k"]
+        # re-adding after the restore starts a fresh default epoch
+        txlog.add_column(spark, path, "src", "string", default="'y'")
+        got = {r.k: r.src for r in txlog.read(spark, path).collect()}
+        assert got == {i: "y" for i in range(5)}
+
+    def test_clone_carries_backfill_with_explicit_pre_files(self, spark):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'old'")
+        txlog.append(
+            spark.range(5, 7)
+            .select(F.col("id").alias("k"), F.lit("new").alias("src"))
+            .repartition(1),
+            path,
+        )
+        c1 = _fresh("r13cdc1_")
+        txlog.clone(path, c1)
+        got = {r.k: r.src for r in txlog.read(spark, c1).collect()}
+        assert got == {0: "old", 1: "old", 2: "old", 3: "old", 4: "old",
+                       5: "new", 6: "new"}
+        # clone-of-clone re-keys the recorded pre-add list
+        c2 = _fresh("r13cdc2_")
+        txlog.clone(c1, c2)
+        got2 = {r.k: r.src for r in txlog.read(spark, c2).collect()}
+        assert got2 == got
+
+    def test_rename_and_drop_rekey_the_defaults(self, spark):
+        path = self._base(spark)
+        txlog.add_column(spark, path, "src", "string", default="'x'")
+        txlog.rename_column(path, "src", "origin")
+        got = {r.k: r.origin for r in txlog.read(spark, path).collect()}
+        assert got == {i: "x" for i in range(5)}
+        txlog.drop_column(path, "origin")
+        assert txlog.read(spark, path).columns == ["k"]
+        assert not (txlog.latest_meta(path, "column_defaults") or {})
+
+    def test_constraint_validation_sees_the_default(self, spark):
+        """add_constraint's existing-row scan reads through the backfill,
+        and an append omitting the column passes the CHECK via the write
+        default — the defaults participate in every contract scan."""
+        path = self._base(spark)
+        txlog.add_column(spark, path, "rate", "double", default="2.0")
+        txlog.add_constraint(spark, path, "rate_pos", "rate > 0")
+        txlog.append(
+            spark.range(5, 7).select(F.col("id").alias("k")).repartition(1),
+            path,
+        )
+        with pytest.raises(ValueError, match="rate_pos"):
+            txlog.append(
+                spark.range(7, 8)
+                .select(F.col("id").alias("k"), F.lit(-1.0).alias("rate"))
+                .repartition(1),
+                path,
+            )
+        got = {r.k: r.rate for r in txlog.read(spark, path).collect()}
+        assert got == {i: 2.0 for i in range(7)}
+
+    def test_batch_cdf_change_files_across_the_boundary(self, spark):
+        """A CoW delete BEFORE the add wrote change files lacking the
+        column; a batch CDF window crossing the boundary renders them
+        with the default (footer-truth fallback for _change_data)."""
+        path = self._base(spark, n=6)
+        txlog.delete_where(spark, path, F.col("k") >= 4)
+        txlog.add_column(spark, path, "src", "string", default="'old'")
+        ch = txlog.table_changes(spark, path, 1, 3)  # (1,3] = the delete
+        rows = {(r.k, r._change_type): r.src for r in ch.collect()}
+        assert rows[(4, "delete")] == "old" and rows[(5, "delete")] == "old"
+
+    def test_stream_renders_backfill_for_pre_add_commits(
+        self, spark, tmp_path
+    ):
+        from datalake_brief_spark.streaming.source import (
+            register_txlog_source,
+        )
+
+        register_txlog_source(spark)
+        path = self._base(spark, "r13cds_")
+        txlog.add_column(spark, path, "src", "string", default="'old'")
+        txlog.append(
+            spark.range(5, 7)
+            .select(F.col("id").alias("k"), F.lit("new").alias("src"))
+            .repartition(1),
+            path,
+        )
+        stream = spark.readStream.format("txlog").option("path", path).load()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cds1")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.k: r.src
+                for r in spark.sql("SELECT * FROM cds1").collect()
+            }
+        finally:
+            q.stop()
+        assert got == {0: "old", 1: "old", 2: "old", 3: "old", 4: "old",
+                       5: "new", 6: "new"}
+
+    def test_date_and_decimal_defaults_roundtrip(self, spark):
+        path = self._base(spark)
+        txlog.add_column(
+            spark, path, "d", "date", default="DATE'2020-06-01'"
+        )
+        txlog.add_column(
+            spark, path, "amt", "decimal(12,2)", default="12.30"
+        )
+        row = txlog.read(spark, path).filter("k = 0").collect()[0]
+        import datetime
+        from decimal import Decimal
+
+        assert row.d == datetime.date(2020, 6, 1)
+        assert row.amt == Decimal("12.30")
