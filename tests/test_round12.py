@@ -675,6 +675,7 @@ class TestMaintain:
         v = txlog.current_version(path)
         rep = txlog.maintain(spark, path)
         assert rep == {
+            "reclustered_to": None,  # r13: property-driven re-clustering step
             "compacted_to": None,
             "checkpointed": None,
             "log_expired": 0,
