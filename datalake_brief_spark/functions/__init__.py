@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,6 +82,39 @@ def word_shingles(tok: Column, k: int) -> Column:
     return F.when(F.size(grams) > 0, grams).otherwise(
         F.array(F.concat_ws(" ", tok))
     )
+
+
+# --- scan parallelism -------------------------------------------------------
+
+
+def spread_scan(df: "DataFrame") -> "DataFrame":
+    """Repartition a narrow scan across the cluster when the source arrives
+    in fewer splits than cores — otherwise every downstream scan-stage
+    expression (tokenizers, regex suites) and Python batch operator
+    (mapInPandas / pandas_udf) executes SERIALLY in the scan's only task
+    (guide §2.6: stragglers/idle capacity; a one-row-group parquet file
+    cannot be split by ``maxPartitionBytes``). At scale the input already
+    has ≥ parallelism splits and this is a no-op, so the repartition never
+    appears in a 100 TB plan.
+
+    Apply to the RAW column projection, before any derived expression: an
+    exchange sits above its child's projections, so spreading a computed
+    column would still evaluate it serially in the scan task. The explicit
+    partition count keeps AQE from coalescing the tiny exchange back to one
+    partition (compute-bound stages want cores, not 64 MiB targets).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # Plan-side split estimate: file count from the scan relation (cheap
+        # driver metadata, no Python-RDD conversion). Splits ≥ files, so at
+        # scale (many large files) this correctly no-ops; a single small
+        # file → 1 < parallelism → spread.
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 
 # --- vectors --------------------------------------------------------------

@@ -37,6 +37,7 @@ from datalake_brief_spark.functions import (
     hamming64,
     minhash_band_udf,
     normalize_text,
+    spread_scan,
     tokens,
     word_ngram_array,
     word_shingles,
@@ -55,30 +56,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrow scan across the cluster when the source arrives
-    in fewer splits than cores (one small parquet file → one task would
-    otherwise compute every signature serially). At scale the input already
-    has ≥ parallelism splits and this is a no-op.
-
-    Apply to the RAW (id, text) projection, before any shingling/hashing
-    expression: an exchange sits above its child's projections, so spreading
-    a computed column would still evaluate it serially in the scan task.
-    The explicit partition count keeps AQE from coalescing the tiny exchange
-    back to one partition (compute-bound stages want cores, not 64 MiB
-    targets).
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        # Plan-side split estimate: file count from the scan relation (cheap
-        # driver metadata, no Python-RDD conversion). Splits ≥ files, so at
-        # scale (many large files) this correctly no-ops; a single small
-        # file → 1 < parallelism → spread.
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = df.rdd.getNumPartitions()
-    if n_splits < parallelism:
-        return df.repartition(parallelism)
-    return df
+    """Shared scan-spread helper (moved to functions.spread_scan in r13 so
+    every operator family can use it); kept as an alias for the existing
+    call sites and tests."""
+    return spread_scan(df)
 
 
 def _shingled(

@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalake_brief_spark.functions import normalize_text, punct_count, token_count, tokens
+from datalake_brief_spark.functions import (
+    normalize_text,
+    punct_count,
+    spread_scan,
+    token_count,
+    tokens,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Public-knowledge most-frequent function words.
@@ -210,18 +216,29 @@ def bm25_topk(
         idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))   (Lucene
                    form — always positive)
 
-    Shuffle budget at corpus scale — ZERO keyed exchanges: for a fixed
-    (small) query bag, per-term frequencies and doc length are
-    scan-stage array expressions over ONE tokenization
+    Shuffle budget at corpus scale — the corpus TOKENIZES ONCE: for a
+    fixed (small) query bag, per-term frequencies and doc length are
+    scan-stage array expressions over one tokenization
     (``size(filter(toks, = term))`` — the repeated ``toks`` subtrees
     collapse under subexpression elimination), never an explode. The
-    corpus scans twice: once for the scalar statistics (N, avgdl,
-    per-term document frequencies — ONE global agg, broadcast back) and
-    once to score. The final top-k is a global orderBy(…).limit(k) —
-    TakeOrderedAndProject, partition-local heaps + one k-row merge at
-    the driver, no global sort. Ranking uses the ROUNDED score with an
-    id tie-break so the k-boundary selection is reproducible
-    cross-engine (raw float ordering is ulp-sensitive)."""
+    (id, dl, tf…) projection — a few ints per document, the lightweight
+    proxy of guide §8 — is materialized through ONE doc-keyed exchange
+    that both consumers read (AQE ReusedExchange): the scalar-statistics
+    aggregation (N, avgdl, per-term document frequencies — ONE global
+    agg, broadcast back) and the scoring pass. r12 shipped this as two
+    full tokenize scans with zero keyed exchanges; shuffling ~16 bytes/doc
+    to halve the regex work wins at every scale, and the narrow exchange
+    is AQE-coalescible. The match filter is expressed as ``score > 0``
+    (equivalent: Lucene idf is strictly positive, every summand is ≥ 0
+    and > 0 iff its tf > 0) — score references the broadcast stats, so
+    Catalyst cannot push the filter below the shared exchange and split
+    it into a second serial scan-side evaluation of the tokenizer (the
+    r12 plan evaluated the tokenizer TWICE more in the scan task for the
+    pushed ``matched > 0`` filter). The final top-k is a global
+    orderBy(…).limit(k) — TakeOrderedAndProject, partition-local heaps +
+    one k-row merge at the driver, no global sort. Ranking uses the
+    ROUNDED score with an id tie-break so the k-boundary selection is
+    reproducible cross-engine (raw float ordering is ulp-sensitive)."""
     if not query_terms:
         # an empty bag would leave score=None (F.round(None) raises) and
         # matched=0 (a Python int passed to filter) — fail with the real
@@ -235,7 +252,7 @@ def bm25_topk(
         # lambda as (element, index)
         return lambda x: x == F.lit(term)
 
-    base = df.select(
+    base = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[
@@ -243,6 +260,9 @@ def bm25_topk(
             for i, term in enumerate(query_terms)
         ],
     )
+    # one doc-keyed exchange ABOVE the tokenized projection: the stats agg
+    # and the scoring pass both read it (ReusedExchange) → ONE tokenization
+    base = base.repartition(id_col)
     stats = base.agg(
         F.avg("dl").alias("avgdl"),
         F.count(F.lit(1)).alias("n"),
@@ -268,9 +288,13 @@ def bm25_topk(
             / (tf_i + norm),
         ).otherwise(F.lit(0.0))
         score = s_i if score is None else score + s_i
-    matched = sum(F.col(f"__tf{i}") for i in range(nt))
+    # score > 0 ⟺ some tf_i > 0 (matched): Lucene idf = ln(1 + x) with
+    # x > 0 is strictly positive, norm ≥ k1·(1−b) > 0, so each summand is
+    # ≥ 0 and > 0 exactly when its term occurs. Filtering on the RAW score
+    # keeps the predicate dependent on the broadcast stats side — see the
+    # docstring for why that placement matters.
     return (
-        j.filter(matched > 0)  # only docs containing a query term rank
+        j.filter(score > 0)  # only docs containing a query term rank
         .select(F.col(id_col), F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
@@ -437,8 +461,12 @@ def repetition_metrics(
     The bigram mode needs per-(doc, gram) counts → one explode + two keyed
     aggregations on doc-prefixed keys, both with map-side partial combine;
     the final join back to the per-doc row is doc_id-keyed and AQE picks
-    broadcast at small scale. No Python anywhere."""
+    broadcast at small scale. No Python anywhere. The raw (id, text)
+    projection is spread first (r13, guide §2.6): a single-split source
+    otherwise evaluates the tokenizer/ngram chain serially in the scan
+    task for BOTH consumers of ``base``; at scale the spread no-ops."""
     toks = tokens(text_col)
+    df = spread_scan(df.select(F.col(id_col), F.col(text_col)))
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -447,8 +475,14 @@ def repetition_metrics(
         ).alias("dup_word_frac"),
         word_ngram_array(toks, 2).alias("__grams"),
     )
+    # explode_OUTER + post-filter, not explode: a non-outer generate gains
+    # an inferred `size(__grams) > 0` filter that Catalyst pushes BELOW the
+    # spread exchange — re-evaluating the whole ngram chain a second time,
+    # serially, in the single-split scan task (the dedup._banded lesson;
+    # measured 1.1 s → 4.7 s when the inferred filter landed)
     gram_counts = (
-        base.select(id_col, F.explode("__grams").alias("gram"))
+        base.select(id_col, F.explode_outer("__grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1015,6 +1049,12 @@ def dsir_log_weights(
     scoreable (target-unseen tokens get mass 1/(N_target+V), pulling the
     weight down — exactly the penalty DSIR wants for off-target text).
     """
+    # NOT spread (r13 A/B): the token histogram aggregates on a GLOBAL key,
+    # so fanning a small single-split scan across all cores multiplies the
+    # map-side partial-agg output by the partition count (32 × vocab rows
+    # into the shuffle instead of 1 × vocab) — measured 0.55 s → 0.75 s at
+    # sf0.1. At scale the input arrives multi-split and the partial-agg
+    # blowup is already priced in; nothing to fix here.
     tok = df.select(
         F.col(id_col),
         target.alias("__is_t"),

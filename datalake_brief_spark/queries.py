@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from datalake_brief_spark.catalog import load_table, register_views
 from datalake_brief_spark.functions import cosine  # noqa: F401 (re-export for users)
+from datalake_brief_spark.functions import spread_scan
 from datalake_brief_spark.operators import (
     dedup,
     multimodal,
@@ -3660,7 +3661,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality signals + composite score."""
-    d = text.with_quality(_t(spark, sf_dir, "documents"))
+    # r13: spread the single-split scan so the tokenizer/regex suite runs
+    # on every core (guide §2.6); at scale the spread no-ops
+    d = text.with_quality(
+        spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
     return d.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality")
 
 
@@ -3978,7 +3983,9 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("t"),
     )
-    out = text.redact_pii(text.with_pii_counts(d, "t"), "t")
+    # r13: spread the single-split scan — 8 regex passes per row ran
+    # serially in the scan task before (guide §2.6; scale no-op)
+    out = text.redact_pii(text.with_pii_counts(spread_scan(d), "t"), "t")
     return out.select(
         "doc_id",
         F.col("n_email").cast("long").alias("n_email"),
@@ -4660,6 +4667,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages are Arrow-batched; payload bytes never cross as Python rows."""
     import pandas as pd
 
+    # r13: NOT spread — with the vectorized code-point extraction below the
+    # BMP round trip is so cheap that per-task Python overhead beats any
+    # fan-out win (in-session A/B: serial 0.33 s vs 32-way 1.31 s at sf0.1)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def synth(batches):
@@ -4670,7 +4680,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                cps = [ord(c) % 256 for c in t[:90]]
+                # vectorized code points (≡ ord(c) % 256 per char): one
+                # utf-32 decode per doc instead of a per-char Python loop
+                cps = np.frombuffer(
+                    t[:90].encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint8)
                 arr = np.zeros(90, dtype=np.uint8)
                 arr[: len(cps)] = cps
                 payloads.append(encode_bmp(arr.reshape(5, 6, 3)))
@@ -4712,7 +4726,12 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce byte-identical decoded pixels."""
     import pandas as pd
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13: spread the single-split scan (guide §2.6) — the PNG round trip
+    # (deflate + all-five-filters encode, inflate + unfilter decode) is the
+    # one genuinely heavy per-row codec here, and fan-out wins 2x
+    # (in-session A/B: serial 1.59 s vs spread 0.83 s at sf0.1); at scale
+    # the input arrives multi-split and the spread no-ops
+    d = spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def synth(batches):
         import numpy as np
@@ -4722,7 +4741,10 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                cps = [ord(c) % 256 for c in t[:90]]
+                # vectorized code points (≡ ord(c) % 256 per char)
+                cps = np.frombuffer(
+                    t[:90].encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint8)
                 arr = np.zeros(90, dtype=np.uint8)
                 arr[: len(cps)] = cps
                 payloads.append(encode_png(arr.reshape(5, 6, 3)))
@@ -4767,6 +4789,10 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-matchable statistics."""
     import pandas as pd
 
+    # r13: NOT spread — WAV encode/decode is a handful of numpy ops per
+    # row; per-task Python overhead beats the fan-out win (in-session A/B:
+    # serial 0.40 s vs 32-way 0.76 s at sf0.1). The code-point extraction
+    # below is vectorized (one utf-32 decode per doc).
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def synth(batches):
@@ -4777,7 +4803,12 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
-                cps = np.array([ord(c) % 256 for c in t], dtype=np.int16)
+                # vectorized code points (≡ ord(c) % 256 per char)
+                cps = (
+                    np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+                    .astype(np.uint8)
+                    .astype(np.int16)
+                )
                 samples = (cps - 128) * 256
                 payloads.append(encode_wav(samples, sample_rate=16000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -7047,8 +7078,12 @@ def emb_near_dup_srp45(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher §A1.1 quality-rule suite per document (word count, mean word
     length, symbol ratio, alphabetic-word fraction, required stopwords) +
-    composite pass flag — scan-stage expressions, zero shuffles."""
-    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+    composite pass flag — per-row expressions; the raw projection is
+    spread first (r13, guide §2.6 — scale no-op) so the rule suite runs
+    on every core instead of serially in a single-split scan task."""
+    return text.gopher_rules(
+        spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
 
 
 @_register(
@@ -7078,9 +7113,11 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning heuristics per document (Raffel et al. 2020 §2.2:
     sentence count, terminal punctuation, lorem-ipsum/brace/javascript
     residue, blocklist hits) + composite pass flag — the second standard
-    filter suite alongside Gopher; scan-stage expressions, zero
-    shuffles."""
-    return text.c4_rules(_t(spark, sf_dir, "documents"))
+    filter suite alongside Gopher; per-row expressions over a spread
+    raw projection (r13, guide §2.6 — scale no-op)."""
+    return text.c4_rules(
+        spread_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
 
 
 @_register(
