@@ -12,12 +12,16 @@ from datalake_brief_spark.queries import headline_queries
 
 COMMENT = {
     "text_bm25": (
-        "ZERO keyed exchanges: doc length and per-term frequencies are "
-        "scan-stage array expressions over one tokenization (the repeated "
-        "token subtrees collapse under subexpression elimination); one "
-        "global agg broadcasts N/avgdl/df back; TakeOrderedAndProject for "
-        "the top-20 (no total sort, no explode). Two corpus scans total — "
-        "the stats pass and the scoring pass."
+        "ONE tokenization (r13): per-term tf and doc length are scan-stage "
+        "array expressions projected to a few ints per doc, and that narrow "
+        "frame flows through one doc-keyed exchange which BOTH consumers "
+        "read (AQE ReusedExchange) — the global stats agg (N/avgdl/df, "
+        "broadcast back) and the scoring pass. The match filter is the "
+        "equivalent raw score > 0, which references the broadcast stats "
+        "side and so cannot be pushed below the shared exchange (the r12 "
+        "shape paid a second full tokenize scan plus a third, serial, "
+        "scan-side tokenizer eval for the pushed matched>0 filter). "
+        "TakeOrderedAndProject for the top-20 — no total sort, no explode."
     ),
     "dedup_segments_corpus": (
         "One Generate (posexplode of the chunk transform) over a scan that "
@@ -104,7 +108,11 @@ COMMENT = {
         "Two chained MapInPandas nodes directly over the scan — encode real "
         ".bmp payloads, decode + reduce to typed stats — ZERO exchanges: the "
         "binary payloads never shuffle, Python sees whole Arrow batches, and "
-        "the output is one row per doc. At 100 TB this is the shape a "
+        "the output is one row per doc. r13 audited a spread here and kept "
+        "it OUT: with the vectorized code-point synth the BMP round trip is "
+        "so cheap that 32-way Python fan-out loses to per-task overhead "
+        "(0.33 s serial vs 1.31 s spread at sf0.1); the PNG twin, whose "
+        "codec is heavy, keeps the spread. At 100 TB this is the shape a "
         "GPU/codec stage needs: per-partition batch processing with no "
         "payload movement."
     ),
@@ -117,32 +125,53 @@ COMMENT = {
         "one reducer over the whole corpus; plan-asserted against that "
         "regression in test_plans.py."
     ),
-    "text_pii_redact": "Pure scan-stage regexp detection/redaction, zero shuffles.",
+    "text_pii_redact": (
+        "Per-row regexp detection/redaction over a spread raw projection "
+        "(r13: one round-robin exchange, a no-op once the source is "
+        "multi-split — 8 regex passes per row ran serially in the "
+        "single-split scan task before; 0.49 s → 0.16 s at sf0.1). No "
+        "keyed exchange, no Python."
+    ),
     "knn_batch": (
         "25-query exact KNN via the matmul scale path: one MapInPandas node "
         "scores every query per Arrow batch of the single corpus scan and "
         "emits only per-batch top-k partials; the one Exchange is the global "
         "rank merge on query_id — shuffle volume k·|queries|·|batches|, "
-        "never |corpus|·|queries| (both node counts plan-asserted)."
+        "never |corpus|·|queries| (both node counts plan-asserted). r13 "
+        "audited a corpus spread and kept it OUT: fan-out shrinks every "
+        "Arrow batch and the matmul amortization beats extra cores at "
+        "bench scale (0.34 s vs 0.64 s)."
     ),
     "text_repetition": (
-        "dup_word_frac is a pure scan-stage expression; the bigram mode is "
-        "Generate (explode) → partial+final count keyed on (doc, gram) → "
-        "re-aggregate to per-doc max/sum — both exchanges carry pre-combined "
-        "rows, and the join back to the per-doc row is a BroadcastHashJoin "
+        "dup_word_frac is a per-row expression; the bigram mode is "
+        "Generate (explode_OUTER + post-filter — a non-outer generate's "
+        "inferred size()>0 filter would push below the r13 spread exchange "
+        "and re-evaluate the ngram chain serially in the scan task) → "
+        "partial+final count keyed on (doc, gram) → re-aggregate to per-doc "
+        "max/sum; the join back to the per-doc row is a BroadcastHashJoin "
         "under AQE (shuffle join on doc_id at scale, both sides already "
-        "doc-keyed)."
+        "doc-keyed). The doc-keyed aggregation keeps map-side combine "
+        "effective under the spread (unlike the global-key DSIR histogram, "
+        "which stays unspread for exactly that reason). 0.90 s → 0.59 s."
     ),
-    "text_quality": "Pure scan-stage expressions, zero shuffles.",
+    "text_quality": (
+        "Per-row expressions over a spread raw projection (r13 — see "
+        "text_pii_redact; 0.35 s → 0.22 s at sf0.1). No keyed exchange, "
+        "no Python."
+    ),
     "knn_bruteforce": (
-        "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan; "
-        "window top-k on query_id."
+        "BroadcastNestedLoopJoin of 5 query vectors against the corpus scan "
+        "(spread in r13 so the zip_with/aggregate cosine expressions run on "
+        "every core for single-split sources; 0.40 s → 0.33 s); window "
+        "top-k on query_id."
     ),
     "text_gopher_rules": (
         "The whole rule suite (word count, mean word length, symbol ratio, "
         "alpha fraction, stopword presence, composite flag) is per-row "
-        "expressions over the token array — zero exchanges, zero Python; "
-        "cost is one pass over the scan at any scale."
+        "expressions over the token array — zero KEYED exchanges, zero "
+        "Python; r13 adds the one round-robin spread of the raw (id, text) "
+        "projection so the suite runs on every core for single-split "
+        "sources (0.30 s → 0.16 s at sf0.1; a no-op at scale)."
     ),
     "dedup_repeated_spans": (
         "ExactSubstr-style span detection in four linear keyed passes: gram "
@@ -194,13 +223,16 @@ COMMENT = {
         "Top-20 is TakeOrderedAndProject with a unique tiebreak."
     ),
     "multimodal_png": (
-        "Scan → MapInPandas(synthesize PNG payloads) → MapInPandas(decode: "
-        "real zlib inflate + all five unfilters, stdlib-only) — pure "
-        "scan-stage, ZERO exchanges: binary payloads never shuffle, Python "
-        "sees whole Arrow batches, one typed row leaves per image. "
-        "Embarrassingly parallel at 100 TB — cost is the per-image codec "
-        "work itself, the shape a GPU/codec stage swap needs (same "
-        "contract as multimodal_features)."
+        "Scan → spread (r13: one round-robin exchange so the codec runs on "
+        "every core for single-split sources; no-op at scale) → "
+        "MapInPandas(synthesize PNG payloads) → MapInPandas(decode: real "
+        "zlib inflate + all five unfilters, stdlib-only) — no keyed "
+        "exchange: binary payloads shuffle once as raw text bytes and "
+        "never again, Python sees whole Arrow batches, one typed row "
+        "leaves per image. r13 also vectorized the synth's code-point "
+        "extraction and rewrote the unfilter loops (137 µs → 29 µs per "
+        "image, byte-identical); net 1.59 s → 0.83 s at sf0.1. Still the "
+        "shape a GPU/codec stage swap needs."
     ),
     "dsir_weights_hashed": (
         "The hashing-trick DSIR form — the 100 TB path: tokens key as "
