@@ -407,6 +407,19 @@ def test_lsh_band_exchange_is_reused_at_runtime(spark):
         assert "ReusedExchange" in plan, (name, plan)
 
 
+def test_bm25_tokenizes_once_at_runtime(spark):
+    """r13: bm25_topk's stats aggregation and scoring pass must read ONE
+    shared doc-keyed exchange of the narrow (id, dl, tf…) projection —
+    i.e. the corpus tokenizes once. AQE materializes the reuse only at
+    runtime, so execute and assert the final adaptive plan carries a
+    ReusedExchange (the r12 two-scan shape had none to reuse)."""
+    df = QUERIES["text_bm25"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_r6_entries_keep_scale_shapes(spark):
     """Plan pins for the round-6 additions: temperature_mix's budget table
     joins back as a broadcast (never a shuffle on the stratum count);
