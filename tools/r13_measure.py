@@ -57,6 +57,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("r13-measure")
+    from bench import _warm_session  # same session warm-up as the bench
+
+    _warm_session(spark)
     os.makedirs("plans/r13", exist_ok=True)
 
     qs = headline_queries()
