@@ -13,10 +13,9 @@ import re
 import sys
 import time
 
-import pandas as pd  # noqa: F401 — resolves the warm-up UDF's type hints
-
 from datalake_brief_spark import get_spark
 from datalake_brief_spark.queries import headline_queries
+from datalake_brief_spark.warmup import warm_session as _warm_session
 
 
 def _checkpoint_sentinel(spark) -> dict[str, float]:
@@ -81,41 +80,6 @@ def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
-
-
-def _warm_session(spark) -> None:
-    """One-off SESSION warm-up before any timed query (measurement fix,
-    guide §1: time the computation, not process setup). JVM JIT/codegen,
-    the shuffle machinery, the Python worker pool and the Arrow serde
-    paths all initialize lazily on first use, so whichever query runs
-    FIRST absorbs seconds of one-off cost that belongs to no query: r12's
-    bench had text_bm25 first at 1.28 s vs 0.57 s isolated, and with the
-    r13 registry order dedup_segments_corpus (second) measured 2.97 s vs
-    0.65 s isolated — the per-query warm run alone does not drain JIT,
-    whose compiler threads keep stealing CPU through the first timed
-    min-of-N. This touches NO benchmarked table and caches NO query
-    state: a tiny synthetic frame exercises scan→Python UDF→explode→
-    shuffle→broadcast-join→agg→noop three times and is discarded. Old
-    (unwarmed) numbers are kept in BENCH_r12 and OPTIMIZATION_r13.md."""
-    from pyspark.sql import functions as F
-
-    @F.pandas_udf("long")
-    def _ident(s: pd.Series) -> pd.Series:
-        return s
-
-    base = spark.range(0, 200_000, 1, 32)
-    df = (
-        base.select(F.xxhash64("id").alias("h"), (F.col("id") % 97).alias("k"))
-        .withColumn("hp", _ident("h"))
-        .select("k", "h", F.explode(F.array("h", "hp")).alias("e"))
-        .repartition(32, "k")
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("e").alias("m"))
-    )
-    small = spark.range(0, 97).select(F.col("id").alias("k"), F.lit(1).alias("tag"))
-    out = df.join(F.broadcast(small), "k")
-    for _ in range(3):
-        out.write.format("noop").mode("overwrite").save()
 
 
 def _merge_sentinel(spark, sf_dir: str) -> dict[str, float]:
@@ -223,6 +187,9 @@ def main() -> None:
                 # total so cross-round denominators stay comparable)
                 "sentinels": sentinels,
                 "sf": sf,
+                # methodology marker (ADVICE r13): session warm-up runs
+                # before any timed query from BENCH_r13 onward
+                "session_warmup": True,
                 # box contention context (the r5/r7 cross-round comparisons
                 # were dominated by it): 1/5/15-min load averages at exit
                 "loadavg": [round(x, 2) for x in os.getloadavg()],

@@ -183,7 +183,18 @@ def _verify_exact_jaccard(
     threshold the planner degrades to a shuffled join on its own, so the
     estimate-driven choice is also the scale-safe one. A candidate-id
     semi-join prune of the verify input was likewise tried and rejected
-    (re-executes the banding join for the id broadcast: 1.02 s → 1.54 s)."""
+    (re-executes the banding join for the id broadcast: 1.02 s → 1.54 s).
+
+    r14 audit: materializing ``hashed`` through one doc-keyed exchange that
+    banding + both verify sides reuse (the bm25 §2.4 pattern) was built,
+    verified (executed plan: 1 scan, 1 tokenization, 3 ReusedExchange) and
+    REJECTED on in-session alternating A/B: 0.99→1.11 s coalesced, 0.81→1.10 s
+    with an explicit non-coalescible partition count. The executed r13 plan
+    already runs the signature UDF once (band-exchange reuse), already
+    REUSES THE VERIFY BROADCAST across both id joins (one ReusedExchange of
+    the BroadcastExchange), and its single extra tokenize pass rides an
+    off-critical-path broadcast-build future — the shared exchange moved
+    that cost ONTO the critical path as an extra stage barrier."""
     hx = hashed.select(F.col(id_col), F.col("__hx"))
     inter = F.size(F.array_intersect("__hx", "__hx_b")).cast("double")
     union = F.size(F.array_union("__hx", "__hx_b")).cast("double")

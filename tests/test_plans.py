@@ -398,8 +398,11 @@ def test_lsh_band_exchange_is_reused_at_runtime(spark):
     join sides read the same shuffle output'. AQE materializes exchange
     reuse only at runtime, so a static explain can't verify it; execute and
     assert the FINAL adaptive plan carries a ReusedExchange (and therefore
-    the minhash signature UDF ran once, not per join side)."""
-    for name in ("dedup_ngram_jaccard", "dedup_minhash"):
+    the minhash signature UDF ran once, not per join side). dedup_simhash
+    rides the same pin (ADVICE r13): its combo-key relation must come back
+    as ONE exchange both self-join sides read, or the bit-vote UDF and the
+    20-way key explode silently run twice."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash"):
         df = QUERIES[name].fn(spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
