@@ -103,15 +103,43 @@ def spread_scan(df: "DataFrame") -> "DataFrame":
     partition count keeps AQE from coalescing the tiny exchange back to one
     partition (compute-bound stages want cores, not 64 MiB targets).
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     try:
         # Plan-side split estimate: file count from the scan relation (cheap
         # driver metadata, no Python-RDD conversion). Splits ≥ files, so at
-        # scale (many large files) this correctly no-ops; a single small
-        # file → 1 < parallelism → spread.
-        n_splits = len(df.inputFiles())
+        # scale (many files) this correctly no-ops without ever touching
+        # file sizes; a single small file → 1 < parallelism → spread.
+        files = df.inputFiles()
     except Exception:
-        n_splits = df.rdd.getNumPartitions()
+        n = df.rdd.getNumPartitions()
+        return df.repartition(parallelism) if n < parallelism else df
+
+    if len(files) >= parallelism:
+        return df
+    # Bytes-aware refinement (VERDICT r13 #3): FEW files does not mean few
+    # splits — parquet is splittable, and a layout of few LARGE files (e.g.
+    # 64 × 1 GB on a 256-core cluster) already yields ≥ parallelism scan
+    # splits via maxPartitionBytes; blindly round-robin-shuffling the raw
+    # payload there would cost a full extra pass the scan parallelizes for
+    # free. Estimate splits as max(n_files, ceil(total_bytes / mpb)). The
+    # size lookup runs ONLY on this < parallelism-file branch, so it is at
+    # most parallelism−1 driver-side getFileStatus calls — never a listing
+    # of a large table. Unknown sizes fall back to 0 (i.e. keep spreading,
+    # today's behavior for the tiny single-file fixtures).
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        mpb = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        n_splits = max(len(files), -(-total // max(mpb, 1)))
+    except Exception:
+        n_splits = len(files)
     if n_splits < parallelism:
         return df.repartition(parallelism)
     return df

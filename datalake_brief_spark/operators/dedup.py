@@ -749,7 +749,14 @@ def simhash_pairs(
     passes for the sort-merge form, so the single keyed exchange is also
     the 100 TB shape. Hash-partitioning on a subset of the join keys
     satisfies the join's required distribution, so no further exchange is
-    added, and the column-only repartition stays AQE-coalescible."""
+    added, and the column-only repartition stays AQE-coalescible.
+
+    NOT spread (r14 A/B): round-robin-spreading the scan before the
+    signature pass measured 0.81 → 1.00 s at sf0.1 — the bit-vote UDF is
+    ~20 µs/row (≈0.1 s serial over this corpus, one Python worker with
+    large Arrow batches), cheaper than the extra exchange barrier plus
+    32 small-batch worker dispatches the spread costs. At scale the scan
+    arrives multi-split and the signature parallelizes for free."""
     sh = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
     keys = simhash_candidate_keys(sh, id_col, max_hamming).repartition(
         "combo_idx", "combo_key"
@@ -833,15 +840,40 @@ def repeated_spans(
         .filter(F.col("__g").isNotNull())
         .select(F.col(id_col), "pos", F.xxhash64("__g").alias("__gh"))
     )
-    dup = (
-        grams.groupBy("__gh")
-        .agg(
-            F.count_distinct(F.col(id_col)).alias("__df"),
-            F.min(F.col(id_col)).alias("__min_doc"),
+    if min_docs == 2:
+        # r14 (guide §2.3 — aggregate before you shuffle, and shuffle fewer
+        # bytes): "≥2 distinct docs" ⟺ min(doc) ≠ max(doc), so the default
+        # threshold needs NO count_distinct. The distinct aggregate plans
+        # as FOUR HashAggregate levels (partial+final dedup keyed on
+        # (gram, doc), then partial_count(distinct)+final); min/max alone
+        # plan as the ordinary two-level partial+final with a two-long
+        # combine state — half the aggregate levels over the exploded gram
+        # stream (plan diff in plans/r14/dedup_repeated_spans_*.txt).
+        # Identical result set (verified row-for-row at sf0.1, pinned in
+        # tests/test_round14.py); local tie at this SF (0.842 vs 0.847 s),
+        # the win is the scale shape. A window-over-gram-hash single-pass
+        # variant (no join, one full gram shuffle + sort) was A/B-measured
+        # worse (0.95 s) — the sort of the exploded gram stream costs more
+        # than the probe side's second scan-stage eval.
+        dup = (
+            grams.groupBy("__gh")
+            .agg(
+                F.min(F.col(id_col)).alias("__min_doc"),
+                F.max(F.col(id_col)).alias("__max_doc"),
+            )
+            .filter(F.col("__min_doc") != F.col("__max_doc"))
+            .select("__gh", "__min_doc")
         )
-        .filter(F.col("__df") >= min_docs)
-        .select("__gh", "__min_doc")
-    )
+    else:
+        dup = (
+            grams.groupBy("__gh")
+            .agg(
+                F.count_distinct(F.col(id_col)).alias("__df"),
+                F.min(F.col(id_col)).alias("__min_doc"),
+            )
+            .filter(F.col("__df") >= min_docs)
+            .select("__gh", "__min_doc")
+        )
     hits = grams.join(dup, "__gh")
     if keep_first:
         hits = hits.filter(F.col(id_col) != F.col("__min_doc"))

@@ -5624,17 +5624,23 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (app, sfa)
     if key in _BUCKETED_PAIRS:
         return _BUCKETED_PAIRS[key]
-    root = tempfile.mkdtemp(prefix="dbs_bucketed_")
-    o = _t(spark, sf_dir, "orders").repartition(8, "o_orderkey")
-    l = _t(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
-    dio.write_bucketed(
-        o, bo, ["o_orderkey"], 8, path=os.path.join(root, "o"), sort_cols=["o_orderkey"]
-    )
-    dio.write_bucketed(
-        l, bl, ["l_orderkey"], 8, path=os.path.join(root, "l"), sort_cols=["l_orderkey"]
-    )
-    _BUCKETED_PAIRS[key] = (bo, bl)
-    return bo, bl
+    # same build lock as _lakehouse_table: saveAsTable is not idempotent,
+    # so concurrent query construction (threaded plan lint) must not race
+    # the catalog registration
+    with _LAKEHOUSE_LOCK:
+        if key in _BUCKETED_PAIRS:
+            return _BUCKETED_PAIRS[key]
+        root = tempfile.mkdtemp(prefix="dbs_bucketed_")
+        o = _t(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+        l = _t(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
+        dio.write_bucketed(
+            o, bo, ["o_orderkey"], 8, path=os.path.join(root, "o"), sort_cols=["o_orderkey"]
+        )
+        dio.write_bucketed(
+            l, bl, ["l_orderkey"], 8, path=os.path.join(root, "l"), sort_cols=["l_orderkey"]
+        )
+        _BUCKETED_PAIRS[key] = (bo, bl)
+        return bo, bl
 
 
 _BUCKETED_PAIRS: dict[tuple[str, str], tuple[str, str]] = {}
@@ -5930,13 +5936,26 @@ def _lakehouse_table(kind: str, sf_dir: str, build) -> str:
     key = (kind, os.path.abspath(sf_dir))
     if key in _LAKEHOUSE_TABLES:
         return _LAKEHOUSE_TABLES[key]
-    path = os.path.join(tempfile.mkdtemp(prefix=f"dbs_{kind}_"), "t")
-    build(path)
-    _LAKEHOUSE_TABLES[key] = path
-    return path
+    # builds serialize under one lock so concurrent query construction
+    # (e.g. the registry-wide plan lint fanning 287 queries across driver
+    # threads, guide §2.6) never builds the same table twice; the memo
+    # fast path above stays lock-free
+    with _LAKEHOUSE_LOCK:
+        lock = _LAKEHOUSE_LOCKS.setdefault(key, __import__("threading").Lock())
+    # PER-KEY lock: same table never builds twice, DIFFERENT tables still
+    # build concurrently (an isolated lint run builds them all at once)
+    with lock:
+        if key in _LAKEHOUSE_TABLES:
+            return _LAKEHOUSE_TABLES[key]
+        path = os.path.join(tempfile.mkdtemp(prefix=f"dbs_{kind}_"), "t")
+        build(path)
+        _LAKEHOUSE_TABLES[key] = path
+        return path
 
 
 _LAKEHOUSE_TABLES: dict[tuple[str, str], str] = {}
+_LAKEHOUSE_LOCKS: dict = {}
+_LAKEHOUSE_LOCK = __import__("threading").Lock()
 
 
 def _snapshot_table(spark: SparkSession, sf_dir: str) -> str:
@@ -11548,56 +11567,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # widening, BM25, TBLPROPERTIES) + every remaining r5 entry + the
     # stalest r7 slice. Tail = everything else in non-decreasing
     # latest-attested-round order (pinned in tests/test_plans.py).
-    "txlog_drop_feature",
-    "txlog_default_column",
-    "txlog_merge_dv",
-    "ml_split_stratified",
-    "text_ttr",
-    "dedup_segments_corpus",
-    "emb_assign_cells",
-    "knn_pq",
-    "sample_group_hash",
-    "ts_rolling_median",
-    "join_interval_overlap",
-    "ml_eval_metrics",
-    "text_zipf_alpha",
-    "graph_adamic_adar",
-    "pq_metadata_profile",
-    "market_basket_rules",
-    "seq_transition_matrix",
-    "window_running_distinct",
-    "text_vocab_coverage",
-    "text_batch_padding",
-    "ml_calibration_bins",
-    "agg_decimal_exact",
-    "pipeline_curation_v3",
-    "dq_date_bounds",
-    "join_null_safe",
-    "setop_union_evolved",
-    "dedup_edit_distance",
-    "emb_dim_stats",
-    "orders_interarrival",
-    "txlog_delete_dv",
-    "events_session_stats",
-    "events_burstiness",
-    "ml_pr_at_thresholds",
-    "graph_kcore_designed",
-    "txlog_clone_read",
-    "txlog_timestamp_travel",
-    "multimodal_png",
-    "dsir_weights_hashed",
-    "csv_malformed_quarantine",
-    "txlog_update_dv",
-    "txlog_rename_column",
-    "txlog_reorg_purge",
-    "txlog_partitioned_read",
-    "text_url_canonical",
-    "asof_join_nearest",
-    "temperature_mix",
-    "jsonl_malformed_quarantine",
-    "dq_mad_outliers",
-    "dq_ks_drift",
-    "dedup_minhash_recall",
     "semantic_dedup_recall",
     "ml_normalize_minmax",
     "asof_join_forward",
@@ -11835,6 +11804,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "ts_zscore_anomaly",
     "ts_interpolate_linear",
     "ml_one_hot",
+    "txlog_drop_feature",
+    "txlog_default_column",
+    "txlog_merge_dv",
+    "ml_split_stratified",
+    "text_ttr",
+    "dedup_segments_corpus",
+    "emb_assign_cells",
+    "knn_pq",
+    "sample_group_hash",
+    "ts_rolling_median",
+    "join_interval_overlap",
+    "ml_eval_metrics",
+    "text_zipf_alpha",
+    "graph_adamic_adar",
+    "pq_metadata_profile",
+    "market_basket_rules",
+    "seq_transition_matrix",
+    "window_running_distinct",
+    "text_vocab_coverage",
+    "text_batch_padding",
+    "ml_calibration_bins",
+    "agg_decimal_exact",
+    "pipeline_curation_v3",
+    "dq_date_bounds",
+    "join_null_safe",
+    "setop_union_evolved",
+    "dedup_edit_distance",
+    "emb_dim_stats",
+    "orders_interarrival",
+    "txlog_delete_dv",
+    "events_session_stats",
+    "events_burstiness",
+    "ml_pr_at_thresholds",
+    "graph_kcore_designed",
+    "txlog_clone_read",
+    "txlog_timestamp_travel",
+    "multimodal_png",
+    "dsir_weights_hashed",
+    "csv_malformed_quarantine",
+    "txlog_update_dv",
+    "txlog_rename_column",
+    "txlog_reorg_purge",
+    "txlog_partitioned_read",
+    "text_url_canonical",
+    "asof_join_nearest",
+    "temperature_mix",
+    "jsonl_malformed_quarantine",
+    "dq_mad_outliers",
+    "dq_ks_drift",
+    "dedup_minhash_recall",
 ]
 
 

@@ -3282,7 +3282,7 @@ def _merge_candidate_files(
        against the source keys) decides the final rewrite set.
 
     Returns ``(candidate absolute paths, {key: (lo, hi)} envelope,
-    n_source_rows)`` — the envelope doubles as the WriteSerializable
+    n_source_rows, src_keys_unique)`` — the envelope doubles as the WriteSerializable
     phantom predicate; the row count (free: it rides the SAME one-pass
     agg as the envelope) drives the explicit broadcast decision for the
     merge's source-side joins. A Python-created source plans as a
@@ -3292,16 +3292,30 @@ def _merge_candidate_files(
     4-8× of pure sort waste on a 16M-row band against a 40-row CDC
     batch."""
     aggs = [F.count(F.lit(1)).alias("__n")]
+    nn = None
     for k in keys:
         aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        leg = F.col(k).isNotNull()
+        nn = leg if nn is None else (nn & leg)
+    # key-uniqueness rides the SAME one-pass agg (r14): when every non-null
+    # key tuple is distinct, NO target row can match two source rows, so
+    # the caller skips the dup-keys guard job entirely — one fewer Spark
+    # job per merge in the overwhelmingly common unique-key CDC case.
+    # Null-key rows never equi-match anything, so they are excluded from
+    # both sides of the comparison.
+    aggs += [
+        F.count_if(nn).alias("__nn"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nd"),
+    ]
     row = source.agg(*aggs).collect()[0].asDict()
     envelope = {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
     n_src = int(row["__n"])
+    src_keys_unique = int(row["__nd"]) == int(row["__nn"])
     all_files = visible_files(path, read_v)
     if any(lo is None for lo, _ in envelope.values()):
         # some key column is all-NULL in the source → no source tuple can
         # equal any target tuple (NULL never matches an equi-join)
-        return [], envelope, n_src
+        return [], envelope, n_src, src_keys_unique
     stats = visible_stats(path, read_v)
     phys = {k: _phys_name(path, read_v, k) for k in keys}
     canon = {k: (_canon_bound(lo), _canon_bound(hi)) for k, (lo, hi) in envelope.items()}
@@ -3314,7 +3328,7 @@ def _merge_candidate_files(
             continue
         candidates.append(abs_p)
     if not candidates:
-        return [], envelope, n_src
+        return [], envelope, n_src, src_keys_unique
     # bloom probe: per key column, collect the source's distinct values
     # only when bounded (the driver holds ≤ _MERGE_BLOOM_PROBE_MAX values)
     blooms = visible_blooms(path, read_v)
@@ -3344,7 +3358,7 @@ def _merge_candidate_files(
         candidates = kept
         if not candidates:
             break
-    return candidates, envelope, n_src
+    return candidates, envelope, n_src, src_keys_unique
 
 
 def merge_into(
@@ -3588,7 +3602,7 @@ def merge_into(
     if not (source.storageLevel.useMemory or source.storageLevel.useDisk):
         source = source.persist()
         _src_persisted = True
-    candidates, envelope, n_src = _merge_candidate_files(
+    candidates, envelope, n_src, _src_keys_unique = _merge_candidate_files(
         spark, path, read_v, source, keys
     )
     # Explicit broadcast decision for every source-side join below: a
@@ -3710,6 +3724,20 @@ def merge_into(
     # (VERDICT r10 ask #4: the joined rewrite frame fed the rewritten
     # output plus up to five change-feed legs as redundant scans).
     _cached: list = []
+    # r14 (guide §2.6 — overlap independent jobs): the phase-2 data-file
+    # write, the change-feed write and the phase-3 insert job are
+    # INDEPENDENT Spark jobs (all derive from the persisted join frame /
+    # the persisted source, none reads another's output), yet they ran
+    # strictly serially — each job's straggler tail left the cluster idle.
+    # The phase-2 write is submitted to a driver thread; the change/insert
+    # jobs back-fill its tail, and the future resolves before the stats
+    # collection that needs the written paths (and in the finally on every
+    # error path). Spark's cache locks serialize the first materialization
+    # of the shared persisted frame, so no work duplicates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _write_pool: ThreadPoolExecutor | None = None
+    _pending_adds: tuple | None = None  # (future, insert_at, dv_sweep)
     try:
         # --- phase 2: rewrite the files where a clause fires ---------------------
         tgt_m = None
@@ -3732,9 +3760,14 @@ def merge_into(
             for name, dtype in table_fields.items():
                 if name not in tgt_r.columns:
                     tgt_r = tgt_r.withColumn(name, F.lit(None).cast(dtype))
-            if matched_clauses:
+            if matched_clauses and not _src_keys_unique:
                 # the Delta nondeterminism rule: >1 source row matching one
-                # target row with any when_matched clause is ill-defined
+                # target row with any when_matched clause is ill-defined.
+                # Skipped outright when the candidate-pruning agg already
+                # proved every non-null source key tuple distinct (r14) —
+                # no target row can then match two source rows, and the
+                # guard's semi-join job is pure overhead in the common
+                # unique-key CDC case.
                 dup_keys = (
                     source.groupBy(*keys)
                     .agg(F.count(F.lit(1)).alias("__n"))
@@ -3891,16 +3924,16 @@ def merge_into(
                         if rewritten.limit(1).count():
                             _enforce_constraints(rewritten, path)
                             _apply_generated(rewritten, path)
-                            new_adds = _write_data_files(
-                                _to_physical(rewritten, mapping), path
+                            _write_pool = ThreadPoolExecutor(max_workers=1)
+                            _pending_adds = (
+                                _write_pool.submit(
+                                    _write_data_files,
+                                    _to_physical(rewritten, mapping),
+                                    path,
+                                ),
+                                len(adds),
+                                True,
                             )
-                            adds += new_adds
-                            if new_adds:
-                                _sweep.append(
-                                    os.path.dirname(
-                                        os.path.join(path, new_adds[0])
-                                    )
-                                )
             else:
                 keep = j
                 if del_idx:
@@ -3914,7 +3947,14 @@ def merge_into(
                 # validated here, never silently broken into the files
                 _apply_generated(rewritten, path)
                 removes = [os.path.relpath(p, path) for p in rewrite]
-                adds += _write_data_files(_to_physical(rewritten, mapping), path)
+                _write_pool = ThreadPoolExecutor(max_workers=1)
+                _pending_adds = (
+                    _write_pool.submit(
+                        _write_data_files, _to_physical(rewritten, mapping), path
+                    ),
+                    len(adds),
+                    False,
+                )
             # change record: each clause-hit row's images — updates as their
             # delete+insert pair SHARING the row's stable id, deletes as
             # pre-images. No-hit and unmatched rows re-land byte-identical
@@ -4049,6 +4089,17 @@ def merge_into(
         # skipping channels: CoW recollects what the removed files carried;
         # the DV path removes nothing, so its appended update outputs keep
         # the TABLE's live channels alive (the update_where_dv contract)
+        if _pending_adds is not None:
+            # resolve the overlapped phase-2 write: every job that could
+            # back-fill it (change feed, inserts) has now run
+            _fut, _at, _dv_sweep = _pending_adds
+            _new_adds = _fut.result()
+            adds[_at:_at] = _new_adds
+            if _dv_sweep and _new_adds:
+                _sweep.append(
+                    os.path.dirname(os.path.join(path, _new_adds[0]))
+                )
+            _pending_adds = None
         skip_src = removes
         if dv_adds:
             skip_src = [
@@ -4095,6 +4146,17 @@ def merge_into(
                 logstore.for_path(path).delete_tree(g)
             raise
     finally:
+        if _pending_adds is not None:
+            # error path with the write still in flight: wait it out so the
+            # unpersists below never yank a frame from under a running job
+            # (its files are unreferenced by any commit — vacuum territory,
+            # same as any failed CoW write)
+            try:
+                _pending_adds[0].result()
+            except Exception:
+                pass
+        if _write_pool is not None:
+            _write_pool.shutdown(wait=True)
         for _df in _cached:
             _df.unpersist()
         if _src_persisted:

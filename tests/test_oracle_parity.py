@@ -49,14 +49,40 @@ def _canon(rows, colnames):
 
 
 ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+NO_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def prefetch(spark):
+    """Spark-side result prefetcher (r14, guide §2.6 — overlap independent
+    jobs): the parity suite is ~570 serial Spark collects at local[4],
+    each leaving the session idle during its scheduling gaps and the
+    DuckDB/compare phase — it was the single largest block of the verify
+    gate (~11 min). Every query is independent, the Spark scheduler
+    happily runs several jobs at once, and the driver-gate semantics are
+    untouched: each test still consumes ITS OWN query's rows (or raises
+    its own exception) in the same order, only the Spark evaluation is
+    started ahead by a 4-thread pool. DuckDB stays on the pytest thread
+    (connections are not thread-safe). Spark results are deterministic
+    regardless of concurrency — the collected rows are identical to the
+    serial run's (the whole suite is the proof)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def run(name):
+        sdf = QUERIES[name].fn(spark, SF_SMOKE)
+        return sdf.collect(), sdf.columns
+
+    futures = {n: pool.submit(run, n) for n in ORACLE_QUERIES + NO_ORACLE}
+    yield lambda name: futures[name].result()
+    pool.shutdown(wait=False, cancel_futures=True)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_matches_oracle(spark, ddb, name):
+def test_matches_oracle(spark, ddb, prefetch, name):
     q = QUERIES[name]
-    sdf = q.fn(spark, SF_SMOKE)
-    srows = sdf.collect()
-    scols = sdf.columns
+    srows, scols = prefetch(name)
 
     ores = ddb.sql(q.oracle)
     orows = ores.fetchall()
@@ -67,13 +93,9 @@ def test_matches_oracle(spark, ddb, name):
     assert _canon(srows, scols) == _canon(orows, ocols), f"{name}: values differ"
 
 
-NO_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle is None)
-
-
 @pytest.mark.parametrize("name", NO_ORACLE)
-def test_runs_without_oracle(spark, name):
+def test_runs_without_oracle(spark, prefetch, name):
     """Hash-family / approximate ops: must at least execute with a stable
     schema (ground-truth checks live in their dedicated test modules)."""
-    df = QUERIES[name].fn(spark, SF_SMOKE)
-    assert df.columns
-    df.collect()
+    rows, cols = prefetch(name)
+    assert cols

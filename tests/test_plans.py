@@ -261,8 +261,18 @@ def test_no_query_produces_cartesian_or_row_python(spark):
     carry exactly their documented driver-scale count, everything else
     zero. This lint fails on the r7 forms of events_pareto (|users|
     frame), customer_rfm (three |customers| ntiles), and ml_auc_rank
-    (unbinned score spectrum)."""
-    for name, q in QUERIES.items():
+    (unbinned score spectrum).
+
+    Fanned across driver threads (r14): the lint is 287 query builds +
+    explains of driver-side planning — serially it was the single slowest
+    test in the suite (183 s, a fifth of the verify-gate budget); plan
+    construction and explain are independent per query and py4j is
+    thread-safe, so 8 threads cut it to ~a quarter. Failures keep their
+    query name (pool.map re-raises the first worker assertion)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def lint(item):
+        name, q = item
         df = q.fn(spark, SF_SMOKE)
         assert_no_cartesian(df)
         assert "BatchEvalPython" not in formatted_plan(df), name
@@ -272,6 +282,9 @@ def test_no_query_produces_cartesian_or_row_python(spark):
             f"{name}: {n_unpart} unpartitioned Window node(s) in plan, "
             f"allowed {allowed} — single-partition funnel at scale"
         )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lint, QUERIES.items()))
 
 
 def test_driver_window_covers_unattested_entries():
